@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Bottom-up hierarchy rollup over a path-array column — the reference
+  * workload's "crown jewel" construct, re-expressed as a bounded
+  * iterative DataFrame loop instead of SQL `WITH RECURSIVE`
+  * (reference: src/nass.sql:198-230 harvest/SUM, :322-357 yield/AVG,
+  * :409-436 price/AVG — three structurally identical recursive CTEs).
+  *
+  * Faithful semantics of the reference pattern:
+  *  - base = leaf rows (UNION dedups the base set);
+  *  - each round, every NEWLY-ADDED row with a non-empty path emits its
+  *    parent row: path minus last element, measures aggregated over the
+  *    window PARTITION BY (groupKeys, parentPath) — carry columns (e.g.
+  *    harvest's `unit`, src/nass.sql:221-222) ride along un-partitioned,
+  *    so one parent row survives per distinct carry value;
+  *  - recursive UNION dedups each emitted row against the ENTIRE
+  *    accumulated set; only genuinely new rows feed the next round;
+  *  - finalization aggregates all accumulated rows by
+  *    (groupKeys, path, carry) because one parent is reachable from
+  *    several sibling groups / rounds (src/nass.sql:224-230).
+  *
+  * Scale design: the loop is bounded by PATH DEPTH (≤ ~5 in practice),
+  * never data size, so plan depth is constant at 100 TB. Each round is
+  * one window shuffle + one except; `frontier`/`acc` are persisted per
+  * round so lineage stays O(1) instead of O(depth^2). No data is ever
+  * collected to the driver — the only driver-side signal is the per-round
+  * emptiness check, which is the recursion's termination condition.
+  */
+object HierarchyRollup {
+
+  sealed trait Mode { def agg(c: Column): Column }
+  case object SumMode extends Mode { def agg(c: Column): Column = sum(c) }
+  case object AvgMode extends Mode { def agg(c: Column): Column = avg(c) }
+
+  /** Leaf detection: rows whose path is not the parent-path of any other
+    * row under the same keys (reference anti-join idiom,
+    * src/nass.sql:201-212 — LEFT JOIN … WHERE r IS NULL → left_anti).
+    */
+  def leaves(df: DataFrame, keys: Seq[String], pathCol: String): DataFrame = {
+    // PG `p[1:array_length(p,1)-1]` is NULL for an empty path (array_length
+    // of {} is NULL), and NULL never matches in the anti-join — so an
+    // empty-path row stays a leaf unless some length-1 sibling exists.
+    val parents = df
+      .filter(size(col(pathCol)) > 0)
+      .select((keys.map(col) :+
+        slice(col(pathCol), lit(1), size(col(pathCol)) - 1)
+          .as(pathCol)).toIndexedSeq: _*)
+    df.join(parents, keys :+ pathCol, "left_anti")
+  }
+
+  /** @param leafRows  leaf rows of the hierarchy
+    * @param groupKeys grouping columns that define sibling windows
+    * @param pathCol   array<string> hierarchy path column name
+    * @param measures  measure columns to aggregate upward
+    * @param mode      SumMode (additive) or AvgMode (rates)
+    * @param carry     columns carried through un-partitioned (a parent row
+    *                  is emitted per distinct carry value)
+    * @param maxRounds safety bound on recursion depth
+    * @return all nodes (leaves + synthesized ancestors incl. empty-path
+    *         roots), schema (groupKeys…, pathCol, carry…, measures…)
+    */
+  def rollup(
+      leafRows: DataFrame,
+      groupKeys: Seq[String],
+      pathCol: String,
+      measures: Seq[String],
+      mode: Mode,
+      carry: Seq[String] = Nil,
+      maxRounds: Int = 12): DataFrame = {
+
+    val outCols = (groupKeys :+ pathCol) ++ carry ++ measures
+    val parentExpr =
+      slice(col(pathCol), lit(1), greatest(size(col(pathCol)) - 1, lit(0)))
+
+    var acc = leafRows.select(outCols.map(col).toIndexedSeq: _*).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = acc
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val w = Window.partitionBy((groupKeys.map(col) :+ parentExpr): _*)
+      val emitted = frontier
+        .filter(size(col(pathCol)) > 0)
+        .select((groupKeys.map(col) :+ parentExpr.as(pathCol)) ++
+          carry.map(col) ++
+          measures.map(m => mode.agg(col(m)).over(w).as(m)): _*)
+        .distinct()
+      val newRows = emitted.except(acc).persist(StorageLevel.MEMORY_AND_DISK)
+      if (newRows.isEmpty) {
+        newRows.unpersist()
+        done = true
+      } else {
+        val prev = acc
+        acc = acc.unionByName(newRows).persist(StorageLevel.MEMORY_AND_DISK)
+        prev.unpersist()
+        if (frontier ne prev) frontier.unpersist()
+        frontier = newRows
+        rounds += 1
+      }
+    }
+    val aggs = measures.map(m => mode.agg(col(m)).as(m))
+    acc
+      .groupBy(((groupKeys :+ pathCol) ++ carry).map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}
