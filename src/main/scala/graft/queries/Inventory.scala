@@ -147,11 +147,357 @@ object Inventory {
       |       greatest(t.value, s.value) AS value
       |FROM t FULL OUTER JOIN s ON t.okey = s.okey""".stripMargin
 
+  // ------------------------------------------------------------------- S1
+  /** Scan with projection + filter pushdown: both the predicate and the
+    * 3-column ReadSchema must reach the parquet reader
+    * (reference: src/nass.mk:33-35 CSV scan; pushdown is the 100 TB
+    * version of "early filtering", src/nass.sql:117-119).
+    */
+  def qScanPrune(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") < lit("1995-07-01").cast(TimestampType)
+        && col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), dec("l_quantity").as("qty"))
+
+  val qScanPruneSql: String =
+    """SELECT l_orderkey, l_linenumber, cast(l_quantity as decimal(18,2)) AS qty
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1995-07-01' AND l_discount > 0.05""".stripMargin
+
+  // ------------------------------------------------------------ S2/G6/P12
+  /** Distinct projection dedup (reference: staging dedup src/nass.mk:38,
+    * `select distinct` pervasively, src/nass.sql:121,159).
+    */
+  def qDistinctProj(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_mktsegment"), col("c_nationkey")).distinct()
+
+  val qDistinctProjSql: String =
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
+
+  // ------------------------------------------------------------------- P1
+  /** POSIX-regex row filter `~` / `!~` (reference: src/nass.sql:49,75,119). */
+  def qRegexFilter(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_name").rlike("^b.*e$") && !col("p_type").rlike("^PRO"))
+      .select(col("p_partkey"), col("p_name"), col("p_type"))
+
+  val qRegexFilterSql: String =
+    """SELECT p_partkey, p_name, p_type FROM part
+      |WHERE regexp_matches(p_name, '^b.*e$')
+      |  AND NOT regexp_matches(p_type, '^PRO')""".stripMargin
+
+  // ------------------------------------------------------------------- P2
+  /** Regex-as-boolean-column flags (reference: src/nass.sql:43-45 — note
+    * the leading-space ' IRRIGATED' trick).
+    */
+  def qRegexFlags(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("text").rlike(" spark ").as("has_spark"),
+      col("text").rlike("stream").as("has_stream"),
+      (!col("text").rlike("error")).as("clean"))
+
+  val qRegexFlagsSql: String =
+    """SELECT doc_id,
+      |  regexp_matches(text, ' spark ') AS has_spark,
+      |  regexp_matches(text, 'stream') AS has_stream,
+      |  NOT regexp_matches(text, 'error') AS clean
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------- P4/P5/P17
+  /** CASE-based key derivation + concat + zero-pad — the reference's
+    * central location-conformance rule re-shaped onto customer
+    * (reference: src/nass.sql:39-41,62-65; src/budget.r:54-65).
+    */
+  def qCaseLocation(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        when(col("c_acctbal") < 0, concat(lpad(col("c_nationkey"), 2, "0"), lit("neg")))
+          .when(col("c_mktsegment") === "BUILDING",
+            concat(lpad(col("c_nationkey"), 2, "0"), lit("ag")))
+          .otherwise(lpad(col("c_nationkey"), 2, "0")).as("location"))
+      .groupBy(col("location")).agg(count(lit(1)).as("n"))
+
+  val qCaseLocationSql: String =
+    """SELECT CASE
+      |    WHEN c_acctbal < 0 THEN lpad(cast(c_nationkey as varchar), 2, '0') || 'neg'
+      |    WHEN c_mktsegment = 'BUILDING' THEN lpad(cast(c_nationkey as varchar), 2, '0') || 'ag'
+      |    ELSE lpad(cast(c_nationkey as varchar), 2, '0')
+      |  END AS location, count(*) AS n
+      |FROM customer GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------------- P6
+  /** to_number round-trip: format a value with digit-group commas, then
+    * parse it back (reference: src/nass.sql:46 `to_number(value,fmt)` on
+    * strings like "10,122"; R gsub equivalent src/budget.r:51).
+    */
+  def qToNumber(s: SparkSession, d: String): DataFrame = {
+    val formatted = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      format_number(floor(col("o_totalprice")).cast(LongType), 0).as("raw"))
+    formatted.select(
+      col("o_orderkey"), col("raw"),
+      graft.cleanse.Cleanse.toNumber(col("raw")).as("parsed"))
+  }
+
+  val qToNumberSql: String =
+    """SELECT o_orderkey,
+      |  format('{:,}', cast(floor(o_totalprice) as bigint)) AS raw,
+      |  cast(replace(format('{:,}', cast(floor(o_totalprice) as bigint)), ',', '')
+      |       as decimal(14,2)) AS parsed
+      |FROM orders""".stripMargin
+
+  // ------------------------------------------- P7/P8/P13/P14/P17 strings
+  /** Scalar string-function census: substr, regexp_replace, lower, trim,
+    * lpad, concat (reference: src/nass.sql:140,267,402,468; §2.10).
+    */
+  def qStringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      lower(col("p_type")).as("type_lc"),
+      regexp_replace(col("p_name"), " ", "_").as("name_u"),
+      substring(col("p_brand"), 7, 2).as("brand_num"),
+      lpad(col("p_size").cast(StringType), 3, "0").as("size_pad"),
+      concat(col("p_brand"), lit(":"), trim(col("p_name"))).as("label"))
+
+  val qStringFuncsSql: String =
+    """SELECT p_partkey,
+      |  lower(p_type) AS type_lc,
+      |  regexp_replace(p_name, ' ', '_', 'g') AS name_u,
+      |  substr(p_brand, 7, 2) AS brand_num,
+      |  lpad(cast(p_size as varchar), 3, '0') AS size_pad,
+      |  p_brand || ':' || trim(p_name) AS label
+      |FROM part""".stripMargin
+
+  // ------------------------------------------------------------------- P9
+  /** Tiered fallback via left joins + coalesce — the reference's
+    * county→ag-district→state yield precedence
+    * (reference: src/nass.sql:526, src/swap.sql:139-169).
+    */
+  def qCoalesceFallback(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    val brandTier = p.filter(col("p_size") > 25)
+      .groupBy(col("p_brand")).agg(sum(dec("p_retailprice")).as("brand_sum"))
+    val typeTier = p.filter(col("p_size") > 40)
+      .groupBy(col("p_type")).agg(sum(dec("p_retailprice")).as("type_sum"))
+    p.select(col("p_partkey"), col("p_brand"), col("p_type"))
+      .join(broadcast(brandTier), Seq("p_brand"), "left")
+      .join(broadcast(typeTier), Seq("p_type"), "left")
+      .select(col("p_partkey"),
+        coalesce(col("brand_sum"), col("type_sum"), lit(0).cast(DecimalType(18, 2)))
+          .as("tier_value"))
+  }
+
+  val qCoalesceFallbackSql: String =
+    """WITH b AS (SELECT p_brand, sum(cast(p_retailprice as decimal(18,2))) AS brand_sum
+      |           FROM part WHERE p_size > 25 GROUP BY 1),
+      |     t AS (SELECT p_type, sum(cast(p_retailprice as decimal(18,2))) AS type_sum
+      |           FROM part WHERE p_size > 40 GROUP BY 1)
+      |SELECT p.p_partkey,
+      |       coalesce(b.brand_sum, t.type_sum, cast(0 as decimal(18,2))) AS tier_value
+      |FROM part p
+      |LEFT JOIN b ON p.p_brand = b.p_brand
+      |LEFT JOIN t ON p.p_type = t.p_type""".stripMargin
+
+  // ---------------------------------------------------------------- A1-A8
+  /** Array-function census over tokenized text: split, subscript, slice,
+    * remove, contains, size, join, prepend
+    * (reference: src/nass.sql:115-133,209,253).
+    */
+  def qArrayFuncs(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.cleanse.Cleanse.splitLiteral(col("text"), " ")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      element_at(toks, 1).as("first_tok"),
+      element_at(toks, -1).as("last_tok"),
+      size(toks).as("n_tok"),
+      array_contains(toks, "spark").as("has_spark"),
+      array_join(slice(toks, 1, 3), ",").as("head3"),
+      array_join(array_remove(slice(toks, 1, 5), "the"), ",").as("head5_nothe"),
+      array_join(concat(array(lit("doc")), slice(toks, 1, 2)), ",").as("prepended"))
+  }
+
+  val qArrayFuncsSql: String =
+    """SELECT doc_id,
+      |  l[1] AS first_tok,
+      |  l[-1] AS last_tok,
+      |  len(l) AS n_tok,
+      |  list_contains(l, 'spark') AS has_spark,
+      |  array_to_string(l[1:3], ',') AS head3,
+      |  array_to_string(list_filter(l[1:5], x -> x != 'the'), ',') AS head5_nothe,
+      |  array_to_string(list_prepend('doc', l[1:2]), ',') AS prepended
+      |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)""".stripMargin
+
+  // ------------------------------------------------------------------- U1
+  /** UNION with distinct semantics (PG UNION dedups; reference:
+    * src/nass.sql:7-24, src/swap.sql:54-86).
+    */
+  def qUnionDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("key"))
+      .union(Tables.supplier(s, d).select(col("s_nationkey")))
+      .distinct()
+
+  val qUnionDistinctSql: String =
+    """SELECT c_nationkey AS key FROM customer
+      |UNION
+      |SELECT s_nationkey FROM supplier""".stripMargin
+
+  // ------------------------------------------------------------------- J4
+  /** Anti-join (reference leaf-detection idiom LEFT JOIN … WHERE r IS
+    * NULL, src/nass.sql:206-212 → left_anti).
+    */
+  def qAntiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+  val qAntiJoinSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""".stripMargin
+
+  // ------------------------------------------------------------- J2 + P16
+  /** Left join with NULL-test flag (reference: src/nass.sql:195,238
+    * `h is not null as harvest`).
+    */
+  def qLeftJoinFlag(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("n_items_raw"))
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
+      .join(items, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("n_items_raw").isNotNull.as("has_items"),
+        coalesce(col("n_items_raw"), lit(0L)).as("n_items"))
+  }
+
+  val qLeftJoinFlagSql: String =
+    """WITH i AS (SELECT l_orderkey AS o_orderkey, count(*) AS n_items_raw
+      |           FROM lineitem GROUP BY 1)
+      |SELECT o.o_orderkey, o.o_orderstatus,
+      |       (i.n_items_raw IS NOT NULL) AS has_items,
+      |       coalesce(i.n_items_raw, 0) AS n_items
+      |FROM orders o LEFT JOIN i USING (o_orderkey)""".stripMargin
+
+  // -------------------------------------------------------------- J5 + S7
+  /** Theta (non-equi) join against a literal-array dimension table —
+    * range-band classification (reference: literal unnest universe
+    * src/swap.sql:5-20 + unit-compat theta join src/swap.sql:166-168).
+    * The band table is driver-literal → broadcast NL join, the right
+    * plan at any scale.
+    */
+  def qThetaBands(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(("low", 0, 10), ("mid", 10, 25), ("high", 25, 51))
+      .toDF("band", "lo", "hi")
+    Tables.lineitem(s, d)
+      .join(broadcast(bands),
+        col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), sum(dec("l_quantity")).as("qty"))
+  }
+
+  val qThetaBandsSql: String =
+    """SELECT b.band, count(*) AS n,
+      |       sum(cast(l_quantity as decimal(18,2))) AS qty
+      |FROM lineitem l
+      |JOIN (VALUES ('low',0,10),('mid',10,25),('high',25,51)) AS b(band,lo,hi)
+      |  ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+      |GROUP BY 1""".stripMargin
+
+  // ----------------------------------------------------------------- §2.6
+  /** Partition-only window aggregate (no ORDER BY, no frame) — the
+    * reference's only window shape (reference: src/nass.sql:221-222).
+    */
+  def qWindowAgg(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        sum(dec("l_quantity")).over(w).as("order_qty"),
+        count(lit(1)).over(w).as("order_lines"))
+      .distinct()
+  }
+
+  val qWindowAggSql: String =
+    """SELECT DISTINCT l_orderkey,
+      |  sum(cast(l_quantity as decimal(18,2))) OVER (PARTITION BY l_orderkey) AS order_qty,
+      |  count(*) OVER (PARTITION BY l_orderkey) AS order_lines
+      |FROM lineitem""".stripMargin
+
+  // ------------------------------------------------------------------- G7
+  /** First-row-per-group preference via ranking window — the R path's
+    * CENSUS-over-SURVEY dedup (reference: src/budget.r:82-89).
+    */
+  def qWindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), dec("o_totalprice").as("top_price"))
+  }
+
+  val qWindowRankSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       cast(o_totalprice as decimal(18,2)) AS top_price
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |      FROM orders) WHERE rn = 1""".stripMargin
+
+  // ------------------------------------------------------------------- G5
+  /** GROUP BY on an expression (reference: src/nass.sql:501
+    * `group by substr(fips,1,2)`).
+    */
+  def qGroupByExpr(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .groupBy(substring(col("p_brand"), 7, 1).as("brand_group"))
+      .agg(count(lit(1)).as("n"), sum(dec("p_retailprice")).as("price_sum"))
+
+  val qGroupByExprSql: String =
+    """SELECT substr(p_brand, 7, 1) AS brand_group, count(*) AS n,
+      |       sum(cast(p_retailprice as decimal(18,2))) AS price_sum
+      |FROM part GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------- time-bucketed agg
+  /** Hourly time-bucket aggregation over the events stream table — the
+    * batch shape of the streaming windowed agg (SURVEY §2.11 extension);
+    * also exercises nanosecond-precision parquet timestamps.
+    */
+  def qEventsHourly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec("value", 18, 6)).as("value_sum"))
+
+  val qEventsHourlySql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  count(*) AS n, sum(cast(value as decimal(18,6))) AS value_sum
+      |FROM events GROUP BY 1,2""".stripMargin
+
   /** name → (query, Some(oracleSql)) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_agg_group", qAggGroup _, Some(qAggGroupSql)),
     ("q_join_multi", qJoinMulti _, Some(qJoinMultiSql)),
     ("q_rollup_hier", qRollupHier _, Some(qRollupHierSql)),
     ("q_pivot_status", qPivotStatus _, Some(qPivotStatusSql)),
-    ("q_reconcile_greatest", qReconcileGreatest _, Some(qReconcileGreatestSql)))
+    ("q_reconcile_greatest", qReconcileGreatest _, Some(qReconcileGreatestSql)),
+    ("q_scan_prune", qScanPrune _, Some(qScanPruneSql)),
+    ("q_distinct_proj", qDistinctProj _, Some(qDistinctProjSql)),
+    ("q_regex_filter", qRegexFilter _, Some(qRegexFilterSql)),
+    ("q_regex_flags", qRegexFlags _, Some(qRegexFlagsSql)),
+    ("q_case_location", qCaseLocation _, Some(qCaseLocationSql)),
+    ("q_to_number", qToNumber _, Some(qToNumberSql)),
+    ("q_string_funcs", qStringFuncs _, Some(qStringFuncsSql)),
+    ("q_coalesce_fallback", qCoalesceFallback _, Some(qCoalesceFallbackSql)),
+    ("q_array_funcs", qArrayFuncs _, Some(qArrayFuncsSql)),
+    ("q_union_distinct", qUnionDistinct _, Some(qUnionDistinctSql)),
+    ("q_anti_join", qAntiJoin _, Some(qAntiJoinSql)),
+    ("q_left_join_flag", qLeftJoinFlag _, Some(qLeftJoinFlagSql)),
+    ("q_theta_bands", qThetaBands _, Some(qThetaBandsSql)),
+    ("q_window_agg", qWindowAgg _, Some(qWindowAggSql)),
+    ("q_window_rank", qWindowRank _, Some(qWindowRankSql)),
+    ("q_groupby_expr", qGroupByExpr _, Some(qGroupByExprSql)),
+    ("q_events_hourly", qEventsHourly _, Some(qEventsHourlySql)))
 }
