@@ -1,0 +1,140 @@
+package graft.dedup
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for a training-data pipeline: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. Everything is expression-
+  * based (whole-stage codegen, no UDFs) and shuffle-disciplined:
+  *
+  *  - exact dedup: one hash-aggregate shuffle on the fingerprint;
+  *  - MinHash LSH: signatures are a narrow map stage; candidate
+  *    generation shuffles once per band on (band, key) — at 100 TB each
+  *    band bucket is tiny (only near-dups collide), so the join is
+  *    skew-safe without salting;
+  *  - n-gram Jaccard: pairwise comparison ONLY within blocking buckets,
+  *    never a global cross join.
+  *
+  * All hash constants are single-sourced here; oracle SQL is generated
+  * from the same constants (see queries.Inventory) so Spark and DuckDB
+  * compute identical signatures.
+  */
+object Dedup {
+
+  /** Mersenne prime 2^31-1: universal-hash modulus; keeps a*x+b within
+    * int64 (a,x < 2^31 → a*x < 2^62).
+    */
+  val P: Long = 2147483647L
+
+  /** Fixed (a,b) pairs for the 16 minhash permutations h_i(x)=(a*x+b)%P.
+    * Odd multipliers, deterministically chosen.
+    */
+  val minhashCoeffs: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (1234567891L, 987654321L), (1664525L, 1013904223L),
+    (22695477L, 1L), (69069L, 362437L), (1103515247L, 54321L),
+    (134775813L, 1L), (214013L, 2531011L), (16807L, 0L),
+    (48271L, 11L), (69621L, 23L), (40692L, 37L),
+    (40014L, 53L), (1583458089L, 71L), (784588716L, 97L),
+    (577874365L, 131L))
+
+  /** Bands × rows for LSH bucketing: 4 bands of 4 rows over the
+    * 16-element signature → catches pairs with Jaccard ≳ 0.5.
+    */
+  val bands = 4
+  val rowsPerBand = 4
+
+  /** Word w-shingles of the whitespace token stream, distinct,
+    * hashed to 31-bit ints via the portable md5-based hash60 % P.
+    */
+  def shingleHashes(text: Column, w: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val n = size(toks)
+    val grams = transform(
+      sequence(lit(1), greatest(n - (w - 1), lit(0))),
+      i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o)): _*))
+    array_distinct(transform(grams, g => TextAnalysis.hash60(g) % P))
+  }
+
+  /** 16-element MinHash signature over the shingle hashes; NULL-element
+    * free (empty shingle set → signature of P, a sentinel no real hash
+    * reaches).
+    */
+  def minhashSignature(shingles: Column): Column =
+    array(minhashCoeffs.map { case (a, b) =>
+      coalesce(
+        array_min(transform(shingles, x => (x * a + b) % P)),
+        lit(P))
+    }: _*)
+
+  /** LSH band keys: one string key per band, formed from that band's
+    * signature slice. Docs sharing any band key are candidates.
+    */
+  def bandKeys(sig: Column): Column =
+    array((0 until bands).map { b =>
+      concat_ws("_", lit(b.toString) +:
+        (1 to rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r)): _*)
+    }: _*)
+
+  /** Exact dedup: group by normalized-content fingerprint; emit one
+    * representative (min id) + duplicate count per content group.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprintHex(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash LSH candidate pairs: explode band keys, self-join within
+    * buckets, dedup (a<b), then score by signature agreement.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3): DataFrame = {
+    val sigs = df.select(
+      col(idCol).as("id"),
+      minhashSignature(shingleHashes(col(textCol), w)).as("sig"))
+    val buckets = sigs
+      .select(col("id"), col("sig"), explode(bandKeys(col("sig"))).as("bucket"))
+    val a = buckets.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = buckets.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          bool => bool)).cast(DoubleType) / minhashCoeffs.size)
+          .as("sig_agreement"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash from token hashes: bit k of the fingerprint is set
+    * when the +1/-1 vote sum over tokens' k-th bits is positive.
+    */
+  val simhashBits = 32
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(text), t => TextAnalysis.hash60(t))
+    (0 until simhashBits).map { k =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, k).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** n-gram Jaccard near-dup pairs within blocking buckets (never a
+    * global cross join — the blocking key bounds pair count at scale).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], w: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val withSets = df.select(
+      (col(idCol).as("id") +: blockCols.map(col)) :+
+        shingleHashes(col(textCol), w).as("grams"): _*)
+    val a = withSets.toDF(("id_a" +: blockCols) :+ "grams_a": _*)
+    val b = withSets.toDF(("id_b" +: blockCols) :+ "grams_b": _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(
+          size(array_intersect(col("grams_a"), col("grams_b"))).cast(DoubleType) /
+            size(array_union(col("grams_a"), col("grams_b"))).cast(DoubleType),
+          6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

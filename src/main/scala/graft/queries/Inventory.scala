@@ -499,5 +499,6 @@ object Inventory {
     ("q_window_agg", qWindowAgg _, Some(qWindowAggSql)),
     ("q_window_rank", qWindowRank _, Some(qWindowRankSql)),
     ("q_groupby_expr", qGroupByExpr _, Some(qGroupByExprSql)),
-    ("q_events_hourly", qEventsHourly _, Some(qEventsHourlySql)))
+    ("q_events_hourly", qEventsHourly _, Some(qEventsHourlySql))) ++
+    PipelineQueries.entries
 }

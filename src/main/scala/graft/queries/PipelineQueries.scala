@@ -1,0 +1,323 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Ann
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data-pipeline operators (dedup / similarity / text analysis
+  * / multimodal) as driver-checkable queries. DuckDB oracle SQL is
+  * GENERATED from the same constants the Spark operators use (hash
+  * coefficients, stopword lists, marker sets) so there is a single
+  * source of truth for the algorithm parameters.
+  */
+object PipelineQueries {
+
+  // --- shared DuckDB SQL fragments, kept in lockstep with TextAnalysis/Dedup
+
+  /** DuckDB: whitespace tokens of text (empty-token-free). */
+  private val toksSql =
+    """list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')"""
+
+  /** DuckDB: graft.text.TextAnalysis.hash60 of expression e. */
+  private def hash60Sql(e: String): String =
+    s"cast(('0x' || substr(md5($e), 1, 15)) as bigint)"
+
+  /** DuckDB: distinct hashed word 3-shingles of the token list `l`. */
+  private def shinglesSql(l: String): String =
+    s"""list_distinct(list_transform(
+       |  list_transform(range(1, greatest(len($l) - 2, 0) + 1),
+       |    i -> $l[i] || ' ' || $l[i+1] || ' ' || $l[i+2]),
+       |  g -> ${hash60Sql("g")} % ${Dedup.P}))""".stripMargin
+
+  /** DuckDB: 16-element minhash signature of shingle-hash list `sh`. */
+  private def minhashSql(sh: String): String =
+    Dedup.minhashCoeffs.map { case (a, b) =>
+      s"coalesce(list_min(list_transform($sh, x -> (x * $a + $b) % ${Dedup.P})), ${Dedup.P})"
+    }.mkString("[", ",\n ", "]")
+
+  private def inList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("(", ",", ")")
+
+  // -------------------------------------------------------- text analysis
+
+  /** Token counting: whitespace tokens + BPE-ish subword estimate. */
+  def qTokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.subwordEstimate(col("text")).as("n_subwords"),
+      length(col("text")).as("n_chars_calc"))
+
+  val qTokenCountSql: String =
+    s"""SELECT doc_id,
+       |  len($toksSql) AS n_tokens,
+       |  cast(ceil(length(text) / 4.0) as bigint) AS n_subwords,
+       |  length(text) AS n_chars_calc
+       |FROM documents""".stripMargin
+
+  /** Quality scoring: stopword/punct/digit ratios + composite score. */
+  def qTextQuality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+      TextAnalysis.digitRatio(col("text")).as("digit_ratio"),
+      TextAnalysis.meanTokenLen(col("text")).as("mean_tok_len"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+
+  val qTextQualitySql: String = {
+    val stops = inList(TextAnalysis.defaultStopwords)
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+       |SELECT doc_id,
+       |  round(CASE WHEN len(toks) > 0
+       |    THEN len(list_filter(toks, x -> x IN $stops)) * 1.0 / len(toks)
+       |    ELSE 0.0 END, 6) AS stop_ratio,
+       |  round(CASE WHEN length(text) > 0
+       |    THEN length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0 / length(text)
+       |    ELSE 0.0 END, 6) AS punct_ratio,
+       |  round(CASE WHEN length(text) > 0
+       |    THEN length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text)
+       |    ELSE 0.0 END, 6) AS digit_ratio,
+       |  round(CASE WHEN len(toks) > 0
+       |    THEN length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / len(toks)
+       |    ELSE 0.0 END, 6) AS mean_tok_len,
+       |  round((
+       |    least(len(toks) / 100.0, 1.0) +
+       |    least(round(CASE WHEN len(toks) > 0
+       |      THEN len(list_filter(toks, x -> x IN $stops)) * 1.0 / len(toks)
+       |      ELSE 0.0 END, 6) * 4.0, 1.0) +
+       |    greatest(1.0 - round(CASE WHEN length(text) > 0
+       |      THEN length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0 / length(text)
+       |      ELSE 0.0 END, 6) * 4.0, 0.0) +
+       |    greatest(1.0 - round(CASE WHEN length(text) > 0
+       |      THEN length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text)
+       |      ELSE 0.0 END, 6) * 4.0, 0.0)
+       |  ) / 4.0, 6) AS quality
+       |FROM t""".stripMargin
+  }
+
+  /** Language ID: marker-word votes + argmax (first-wins tiebreak). */
+  def qLangId(s: SparkSession, d: String): DataFrame = {
+    val scores = TextAnalysis.langMarkers.map { case (lang, ms) =>
+      TextAnalysis.langScore(col("text"), ms).as(s"score_$lang")
+    }
+    Tables.documents(s, d).select(
+      (col("doc_id") +: col("lang").as("labeled") +: scores) :+
+        TextAnalysis.langId(col("text")).as("predicted"): _*)
+  }
+
+  val qLangIdSql: String = {
+    val scoreExprs = TextAnalysis.langMarkers.map { case (lang, ms) =>
+      s"len(list_filter(toks, x -> x IN ${inList(ms)})) AS score_$lang"
+    }.mkString(",\n  ")
+    val names = TextAnalysis.langMarkers.map { case (lang, _) => s"score_$lang" }
+    val best = s"greatest(${names.mkString(", ")})"
+    val caseChain = TextAnalysis.langMarkers.map { case (lang, _) =>
+      s"WHEN score_$lang = $best AND $best > 0 THEN '$lang'"
+    }.mkString("\n    ")
+    s"""WITH t AS (SELECT doc_id, lang AS labeled, $toksSql AS toks FROM documents),
+       |s AS (SELECT doc_id, labeled,
+       |  $scoreExprs
+       |FROM t)
+       |SELECT doc_id, labeled, ${names.mkString(", ")},
+       |  CASE $caseChain ELSE 'und' END AS predicted
+       |FROM s""".stripMargin
+  }
+
+  /** Document fingerprinting: md5 hex + portable 60-bit integer of the
+    * normalized content.
+    */
+  def qFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.fingerprintHex(col("text")).as("fp_hex"),
+      TextAnalysis.fingerprint60(col("text")).as("fp60"))
+
+  private val normSql = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+  val qFingerprintSql: String =
+    s"""SELECT doc_id,
+       |  md5($normSql) AS fp_hex,
+       |  ${hash60Sql(normSql)} AS fp60
+       |FROM documents""".stripMargin
+
+  // --------------------------------------------------------------- dedup
+
+  /** Exact dedup by content fingerprint. */
+  def qDedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+
+  val qDedupExactSql: String =
+    s"""SELECT md5($normSql) AS fp,
+       |  min(doc_id) AS keep_id, count(*) AS n_copies
+       |FROM documents GROUP BY 1""".stripMargin
+
+  /** MinHash signatures (the hard part of MinHash-LSH, verified
+    * element-by-element against the oracle).
+    */
+  def qMinhashSig(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      array_join(Dedup.minhashSignature(Dedup.shingleHashes(col("text"))), ",")
+        .as("sig"))
+
+  val qMinhashSigSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, ${shinglesSql("toks")} AS grams FROM t)
+       |SELECT doc_id, array_to_string(${minhashSql("grams")}, ',') AS sig
+       |FROM sh""".stripMargin
+
+  /** MinHash LSH candidate pairs (band-bucket join + signature
+    * agreement).
+    */
+  def qMinhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
+
+  val qMinhashPairsSql: String = {
+    val bandSelects = (0 until Dedup.bands).map { b =>
+      val key = (1 to Dedup.rowsPerBand)
+        .map(r => s"sig[${b * Dedup.rowsPerBand + r}]")
+        .mkString(s"'${b}' || '_' || ", " || '_' || ", "")
+      s"SELECT doc_id, sig, $key AS bucket FROM sigs"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, ${shinglesSql("toks")} AS grams FROM t),
+       |sigs AS (SELECT doc_id, ${minhashSql("grams")} AS sig FROM sh),
+       |buckets AS ($bandSelects)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  len(list_filter(range(1, ${Dedup.minhashCoeffs.size} + 1),
+       |      i -> a.sig[i] = b.sig[i])) * 1.0 / ${Dedup.minhashCoeffs.size}
+       |    AS sig_agreement
+       |FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  /** 32-bit SimHash fingerprints. */
+  def qSimhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+
+  val qSimhashSql: String = {
+    val terms = (0 until Dedup.simhashBits).map { k =>
+      s"""(CASE WHEN list_sum(list_transform(hs,
+         |   h -> CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         | THEN cast(${1L << k} as bigint) ELSE 0 END)""".stripMargin
+    }.mkString(" +\n")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |h AS (SELECT doc_id, list_transform(toks, tk -> ${hash60Sql("tk")}) AS hs FROM t)
+       |SELECT doc_id, $terms AS simhash FROM h""".stripMargin
+  }
+
+  /** n-gram Jaccard near-dup pairs, blocked by source. */
+  def qNgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      blockCols = Seq("source"), threshold = 0.2)
+
+  val qNgramJaccardSql: String =
+    s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, source, ${shinglesSql("toks")} AS grams FROM t)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+       |        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+       |        6) AS jaccard
+       |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+       |        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+       |        6) >= 0.2""".stripMargin
+
+  // ---------------------------------------------------------- similarity
+
+  /** Brute-force cosine top-3 for a small query set (vec_id < 8). */
+  def qAnnTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  val qAnnTopKSql: String = {
+    // dot products fold left-to-right via list_reduce to match Spark's
+    // functions.aggregate exactly (bit-for-bit double math)
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(cast(0 as double),
+         |  list_transform(range(1, len($a) + 1),
+         |    i -> cast($a[i] as double) * cast($b[i] as double))),
+         |  (acc, v) -> acc + v)""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       |sims AS (
+       |  SELECT query_id, neighbor_id,
+       |    CASE WHEN sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")}) > 0
+       |      THEN ${dot("qv", "cv")} /
+       |           (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")}))
+       |      ELSE 0.0 END AS sim_raw
+       |  FROM c CROSS JOIN q
+       |  WHERE neighbor_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim_raw,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim_raw DESC, neighbor_id ASC) AS rank
+       |  FROM sims)
+       |SELECT query_id, neighbor_id, round(sim_raw, 6) AS sim, rank
+       |FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
+  /** LSH-bucketed approximate top-3 (the scale path; no SQL oracle —
+    * recall depends on bucket occupancy, checked rows-only + unit test).
+    */
+  def qAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Ann.lshBucketTopK(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  // ---------------------------------------------------------- multimodal
+
+  /** Binary-column metadata: never decodes the payload. */
+  def qBinaryMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.metadata(
+      Multimodal.withPayload(Tables.documents(s, d), "text"), "doc_id")
+
+  val qBinaryMetaSql: String =
+    """SELECT doc_id,
+      |  octet_length(cast(text as blob)) AS byte_len,
+      |  sha256(text) AS sha256
+      |FROM documents""".stripMargin
+
+  /** Stub-decoded media features via mapPartitions (typed Dataset path;
+    * rows-only check — the fake codec is exercised by unit tests).
+    */
+  def qMediaFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeFeatures(
+      s, Multimodal.withPayload(Tables.documents(s, d), "text"), "doc_id")
+      .toDF()
+
+  /** Frame-sampling plumbing (rows-only check). */
+  def qFrameSample(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.withPayload(Tables.documents(s, d), "text"),
+      "doc_id", frameBytes = 64, everyNth = 2)
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame_bytes")).as("frame_len"))
+
+  /** name → (query, optional oracle) */
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q_token_count", qTokenCount _, Some(qTokenCountSql)),
+    ("q_text_quality", qTextQuality _, Some(qTextQualitySql)),
+    ("q_lang_id", qLangId _, Some(qLangIdSql)),
+    ("q_fingerprint", qFingerprint _, Some(qFingerprintSql)),
+    ("q_dedup_exact", qDedupExact _, Some(qDedupExactSql)),
+    ("q_minhash_sig", qMinhashSig _, Some(qMinhashSigSql)),
+    ("q_minhash_pairs", qMinhashPairs _, Some(qMinhashPairsSql)),
+    ("q_simhash", qSimhash _, Some(qSimhashSql)),
+    ("q_ngram_jaccard", qNgramJaccard _, Some(qNgramJaccardSql)),
+    ("q_ann_topk", qAnnTopK _, Some(qAnnTopKSql)),
+    ("q_ann_lsh", qAnnLsh _, None),
+    ("q_binary_meta", qBinaryMeta _, Some(qBinaryMetaSql)),
+    ("q_media_features", qMediaFeatures _, None),
+    ("q_frame_sample", qFrameSample _, None))
+}

@@ -1,0 +1,117 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, quality scoring, language ID, fingerprinting. All are
+  * composed from codegen'd builtins (no UDFs) so they run inside
+  * whole-stage codegen and scale linearly with input — the 100 TB path
+  * is a single narrow map stage, no shuffle.
+  *
+  * Numeric outputs are rounded to fixed decimals so results are
+  * reproducible across engines (oracle parity).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens; empty/blank text → empty array (Spark split of
+    * "" yields [""], which we filter).
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword token estimate: chars/4 rounded up — the standard
+    * budget heuristic when no tokenizer is available.
+    */
+  def subwordEstimate(text: Column): Column =
+    ceil(length(text).cast(DoubleType) / 4.0).cast(LongType)
+
+  /** 60-bit integer hash from md5 — portable across engines (DuckDB:
+    * cast('0x'||substr(md5(s),1,15) as bigint)). 15 hex digits keeps it
+    * positive in a signed 64-bit long.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Canonical text normalization for fingerprint/dedup: lowercase,
+    * collapse whitespace runs, trim.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Content fingerprint of the normalized text (md5 hex + 60-bit int). */
+  def fingerprintHex(text: Column): Column = md5(normalize(text))
+  def fingerprint60(text: Column): Column = hash60(normalize(text))
+
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from")
+
+  /** Ratio helpers (denominator-guarded, rounded for reproducibility). */
+  private def ratio(num: Column, den: Column, nd: Int = 6): Column =
+    round(when(den > 0, num.cast(DoubleType) / den.cast(DoubleType))
+      .otherwise(lit(0.0)), nd)
+
+  /** Stopword ratio over whitespace tokens. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(text)
+    ratio(size(filter(toks, t => t.isin(stopwords: _*))), size(toks))
+  }
+
+  /** Fraction of characters that are not [a-z0-9 ] after lowering. */
+  def punctRatio(text: Column): Column =
+    ratio(length(regexp_replace(lower(text), "[a-z0-9 ]", "")), length(text))
+
+  /** Fraction of characters that are digits. */
+  def digitRatio(text: Column): Column =
+    ratio(length(regexp_replace(text, "[^0-9]", "")), length(text))
+
+  /** Mean token length (chars of non-space content / token count). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    ratio(length(regexp_replace(text, "\\s", "")), size(toks))
+  }
+
+  /** Composite document quality score in [0,1] — the standard
+    * length/stopword/punctuation gate used for corpus filtering:
+    * reward presence of stopwords (natural prose), penalize
+    * punctuation-heavy or digit-heavy text and degenerate token lengths.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenTerm = least(tokenCount(text).cast(DoubleType) / 100.0, lit(1.0))
+    val stopTerm = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctTerm = greatest(lit(1.0) - punctRatio(text) * 4.0, lit(0.0))
+    val digitTerm = greatest(lit(1.0) - digitRatio(text) * 4.0, lit(0.0))
+    round((lenTerm + stopTerm + punctTerm + digitTerm) / 4.0, 6)
+  }
+
+  /** Language marker words: tiny per-language stopword seed sets for the
+    * n-gram-free heuristic. Deterministic and portable; accuracy depends
+    * on markers, mechanism is what the engine provides.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "des", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Per-language marker-hit score. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers: _*)))
+
+  /** Predicted language = argmax of marker scores; 'und' when all zero.
+    * Tie-break = marker list order (first wins), deterministic.
+    */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, ms) => lang -> langScore(text, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Ann
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank", "a"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend", "a"),
+    (3L, "completely different content about spark shuffles and partitions", "a"),
+    (4L, "THE  QUICK brown fox jumps over the lazy dog near the river bank", "b"),
+    (5L, "el la de que los something else entirely here now", "b")
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup groups case/whitespace-normalized duplicates") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .filter($"n_copies" > 1).collect()
+    assert(out.length === 1)         // docs 1 and 4 normalize identically
+    assert(out.head.getAs[Long]("keep_id") === 1L)
+    assert(out.head.getAs[Long]("n_copies") === 2L)
+  }
+
+  test("minhash candidates surface near-dups, not unrelated docs") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .select($"id_a", $"id_b", $"sig_agreement")
+      .as[(Long, Long, Double)].collect().toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 4L)))  // identical after normalization? no —
+    // minhash runs on raw text; 1 vs 4 differ in case but share most
+    // 3-gram shingles ("brown fox jumps", …) → must be candidates
+    assert(keys.contains((1L, 2L)))  // one-word difference
+    assert(!keys.exists(k => k._1 == 3L || k._2 == 3L)) // unrelated doc
+    pairs.filter(p => (p._1, p._2) == (1L, 2L))
+      .foreach(p => assert(p._3 > 0.4))
+  }
+
+  test("simhash of near-identical docs is close in hamming distance") {
+    val sh = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+    assert(sh(1L) !== sh(3L))
+  }
+
+  test("ngram jaccard finds the near-dup pair within its block") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      blockCols = Seq("source"), threshold = 0.2)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 > 0.5))
+    // cross-block pairs (1,4) must NOT be compared (different source)
+    assert(!pairs.exists(p => p._1 == 1L && p._2 == 4L))
+  }
+
+  test("brute-force ANN ranks an identical vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.001f, 0.0f)),   // near-identical to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.7f, 0.7f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Ann.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id",
+      "embedding", k = 2)
+      .select($"neighbor_id", $"rank").as[(Long, Int)].collect().toSeq
+    assert(top === Seq((1L, 1), (3L, 2)))
+  }
+
+  test("LSH buckets put identical vectors together; results ⊆ brute force") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(64)(j => math.sin(i * 17 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 3)
+    val lsh = Ann.lshBucketTopK(vecs, q, "vec_id", "embedding", k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    // every LSH neighbor must be a genuine corpus row, not fabricated
+    assert(lsh.forall { case (qid, n) => n != qid && n >= 0 && n < 50 })
+  }
+
+  test("fake codec decode is deterministic and metadata never decodes") {
+    val payload = Multimodal.withPayload(docs, "text")
+    val meta = Multimodal.metadata(payload, "doc_id").collect()
+    assert(meta.length === 5)
+    val feats = Multimodal.decodeFeatures(spark, payload, "doc_id").collect()
+    assert(feats.map(_.id).sorted === Array(1L, 2L, 3L, 4L, 5L))
+    assert(feats.forall(f => f.width >= 16 && f.channels >= 1 && f.brightness > 0))
+    val again = Multimodal.decodeFeatures(spark, payload, "doc_id").collect()
+    assert(feats.sortBy(_.id).toSeq === again.sortBy(_.id).toSeq)
+  }
+
+  test("language id picks the language with most marker hits") {
+    val out = docs.select($"doc_id", TextAnalysis.langId($"text").as("p"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "en")
+    assert(out(5L) === "es")
+  }
+}
