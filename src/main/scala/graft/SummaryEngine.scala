@@ -1,0 +1,67 @@
+package graft
+
+import graft.nass.{Budget, NassPipeline, Staging, SwapPipeline}
+import graft.sources.CsvSink
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Top-level facade: the complete reference workload as one API — a
+  * user of the reference runs the same pipeline by pointing this at
+  * their staged inputs and an output directory
+  * (reference driver: src/nass.mk `outs` target, src/nass.mk:43-60).
+  *
+  * Export order mirrors each reference view's ORDER BY clause.
+  */
+class SummaryEngine(
+    spark: SparkSession,
+    quickstatsCsvs: Seq[String],
+    apiJsons: Seq[String] = Nil) {
+
+  lazy val quickstats: DataFrame =
+    Staging.stageQuickstats(Staging.readQuickstatsRaw(spark, quickstatsCsvs: _*))
+  lazy val usdaApi: Option[DataFrame] =
+    if (apiJsons.isEmpty) None
+    else Some(Staging.readUsdaApiJson(spark, apiJsons: _*))
+  lazy val usdaRegion: Option[DataFrame] =
+    if (apiJsons.isEmpty) None
+    else Some(Staging.regionFromApiJson(spark, apiJsons: _*))
+
+  lazy val nass: NassPipeline =
+    new NassPipeline(spark, quickstats, usdaApi, usdaRegion)
+  lazy val swap: SwapPipeline =
+    new SwapPipeline(spark, nass,
+      usdaApi.getOrElse(spark.emptyDataFrame))
+
+  /** The 7 nass-layer golden exports (src/nass.mk:43-45,54-55). */
+  def exportNass(outDir: String): Unit = {
+    CsvSink.exportSingle(nass.land_rent, s"$outDir/land_rent",
+      Seq(col("location"), col("year"), col("dataitem"), col("value")))
+    CsvSink.exportSingle(nass.commodity_harvest, s"$outDir/commodity_harvest",
+      Seq(col("year"), col("location"), col("commodity")))
+    CsvSink.exportSingle(nass.commodity_yield, s"$outDir/commodity_yield",
+      Seq(col("year"), col("location"), col("commodity"), col("unit")))
+    CsvSink.exportSingle(nass.commodity_price, s"$outDir/commodity_price",
+      Seq(col("year"), col("location"), col("commodity"), col("unit")))
+    CsvSink.exportSingle(nass.commodity_list, s"$outDir/commodity_list",
+      Seq(col("commodity")))
+    CsvSink.exportSingle(nass.county_adc, s"$outDir/county_adc",
+      Seq(col("fips")))
+    CsvSink.exportSingle(nass.commodity_county_yield,
+      s"$outDir/commodity_county_yield", Seq(col("commodity")))
+  }
+
+  /** The 5 swap-layer exports (src/nass.mk:48-49,57-60). */
+  def exportSwap(outDir: String): Unit = {
+    CsvSink.exportSingle(swap.swap, s"$outDir/swap",
+      Seq(col("location"), col("commodity")))
+    CsvSink.exportSingle(swap.swap_net, s"$outDir/swap_net", Seq(col("location")))
+    CsvSink.exportSingle(swap.swap_price, s"$outDir/swap_price", Seq(col("location")))
+    CsvSink.exportSingle(swap.swap_yield, s"$outDir/swap_yield", Seq(col("location")))
+    CsvSink.exportSingle(swap.swap_yield_unit, s"$outDir/swap_yield_unit")
+  }
+
+  /** The R-path output (src/budget.r → combined_harvest.csv). */
+  def exportBudget(apiCsv: DataFrame, outDir: String): Unit =
+    CsvSink.exportSingle(Budget.harvestArea(apiCsv), s"$outDir/combined_harvest",
+      Seq(col("year"), col("crops"), col("location")))
+}

@@ -77,6 +77,13 @@ object Cleanse {
   def splitLiteral(c: Column, delim: String): Column =
     split(c, java.util.regex.Pattern.quote(delim))
 
+  /** Escape regex metacharacters in a data-driven pattern fragment
+    * (used when the reference interpolates a column value into a regex,
+    * e.g. src/nass.sql:402 `regexp_replace(di[1],commodity||'(, )?','')`).
+    */
+  def regexEscape(c: Column): Column =
+    regexp_replace(c, """([\\^$.|?*+()\[\]{}])""", """\\$1""")
+
   /** Parent path = path minus its last element
     * (reference: src/nass.sql:209,215 `subcommodity[1:array_length-1]`).
     * For an empty array PG yields NULL-ish empty; slice(c,1,-?) needs a
