@@ -89,11 +89,21 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       w: Int = 3): DataFrame = {
-    val sigs = df.select(
-      col(idCol).as("id"),
-      minhashSignature(shingleHashes(col(textCol), w)).as("sig"))
+    // STAGED projections, not one nested expression: inlining
+    // bandKeys(minhashSignature(shingleHashes(…))) would make Catalyst
+    // re-expand the shingle hashing once per signature element and the
+    // signature once per band element — a 256× expression blowup
+    // (observed 309s → ~3s at sf0.1). Column references across Project
+    // nodes are evaluated once; CollapseProject keeps non-cheap exprs
+    // referenced more than once staged.
+    val sigs = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), w).as("grams"))
+      .select(col("id"), minhashSignature(col("grams")).as("sig"))
+    // persist: the self-join would otherwise recompute the full
+    // md5+permutation pipeline on BOTH sides
     val buckets = sigs
       .select(col("id"), col("sig"), explode(bandKeys(col("sig"))).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = buckets.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = buckets.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("bucket"))
@@ -123,18 +133,25 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], w: Int = 3, threshold: Double = 0.2): DataFrame = {
+    // Blocking bounds the pair count; near-dups that straddle a block
+    // boundary are missed by design — callers trade recall for scale
+    // via their blocking key (length buckets, source, LSH bands…).
     val withSets = df.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
         shingleHashes(col(textCol), w).as("grams"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withSets.toDF(("id_a" +: blockCols) :+ "grams_a": _*)
     val b = withSets.toDF(("id_b" +: blockCols) :+ "grams_b": _*)
+    // |A∪B| = |A|+|B|-|A∩B| (sets are distinct by construction):
+    // one staged intersection instead of intersect + union per pair
     a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("grams_a"), col("grams_b"),
+        size(array_intersect(col("grams_a"), col("grams_b"))).as("inter"))
       .select(col("id_a"), col("id_b"),
-        round(
-          size(array_intersect(col("grams_a"), col("grams_b"))).cast(DoubleType) /
-            size(array_union(col("grams_a"), col("grams_b"))).cast(DoubleType),
-          6).as("jaccard"))
+        round(col("inter").cast(DoubleType) /
+          (size(col("grams_a")) + size(col("grams_b")) - col("inter"))
+            .cast(DoubleType), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -61,6 +61,14 @@ object HierarchyRollup {
     * @param carry     columns carried through un-partitioned (a parent row
     *                  is emitted per distinct carry value)
     * @param maxRounds safety bound on recursion depth
+    * @param crossRoundDedup PG recursive-UNION dedups each emitted row
+    *                  against the ENTIRE accumulated set. When all
+    *                  leaves share one path depth, rows emitted in
+    *                  different rounds have different path lengths and
+    *                  can never collide — pass false to skip the
+    *                  per-round `except` (one distributed set-diff per
+    *                  level saved; identical result for uniform-depth
+    *                  forests)
     * @return all nodes (leaves + synthesized ancestors incl. empty-path
     *         roots), schema (groupKeys…, pathCol, carry…, measures…)
     */
@@ -71,7 +79,8 @@ object HierarchyRollup {
       measures: Seq[String],
       mode: Mode,
       carry: Seq[String] = Nil,
-      maxRounds: Int = 12): DataFrame = {
+      maxRounds: Int = 12,
+      crossRoundDedup: Boolean = true): DataFrame = {
 
     val outCols = (groupKeys :+ pathCol) ++ carry ++ measures
     val parentExpr =
@@ -90,7 +99,8 @@ object HierarchyRollup {
           carry.map(col) ++
           measures.map(m => mode.agg(col(m)).over(w).as(m)): _*)
         .distinct()
-      val newRows = emitted.except(acc).persist(StorageLevel.MEMORY_AND_DISK)
+      val newRows = (if (crossRoundDedup) emitted.except(acc) else emitted)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       if (newRows.isEmpty) {
         newRows.unpersist()
         done = true

@@ -79,7 +79,8 @@ object Inventory {
       array(col("p_type"), col("p_brand"), col("p_name")).as("path"),
       dec("p_retailprice", 12, 2).as("price"))
     HierarchyRollup.rollup(
-      leaves, Seq.empty, "path", Seq("price"), HierarchyRollup.SumMode)
+      leaves, Seq.empty, "path", Seq("price"), HierarchyRollup.SumMode,
+      crossRoundDedup = false) // all leaves depth 3 → rounds can't collide
       .select(array_join(col("path"), ", ").as("node"),
         col("price").cast(DecimalType(24, 2)).as("total"))
   }
@@ -237,7 +238,9 @@ object Inventory {
       format_number(floor(col("o_totalprice")).cast(LongType), 0).as("raw"))
     formatted.select(
       col("o_orderkey"), col("raw"),
-      graft.cleanse.Cleanse.toNumber(col("raw")).as("parsed"))
+      // native codegen'd Catalyst expression (graft.functions.ToNumber),
+      // semantics identical to the composed-builtin Cleanse.toNumber
+      graft.functions.ToNumber.to_number(col("raw"), 14, 2).as("parsed"))
   }
 
   val qToNumberSql: String =

@@ -160,10 +160,10 @@ object PipelineQueries {
     * element-by-element against the oracle).
     */
   def qMinhashSig(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      array_join(Dedup.minhashSignature(Dedup.shingleHashes(col("text"))), ",")
-        .as("sig"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("grams"))
+      .select(col("doc_id"),
+        array_join(Dedup.minhashSignature(col("grams")), ",").as("sig"))
 
   val qMinhashSigSql: String =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -211,19 +211,26 @@ object PipelineQueries {
        |SELECT doc_id, $terms AS simhash FROM h""".stripMargin
   }
 
-  /** n-gram Jaccard near-dup pairs, blocked by source. */
+  /** n-gram Jaccard near-dup pairs, blocked by (source, length bucket) —
+    * the length bucket bounds pair count at scale (near-dups have
+    * near-equal length).
+    */
   def qNgramJaccard(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-      blockCols = Seq("source"), threshold = 0.2)
+    Dedup.ngramJaccardPairs(
+      Tables.documents(s, d)
+        .withColumn("len_bucket", floor(col("n_chars") / 200)),
+      "doc_id", "text", blockCols = Seq("source", "len_bucket"), threshold = 0.2)
 
   val qNgramJaccardSql: String =
-    s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
-       |g AS (SELECT doc_id, source, ${shinglesSql("toks")} AS grams FROM t)
+    s"""WITH t AS (SELECT doc_id, source, cast(floor(n_chars / 200) as bigint) AS len_bucket,
+       |           $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, source, len_bucket, ${shinglesSql("toks")} AS grams FROM t)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  round(len(list_intersect(a.grams, b.grams)) * 1.0 /
        |        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
        |        6) AS jaccard
-       |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+       |FROM g a JOIN g b ON a.source = b.source AND a.len_bucket = b.len_bucket
+       |  AND a.doc_id < b.doc_id
        |WHERE round(len(list_intersect(a.grams, b.grams)) * 1.0 /
        |        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
        |        6) >= 0.2""".stripMargin

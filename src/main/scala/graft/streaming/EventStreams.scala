@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extension of the engine (SURVEY §2.11: the
+  * reference is pure batch; incremental ingest of new API pulls is the
+  * natural streaming extension). The same transforms run identically
+  * over `readStream` (incremental) and `read` (backfill) inputs —
+  * declare once, bind either source.
+  *
+  * Scale design: windowed aggs carry watermarks so state is bounded;
+  * sessionization uses flatMapGroupsWithState with an explicit timeout
+  * rather than unbounded buffering.
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling-window per-type counts/sums with a lateness watermark —
+    * works on both batch and streaming DataFrames.
+    */
+  def windowedTypeCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_sum"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, nEvents: Long, sumValue: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionization: a user's events belong to one session
+    * until `gapMs` of inactivity. Custom state via
+    * flatMapGroupsWithState — the engine's template for arbitrary
+    * keyed streaming state.
+    */
+  /** @param useTimeout flush dangling sessions via processing-time
+    *                    timeout. Disable for synchronous drains
+    *                    (processAllAvailable never quiesces while
+    *                    timeout batches keep re-firing).
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L,
+      useTimeout: Boolean = true): Dataset[Session] = {
+    import spark.implicits._
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(userId, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.last), s.nEvents, s.sumValue))
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.last <= gapMs =>
+              cur = Some(s.copy(last = t, nEvents = s.nEvents + 1,
+                sumValue = s.sumValue + e.value))
+            case Some(s) =>
+              closed ::= Session(userId, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.last), s.nEvents, s.sumValue)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          if (useTimeout) state.setTimeoutDuration(gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Batch-shaped sessionization with identical semantics (gap split
+    * via lag window), for backfill and for differential testing of the
+    * streaming path.
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          (col("ts").cast(LongType) - col("prev_ts").cast(LongType)) * 1000 > gapMs)
+          .cast(IntegerType))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .drop("session_id")
+  }
+
+  /** Incremental pipeline wiring: parquet source dir → windowed agg →
+    * parquet sink with checkpoint. The streaming twin of the batch
+    * hourly rollup.
+    */
+  def startHourlyPipeline(spark: SparkSession, srcDir: String, sinkDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val src = spark.readStream.schema(eventSchema).parquet(srcDir)
+    windowedTypeCounts(src)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", sinkDir)
+      .start()
+  }
+}

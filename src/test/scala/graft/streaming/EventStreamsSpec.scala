@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+  import EventStreams._
+
+  private def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+  private def events = Seq(
+    Event(1, ts(0), 10, "click", 1.0),
+    Event(2, ts(5), 10, "view", 2.0),
+    Event(3, ts(90), 10, "click", 3.0),   // >30min gap → new session
+    Event(4, ts(2), 20, "purchase", 4.0)
+  )
+
+  test("windowed counts: same result on batch input as the streaming transform") {
+    val batch = windowedTypeCounts(events.toDF())
+    val rows = batch.collect().map(r =>
+      (r.getAs[java.sql.Timestamp]("window_start").getTime / 60000 % 1440,
+        r.getString(1), r.getLong(2))).toSet
+    assert(rows.map(_._2) === Set("click", "view", "purchase"))
+    assert(rows.forall(_._3 >= 1))
+  }
+
+  test("streaming windowed agg over MemoryStream emits finalized windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = windowedTypeCounts(mem.toDF(), "10 minutes", "5 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    val out = spark.table("win_out").collect()
+    q.stop()
+    assert(out.length >= 3)
+    assert(out.map(_.getAs[Long]("n")).sum === 4)
+  }
+
+  test("batch sessionization splits on the inactivity gap") {
+    val sess = sessionizeBatch(events.toDF())
+      .filter($"user_id" === 10).orderBy($"session_start").collect()
+    assert(sess.length === 2)
+    assert(sess(0).getAs[Long]("n_events") === 2)   // min 0 + 5
+    assert(sess(1).getAs[Long]("n_events") === 1)   // min 90
+  }
+
+  test("streaming sessionization matches batch semantics for closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val sessions = sessionize(spark, mem.toDS(), useTimeout = false)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    val closed = spark.table("sess_out").collect()
+    q.stop()
+    // the first user-10 session (events at min 0,5) must close when the
+    // min-90 event arrives in the same batch
+    assert(closed.exists(r => r.getAs[Long]("user_id") == 10 &&
+      r.getAs[Long]("n_events") == 2 &&
+      math.abs(r.getAs[Double]("sum_value") - 3.0) < 1e-9))
+  }
+}
