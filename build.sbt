@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // deep NASS DAG plans (rollup loop + swap joins) overflow the default
+  // thread stack merely when Spark stringifies the plan tree
+  "-Xss64m",
 )

@@ -11,7 +11,13 @@ import org.apache.spark.sql.types._
   * (reference: src/nass.sql — file:line on each member).
   *
   * Materialization mirrors the reference's 4 materialized views
-  * (src/nass.sql:108,236,273,360): those nodes are `.cache()`d; all
+  * (src/nass.sql:108,236,273,360): those nodes are materialized via
+  * localCheckpoint, which also TRUNCATES LINEAGE — the swap layer
+  * references these subtrees many times, and without truncation the
+  * accumulated logical plan grows multiplicatively until merely
+  * stringifying it (Spark does so on every action for the execution
+  * event) exhausts the heap. On a real cluster prefer reliable
+  * checkpoint(dir) for executor-loss tolerance; all
   * other views stay lazy so Catalyst can fuse/push down across them.
   *
   * PG-compat note: run with spark.sql.ansi.enabled=false so
@@ -153,7 +159,7 @@ class NassPipeline(
       element_at(col("di"), 2).as("item"),
       col("dataitem"))
       .distinct()
-      .cache()
+      .localCheckpoint()
   }
 
   // ------------------------------------------------------ harvest chain
@@ -253,7 +259,7 @@ class NassPipeline(
       keys = Seq("commodity", "location", "year", "subcommodity", "unit"),
       measures = Seq("irrigated_acres", "total_acres", "total_production"),
       policy = Reconcile.Greatest)
-      .cache()
+      .localCheckpoint()
 
   /** commodity_harvest (src/nass.sql:251-257). */
   lazy val commodity_harvest: DataFrame =
@@ -298,7 +304,7 @@ class NassPipeline(
       .select(col("commodity"), col("location"), col("year"),
         col("subcommodity"), col("unit"),
         col("irrigated"), col("partial"), col("none"), col("unspecified"))
-      .cache()
+      .localCheckpoint()
   }
 
   /** yield_by_leaves (src/nass.sql:322-357): AVG rollup; unit IS in the
@@ -330,7 +336,7 @@ class NassPipeline(
       keys = Seq("commodity", "location", "year", "subcommodity", "unit"),
       measures = Seq("irrigated", "none", "partial", "unspecified"),
       policy = Reconcile.ReportedFirst)
-      .cache()
+      .localCheckpoint()
 
   /** commodity_yield (src/nass.sql:378-383). */
   lazy val commodity_yield: DataFrame =

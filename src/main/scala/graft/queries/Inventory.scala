@@ -479,6 +479,21 @@ object Inventory {
       |  count(*) AS n, sum(cast(value as decimal(18,6))) AS value_sum
       |FROM events GROUP BY 1,2""".stripMargin
 
+  // ------------------------------------------------------------------- O1
+  /** Deterministic ordered top-k (ORDER BY … LIMIT with a full
+    * tie-break; reference exports are ordered, src/nass.sql:24,249 —
+    * top-k is the bounded form).
+    */
+  def qTopkOrder(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), dec("o_totalprice").as("price"))
+      .orderBy(col("price").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  val qTopkOrderSql: String =
+    """SELECT o_orderkey, cast(o_totalprice as decimal(18,2)) AS price
+      |FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 100""".stripMargin
+
   /** name → (query, Some(oracleSql)) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_agg_group", qAggGroup _, Some(qAggGroupSql)),
@@ -502,6 +517,7 @@ object Inventory {
     ("q_window_agg", qWindowAgg _, Some(qWindowAggSql)),
     ("q_window_rank", qWindowRank _, Some(qWindowRankSql)),
     ("q_groupby_expr", qGroupByExpr _, Some(qGroupByExprSql)),
-    ("q_events_hourly", qEventsHourly _, Some(qEventsHourlySql))) ++
+    ("q_events_hourly", qEventsHourly _, Some(qEventsHourlySql)),
+    ("q_topk_order", qTopkOrder _, Some(qTopkOrderSql))) ++
     PipelineQueries.entries
 }
