@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps `explain("formatted")` for the headline queries so the
+  * physical plans can be audited: filters/projections must reach the
+  * parquet scan (PushedFilters / ReadSchema), small sides must
+  * broadcast, and hot paths must sit inside WholeStageCodegen spans.
+  * Usage: runMain graft.PlanAudit [sfDir]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.maxPlanStringLength", "1048576")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val interesting = Seq(
+      "q_scan_prune", "q_join_multi", "q_agg_group", "q_window_rank",
+      "q_anti_join", "q_theta_bands", "q_minhash_pairs", "q_ann_topk")
+    interesting.foreach { name =>
+      println(s"\n========== $name ==========")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

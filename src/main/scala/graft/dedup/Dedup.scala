@@ -128,6 +128,19 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** Apply near-dedup: keep one representative per near-dup group by
+    * greedily dropping the higher id of every confident candidate pair
+    * (the standard LSH-dedup policy; transitive clusters collapse to
+    * their min id over one pass for pairs found within bands).
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      minAgreement: Double = 0.75): DataFrame = {
+    val drops = minhashCandidates(df, idCol, textCol)
+      .filter(col("sig_agreement") >= minAgreement)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** n-gram Jaccard near-dup pairs within blocking buckets (never a
     * global cross join — the blocking key bounds pair count at scale).
     */

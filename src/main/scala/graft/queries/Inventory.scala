@@ -479,6 +479,24 @@ object Inventory {
       |  count(*) AS n, sum(cast(value as decimal(18,6))) AS value_sum
       |FROM events GROUP BY 1,2""".stripMargin
 
+  // ----------------------------------------------------------- §2.8 first
+  /** Crosstab with PG first-value-per-cell semantics on unique cells
+    * (reference crosstab takes the first value, src/swap.sql:216).
+    */
+  def qPivotFirst(s: SparkSession, d: String): DataFrame =
+    graft.ops.PivotFixed.crosstab(
+      Tables.nation(s, d), Seq("n_regionkey"), "n_name", "n_nationkey",
+      Seq("ALGERIA", "BRAZIL", "CANADA", "CHINA", "EGYPT"))
+
+  val qPivotFirstSql: String =
+    """SELECT n_regionkey,
+      |  max(CASE WHEN n_name = 'ALGERIA' THEN n_nationkey END) AS "ALGERIA",
+      |  max(CASE WHEN n_name = 'BRAZIL' THEN n_nationkey END) AS "BRAZIL",
+      |  max(CASE WHEN n_name = 'CANADA' THEN n_nationkey END) AS "CANADA",
+      |  max(CASE WHEN n_name = 'CHINA' THEN n_nationkey END) AS "CHINA",
+      |  max(CASE WHEN n_name = 'EGYPT' THEN n_nationkey END) AS "EGYPT"
+      |FROM nation GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------------- O1
   /** Deterministic ordered top-k (ORDER BY … LIMIT with a full
     * tie-break; reference exports are ordered, src/nass.sql:24,249 —
@@ -518,6 +536,7 @@ object Inventory {
     ("q_window_rank", qWindowRank _, Some(qWindowRankSql)),
     ("q_groupby_expr", qGroupByExpr _, Some(qGroupByExprSql)),
     ("q_events_hourly", qEventsHourly _, Some(qEventsHourlySql)),
-    ("q_topk_order", qTopkOrder _, Some(qTopkOrderSql))) ++
+    ("q_topk_order", qTopkOrder _, Some(qTopkOrderSql)),
+    ("q_pivot_first", qPivotFirst _, Some(qPivotFirstSql))) ++
     PipelineQueries.entries
 }

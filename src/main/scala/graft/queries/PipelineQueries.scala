@@ -195,6 +195,33 @@ object PipelineQueries {
        |FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
   }
 
+  /** End-to-end near-dedup application: the corpus minus confidently
+    * near-duplicate docs (higher id of each candidate pair dropped).
+    */
+  def qDedupApply(s: SparkSession, d: String): DataFrame =
+    Dedup.dropNearDuplicates(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("source"))
+
+  val qDedupApplySql: String = {
+    val bandSelects = (0 until Dedup.bands).map { b =>
+      val key = (1 to Dedup.rowsPerBand)
+        .map(r => s"sig[${b * Dedup.rowsPerBand + r}]")
+        .mkString(s"'${b}' || '_' || ", " || '_' || ", "")
+      s"SELECT doc_id, sig, $key AS bucket FROM sigs"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, ${shinglesSql("toks")} AS grams FROM t),
+       |sigs AS (SELECT doc_id, ${minhashSql("grams")} AS sig FROM sh),
+       |buckets AS ($bandSelects),
+       |drops AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  WHERE len(list_filter(range(1, ${Dedup.minhashCoeffs.size} + 1),
+       |        i -> a.sig[i] = b.sig[i])) * 1.0 / ${Dedup.minhashCoeffs.size} >= 0.75)
+       |SELECT doc_id, source FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin
+  }
+
   /** 32-bit SimHash fingerprints. */
   def qSimhash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -320,6 +347,7 @@ object PipelineQueries {
     ("q_dedup_exact", qDedupExact _, Some(qDedupExactSql)),
     ("q_minhash_sig", qMinhashSig _, Some(qMinhashSigSql)),
     ("q_minhash_pairs", qMinhashPairs _, Some(qMinhashPairsSql)),
+    ("q_dedup_apply", qDedupApply _, Some(qDedupApplySql)),
     ("q_simhash", qSimhash _, Some(qSimhashSql)),
     ("q_ngram_jaccard", qNgramJaccard _, Some(qNgramJaccardSql)),
     ("q_ann_topk", qAnnTopK _, Some(qAnnTopKSql)),
