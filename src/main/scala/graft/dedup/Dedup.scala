@@ -46,15 +46,24 @@ object Dedup {
   val rowsPerBand = 4
 
   /** Word w-shingles of the whitespace token stream, distinct,
-    * hashed to 31-bit ints via the portable md5-based hash60 % P.
+    * hashed to 31-bit ints.
+    *
+    * Two hash flavors: the default md5-based [[TextAnalysis.hash60]] is
+    * PORTABLE (DuckDB can reproduce it — the oracle gate depends on
+    * that); `fast = true` switches to Spark-native xxHash64, the
+    * production choice at scale (several × cheaper per shingle, not
+    * reproducible outside Spark). Same banding behavior either way.
     */
-  def shingleHashes(text: Column, w: Int = 3): Column = {
+  def shingleHashes(text: Column, w: Int = 3, fast: Boolean = false): Column = {
     val toks = TextAnalysis.tokens(text)
     val n = size(toks)
     val grams = transform(
       sequence(lit(1), greatest(n - (w - 1), lit(0))),
       i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o)): _*))
-    array_distinct(transform(grams, g => TextAnalysis.hash60(g) % P))
+    val h: Column => Column =
+      if (fast) g => pmod(xxhash64(g), lit(P))
+      else g => TextAnalysis.hash60(g) % P
+    array_distinct(transform(grams, h))
   }
 
   /** 16-element MinHash signature over the shingle hashes; NULL-element
@@ -88,7 +97,7 @@ object Dedup {
     * buckets, dedup (a<b), then score by signature agreement.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      w: Int = 3): DataFrame = {
+      w: Int = 3, fast: Boolean = false): DataFrame = {
     // STAGED projections, not one nested expression: inlining
     // bandKeys(minhashSignature(shingleHashes(…))) would make Catalyst
     // re-expand the shingle hashing once per signature element and the
@@ -97,7 +106,7 @@ object Dedup {
     // nodes are evaluated once; CollapseProject keeps non-cheap exprs
     // referenced more than once staged.
     val sigs = df
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), w).as("grams"))
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), w, fast).as("grams"))
       .select(col("id"), minhashSignature(col("grams")).as("sig"))
     // persist: the self-join would otherwise recompute the full
     // md5+permutation pipeline on BOTH sides
@@ -134,8 +143,8 @@ object Dedup {
     * their min id over one pass for pairs found within bands).
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      minAgreement: Double = 0.75): DataFrame = {
-    val drops = minhashCandidates(df, idCol, textCol)
+      minAgreement: Double = 0.75, fast: Boolean = false): DataFrame = {
+    val drops = minhashCandidates(df, idCol, textCol, fast = fast)
       .filter(col("sig_agreement") >= minAgreement)
       .select(col("id_b").as(idCol)).distinct()
     df.join(drops, Seq(idCol), "left_anti")
@@ -145,13 +154,14 @@ object Dedup {
     * global cross join — the blocking key bounds pair count at scale).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], w: Int = 3, threshold: Double = 0.2): DataFrame = {
+      blockCols: Seq[String], w: Int = 3, threshold: Double = 0.2,
+      fast: Boolean = false): DataFrame = {
     // Blocking bounds the pair count; near-dups that straddle a block
     // boundary are missed by design — callers trade recall for scale
     // via their blocking key (length buckets, source, LSH bands…).
     val withSets = df.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
-        shingleHashes(col(textCol), w).as("grams"): _*)
+        shingleHashes(col(textCol), w, fast).as("grams"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withSets.toDF(("id_a" +: blockCols) :+ "grams_a": _*)
     val b = withSets.toDF(("id_b" +: blockCols) :+ "grams_b": _*)

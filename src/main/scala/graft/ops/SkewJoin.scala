@@ -1,0 +1,29 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys — the manual fallback when AQE's
+  * runtime skew-join split can't apply (e.g. non-shuffle joins or
+  * pre-AQE engines). The big side gets a deterministic salt derived
+  * from a row-unique column; the small side is replicated `salts`
+  * times so every salted key still finds its match. Result equals the
+  * plain join; the shuffle spreads each hot key over `salts` reducers.
+  *
+  * Deterministic by construction (salt = pmod(hash(saltBy), salts)) —
+  * no rand(), so retries/speculative tasks can't diverge.
+  */
+object SkewJoin {
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      saltBy: Column,
+      salts: Int = 8,
+      joinType: String = "inner"): DataFrame = {
+    val salted = big.withColumn("__salt", pmod(hash(saltBy), lit(salts)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+}

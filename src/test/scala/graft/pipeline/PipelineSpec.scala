@@ -40,6 +40,13 @@ class PipelineSpec extends SparkSpec {
       .foreach(p => assert(p._3 > 0.4))
   }
 
+  test("fast (xxhash64) minhash path finds the same near-dup pairs") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", fast = true)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(k => k._1 == 3L || k._2 == 3L))
+  }
+
   test("simhash of near-identical docs is close in hamming distance") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
