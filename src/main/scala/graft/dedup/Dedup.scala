@@ -55,27 +55,45 @@ object Dedup {
     * reproducible outside Spark). Same banding behavior either way.
     */
   def shingleHashes(text: Column, w: Int = 3, fast: Boolean = false): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val n = size(toks)
-    val grams = transform(
-      sequence(lit(1), greatest(n - (w - 1), lit(0))),
-      i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o)): _*))
     val h: Column => Column =
       if (fast) g => pmod(xxhash64(g), lit(P))
       else g => TextAnalysis.hash60(g) % P
-    array_distinct(transform(grams, h))
+    // Let-bind the token array as a lambda variable (single-element
+    // transform): inside the shingle lambda, `t` is an attribute-like
+    // NamedLambdaVariable, so the 3 element_at accesses per shingle
+    // read the bound array instead of re-evaluating the tokenizer
+    // expression per access (observed 4× slowdown without this).
+    element_at(
+      transform(array(TextAnalysis.tokens(text)), t =>
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(t) - (w - 1), lit(0))),
+          i => h(concat_ws(" ", (0 until w).map(o => element_at(t, i + o)): _*))))),
+      1)
   }
 
   /** 16-element MinHash signature over the shingle hashes; NULL-element
     * free (empty shingle set → signature of P, a sentinel no real hash
     * reaches).
+    *
+    * Computed as ONE left-fold over the shingle list updating all 16
+    * mins at once, not 16 independent array_min(transform(...)) scans:
+    * Catalyst's CollapseProject inlines a staged shingle column into
+    * every element of a 16-element array constructor, so the
+    * per-element form recomputes the whole md5 shingle pipeline 16×
+    * per row (observed 11s vs 1.5s at sf0.1). The fold references the
+    * shingle list exactly once, making it inline-proof. min is
+    * order-insensitive → result identical to the per-element form and
+    * to the DuckDB oracle.
     */
-  def minhashSignature(shingles: Column): Column =
-    array(minhashCoeffs.map { case (a, b) =>
-      coalesce(
-        array_min(transform(shingles, x => (x * a + b) % P)),
-        lit(P))
-    }: _*)
+  def minhashSignature(shingles: Column): Column = {
+    val aLit = array(minhashCoeffs.map(c => lit(c._1)): _*)
+    val bLit = array(minhashCoeffs.map(c => lit(c._2)): _*)
+    val idx = array((0 until minhashCoeffs.size).map(i => lit(i)): _*)
+    val init = array(Seq.fill(minhashCoeffs.size)(lit(P)): _*)
+    aggregate(shingles, init, (acc, x) =>
+      zip_with(acc, idx, (m, i) =>
+        least(m, (x * element_at(aLit, i + 1) + element_at(bLit, i + 1)) % P)))
+  }
 
   /** LSH band keys: one string key per band, formed from that band's
     * signature slice. Docs sharing any band key are candidates.
@@ -109,9 +127,15 @@ object Dedup {
       .select(col(idCol).as("id"), shingleHashes(col(textCol), w, fast).as("grams"))
       .select(col("id"), minhashSignature(col("grams")).as("sig"))
     // persist: the self-join would otherwise recompute the full
-    // md5+permutation pipeline on BOTH sides
+    // md5+permutation pipeline on BOTH sides. The explicit repartition
+    // matters: the shuffled bytes are small, so AQE would otherwise
+    // coalesce the join to ONE partition and serialize the pairwise
+    // work (observed: 4→32 cores gave no speedup). A user-specified
+    // partition count is exempt from AQE coalescing.
+    val par = df.sparkSession.sparkContext.defaultParallelism * 2
     val buckets = sigs
       .select(col("id"), col("sig"), explode(bandKeys(col("sig"))).as("bucket"))
+      .repartition(par, col("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = buckets.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = buckets.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
@@ -126,15 +150,26 @@ object Dedup {
 
   /** 32-bit SimHash from token hashes: bit k of the fingerprint is set
     * when the +1/-1 vote sum over tokens' k-th bits is positive.
+    *
+    * Single fold over the token hashes maintaining all 32 vote
+    * counters (same inline-proofing rationale as [[minhashSignature]] —
+    * the per-bit form recomputes the token-hash pipeline 32×).
     */
   val simhashBits = 32
   def simhash(text: Column): Column = {
     val hashes = transform(TextAnalysis.tokens(text), t => TextAnalysis.hash60(t))
-    (0 until simhashBits).map { k =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, k).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // bit-k test via a literal mask array (shift functions need a
+    // static Int, but the fold index is a Column)
+    val mask = array((0 until simhashBits).map(k => lit(1L << k)): _*)
+    val idx = array((0 until simhashBits).map(k => lit(k)): _*)
+    val init = array(Seq.fill(simhashBits)(lit(0L)): _*)
+    val votes = aggregate(hashes, init, (acc, h) =>
+      zip_with(acc, idx, (v, k) =>
+        v + when(h.bitwiseAND(element_at(mask, k + 1)) =!= 0, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, idx, (v, k) =>
+        when(v > 0, element_at(mask, k + 1)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Apply near-dedup: keep one representative per near-dup group by
@@ -159,9 +194,13 @@ object Dedup {
     // Blocking bounds the pair count; near-dups that straddle a block
     // boundary are missed by design — callers trade recall for scale
     // via their blocking key (length buckets, source, LSH bands…).
+    // explicit repartition: exempt from AQE small-shuffle coalescing,
+    // which would otherwise serialize the expensive pairwise stage
+    val par = df.sparkSession.sparkContext.defaultParallelism * 2
     val withSets = df.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
         shingleHashes(col(textCol), w, fast).as("grams"): _*)
+      .repartition(par, blockCols.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withSets.toDF(("id_a" +: blockCols) :+ "grams_a": _*)
     val b = withSets.toDF(("id_b" +: blockCols) :+ "grams_b": _*)
