@@ -299,14 +299,54 @@ object PipelineQueries {
        |FROM ranked WHERE rank <= 3""".stripMargin
   }
 
-  /** LSH-bucketed approximate top-3 (the scale path; no SQL oracle —
-    * recall depends on bucket occupancy, checked rows-only + unit test).
+  /** LSH-bucketed approximate top-3 — the hyperplanes are deterministic
+    * constants shared with the oracle SQL (inlined literal arrays), so
+    * even the approximate path is hash-verified.
     */
   def qAnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Ann.lshBucketTopK(emb, emb.filter(col("vec_id") < 8),
       "vec_id", "embedding", k = 3)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  val qAnnLshSql: String = {
+    val planes = (0 until 8).map(i => Ann.hyperplane(i, 64))
+    def planeLit(p: Seq[Double]) = p.mkString("[", ",", "]")
+    // bucket key: sign bit per plane, matching Ann.lshKey's left-fold dot
+    def dotPlane(v: String, p: Seq[Double]) =
+      s"""list_reduce(list_prepend(cast(0 as double),
+         |  list_transform(range(1, 65),
+         |    i -> cast($v[i] as double) * (${planeLit(p)})[i])),
+         |  (acc, x) -> acc + x)""".stripMargin
+    val keyExpr = planes.map(p =>
+      s"(CASE WHEN ${dotPlane("embedding", p)} >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(cast(0 as double),
+         |  list_transform(range(1, len($a) + 1),
+         |    i -> cast($a[i] as double) * cast($b[i] as double))),
+         |  (acc, v) -> acc + v)""".stripMargin
+    s"""WITH keyed AS (
+       |  SELECT vec_id, embedding, $keyExpr AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+       |      FROM keyed WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM keyed),
+       |sims AS (
+       |  SELECT query_id, neighbor_id,
+       |    CASE WHEN sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")}) > 0
+       |      THEN ${dot("qv", "cv")} /
+       |           (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")}))
+       |      ELSE 0.0 END AS sim_raw
+       |  FROM c JOIN q USING (bucket)
+       |  WHERE neighbor_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim_raw,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim_raw DESC, neighbor_id ASC) AS rank
+       |  FROM sims)
+       |SELECT query_id, neighbor_id, round(sim_raw, 6) AS sim, rank
+       |FROM ranked WHERE rank <= 3""".stripMargin
   }
 
   // ---------------------------------------------------------- multimodal
@@ -351,7 +391,7 @@ object PipelineQueries {
     ("q_simhash", qSimhash _, Some(qSimhashSql)),
     ("q_ngram_jaccard", qNgramJaccard _, Some(qNgramJaccardSql)),
     ("q_ann_topk", qAnnTopK _, Some(qAnnTopKSql)),
-    ("q_ann_lsh", qAnnLsh _, None),
+    ("q_ann_lsh", qAnnLsh _, Some(qAnnLshSql)),
     ("q_binary_meta", qBinaryMeta _, Some(qBinaryMetaSql)),
     ("q_media_features", qMediaFeatures _, None),
     ("q_frame_sample", qFrameSample _, None))
