@@ -71,8 +71,10 @@ object Multimodal {
         // per-partition codec init would go here
         rows.map { case (id, bytes) =>
           val (w, h, c, bright) = FakeCodec.decode(bytes)
+          // half-up at 6dp (floor(x*1e6+0.5)) — reproducible across
+          // engines, unlike rint's half-even
           MediaFeature(id, bytes.length, w, h, c,
-            math.rint(bright * 1e6) / 1e6)
+            math.floor(bright * 1e6 + 0.5) / 1e6)
         }
       }
   }

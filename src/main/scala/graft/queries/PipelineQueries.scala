@@ -362,21 +362,49 @@ object PipelineQueries {
       |  sha256(text) AS sha256
       |FROM documents""".stripMargin
 
-  /** Stub-decoded media features via mapPartitions (typed Dataset path;
-    * rows-only check — the fake codec is exercised by unit tests).
+  /** Stub-decoded media features via mapPartitions (typed Dataset
+    * path). Even this JVM-side codec is oracle-checkable because the
+    * fake decode is pure arithmetic on payload bytes, replicated in
+    * SQL via per-char ascii sums.
     */
   def qMediaFeatures(s: SparkSession, d: String): DataFrame =
     Multimodal.decodeFeatures(
       s, Multimodal.withPayload(Tables.documents(s, d), "text"), "doc_id")
       .toDF()
 
-  /** Frame-sampling plumbing (rows-only check). */
+  val qMediaFeaturesSql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS id, length(text) AS n,
+      |    ascii(substr(text, 1, 1)) AS b0,
+      |    ascii(substr(text, 2, 1)) AS b1,
+      |    list_sum(list_transform(range(1, length(text) + 1),
+      |      i -> ascii(substr(text, i, 1)))) AS bsum
+      |  FROM documents)
+      |SELECT id, n AS "byteLen",
+      |  16 + abs(CASE WHEN n > 0 THEN b0 ELSE 0 END) % 48 AS width,
+      |  16 + abs(CASE WHEN n > 1 THEN b1 ELSE 0 END) % 48 AS height,
+      |  1 + n % 3 AS channels,
+      |  CASE WHEN n > 0
+      |    THEN floor((bsum * 1.0 / n / 255.0) * 1e6 + 0.5) / 1e6
+      |    ELSE 0.0 END AS brightness
+      |FROM b""".stripMargin
+
+  /** Frame-sampling plumbing: deterministic split/explode, every-2nd
+    * frame kept.
+    */
   def qFrameSample(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(
       Multimodal.withPayload(Tables.documents(s, d), "text"),
       "doc_id", frameBytes = 64, everyNth = 2)
       .select(col("doc_id"), col("frame_idx"),
         length(col("frame_bytes")).as("frame_len"))
+
+  val qFrameSampleSql: String =
+    """SELECT doc_id, u.i AS frame_idx,
+      |  least(64, length(text) - u.i * 64) AS frame_len
+      |FROM documents,
+      |  unnest(range(0, cast(ceil(length(text) / 64.0) as bigint))) AS u(i)
+      |WHERE u.i % 2 = 0""".stripMargin
 
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
@@ -393,6 +421,6 @@ object PipelineQueries {
     ("q_ann_topk", qAnnTopK _, Some(qAnnTopKSql)),
     ("q_ann_lsh", qAnnLsh _, Some(qAnnLshSql)),
     ("q_binary_meta", qBinaryMeta _, Some(qBinaryMetaSql)),
-    ("q_media_features", qMediaFeatures _, None),
-    ("q_frame_sample", qFrameSample _, None))
+    ("q_media_features", qMediaFeatures _, Some(qMediaFeaturesSql)),
+    ("q_frame_sample", qFrameSample _, Some(qFrameSampleSql)))
 }
