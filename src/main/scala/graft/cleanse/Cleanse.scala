@@ -29,9 +29,19 @@ object Cleanse {
   /** PG `to_number(value, '9999999999D99')`-style parse of comma-grouped
     * numerics like "10,122" / "1,234.56" (reference: src/nass.sql:46,67,
     * 114,393; R: as.numeric(gsub(',','',Value)) src/budget.r:51).
-    * Strips digit-group commas then casts; non-numeric leftovers → NULL.
+    * Delegates to the native codegen'd expression
+    * [[graft.functions.ToNumber]] (single pass, no regex engine);
+    * non-numeric input (sentinels) → NULL. Equivalence with the
+    * composed regexp_replace+cast form is property-tested in
+    * ToNumberSpec.
     */
   def toNumber(c: Column, precision: Int = 14, scale: Int = 2): Column =
+    graft.functions.ToNumber.to_number(c, precision, scale)
+
+  /** The composed-builtin form (regex strip + cast), kept as the
+    * differential-testing twin of the native expression.
+    */
+  def toNumberComposed(c: Column, precision: Int = 14, scale: Int = 2): Column =
     regexp_replace(c, ",", "").cast(DecimalType(precision, scale))
 
   /** Sentinel filter: NASS publishes "(D)" withheld / "(Z)" rounds-to-zero

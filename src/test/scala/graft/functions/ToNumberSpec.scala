@@ -29,7 +29,7 @@ class ToNumberSpec extends SparkSpec {
     val rng = new scala.util.Random(42)
     val values = Seq.fill(200)((rng.nextLong() % 100000000000L).toDouble / 100.0)
     val rows = values.map(v => f"$v%,.2f").toDF("v")
-      .select($"v", ToNumber.to_number($"v").as("a"), Cleanse.toNumber($"v").as("b"))
+      .select($"v", ToNumber.to_number($"v").as("a"), Cleanse.toNumberComposed($"v").as("b"))
       .collect()
     rows.zip(values).foreach { case (r, v) =>
       assert(r.getDecimal(1) === r.getDecimal(2), s"mismatch for ${r.getString(0)}")
