@@ -497,6 +497,30 @@ object Inventory {
       |  max(CASE WHEN n_name = 'EGYPT' THEN n_nationkey END) AS "EGYPT"
       |FROM nation GROUP BY 1""".stripMargin
 
+  // ------------------------------------------- distinct-agg / statistics
+  /** Profiling statistics per group: count-distinct + exact interpolated
+    * median + min/max — the data-profiling surface a training pipeline
+    * needs (beyond the reference, which has no distinct aggregates).
+    */
+  def qStatsSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        min(dec("l_quantity")).as("min_qty"),
+        max(dec("l_quantity")).as("max_qty"))
+
+  val qStatsSummarySql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+      |  min(cast(l_quantity as decimal(18,2))) AS min_qty,
+      |  max(cast(l_quantity as decimal(18,2))) AS max_qty
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------------- O1
   /** Deterministic ordered top-k (ORDER BY … LIMIT with a full
     * tie-break; reference exports are ordered, src/nass.sql:24,249 —
@@ -537,6 +561,7 @@ object Inventory {
     ("q_groupby_expr", qGroupByExpr _, Some(qGroupByExprSql)),
     ("q_events_hourly", qEventsHourly _, Some(qEventsHourlySql)),
     ("q_topk_order", qTopkOrder _, Some(qTopkOrderSql)),
-    ("q_pivot_first", qPivotFirst _, Some(qPivotFirstSql))) ++
+    ("q_pivot_first", qPivotFirst _, Some(qPivotFirstSql)),
+    ("q_stats_summary", qStatsSummary _, Some(qStatsSummarySql))) ++
     PipelineQueries.entries
 }
