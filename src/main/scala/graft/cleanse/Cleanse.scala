@@ -87,6 +87,16 @@ object Cleanse {
   def splitLiteral(c: Column, delim: String): Column =
     split(c, java.util.regex.Pattern.quote(delim))
 
+  /** PG-faithful split: `string_to_array('', delim)` is the EMPTY array
+    * in PG, while Spark's split("") yields [""] — a one-empty-string
+    * array that breaks join keys against genuinely-empty paths
+    * (observed: reported root prices never matched their synthesized
+    * rollup twins).
+    */
+  def splitLiteralPg(c: Column, delim: String): Column =
+    when(c === "", array().cast(ArrayType(StringType)))
+      .otherwise(splitLiteral(c, delim))
+
   /** Escape regex metacharacters in a data-driven pattern fragment
     * (used when the reference interpolates a column value into a regex,
     * e.g. src/nass.sql:402 `regexp_replace(di[1],commodity||'(, )?','')`).

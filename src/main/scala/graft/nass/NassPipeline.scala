@@ -362,11 +362,16 @@ class NassPipeline(
         Cleanse.locationOf(col("statefips"), col("agdistrictcode"), col("countycode")))
       .withColumn("price", Cleanse.toNumber(col("value"), 18, 2))
       .withColumn("di", Cleanse.splitLiteral(col("dataitem"), " - "))
+    // PG string_to_array('',…)={} — root rows must get an EMPTY path,
+    // not [""], or they never reconcile with their rollup twins
+    val stripped = regexp_replace(element_at(col("di"), 1),
+      concat(lit("^"), Cleanse.regexEscape(col("commodity")), lit("(, )?")),
+      lit(""))
     a.select(
       col("commodity"), col("location"), col("year"), col("price"),
-      split(regexp_replace(element_at(col("di"), 1),
-        concat(lit("^"), Cleanse.regexEscape(col("commodity")), lit("(, )?")),
-        lit("")), java.util.regex.Pattern.quote(", ")).as("subcommodity"),
+      when(stripped === "", array().cast(ArrayType(StringType)))
+        .otherwise(split(stripped, java.util.regex.Pattern.quote(", ")))
+        .as("subcommodity"),
       lit("price").as("item"),
       regexp_replace(element_at(col("di"), 2),
         "^PRICE RECEIVED, MEASURED IN ", "").as("unit"))
