@@ -536,6 +536,38 @@ object Inventory {
     """SELECT o_orderkey, cast(o_totalprice as decimal(18,2)) AS price
       |FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 100""".stripMargin
 
+  // --------------------------------------------------- sessionization
+  /** Gap-based sessionization of the events stream (batch twin of the
+    * streaming flatMapGroupsWithState path — see
+    * graft.streaming.EventStreams.sessionizeBatch): 30-minute
+    * inactivity gap, per-session stats.
+    */
+  def qSessionize(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams
+      .sessionizeBatch(Tables.events(s, d))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"),
+        col("sum_value").cast(DecimalType(24, 6)).as("sum_value"))
+
+  val qSessionizeSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked)
+      |SELECT user_id,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events,
+      |  cast(sum(cast(value as decimal(18,6))) as decimal(24,6)) AS sum_value
+      |FROM sessions GROUP BY user_id, session_id""".stripMargin
+
   /** name → (query, Some(oracleSql)) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_agg_group", qAggGroup _, Some(qAggGroupSql)),
@@ -562,6 +594,7 @@ object Inventory {
     ("q_events_hourly", qEventsHourly _, Some(qEventsHourlySql)),
     ("q_topk_order", qTopkOrder _, Some(qTopkOrderSql)),
     ("q_pivot_first", qPivotFirst _, Some(qPivotFirstSql)),
-    ("q_stats_summary", qStatsSummary _, Some(qStatsSummarySql))) ++
+    ("q_stats_summary", qStatsSummary _, Some(qStatsSummarySql)),
+    ("q_sessionize", qSessionize _, Some(qSessionizeSql))) ++
     PipelineQueries.entries
 }

@@ -105,15 +105,19 @@ object EventStreams {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      // millisecond-exact gap (unix_millis) — casting to long truncates
+      // to seconds and misclassifies boundary gaps; decimal sum for
+      // order-independent, engine-reproducible totals
       .withColumn("new_session",
         (col("prev_ts").isNull ||
-          (col("ts").cast(LongType) - col("prev_ts").cast(LongType)) * 1000 > gapMs)
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > gapMs)
           .cast(IntegerType))
       .withColumn("session_id", sum(col("new_session")).over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
-        count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).as("sum_value"))
       .drop("session_id")
   }
 
