@@ -536,6 +536,31 @@ object Inventory {
     """SELECT o_orderkey, cast(o_totalprice as decimal(18,2)) AS price
       |FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 100""".stripMargin
 
+  // ------------------------------------------------- frame-based window
+  /** Running (cumulative) aggregate with an explicit ROWS frame and a
+    * full tie-break ordering — the frame-based window shape the
+    * reference never uses (SURVEY §2.6 notes its absence) but any
+    * analytics engine must provide.
+    */
+  def qWindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        sum(dec("value", 18, 6)).over(w).as("running_value"),
+        count(lit(1)).over(w).as("running_n"))
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT user_id, event_id,
+      |  sum(cast(value as decimal(18,6))) OVER w AS running_value,
+      |  count(*) OVER w AS running_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |             ROWS UNBOUNDED PRECEDING)""".stripMargin
+
   // --------------------------------------------------- sessionization
   /** Gap-based sessionization of the events stream (batch twin of the
     * streaming flatMapGroupsWithState path — see
@@ -595,6 +620,7 @@ object Inventory {
     ("q_topk_order", qTopkOrder _, Some(qTopkOrderSql)),
     ("q_pivot_first", qPivotFirst _, Some(qPivotFirstSql)),
     ("q_stats_summary", qStatsSummary _, Some(qStatsSummarySql)),
-    ("q_sessionize", qSessionize _, Some(qSessionizeSql))) ++
+    ("q_sessionize", qSessionize _, Some(qSessionizeSql)),
+    ("q_window_running", qWindowRunning _, Some(qWindowRunningSql))) ++
     PipelineQueries.entries
 }
