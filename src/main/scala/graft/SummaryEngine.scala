@@ -30,7 +30,13 @@ class SummaryEngine(
     new NassPipeline(spark, quickstats, usdaApi, usdaRegion)
   lazy val swap: SwapPipeline =
     new SwapPipeline(spark, nass,
-      usdaApi.getOrElse(spark.emptyDataFrame))
+      // typed empty fallback (same as NassPipeline): a zero-COLUMN
+      // emptyDataFrame would fail analysis on the first column
+      // reference; a zero-ROW frame with the api schema degrades the
+      // swap layer to empty output instead
+      usdaApi.getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        graft.nass.Staging.usdaApiSchema)))
 
   /** The 7 nass-layer golden exports (src/nass.mk:43-45,54-55). */
   def exportNass(outDir: String): Unit = {

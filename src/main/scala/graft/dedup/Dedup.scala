@@ -66,7 +66,13 @@ object Dedup {
     element_at(
       transform(array(TextAnalysis.tokens(text)), t =>
         array_distinct(transform(
-          sequence(lit(1), greatest(size(t) - (w - 1), lit(0))),
+          // guard: for texts with fewer than w tokens the unguarded
+          // sequence(1, size-w+1) is sequence(1,0) — a DESCENDING [1,0]
+          // in Spark — and element_at(t,0) throws; short texts must
+          // instead yield the empty shingle set (as the oracle's
+          // range(1, n+1) does)
+          when(size(t) >= w, sequence(lit(1), size(t) - (w - 1)))
+            .otherwise(array().cast(ArrayType(IntegerType))),
           i => h(concat_ws(" ", (0 until w).map(o => element_at(t, i + o)): _*))))),
       1)
   }
@@ -123,20 +129,22 @@ object Dedup {
     // (observed 309s → ~3s at sf0.1). Column references across Project
     // nodes are evaluated once; CollapseProject keeps non-cheap exprs
     // referenced more than once staged.
-    val sigs = df
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), w, fast).as("grams"))
-      .select(col("id"), minhashSignature(col("grams")).as("sig"))
-    // persist: the self-join would otherwise recompute the full
-    // md5+permutation pipeline on BOTH sides. The explicit repartition
-    // matters: the shuffled bytes are small, so AQE would otherwise
-    // coalesce the join to ONE partition and serialize the pairwise
-    // work (observed: 4→32 cores gave no speedup). A user-specified
-    // partition count is exempt from AQE coalescing.
-    val par = df.sparkSession.sparkContext.defaultParallelism * 2
+    // widen BEFORE the md5+permutation map: a single-split input would
+    // otherwise run the whole signature pipeline on one core.
+    // persist the SIGNATURES (narrow: id + 16 longs), not the exploded
+    // buckets — the self-join recomputes the cheap band-key explode
+    // from the cached sigs on each side instead of storing 'bands'
+    // copies of every row, and the join partitioning is left to AQE:
+    // band buckets are tiny by construction (only near-dups collide),
+    // so AQE coalesces the shuffle at small scale and splits skew at
+    // large scale (an explicit repartition here cost 2-4× at sf0.1).
+    val sigs = graft.CacheRegistry.register(
+      graft.ops.Parallelism.widen(df)
+        .select(col(idCol).as("id"), shingleHashes(col(textCol), w, fast).as("grams"))
+        .select(col("id"), minhashSignature(col("grams")).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val buckets = sigs
       .select(col("id"), col("sig"), explode(bandKeys(col("sig"))).as("bucket"))
-      .repartition(par, col("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = buckets.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = buckets.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("bucket"))
@@ -197,11 +205,15 @@ object Dedup {
     // explicit repartition: exempt from AQE small-shuffle coalescing,
     // which would otherwise serialize the expensive pairwise stage
     val par = df.sparkSession.sparkContext.defaultParallelism * 2
-    val withSets = df.select(
-      (col(idCol).as("id") +: blockCols.map(col)) :+
-        shingleHashes(col(textCol), w, fast).as("grams"): _*)
+    // repartition by the blocking key BEFORE computing shingles: it
+    // both parallelizes the expensive map over every core (a one-split
+    // input would run it serially) and pre-shuffles for the self-join
+    val withSets = graft.CacheRegistry.register(df
       .repartition(par, blockCols.map(col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(
+        (col(idCol).as("id") +: blockCols.map(col)) :+
+          shingleHashes(col(textCol), w, fast).as("grams"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = withSets.toDF(("id_a" +: blockCols) :+ "grams_a": _*)
     val b = withSets.toDF(("id_b" +: blockCols) :+ "grams_b": _*)
     // |A∪B| = |A|+|B|-|A∩B| (sets are distinct by construction):

@@ -25,11 +25,16 @@ import org.apache.spark.storage.StorageLevel
   *    several sibling groups / rounds (src/nass.sql:224-230).
   *
   * Scale design: the loop is bounded by PATH DEPTH (≤ ~5 in practice),
-  * never data size, so plan depth is constant at 100 TB. Each round is
-  * one window shuffle + one except; `frontier`/`acc` are persisted per
-  * round so lineage stays O(1) instead of O(depth^2). No data is ever
-  * collected to the driver — the only driver-side signal is the per-round
-  * emptiness check, which is the recursion's termination condition.
+  * never data size, so plan depth is constant at 100 TB. The depth is
+  * measured once up front (a tiny agg over the persisted leaf set) and
+  * the loop then runs exactly that many rounds with NO per-round driver
+  * actions. Each round is one aggregation shuffle (plain groupBy with
+  * map-side combine when there are no carry columns; the reference's
+  * window-partition form only when carry columns require it) + one
+  * except when cross-round dedup is on. Per-round frames are persisted
+  * (lineage stays O(1), each level computes once) and registered with
+  * [[graft.CacheRegistry]] so the session owner can release them after
+  * the consuming action. No row data ever reaches the driver.
   */
 object HierarchyRollup {
 
@@ -86,32 +91,50 @@ object HierarchyRollup {
     val parentExpr =
       slice(col(pathCol), lit(1), greatest(size(col(pathCol)) - 1, lit(0)))
 
-    var acc = leafRows.select(outCols.map(col).toIndexedSeq: _*).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var frontier = acc
-    var rounds = 0
-    var done = false
-    while (!done && rounds < maxRounds) {
-      val w = Window.partitionBy((groupKeys.map(col) :+ parentExpr): _*)
-      val emitted = frontier
-        .filter(size(col(pathCol)) > 0)
-        .select((groupKeys.map(col) :+ parentExpr.as(pathCol)) ++
-          carry.map(col) ++
-          measures.map(m => mode.agg(col(m)).over(w).as(m)): _*)
-        .distinct()
-      val newRows = (if (crossRoundDedup) emitted.except(acc) else emitted)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      if (newRows.isEmpty) {
-        newRows.unpersist()
-        done = true
-      } else {
-        val prev = acc
-        acc = acc.unionByName(newRows).persist(StorageLevel.MEMORY_AND_DISK)
-        prev.unpersist()
-        if (frontier ne prev) frontier.unpersist()
-        frontier = newRows
-        rounds += 1
-      }
+    val base = graft.CacheRegistry.register(
+      leafRows.select(outCols.map(col).toIndexedSeq: _*).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+    // The recursion is bounded by PATH DEPTH: every round strips one
+    // path element, so after max(size(path)) rounds the frontier holds
+    // only empty paths and emits nothing. Measuring the depth up front
+    // (one tiny agg job over the persisted base) lets the loop run a
+    // FIXED number of rounds with zero per-round driver actions — the
+    // old per-round isEmpty() forced a job per level.
+    val depthRow = base.agg(max(size(col(pathCol)))).head()
+    val depth = if (depthRow.isNullAt(0)) 0 else depthRow.getInt(0)
+
+    var acc = base
+    var frontier = base
+    var round = 0
+    while (round < math.min(depth, maxRounds)) {
+      val live = frontier.filter(size(col(pathCol)) > 0)
+      val emitted =
+        if (carry.isEmpty) {
+          // no carry columns → the window-then-distinct collapses to a
+          // plain groupBy: identical result (one row per sibling
+          // group), but with map-side partial aggregation and one
+          // shuffle instead of the window's sort-shuffle + distinct
+          val aggs = measures.map(m => mode.agg(col(m)).as(m))
+          live.groupBy((groupKeys.map(col) :+ parentExpr.as(pathCol)): _*)
+            .agg(aggs.head, aggs.tail: _*)
+        } else {
+          // carry columns ride along UN-partitioned (reference window,
+          // src/nass.sql:221-222): every row of a sibling group carries
+          // the group-wide aggregate, and distinct keeps one parent row
+          // per distinct carry value — not expressible as a groupBy
+          val w = Window.partitionBy((groupKeys.map(col) :+ parentExpr): _*)
+          live.select((groupKeys.map(col) :+ parentExpr.as(pathCol)) ++
+            carry.map(col) ++
+            measures.map(m => mode.agg(col(m)).over(w).as(m)): _*)
+            .distinct()
+        }
+      val newRows = graft.CacheRegistry.register(
+        (if (crossRoundDedup) emitted.except(acc) else emitted)
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      acc = acc.unionByName(newRows)
+      frontier = newRows
+      round += 1
     }
     val aggs = measures.map(m => mode.agg(col(m)).as(m))
     acc

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{HierarchyRollup, PivotFixed, Reconcile}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -18,6 +18,16 @@ object Inventory {
   private def dec(c: String, p: Int = 18, s: Int = 2) =
     col(c).cast(DecimalType(p, s))
 
+  /** Final-output discipline: aggregate in DECIMAL (exact, order-
+    * independent) but EMIT doubles. The harness reads Spark parquet
+    * decimals as java/python BigDecimal objects while the DuckDB oracle
+    * surfaces float64 — value-identical results hash-mismatch on
+    * representation alone ("194.280000" vs "194.28", round-1 lesson).
+    * decimal→double is correctly rounded in both engines for unscaled
+    * values < 2^53, so the doubles are bit-identical.
+    */
+  private def dbl(c: Column) = c.cast(DoubleType)
+
   // ---------------------------------------------------------------- G1-G5
   /** Grouped aggregation: sum/avg/max/count + post-agg HAVING
     * (reference: src/nass.sql:78-101,147-151,224-230; src/swap.sql:99-118).
@@ -26,17 +36,17 @@ object Inventory {
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec("l_quantity")).as("sum_qty"),
-        sum(dec("l_extendedprice")).as("sum_price"),
-        max(dec("l_discount")).as("max_disc"),
+        dbl(sum(dec("l_quantity"))).as("sum_qty"),
+        dbl(sum(dec("l_extendedprice"))).as("sum_price"),
+        dbl(max(dec("l_discount"))).as("max_disc"),
         count(lit(1)).as("n"))
       .filter(col("n") > 0)
 
   val qAggGroupSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(cast(l_quantity as decimal(18,2))) AS sum_qty,
-      |  sum(cast(l_extendedprice as decimal(18,2))) AS sum_price,
-      |  max(cast(l_discount as decimal(18,2))) AS max_disc,
+      |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+      |  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_price,
+      |  cast(max(cast(l_discount as decimal(18,2))) as double) AS max_disc,
       |  count(*) AS n
       |FROM lineitem GROUP BY 1,2 HAVING count(*) > 0""".stripMargin
 
@@ -54,14 +64,14 @@ object Inventory {
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        sum((dec("l_extendedprice", 18, 4) * (lit(1) - dec("l_discount", 18, 4)))
-          .cast(DecimalType(24, 4))).as("revenue"),
+        dbl(sum((dec("l_extendedprice", 18, 4) * (lit(1) - dec("l_discount", 18, 4)))
+          .cast(DecimalType(24, 4)))).as("revenue"),
         count(lit(1)).as("n_items"))
 
   val qJoinMultiSql: String =
     """SELECT r_name, n_name,
-      |  sum(cast(cast(l_extendedprice as decimal(18,4)) *
-      |      (1 - cast(l_discount as decimal(18,4))) as decimal(24,4))) AS revenue,
+      |  cast(sum(cast(cast(l_extendedprice as decimal(18,4)) *
+      |      (1 - cast(l_discount as decimal(18,4))) as decimal(24,4))) as double) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
@@ -82,7 +92,7 @@ object Inventory {
       leaves, Seq.empty, "path", Seq("price"), HierarchyRollup.SumMode,
       crossRoundDedup = false) // all leaves depth 3 → rounds can't collide
       .select(array_join(col("path"), ", ").as("node"),
-        col("price").cast(DecimalType(24, 2)).as("total"))
+        dbl(col("price").cast(DecimalType(24, 2))).as("total"))
   }
 
   val qRollupHierSql: String =
@@ -96,7 +106,7 @@ object Inventory {
       |  FROM b WHERE len(path) > 0
       |)
       |SELECT array_to_string(path, ', ') AS node,
-      |       cast(sum(price) as decimal(24,2)) AS total
+      |       cast(cast(sum(price) as decimal(24,2)) as double) AS total
       |FROM b GROUP BY 1""".stripMargin
 
   // ----------------------------------------------------------------- §2.8
@@ -107,12 +117,14 @@ object Inventory {
     PivotFixed.crosstabSum(
       Tables.orders(s, d).withColumn("price", dec("o_totalprice")),
       Seq("o_orderpriority"), "o_orderstatus", "price", Seq("F", "O", "P"))
+      .select(col("o_orderpriority"),
+        dbl(col("F")).as("F"), dbl(col("O")).as("O"), dbl(col("P")).as("P"))
 
   val qPivotStatusSql: String =
     """SELECT o_orderpriority,
-      |  sum(CASE WHEN o_orderstatus = 'F' THEN cast(o_totalprice as decimal(18,2)) END) AS "F",
-      |  sum(CASE WHEN o_orderstatus = 'O' THEN cast(o_totalprice as decimal(18,2)) END) AS "O",
-      |  sum(CASE WHEN o_orderstatus = 'P' THEN cast(o_totalprice as decimal(18,2)) END) AS "P"
+      |  cast(sum(CASE WHEN o_orderstatus = 'F' THEN cast(o_totalprice as decimal(18,2)) END) as double) AS "F",
+      |  cast(sum(CASE WHEN o_orderstatus = 'O' THEN cast(o_totalprice as decimal(18,2)) END) as double) AS "O",
+      |  cast(sum(CASE WHEN o_orderstatus = 'P' THEN cast(o_totalprice as decimal(18,2)) END) as double) AS "P"
       |FROM orders GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------- J1 + P10
@@ -131,6 +143,9 @@ object Inventory {
       .agg(sum(dec("o_totalprice")).cast(DecimalType(24, 2)).as("value"))
     Reconcile.reconcile(reported, synthesized, Seq("okey"), Seq("value"),
       Reconcile.Greatest)
+      .select(col("okey"), col("reported"),
+        dbl(col("t_value")).as("t_value"), dbl(col("s_value")).as("s_value"),
+        dbl(col("value")).as("value"))
   }
 
   val qReconcileGreatestSql: String =
@@ -144,8 +159,8 @@ object Inventory {
       |  FROM orders WHERE o_orderstatus <> 'P' GROUP BY 1)
       |SELECT coalesce(t.okey, s.okey) AS okey,
       |       (t.okey IS NOT NULL) AS reported,
-      |       t.value AS t_value, s.value AS s_value,
-      |       greatest(t.value, s.value) AS value
+      |       cast(t.value as double) AS t_value, cast(s.value as double) AS s_value,
+      |       cast(greatest(t.value, s.value) as double) AS value
       |FROM t FULL OUTER JOIN s ON t.okey = s.okey""".stripMargin
 
   // ------------------------------------------------------------------- S1
@@ -158,10 +173,10 @@ object Inventory {
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") < lit("1995-07-01").cast(TimestampType)
         && col("l_discount") > 0.05)
-      .select(col("l_orderkey"), col("l_linenumber"), dec("l_quantity").as("qty"))
+      .select(col("l_orderkey"), col("l_linenumber"), dbl(dec("l_quantity")).as("qty"))
 
   val qScanPruneSql: String =
-    """SELECT l_orderkey, l_linenumber, cast(l_quantity as decimal(18,2)) AS qty
+    """SELECT l_orderkey, l_linenumber, cast(cast(l_quantity as decimal(18,2)) as double) AS qty
       |FROM lineitem
       |WHERE l_shipdate < TIMESTAMP '1995-07-01' AND l_discount > 0.05""".stripMargin
 
@@ -240,14 +255,14 @@ object Inventory {
       col("o_orderkey"), col("raw"),
       // native codegen'd Catalyst expression (graft.functions.ToNumber),
       // semantics identical to the composed-builtin Cleanse.toNumber
-      graft.functions.ToNumber.to_number(col("raw"), 14, 2).as("parsed"))
+      dbl(graft.functions.ToNumber.to_number(col("raw"), 14, 2)).as("parsed"))
   }
 
   val qToNumberSql: String =
     """SELECT o_orderkey,
       |  format('{:,}', cast(floor(o_totalprice) as bigint)) AS raw,
-      |  cast(replace(format('{:,}', cast(floor(o_totalprice) as bigint)), ',', '')
-      |       as decimal(14,2)) AS parsed
+      |  cast(cast(replace(format('{:,}', cast(floor(o_totalprice) as bigint)), ',', '')
+      |       as decimal(14,2)) as double) AS parsed
       |FROM orders""".stripMargin
 
   // ------------------------------------------- P7/P8/P13/P14/P17 strings
@@ -287,7 +302,7 @@ object Inventory {
       .join(broadcast(brandTier), Seq("p_brand"), "left")
       .join(broadcast(typeTier), Seq("p_type"), "left")
       .select(col("p_partkey"),
-        coalesce(col("brand_sum"), col("type_sum"), lit(0).cast(DecimalType(18, 2)))
+        dbl(coalesce(col("brand_sum"), col("type_sum"), lit(0).cast(DecimalType(18, 2))))
           .as("tier_value"))
   }
 
@@ -297,7 +312,7 @@ object Inventory {
       |     t AS (SELECT p_type, sum(cast(p_retailprice as decimal(18,2))) AS type_sum
       |           FROM part WHERE p_size > 40 GROUP BY 1)
       |SELECT p.p_partkey,
-      |       coalesce(b.brand_sum, t.type_sum, cast(0 as decimal(18,2))) AS tier_value
+      |       cast(coalesce(b.brand_sum, t.type_sum, cast(0 as decimal(18,2))) as double) AS tier_value
       |FROM part p
       |LEFT JOIN b ON p.p_brand = b.p_brand
       |LEFT JOIN t ON p.p_type = t.p_type""".stripMargin
@@ -399,12 +414,12 @@ object Inventory {
       .join(broadcast(bands),
         col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
       .groupBy(col("band"))
-      .agg(count(lit(1)).as("n"), sum(dec("l_quantity")).as("qty"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec("l_quantity"))).as("qty"))
   }
 
   val qThetaBandsSql: String =
     """SELECT b.band, count(*) AS n,
-      |       sum(cast(l_quantity as decimal(18,2))) AS qty
+      |       cast(sum(cast(l_quantity as decimal(18,2))) as double) AS qty
       |FROM lineitem l
       |JOIN (VALUES ('low',0,10),('mid',10,25),('high',25,51)) AS b(band,lo,hi)
       |  ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
@@ -418,14 +433,14 @@ object Inventory {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
     Tables.lineitem(s, d)
       .select(col("l_orderkey"),
-        sum(dec("l_quantity")).over(w).as("order_qty"),
+        dbl(sum(dec("l_quantity")).over(w)).as("order_qty"),
         count(lit(1)).over(w).as("order_lines"))
       .distinct()
   }
 
   val qWindowAggSql: String =
     """SELECT DISTINCT l_orderkey,
-      |  sum(cast(l_quantity as decimal(18,2))) OVER (PARTITION BY l_orderkey) AS order_qty,
+      |  cast(sum(cast(l_quantity as decimal(18,2))) OVER (PARTITION BY l_orderkey) as double) AS order_qty,
       |  count(*) OVER (PARTITION BY l_orderkey) AS order_lines
       |FROM lineitem""".stripMargin
 
@@ -440,12 +455,12 @@ object Inventory {
     Tables.orders(s, d)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("o_custkey"), col("o_orderkey"), dec("o_totalprice").as("top_price"))
+      .select(col("o_custkey"), col("o_orderkey"), dbl(dec("o_totalprice")).as("top_price"))
   }
 
   val qWindowRankSql: String =
     """SELECT o_custkey, o_orderkey,
-      |       cast(o_totalprice as decimal(18,2)) AS top_price
+      |       cast(cast(o_totalprice as decimal(18,2)) as double) AS top_price
       |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
       |        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
       |      FROM orders) WHERE rn = 1""".stripMargin
@@ -457,11 +472,11 @@ object Inventory {
   def qGroupByExpr(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d)
       .groupBy(substring(col("p_brand"), 7, 1).as("brand_group"))
-      .agg(count(lit(1)).as("n"), sum(dec("p_retailprice")).as("price_sum"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec("p_retailprice"))).as("price_sum"))
 
   val qGroupByExprSql: String =
     """SELECT substr(p_brand, 7, 1) AS brand_group, count(*) AS n,
-      |       sum(cast(p_retailprice as decimal(18,2))) AS price_sum
+      |       cast(sum(cast(p_retailprice as decimal(18,2))) as double) AS price_sum
       |FROM part GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------- time-bucketed agg
@@ -472,11 +487,11 @@ object Inventory {
   def qEventsHourly(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(dec("value", 18, 6)).as("value_sum"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec("value", 18, 6))).as("value_sum"))
 
   val qEventsHourlySql: String =
     """SELECT date_trunc('hour', ts) AS hour, event_type,
-      |  count(*) AS n, sum(cast(value as decimal(18,6))) AS value_sum
+      |  count(*) AS n, cast(sum(cast(value as decimal(18,6))) as double) AS value_sum
       |FROM events GROUP BY 1,2""".stripMargin
 
   // ----------------------------------------------------------- §2.8 first
@@ -509,16 +524,16 @@ object Inventory {
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_supps"),
         round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
-        min(dec("l_quantity")).as("min_qty"),
-        max(dec("l_quantity")).as("max_qty"))
+        dbl(min(dec("l_quantity"))).as("min_qty"),
+        dbl(max(dec("l_quantity"))).as("max_qty"))
 
   val qStatsSummarySql: String =
     """SELECT l_returnflag,
       |  count(DISTINCT l_partkey) AS n_parts,
       |  count(DISTINCT l_suppkey) AS n_supps,
       |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
-      |  min(cast(l_quantity as decimal(18,2))) AS min_qty,
-      |  max(cast(l_quantity as decimal(18,2))) AS max_qty
+      |  cast(min(cast(l_quantity as decimal(18,2))) as double) AS min_qty,
+      |  cast(max(cast(l_quantity as decimal(18,2))) as double) AS max_qty
       |FROM lineitem GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------------- O1
@@ -528,12 +543,12 @@ object Inventory {
     */
   def qTopkOrder(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
-      .select(col("o_orderkey"), dec("o_totalprice").as("price"))
+      .select(col("o_orderkey"), dbl(dec("o_totalprice")).as("price"))
       .orderBy(col("price").desc, col("o_orderkey").asc)
       .limit(100)
 
   val qTopkOrderSql: String =
-    """SELECT o_orderkey, cast(o_totalprice as decimal(18,2)) AS price
+    """SELECT o_orderkey, cast(cast(o_totalprice as decimal(18,2)) as double) AS price
       |FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 100""".stripMargin
 
   // ------------------------------------------------- frame-based window
@@ -549,13 +564,13 @@ object Inventory {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     Tables.events(s, d)
       .select(col("user_id"), col("event_id"),
-        sum(dec("value", 18, 6)).over(w).as("running_value"),
+        dbl(sum(dec("value", 18, 6)).over(w)).as("running_value"),
         count(lit(1)).over(w).as("running_n"))
   }
 
   val qWindowRunningSql: String =
     """SELECT user_id, event_id,
-      |  sum(cast(value as decimal(18,6))) OVER w AS running_value,
+      |  cast(sum(cast(value as decimal(18,6))) OVER w as double) AS running_value,
       |  count(*) OVER w AS running_n
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
@@ -572,7 +587,7 @@ object Inventory {
       .sessionizeBatch(Tables.events(s, d))
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"),
-        col("sum_value").cast(DecimalType(24, 6)).as("sum_value"))
+        dbl(col("sum_value").cast(DecimalType(24, 6))).as("sum_value"))
 
   val qSessionizeSql: String =
     """WITH marked AS (
@@ -590,7 +605,7 @@ object Inventory {
       |SELECT user_id,
       |  min(ts) AS session_start, max(ts) AS session_end,
       |  count(*) AS n_events,
-      |  cast(sum(cast(value as decimal(18,6))) as decimal(24,6)) AS sum_value
+      |  cast(cast(sum(cast(value as decimal(18,6))) as decimal(24,6)) as double) AS sum_value
       |FROM sessions GROUP BY user_id, session_id""".stripMargin
 
   /** name → (query, Some(oracleSql)) */

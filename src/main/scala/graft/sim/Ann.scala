@@ -45,7 +45,8 @@ object Ann {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val c = graft.ops.Parallelism.widen(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))
@@ -74,6 +75,57 @@ object Ann {
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
+  /** IVF-Flat approximate top-k — the inverted-file scale path: the
+    * corpus is PARTITIONED into `nlist` cells (each vector assigned to
+    * its nearest centroid), and a query searches only the `nprobe`
+    * cells whose centroids are nearest to it, touching
+    * ~`nprobe/nlist` of the corpus instead of all of it.
+    *
+    * Centroids are SAMPLED deterministically (the `nlist` lowest-id
+    * corpus vectors) rather than k-means-trained — training is an
+    * offline concern; the partition/probe machinery, which is what an
+    * engine provides, is identical and fully reproducible. All
+    * similarity math is the left-fold dot product (bit-exact across
+    * engines), ties broken by centroid id / neighbor id.
+    *
+    * Scale shape: centroid table is broadcast twice (corpus assignment
+    * and query probing are narrow map stages over `nlist` candidates);
+    * the only shuffle is the candidate join on cell id, whose fan-in
+    * per query is bounded by the probed cells' occupancy.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cent = corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    def nearestCells(df: DataFrame, outId: String, outVec: String, keep: Int) = {
+      val w = Window.partitionBy(col(outId))
+        .orderBy(col("csim").desc, col("cid").asc)
+      df.crossJoin(broadcast(cent))
+        .select(col(outId), col(outVec), col("cid"),
+          cosine(col(outVec), col("cv")).as("csim"))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= keep)
+        .drop("csim", "r")
+    }
+    val asg = nearestCells(
+      graft.ops.Parallelism.widen(corpus)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")),
+      "neighbor_id", "cvec", keep = 1)
+    val probe = nearestCells(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")),
+      "query_id", "qvec", keep = nprobe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    asg.join(probe, Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("sim", round(col("sim"), 6))
+  }
+
   /** Approximate top-k: candidates restricted to rows sharing the
     * query's LSH bucket, then exact cosine rank within the bucket.
     */
@@ -81,8 +133,9 @@ object Ann {
       idCol: String, vecCol: String, k: Int, numPlanes: Int = 8): DataFrame = {
     val dim = 64
     val planes = (0 until numPlanes).map(i => hyperplane(i, dim))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-      lshKey(col(vecCol), planes).as("bucket"))
+    val c = graft.ops.Parallelism.widen(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        lshKey(col(vecCol), planes).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       lshKey(col(vecCol), planes).as("bucket"))
     val w = Window.partitionBy(col("query_id"))

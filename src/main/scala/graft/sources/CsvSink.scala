@@ -29,9 +29,18 @@ object CsvSink {
     df.select(cols.toIndexedSeq: _*)
   }
 
+  /** PG `ORDER BY` sorts NULLS LAST on ascending keys; Spark defaults
+    * to NULLS FIRST — golden row order diverges on any NULL sort key
+    * (e.g. land_rent's NULL-value sentinel rows) without this.
+    * `orderBy` columns are plain (direction-free) expressions by
+    * contract; they are exported ascending, nulls last.
+    */
+  private def pgOrder(orderBy: Seq[Column]): Seq[Column] =
+    orderBy.map(_.asc_nulls_last)
+
   /** Partitioned export (scale path). */
   def export(df: DataFrame, path: String, orderBy: Seq[Column] = Nil): Unit = {
-    val ordered = if (orderBy.nonEmpty) df.orderBy(orderBy: _*) else df
+    val ordered = if (orderBy.nonEmpty) df.orderBy(pgOrder(orderBy): _*) else df
     pgFormatted(ordered).write
       .mode("overwrite")
       .option("header", true)
@@ -41,7 +50,7 @@ object CsvSink {
 
   /** Single-file export (golden-diff fidelity path). */
   def exportSingle(df: DataFrame, path: String, orderBy: Seq[Column] = Nil): Unit = {
-    val ordered = if (orderBy.nonEmpty) df.orderBy(orderBy: _*) else df
+    val ordered = if (orderBy.nonEmpty) df.orderBy(pgOrder(orderBy): _*) else df
     pgFormatted(ordered).coalesce(1).write
       .mode("overwrite")
       .option("header", true)

@@ -26,6 +26,31 @@ class PipelineSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_copies") === 2L)
   }
 
+  test("short/empty documents yield empty shingle sets, not a crash") {
+    // fewer tokens than the shingle width w=3 must produce an empty
+    // shingle list (PG/DuckDB range(1,0) semantics), never the Spark
+    // descending sequence(1,0) → element_at(t,0) crash
+    val shorts = Seq((1L, "", "a"), (2L, "one", "a"), (3L, "two words", "a"),
+      (4L, "exactly three tokens", "a")).toDF("doc_id", "text", "source")
+    val grams = shorts
+      .select($"doc_id", Dedup.shingleHashes($"text").as("g"))
+      .select($"doc_id", size($"g").as("n")).as[(Long, Int)].collect().toMap
+    assert(grams(1L) === 0 && grams(2L) === 0 && grams(3L) === 0)
+    assert(grams(4L) === 1)
+    // downstream ops must degrade gracefully too: signature is the
+    // all-P sentinel, candidate/apply/jaccard paths run clean
+    val sig = shorts.select(
+      Dedup.minhashSignature(Dedup.shingleHashes($"text")).as("sig"))
+      .filter($"sig" === array(Seq.fill(Dedup.minhashCoeffs.size)(lit(Dedup.P)): _*))
+    assert(sig.count() === 3)
+    // the three sentinel-signature docs form one "identical" group
+    // (empty shingle set ≡ empty shingle set) → min id 1 survives
+    assert(Dedup.dropNearDuplicates(shorts, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet === Set(1L, 4L))
+    assert(Dedup.ngramJaccardPairs(shorts, "doc_id", "text",
+      blockCols = Seq("source")).count() === 0)
+  }
+
   test("minhash candidates surface near-dups, not unrelated docs") {
     val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
       .select($"id_a", $"id_b", $"sig_agreement")
