@@ -193,6 +193,38 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Embedding-cosine near-duplicate pairs: semantic dedup over an
+    * embedding column (array<float>), LSH-blocked so candidate
+    * generation scales with bucket occupancy, never |corpus|².
+    *
+    * Blocking = sign-random-projection buckets over `numPlanes`
+    * deterministic hyperplanes (shared with [[graft.sim.Ann]]): a pair
+    * is compared only when it agrees on every plane's sign, which
+    * passes vectors at angle θ with probability (1-θ/π)^numPlanes —
+    * few planes (default 4) keep recall high at near-dup angles while
+    * pruning the orthogonal bulk. Exact left-fold cosine (bit-exact
+    * across engines) scores the survivors; pairs at or above
+    * `threshold` (compared on the rounded value, so the boundary is
+    * engine-agnostic) are emitted as (id_a, id_b, cos_sim).
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.35, numPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    import graft.sim.Ann
+    val planes = (0 until numPlanes).map(i => Ann.hyperplane(i, dim))
+    val keyed = graft.CacheRegistry.register(
+      graft.ops.Parallelism.widen(df)
+        .select(col(idCol).as("id"), col(vecCol).as("vec"),
+          Ann.lshKey(col(vecCol), planes).as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val a = keyed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = keyed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Ann.cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** n-gram Jaccard near-dup pairs within blocking buckets (never a
     * global cross join — the blocking key bounds pair count at scale).
     */

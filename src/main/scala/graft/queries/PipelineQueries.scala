@@ -349,6 +349,93 @@ object PipelineQueries {
        |FROM ranked WHERE rank <= 3""".stripMargin
   }
 
+  /** IVF-Flat approximate top-3: deterministic sampled centroids,
+    * nprobe-cell search — the inverted-file scale path next to the LSH
+    * one. Everything (assignment, probing, scoring) is left-fold dot
+    * products, so even the cell partitioning is hash-verified.
+    */
+  def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Ann.ivfTopK(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  val qAnnIvfSql: String = {
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(cast(0 as double),
+         |  list_transform(range(1, len($a) + 1),
+         |    i -> cast($a[i] as double) * cast($b[i] as double))),
+         |  (acc, v) -> acc + v)""".stripMargin
+    def cos(a: String, b: String) =
+      s"""CASE WHEN sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}) > 0
+         |  THEN ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))
+         |  ELSE 0.0 END""".stripMargin
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+       |asg AS (
+       |  SELECT neighbor_id, cvec, cid FROM (
+       |    SELECT e.vec_id AS neighbor_id, e.embedding AS cvec, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid ASC) AS r
+       |    FROM embeddings e CROSS JOIN cent c) WHERE r = 1),
+       |probe AS (
+       |  SELECT query_id, qvec, cid FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cos("q.embedding", "c.cv")} DESC, c.cid ASC) AS r
+       |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8) WHERE r <= 4),
+       |sims AS (
+       |  SELECT query_id, neighbor_id, ${cos("qvec", "cvec")} AS sim_raw
+       |  FROM probe JOIN asg USING (cid)
+       |  WHERE neighbor_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim_raw,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim_raw DESC, neighbor_id ASC) AS rank
+       |  FROM sims)
+       |SELECT query_id, neighbor_id, round(sim_raw, 6) AS sim, rank
+       |FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
+  /** Embedding-cosine near-dup pairs, LSH-blocked (4 sign planes),
+    * rounded-cosine threshold — the semantic-dedup complement to the
+    * shingle-based paths. The corpus has no true duplicates, so the
+    * threshold sits at the top of the observed similarity range to
+    * exercise a non-trivial result.
+    */
+  def qEmbedDup(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.35, numPlanes = 4)
+
+  val qEmbedDupSql: String = {
+    val planes = (0 until 4).map(i => Ann.hyperplane(i, 64))
+    def planeLit(p: Seq[Double]) = p.mkString("[", ",", "]")
+    def dotPlane(v: String, p: Seq[Double]) =
+      s"""list_reduce(list_prepend(cast(0 as double),
+         |  list_transform(range(1, 65),
+         |    i -> cast($v[i] as double) * (${planeLit(p)})[i])),
+         |  (acc, x) -> acc + x)""".stripMargin
+    val keyExpr = planes.map(p =>
+      s"(CASE WHEN ${dotPlane("embedding", p)} >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(cast(0 as double),
+         |  list_transform(range(1, len($a) + 1),
+         |    i -> cast($a[i] as double) * cast($b[i] as double))),
+         |  (acc, v) -> acc + v)""".stripMargin
+    def cos(a: String, b: String) =
+      s"""CASE WHEN sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}) > 0
+         |  THEN ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))
+         |  ELSE 0.0 END""".stripMargin
+    s"""WITH keyed AS (
+       |  SELECT vec_id, embedding, $keyExpr AS bucket FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(${cos("a.embedding", "b.embedding")}, 6) AS cos_sim
+       |  FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.35""".stripMargin
+  }
+
   // ---------------------------------------------------------- multimodal
 
   /** Binary-column metadata: never decodes the payload. */
@@ -420,6 +507,8 @@ object PipelineQueries {
     ("q_ngram_jaccard", qNgramJaccard _, Some(qNgramJaccardSql)),
     ("q_ann_topk", qAnnTopK _, Some(qAnnTopKSql)),
     ("q_ann_lsh", qAnnLsh _, Some(qAnnLshSql)),
+    ("q_ann_ivf", qAnnIvf _, Some(qAnnIvfSql)),
+    ("q_embed_dup", qEmbedDup _, Some(qEmbedDupSql)),
     ("q_binary_meta", qBinaryMeta _, Some(qBinaryMetaSql)),
     ("q_media_features", qMediaFeatures _, Some(qMediaFeaturesSql)),
     ("q_frame_sample", qFrameSample _, Some(qFrameSampleSql)))

@@ -113,6 +113,35 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.forall { case (qid, n) => n != qid && n >= 0 && n < 50 })
   }
 
+  test("IVF ANN: probed-cell search finds the planted near-duplicate") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(64)(j => math.sin(i * 17 + j).toFloat))
+    } :+ (50L, Array.tabulate(64)(j => (math.sin(3 * 17 + j) * 1.001).toFloat))
+    val df = vecs.toDF("vec_id", "embedding")
+    val ivf = Ann.ivfTopK(df, df.filter($"vec_id" === 3), "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 3)
+      .select($"neighbor_id", $"rank").as[(Long, Int)].collect().toSeq
+    // vec 50 is a scaled copy of vec 3 (cosine ≈ 1): it must share
+    // vec 3's nearest cell and therefore be found at rank 1
+    assert(ivf.headOption.map(_._1) === Some(50L))
+    // every neighbor is a genuine corpus row from a probed cell
+    assert(ivf.forall { case (n, _) => n != 3L && n >= 0 && n <= 50 })
+  }
+
+  test("embedding near-dup pairs surface the planted duplicate pair") {
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(64)(j => math.sin(i * 17 + j).toFloat))
+    } :+ (30L, Array.tabulate(64)(j => (math.sin(5 * 17 + j) * 0.999).toFloat))
+    val df = vecs.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.9)
+      .select($"id_a", $"id_b", $"cos_sim").as[(Long, Long, Double)].collect()
+    // the scaled copy of vec 5 shares every sign bucket with it and
+    // sits at cosine ≈ 1 — it MUST be found; orthogonal-ish pairs must not
+    assert(pairs.exists(p => p._1 == 5L && p._2 == 30L && p._3 > 0.99))
+    assert(pairs.forall(_._3 >= 0.9))
+  }
+
   test("fake codec decode is deterministic and metadata never decodes") {
     val payload = Multimodal.withPayload(docs, "text")
     val meta = Multimodal.metadata(payload, "doc_id").collect()
