@@ -55,9 +55,13 @@ object Dedup {
     * reproducible outside Spark). Same banding behavior either way.
     */
   def shingleHashes(text: Column, w: Int = 3, fast: Boolean = false): Column = {
-    val h: Column => Column =
-      if (fast) g => pmod(xxhash64(g), lit(P))
-      else g => TextAnalysis.hash60(g) % P
+    if (!fast)
+      // native codegen'd kernel (graft.functions.ShingleHashes):
+      // bit-identical to the builtin pipeline below but ~5× cheaper —
+      // higher-order functions evaluate their lambdas interpreted,
+      // paying expression dispatch per shingle element
+      return graft.functions.TextHashes.shingle_hashes(text, w, P)
+    val h: Column => Column = g => pmod(xxhash64(g), lit(P))
     // Let-bind the token array as a lambda variable (single-element
     // transform): inside the shingle lambda, `t` is an attribute-like
     // NamedLambdaVariable, so the 3 element_at accesses per shingle
@@ -91,15 +95,13 @@ object Dedup {
     * order-insensitive → result identical to the per-element form and
     * to the DuckDB oracle.
     */
-  def minhashSignature(shingles: Column): Column = {
-    val aLit = array(minhashCoeffs.map(c => lit(c._1)): _*)
-    val bLit = array(minhashCoeffs.map(c => lit(c._2)): _*)
-    val idx = array((0 until minhashCoeffs.size).map(i => lit(i)): _*)
-    val init = array(Seq.fill(minhashCoeffs.size)(lit(P)): _*)
-    aggregate(shingles, init, (acc, x) =>
-      zip_with(acc, idx, (m, i) =>
-        least(m, (x * element_at(aLit, i + 1) + element_at(bLit, i + 1)) % P)))
-  }
+  def minhashSignature(shingles: Column): Column =
+    // native codegen'd kernel (graft.functions.MinHashSig): one tight
+    // loop updating all 16 mins per shingle — same values as the
+    // single-left-fold builtin form it replaces (min is order-
+    // insensitive), without the interpreted per-element fold that
+    // allocated a fresh 16-array per shingle
+    graft.functions.TextHashes.minhash_sig(shingles, minhashCoeffs, P)
 
   /** LSH band keys: one string key per band, formed from that band's
     * signature slice. Docs sharing any band key are candidates.
@@ -211,17 +213,24 @@ object Dedup {
       threshold: Double = 0.35, numPlanes: Int = 4, dim: Int = 64): DataFrame = {
     import graft.sim.Ann
     val planes = (0 until numPlanes).map(i => Ann.hyperplane(i, dim))
+    // bucket key AND norm staged once per vector in the persisted
+    // projection — the pairwise stage then does a single dot fold per
+    // candidate (norms per pair would triple the interpreted fold work)
     val keyed = graft.CacheRegistry.register(
       graft.ops.Parallelism.widen(df)
         .select(col(idCol).as("id"), col(vecCol).as("vec"),
-          Ann.lshKey(col(vecCol), planes).as("bucket"))
+          Ann.lshKey(col(vecCol), planes).as("bucket"),
+          Ann.norm(col(vecCol)).as("nrm"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val a = keyed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = keyed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val a = keyed.select(col("bucket"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = keyed.select(col("bucket"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Ann.cosine(col("vec_a"), col("vec_b")), 6).as("cos_sim"))
+        round(Ann.cosinePre(Ann.dot(col("vec_a"), col("vec_b")),
+          col("nrm_a"), col("nrm_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 

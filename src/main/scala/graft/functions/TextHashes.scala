@@ -1,0 +1,221 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the dedup/similarity hot paths.
+  *
+  * The composed-builtin forms of these pipelines run their per-element
+  * work inside higher-order functions (transform/aggregate/zip_with),
+  * which Spark evaluates INTERPRETED — every shingle or vector element
+  * pays expression-tree dispatch and intermediate ArrayData allocation.
+  * These expressions compute the same values (bit-for-bit: same
+  * tokenizer regex, same md5→60-bit→mod-P hash, same left-to-right
+  * double fold) in tight JVM kernels, and implement `doGenCode` so they
+  * stay inside whole-stage codegen (the generated code calls the
+  * static kernels directly — the [[ToNumber]] pattern).
+  *
+  * Oracle parity is unchanged by construction: the DuckDB SQL is
+  * generated from the same constants and the kernels replicate the
+  * builtin semantics exactly (verified by the q_minhash_*, q_dedup_*,
+  * q_ngram_jaccard, q_ann_*, q_embed_dup hash gates).
+  */
+object HashKernels {
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(s) as a positive long — identical to
+    * conv(substring(md5(s),1,15),16,10): hex chars 0-14 are bytes 0-6
+    * plus the high nibble of byte 7.
+    */
+  def hash60(bytes: Array[Byte]): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    (v << 4) | ((h(7) & 0xffL) >>> 4)
+  }
+
+  /** Distinct hashed word w-shingles of the whitespace token stream —
+    * the kernel twin of the builtin pipeline
+    * filter(split(trim(text),"\s+")) → concat_ws(" ", w toks) →
+    * md5-hash60 % p → array_distinct (first-occurrence order).
+    */
+  def shingleHashes(text: UTF8String, w: Int, p: Long): ArrayData = {
+    if (text == null) return null
+    val raw = text.toString.split("\\s+")
+    var n = 0
+    var i = 0
+    while (i < raw.length) { if (!raw(i).isEmpty) n += 1; i += 1 }
+    if (n < w) return new GenericArrayData(Array.emptyLongArray)
+    val toks = new Array[String](n)
+    var j = 0
+    i = 0
+    while (i < raw.length) { if (!raw(i).isEmpty) { toks(j) = raw(i); j += 1 }; i += 1 }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]((n - w + 1) * 2)
+    val sb = new java.lang.StringBuilder
+    i = 0
+    while (i <= n - w) {
+      sb.setLength(0)
+      var k = 0
+      while (k < w) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      val h = hash60(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)) % p
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature: per permutation i, min over shingles x of
+    * (x*a(i)+b(i)) % p; empty shingle set → all-p sentinel. Identical
+    * to the single left-fold builtin form (min is order-insensitive).
+    */
+  def minhashSig(grams: ArrayData, as: Array[Long], bs: Array[Long], p: Long): ArrayData = {
+    if (grams == null) return null
+    val m = as.length
+    val sig = new Array[Long](m)
+    java.util.Arrays.fill(sig, p)
+    val n = grams.numElements()
+    var i = 0
+    while (i < n) {
+      val x = grams.getLong(i)
+      var k = 0
+      while (k < m) {
+        val h = (x * as(k) + bs(k)) % p
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Left-to-right dot-product fold in double — bit-identical to
+    * aggregate(zip_with(a,b,(x,y)->double(x)*double(y)), 0.0, +):
+    * same operand order, same rounding at every step. Null element or
+    * length mismatch → null (the zip_with/aggregate null contract).
+    */
+  def dotFold(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    if (a == null || b == null) return null
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+}
+
+/** array<long> of distinct hashed word w-shingles of a text column. */
+case class ShingleHashes(child: Expression, w: Int, p: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.shingleHashes(input.asInstanceOf[UTF8String], w, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.shingleHashes($c, $w, ${p}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** array<long> MinHash signature of an array<long> shingle-hash column. */
+case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
+    extends UnaryExpression {
+  require(as.length == bs.length, "coefficient arrays must align")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val aArr = as.toArray
+  @transient private lazy val bArr = bs.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minhashSig(input.asInstanceOf[ArrayData], aArr, bArr, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.minhashSig($c, $aRef, $bRef, ${p}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Left-fold dot product of two array<float|double> columns → double. */
+case class DotFold(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"DotFold needs array<float|double> inputs, got $t")
+  }
+  @transient private lazy val lFloat = isFloat(left)
+  @transient private lazy val rFloat = isFloat(right)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.dotFold(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      lFloat, rFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double ${ev.value}$$r = graft.functions.HashKernels.dotFold(
+         |  $a, $b, $lFloat, $rFloat);
+         |if (${ev.value}$$r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}$$r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotFold =
+    copy(left = newLeft, right = newRight)
+}
+
+object TextHashes {
+  def shingle_hashes(text: Column, w: Int, p: Long): Column =
+    Bridge.toColumn(ShingleHashes(Bridge.toExpression(text), w, p))
+
+  def minhash_sig(grams: Column, coeffs: Seq[(Long, Long)], p: Long): Column =
+    Bridge.toColumn(MinHashSig(Bridge.toExpression(grams),
+      coeffs.map(_._1), coeffs.map(_._2), p))
+
+  def dot_fold(a: Column, b: Column): Column =
+    Bridge.toColumn(DotFold(Bridge.toExpression(a), Bridge.toExpression(b)))
+}

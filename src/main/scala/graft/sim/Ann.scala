@@ -25,16 +25,31 @@ import org.apache.spark.sql.types._
   */
 object Ann {
 
-  /** Left-to-right dot product of two array<numeric> columns in double. */
+  /** Left-to-right dot product of two array<float|double> columns in
+    * double — the native codegen'd fold (graft.functions.DotFold):
+    * bit-identical to aggregate(zip_with(a,b,(x,y)->double·double)),
+    * 0.0, +) at a fraction of the cost (higher-order functions run
+    * their lambdas interpreted).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.TextHashes.dot_fold(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
     when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
+  }
+
+  /** Cosine from PRE-COMPUTED norms. The array folds run interpreted
+    * (higher-order functions have no codegen), so recomputing both
+    * norms per candidate PAIR triples the hot-path fold work; staging
+    * `norm(v)` once per row and passing it here is bit-identical (same
+    * operands, same fold order) at a third of the cost.
+    */
+  def cosinePre(dotAB: Column, normA: Column, normB: Column): Column = {
+    val d = normA * normB
+    when(d > 0, dotAB / d).otherwise(lit(0.0))
   }
 
   /** Exact top-k neighbors for each query row.
@@ -44,15 +59,20 @@ object Ann {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    // norms staged in projections BELOW the join: computed once per
+    // row, not once per (query, candidate) pair — Project does not
+    // collapse across a Join, so Catalyst cannot re-inline them
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qn"))
     val c = graft.ops.Parallelism.widen(corpus)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        norm(col(vecCol)).as("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("sim"))
+        cosinePre(dot(col("qvec"), col("cvec")), col("qn"), col("cn")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .withColumn("sim", round(col("sim"), 6))
@@ -97,30 +117,37 @@ object Ann {
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val cent = corpus.filter(col(idCol) < nlist)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    def nearestCells(df: DataFrame, outId: String, outVec: String, keep: Int) = {
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cvn"))
+    // row norms staged below each crossJoin (computed once per row, not
+    // once per centroid candidate); the per-pair work is one dot fold
+    def nearestCells(df: DataFrame, outId: String, outVec: String,
+        outNorm: String, keep: Int) = {
       val w = Window.partitionBy(col(outId))
         .orderBy(col("csim").desc, col("cid").asc)
       df.crossJoin(broadcast(cent))
-        .select(col(outId), col(outVec), col("cid"),
-          cosine(col(outVec), col("cv")).as("csim"))
+        .select(col(outId), col(outVec), col(outNorm), col("cid"),
+          cosinePre(dot(col(outVec), col("cv")), col(outNorm), col("cvn"))
+            .as("csim"))
         .withColumn("r", row_number().over(w))
         .filter(col("r") <= keep)
         .drop("csim", "r")
     }
     val asg = nearestCells(
       graft.ops.Parallelism.widen(corpus)
-        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec")),
-      "neighbor_id", "cvec", keep = 1)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+          norm(col(vecCol)).as("cn")),
+      "neighbor_id", "cvec", "cn", keep = 1)
     val probe = nearestCells(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")),
-      "query_id", "qvec", keep = nprobe)
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qn")),
+      "query_id", "qvec", "qn", keep = nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     asg.join(probe, Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("sim"))
+        cosinePre(dot(col("qvec"), col("cvec")), col("qn"), col("cn")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .withColumn("sim", round(col("sim"), 6))
@@ -135,15 +162,17 @@ object Ann {
     val planes = (0 until numPlanes).map(i => hyperplane(i, dim))
     val c = graft.ops.Parallelism.widen(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-        lshKey(col(vecCol), planes).as("bucket"))
+        lshKey(col(vecCol), planes).as("bucket"),
+        norm(col(vecCol)).as("cn"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      lshKey(col(vecCol), planes).as("bucket"))
+      lshKey(col(vecCol), planes).as("bucket"),
+      norm(col(vecCol)).as("qn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("sim"))
+        cosinePre(dot(col("qvec"), col("cvec")), col("qn"), col("cn")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .withColumn("sim", round(col("sim"), 6))
