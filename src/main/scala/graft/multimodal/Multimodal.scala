@@ -79,6 +79,56 @@ object Multimodal {
       }
   }
 
+  /** Typed row for resized media: the resized payload plus the scalar
+    * features the oracle can verify.
+    */
+  case class ResizedMedia(
+      id: Long,
+      srcW: Int,
+      srcH: Int,
+      outW: Int,
+      outH: Int,
+      resized: Array[Byte],
+      checksum: Long)
+
+  /** Deterministic fake resize: nearest-neighbor sampling of the
+    * payload bytes viewed as a (srcW × srcH) pixel buffer (dims from
+    * [[FakeCodec]]), wrapped modulo payload length so every source
+    * index is valid. Same mapPartitions codec boundary as
+    * [[decodeFeatures]] — swap the sampling loop for a real scaler and
+    * nothing else changes. The resized bytes travel as a binary
+    * column; `checksum` (byte sum) lets the oracle verify the sampling
+    * arithmetic without shipping blobs through SQL.
+    */
+  def resize(spark: SparkSession, df: DataFrame, idCol: String,
+      outW: Int, outH: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (w, h, _, _) = FakeCodec.decode(bytes)
+          val n = bytes.length
+          val out = new Array[Byte](outW * outH)
+          var checksum = 0L
+          var y = 0
+          while (y < outH) {
+            val sy = y * h / outH
+            var x = 0
+            while (x < outW) {
+              val sx = x * w / outW
+              val b = if (n > 0) bytes((sx + sy * w) % n) else 0.toByte
+              out(y * outW + x) = b
+              checksum += (b & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          ResizedMedia(id, w, h, outW, outH, out, checksum)
+        }
+      }
+  }
+
   /** Deterministic frame sampling plumbing: split a payload into
     * fixed-size "frames" (stand-in for video frame extraction) and
     * explode to one row per sampled frame, keeping every nth frame.

@@ -476,6 +476,34 @@ object PipelineQueries {
       |    ELSE 0.0 END AS brightness
       |FROM b""".stripMargin
 
+  /** Nearest-neighbor resize through the stub codec boundary: scalar
+    * features (dims + byte-sum checksum) are oracle-verified; the
+    * resized binary itself is spec-tested (SQL does not ship blobs).
+    */
+  def qMediaResize(s: SparkSession, d: String): DataFrame =
+    Multimodal.resize(
+      s, Multimodal.withPayload(Tables.documents(s, d), "text"), "doc_id",
+      outW = 8, outH = 8)
+      .toDF()
+      .select(col("id"), col("srcW"), col("srcH"),
+        length(col("resized")).as("out_len"), col("checksum"))
+
+  val qMediaResizeSql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS id, length(text) AS n,
+      |    16 + abs(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END) % 48 AS w,
+      |    16 + abs(CASE WHEN length(text) > 1 THEN ascii(substr(text, 2, 1)) ELSE 0 END) % 48 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT id, n, w, h,
+      |    cast(list_sum(list_transform(range(0, 64),
+      |      i -> CASE WHEN n > 0
+      |        THEN ascii(substr(text, cast((((i % 8) * w) // 8 + (((i // 8) * h) // 8) * w) % n + 1 as bigint), 1))
+      |        ELSE 0 END)) as bigint) AS checksum
+      |  FROM b JOIN documents ON b.id = documents.doc_id)
+      |SELECT id, w AS "srcW", h AS "srcH", 64 AS out_len, checksum
+      |FROM px""".stripMargin
+
   /** Frame-sampling plumbing: deterministic split/explode, every-2nd
     * frame kept.
     */
@@ -511,5 +539,6 @@ object PipelineQueries {
     ("q_embed_dup", qEmbedDup _, Some(qEmbedDupSql)),
     ("q_binary_meta", qBinaryMeta _, Some(qBinaryMetaSql)),
     ("q_media_features", qMediaFeatures _, Some(qMediaFeaturesSql)),
+    ("q_media_resize", qMediaResize _, Some(qMediaResizeSql)),
     ("q_frame_sample", qFrameSample _, Some(qFrameSampleSql)))
 }

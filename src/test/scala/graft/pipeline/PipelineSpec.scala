@@ -142,6 +142,24 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.forall(_._3 >= 0.9))
   }
 
+  test("resize samples nearest-neighbor bytes deterministically") {
+    val payload = Multimodal.withPayload(docs, "text")
+    val out = Multimodal.resize(spark, payload, "doc_id", outW = 4, outH = 4)
+      .collect().map(r => r.id -> r).toMap
+    assert(out.size === 5)
+    val r1 = out(1L)
+    assert(r1.outW === 4 && r1.outH === 4 && r1.resized.length === 16)
+    // checksum is exactly the byte sum of the resized buffer
+    assert(r1.checksum === r1.resized.map(_ & 0xff).sum.toLong)
+    // deterministic: same input → same bytes on re-run
+    val again = Multimodal.resize(spark, payload, "doc_id", 4, 4)
+      .collect().map(r => r.id -> r.resized.toSeq).toMap
+    assert(again(1L) === r1.resized.toSeq)
+    // first output pixel is the source byte at (0,0) — nearest neighbor
+    assert(r1.resized(0) === docs.filter($"doc_id" === 1)
+      .head().getAs[String]("text").getBytes("UTF-8")(0))
+  }
+
   test("fake codec decode is deterministic and metadata never decodes") {
     val payload = Multimodal.withPayload(docs, "text")
     val meta = Multimodal.metadata(payload, "doc_id").collect()
