@@ -121,6 +121,24 @@ object EventStreams {
       .drop("session_id")
   }
 
+  /** Streaming exact dedup — the incremental twin of
+    * [[graft.dedup.Dedup.exact]]: the FIRST document per normalized-
+    * content fingerprint passes, later copies are dropped. State is
+    * bounded by the event-time watermark (dropDuplicatesWithinWatermark
+    * keeps a fingerprint only until the watermark passes it), so a
+    * perpetual ingest stream doesn't accumulate unbounded dedup state —
+    * the contract a 100 TB/day training-data ingest needs. Duplicates
+    * farther apart than the watermark horizon are deliberately NOT
+    * caught here; periodic batch [[graft.dedup.Dedup.exact]] compaction
+    * handles the long tail.
+    */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", graft.text.TextAnalysis.fingerprintHex(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Incremental pipeline wiring: parquet source dir → windowed agg →
     * parquet sink with checkpoint. The streaming twin of the batch
     * hourly rollup.

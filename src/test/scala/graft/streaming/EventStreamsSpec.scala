@@ -48,6 +48,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(sess(1).getAs[Long]("n_events") === 1)   // min 90
   }
 
+  test("streaming dedup keeps the first document per fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val deduped = dedupStream(
+      mem.toDF().toDF("doc_id", "ts", "text"), "ts", "text")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    mem.addData(
+      (1L, ts(0), "the quick brown fox"),
+      (2L, ts(1), "THE  QUICK brown fox"),   // same normalized content
+      (3L, ts(2), "something else entirely"),
+      (4L, ts(3), "the quick brown fox"))    // exact duplicate
+    q.processAllAvailable()
+    val out = spark.table("dedup_out").collect()
+    q.stop()
+    // one survivor per normalized-content fingerprint, first wins
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === Set(1L, 3L))
+    // streaming result ≡ batch Dedup.exact representative count
+    val batchGroups = graft.dedup.Dedup.exact(
+      Seq((1L, "the quick brown fox"), (2L, "THE  QUICK brown fox"),
+        (3L, "something else entirely"), (4L, "the quick brown fox"))
+        .toDF("doc_id", "text"), "doc_id", "text").count()
+    assert(out.length.toLong === batchGroups)
+  }
+
   test("streaming sessionization matches batch semantics for closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
