@@ -1,0 +1,104 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.{DotFold, MinHashSig, ShingleHashes, ToNumber}
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** SQL surface for the engine's functions, injected through the
+  * sanctioned `SparkSessionExtensions` hook:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions …
+  *   // or on an existing session:
+  *   graft.GraftExtensions.register(spark)
+  *   spark.sql("SELECT to_number(value), minhash_sig(shingle_hashes(text)) FROM docs")
+  * }}}
+  *
+  * Native expressions (ToNumber, ShingleHashes, MinHashSig, DotFold)
+  * bind directly; Column-level functions (fingerprints, quality score,
+  * language id) bind through the same composition used by the Scala
+  * API, so SQL and DataFrame callers get identical semantics.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  /** Lift a Column→Column function into an expression builder. Eager
+    * conversion is required on the way out: the SQL path hands the
+    * builder's result straight to the optimizer, which never unwraps
+    * the lazy ColumnNodeExpression the DataFrame path tolerates.
+    */
+  private def lift1(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : Seq[Expression] => Expression =
+    args => Bridge.toEagerExpression(f(Bridge.toColumn(args.head)))
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val descriptors: Seq[(String, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    ("to_number",
+      info("to_number", "to_number(str[, precision, scale]) - lenient comma-grouped numeric parse (PG to_number semantics; non-numeric → NULL)"),
+      args => args match {
+        case Seq(c) => ToNumber(c)
+        case Seq(c, p, s) => ToNumber(c, intArg(p, "precision"), intArg(s, "scale"))
+        case _ => throw new IllegalArgumentException(
+          "to_number(str[, precision, scale])")
+      }),
+    ("shingle_hashes",
+      info("shingle_hashes", "shingle_hashes(text[, w]) - distinct hashed word w-shingles (default w=3)"),
+      args => args match {
+        case Seq(c) => ShingleHashes(c, 3, Dedup.P)
+        case Seq(c, w) => ShingleHashes(c, intArg(w, "w"), Dedup.P)
+        case _ => throw new IllegalArgumentException("shingle_hashes(text[, w])")
+      }),
+    ("minhash_sig",
+      info("minhash_sig", "minhash_sig(grams) - 16-permutation MinHash signature of a shingle-hash array"),
+      args => MinHashSig(args.head,
+        Dedup.minhashCoeffs.map(_._1), Dedup.minhashCoeffs.map(_._2), Dedup.P)),
+    ("dot_fold",
+      info("dot_fold", "dot_fold(a, b) - left-to-right double dot product of two float/double arrays"),
+      args => DotFold(args(0), args(1))),
+    ("simhash32",
+      info("simhash32", "simhash32(text) - 32-bit SimHash fingerprint"),
+      lift1(Dedup.simhash)),
+    ("fingerprint_hex",
+      info("fingerprint_hex", "fingerprint_hex(text) - md5 hex of normalized content"),
+      lift1(TextAnalysis.fingerprintHex)),
+    ("fingerprint60",
+      info("fingerprint60", "fingerprint60(text) - portable 60-bit integer fingerprint of normalized content"),
+      lift1(TextAnalysis.fingerprint60)),
+    ("quality_score",
+      info("quality_score", "quality_score(text) - composite [0,1] document quality score"),
+      lift1(TextAnalysis.qualityScore)),
+    ("lang_id",
+      info("lang_id", "lang_id(text) - marker-word language id ('und' when no markers hit)"),
+      lift1(TextAnalysis.langId)),
+    ("token_count",
+      info("token_count", "token_count(text) - whitespace token count"),
+      lift1(TextAnalysis.tokenCount)))
+
+  /** Register the same functions into an ALREADY-RUNNING session (the
+    * extensions hook only fires at session construction).
+    */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), inf, builder)
+    }
+}

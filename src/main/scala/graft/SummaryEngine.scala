@@ -38,6 +38,36 @@ class SummaryEngine(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         graft.nass.Staging.usdaApiSchema)))
 
+  /** Register the staged input and every nass/swap relation as temp
+    * views (schema-prefixed: `nass_commodity_yield`, `swap_swap_net`…)
+    * so users can `spark.sql` against the DAG exactly as they queried
+    * the reference's PG schemas (`nass.commodity_yield` etc.). Views
+    * are lazy — registering is free; Catalyst plans on demand.
+    */
+  def registerViews(): Unit = {
+    quickstats.createOrReplaceTempView("quickstats")
+    val nassViews: Seq[(String, DataFrame)] = Seq(
+      "location" -> nass.location,
+      "county_adc" -> nass.county_adc,
+      "land_rent" -> nass.land_rent,
+      "stats_location" -> nass.stats_location,
+      "harvest_total_and_sum" -> nass.harvest_total_and_sum,
+      "commodity_harvest" -> nass.commodity_harvest,
+      "yield_total_and_sum" -> nass.yield_total_and_sum,
+      "commodity_yield" -> nass.commodity_yield,
+      "commodity_price" -> nass.commodity_price,
+      "commodity_list" -> nass.commodity_list,
+      "commodity_county_yield" -> nass.commodity_county_yield)
+    nassViews.foreach { case (n, df) => df.createOrReplaceTempView(s"nass_$n") }
+    val swapViews: Seq[(String, DataFrame)] = Seq(
+      "swap" -> swap.swap,
+      "swap_net" -> swap.swap_net,
+      "swap_price" -> swap.swap_price,
+      "swap_yield" -> swap.swap_yield,
+      "swap_yield_unit" -> swap.swap_yield_unit)
+    swapViews.foreach { case (n, df) => df.createOrReplaceTempView(s"swap_$n") }
+  }
+
   /** The 7 nass-layer golden exports (src/nass.mk:43-45,54-55). */
   def exportNass(outDir: String): Unit = {
     CsvSink.exportSingle(nass.land_rent, s"$outDir/land_rent",

@@ -14,4 +14,13 @@ object Bridge {
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column =
     ClassicConversions.ColumnConstructorExt(Column).apply(e)
+
+  /** EAGER ColumnNode→Expression conversion. The lazy wrapper from
+    * [[toExpression]] stays a `ColumnNodeExpression` that only the
+    * DataFrame analysis path unwraps; expressions returned from a
+    * FunctionRegistry builder (SQL path) bypass that rule and must be
+    * converted up front or codegen receives the unresolved wrapper.
+    */
+  def toEagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

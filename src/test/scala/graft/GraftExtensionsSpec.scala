@@ -1,0 +1,74 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** The SQL function surface must be the same machinery as the Scala
+  * API — every registered function is compared against its DataFrame
+  * twin on the same input.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "el la de que los 1,234.56 here"),
+    (3L, "")).toDF("doc_id", "text")
+
+  test("SQL functions equal their DataFrame twins") {
+    docs.createOrReplaceTempView("ext_docs")
+    val sql = spark.sql(
+      """SELECT doc_id,
+        |  to_number('1,234.56') AS parsed,
+        |  shingle_hashes(text) AS grams,
+        |  minhash_sig(shingle_hashes(text)) AS sig,
+        |  simhash32(text) AS sh,
+        |  fingerprint_hex(text) AS fp,
+        |  fingerprint60(text) AS fp60,
+        |  quality_score(text) AS q,
+        |  lang_id(text) AS lang,
+        |  token_count(text) AS n_tok
+        |FROM ext_docs""".stripMargin)
+    val api = docs.select(col("doc_id"),
+      functions.ToNumber.to_number(lit("1,234.56")).as("parsed"),
+      Dedup.shingleHashes(col("text")).as("grams"),
+      Dedup.minhashSignature(Dedup.shingleHashes(col("text"))).as("sig"),
+      Dedup.simhash(col("text")).as("sh"),
+      TextAnalysis.fingerprintHex(col("text")).as("fp"),
+      TextAnalysis.fingerprint60(col("text")).as("fp60"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
+  }
+
+  test("dot_fold in SQL equals the Scala fold") {
+    val vecs = Seq((1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("id", "a", "b")
+    vecs.createOrReplaceTempView("ext_vecs")
+    val s = spark.sql("SELECT dot_fold(a, b) AS d FROM ext_vecs")
+      .head().getDouble(0)
+    val d = vecs.select(graft.sim.Ann.dot($"a", $"b")).head().getDouble(0)
+    assert(s === d && s === 32.0)
+  }
+
+  test("registerViews exposes the nass DAG to spark.sql") {
+    val csvs = new java.io.File("/root/reference/src/quickstats")
+      .listFiles().filter(_.getName.endsWith(".csv")).map(_.getPath).toSeq
+    val engine = new SummaryEngine(spark, csvs)
+    engine.registerViews()
+    val n = spark.sql(
+      "SELECT count(*) FROM nass_commodity_yield WHERE year = 2012")
+      .head().getLong(0)
+    assert(n > 0)
+    // a join across registered views plans and runs
+    val joined = spark.sql(
+      """SELECT count(*) FROM nass_commodity_harvest h
+        |JOIN nass_commodity_list l USING (commodity)""".stripMargin)
+      .head().getLong(0)
+    assert(joined > 0)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.cleanse
+
+import graft.SparkSpec
+import graft.functions.ToNumber
+import graft.ops.HierarchyRollup
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** The SURVEY §5 property laws for the cleansing/parse layer and the
+  * rollup, generated with ScalaCheck under deterministic seeds (the
+  * scalatest↔scalacheck integration artifact isn't available offline,
+  * so cases are drawn explicitly). Pure-JVM laws (ToNumber.parse)
+  * check hundreds of cases; Spark-evaluated laws batch generated cases
+  * into one job each (a session per case would dominate runtime).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Draw n deterministic samples from a generator. */
+  private def cases[A](g: Gen[A], n: Int, seed: Long = 42L): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(seed + i)))
+
+  // ------------------------------------------------ to_number ∘ format = id
+  test("law: to_number parses any comma-grouped formatted decimal back") {
+    val centsGen = Gen.chooseNum(-999999999999L, 999999999999L)
+    cases(centsGen, 500).foreach { c =>
+      val value = BigDecimal(c, 2)
+      val s = String.format(java.util.Locale.US, "%,.2f", value.bigDecimal)
+      val parsed = ToNumber.parse(UTF8String.fromString(s), 18, 2)
+      assert(parsed != null, s"failed to parse '$s'")
+      assert(BigDecimal(parsed.toJavaBigDecimal) == value, s"'$s' → $parsed ≠ $value")
+    }
+  }
+
+  test("law: to_number rejects sentinels and junk (never throws, yields null)") {
+    val junkGen = Gen.oneOf("(D)", "(Z)", "", "abc", "1.2.3", "--5", "1,2,3a",
+      "NaN", "1 2", "+-1", ".", "-")
+    cases(junkGen, 100).foreach { s =>
+      assert(ToNumber.parse(UTF8String.fromString(s), 18, 2) == null, s"'$s'")
+    }
+  }
+
+  // ------------------------------------------- location derivation is total
+  test("law: locationOf is total and prefix-stable over generated code triples") {
+    val codeGen = Gen.oneOf(Gen.const(null: String), Gen.const(""),
+      Gen.chooseNum(1, 999).map(_.toString))
+    val tripleGen = Gen.zip(
+      Gen.chooseNum(1, 99).map(n => f"$n%02d"), codeGen, codeGen)
+    val triples = cases(tripleGen, 400)
+    val out = triples.toDF("state", "asd", "county")
+      .select(col("state"),
+        Cleanse.locationOf(col("state"), col("asd"), col("county")).as("loc"))
+      .as[(String, String)].collect()
+    assert(out.length === 400)
+    // total: never null; prefix-stable: always starts with the state fips
+    assert(out.forall { case (st, loc) => loc != null && loc.startsWith(st) })
+    // all three branch shapes appear in the generated corpus
+    val shapes = triples.map { case (_, asd, county) =>
+      (county != null && county.nonEmpty, asd != null && asd.nonEmpty)
+    }.toSet
+    assert(shapes.size >= 3)
+  }
+
+  // --------------------------------------------- rollup conservation (SUM)
+  test("law: SumMode rollup conserves leaf mass at the synthesized root") {
+    val forestGen = for {
+      n <- Gen.chooseNum(1, 25)
+      paths <- Gen.listOfN(n,
+        Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d")).map(_.take(3)))
+      cents <- Gen.listOfN(n, Gen.chooseNum(1L, 100000L))
+    } yield paths.map(_.mkString("/")).zip(cents).distinctBy(_._1)
+    cases(forestGen, 8, seed = 7L).filter(_.nonEmpty).foreach { leaves =>
+      val df = leaves.toDF("pathStr", "cents")
+        .select(split(col("pathStr"), "/").as("path"),
+          (col("cents").cast(DecimalType(18, 0)) / 100)
+            .cast(DecimalType(18, 2)).as("m"))
+      // crossRoundDedup=false: the PG recursive-UNION dedup collapses
+      // identical (path, value) rows — a FIDELITY behavior that breaks
+      // mass conservation exactly when a synthesized parent collides
+      // with a leaf; the conservation law is stated for the plain
+      // additive rollup
+      val rolled = HierarchyRollup.rollup(
+        df, Seq.empty, "path", Seq("m"), HierarchyRollup.SumMode,
+        crossRoundDedup = false)
+      val rootMass = rolled.filter(size(col("path")) === 0)
+        .select(sum(col("m"))).head().getDecimal(0)
+      val leafMass = df.select(sum(col("m"))).head().getDecimal(0)
+      assert(rootMass != null && rootMass.compareTo(leafMass) == 0,
+        s"root $rootMass ≠ leaves $leafMass")
+      graft.CacheRegistry.releaseAll()
+    }
+  }
+}
