@@ -425,6 +425,56 @@ object Inventory {
       |  ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------- as-of join (ext)
+  /** As-of join — most recent prior purchase per click, per user
+    * (beyond-reference: Spark lacks the primitive; ops.AsOfJoin is the
+    * single-shuffle union-window form, verified against DuckDB's
+    * native ASOF JOIN).
+    */
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pv"))
+    graft.ops.AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ts", "ts",
+      Seq("pv"))
+      .select(col("user_id"), col("event_id"), col("value"), col("asof_pv"))
+  }
+
+  val qAsofJoinSql: String =
+    """WITH l AS (SELECT user_id, event_id, ts, value FROM events
+      |           WHERE event_type = 'click'),
+      |r AS (SELECT user_id, ts, max(value) AS pv FROM events
+      |      WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT l.user_id, l.event_id, l.value, r.pv AS asof_pv
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
+
+  // ------------------------------------------------------ range join (ext)
+  /** Grid-bucketized point-in-interval join — the shuffle-based scale
+    * path for range predicates (q_theta_bands shows the broadcast-NL
+    * form for literal dims; this one survives a large interval table).
+    * Same bands, same oracle semantics.
+    */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(("low", 0, 10), ("mid", 10, 25), ("high", 25, 51))
+      .toDF("band", "lo", "hi")
+    graft.ops.RangeJoin.pointInInterval(
+      Tables.lineitem(s, d).select(col("l_quantity")), bands,
+      "l_quantity", "lo", "hi", g = 10.0)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec("l_quantity"))).as("qty"))
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT b.band, count(*) AS n,
+      |       cast(sum(cast(l_quantity as decimal(18,2))) as double) AS qty
+      |FROM lineitem l
+      |JOIN (VALUES ('low',0,10),('mid',10,25),('high',25,51)) AS b(band,lo,hi)
+      |  ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+      |GROUP BY 1""".stripMargin
+
   // ----------------------------------------------------------------- §2.6
   /** Partition-only window aggregate (no ORDER BY, no frame) — the
     * reference's only window shape (reference: src/nass.sql:221-222).
@@ -628,6 +678,8 @@ object Inventory {
     ("q_anti_join", qAntiJoin _, Some(qAntiJoinSql)),
     ("q_left_join_flag", qLeftJoinFlag _, Some(qLeftJoinFlagSql)),
     ("q_theta_bands", qThetaBands _, Some(qThetaBandsSql)),
+    ("q_asof_join", qAsofJoin _, Some(qAsofJoinSql)),
+    ("q_range_join", qRangeJoin _, Some(qRangeJoinSql)),
     ("q_window_agg", qWindowAgg _, Some(qWindowAggSql)),
     ("q_window_rank", qWindowRank _, Some(qWindowRankSql)),
     ("q_groupby_expr", qGroupByExpr _, Some(qGroupByExprSql)),

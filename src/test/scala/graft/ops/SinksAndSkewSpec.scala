@@ -22,6 +22,33 @@ class SinksAndSkewSpec extends SparkSpec {
     assert(out === Set((2012, "16", 99L), (2012, "30", 2L), (2013, "16", 3L)))
   }
 
+  test("as-of join attaches the latest right row at or before each left ts") {
+    def t(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val left = Seq((1L, 100L, t(5)), (1L, 101L, t(10)), (1L, 102L, t(2)),
+      (2L, 200L, t(7))).toDF("user_id", "event_id", "ts")
+    val right = Seq((1L, t(3), 30.0), (1L, t(10), 99.0), (3L, t(1), 7.0))
+      .toDF("user_id", "ts", "pv")
+    val out = AsOfJoin.asof(left, right, Seq("user_id"), "ts", "ts", Seq("pv"))
+      .select($"event_id", $"asof_pv").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(100L) === Some(30.0))  // latest ≤ t5 is t3
+    assert(out(101L) === Some(99.0))  // equal ts matches (inclusive)
+    assert(out(102L) === None)        // nothing at or before t2
+    assert(out(200L) === None)        // user 2 has no right rows at all
+  }
+
+  test("range join matches boundary semantics: lo inclusive, hi exclusive") {
+    val points = Seq(0.0, 9.99, 10.0, 24.9, 25.0, 50.9, 51.0, -1.0)
+      .toDF("v")
+    val bands = Seq(("low", 0, 10), ("mid", 10, 25), ("high", 25, 51))
+      .toDF("band", "lo", "hi")
+    val out = RangeJoin.pointInInterval(points, bands, "v", "lo", "hi", g = 10.0)
+      .select($"v", $"band").as[(Double, String)].collect().toMap
+    assert(out === Map(0.0 -> "low", 9.99 -> "low", 10.0 -> "mid",
+      24.9 -> "mid", 25.0 -> "high", 50.9 -> "high"))
+    // 51.0 (== hi, exclusive) and -1.0 (below all) match nothing
+  }
+
   test("salted join equals the plain join on skewed data") {
     val big = (1 to 10000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i))
       .toDF("key", "v")
