@@ -586,6 +586,34 @@ object Inventory {
       |  cast(max(cast(l_quantity as decimal(18,2))) as double) AS max_qty
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------- HLL distinct sketch
+  /** Deterministic cross-engine HyperLogLog (graft.sketch.Hll): the
+    * approximate-distinct scale path (no distinct-shuffle of raw
+    * values), hash-verified against DuckDB because registers, the
+    * integer-scaled harmonic sum, and the single final division are
+    * all bit-reproducible. n_exact rides along to show accuracy.
+    */
+  def qHllDistinct(s: SparkSession, d: String): DataFrame = {
+    val est = graft.sketch.Hll.estimate(
+      Tables.lineitem(s, d), Seq("l_returnflag"), "l_partkey")
+    val exact = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_exact"))
+    est.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_est"), col("zero_regs"),
+        col("n_exact"))
+  }
+
+  val qHllDistinctSql: String = {
+    val est = graft.sketch.Hll.oracleSql("lineitem", Seq("l_returnflag"), "l_partkey")
+    s"""WITH est AS (
+       |$est),
+       |exact AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
+       |          FROM lineitem GROUP BY 1)
+       |SELECT e.l_returnflag, e.n_est, e.zero_regs, x.n_exact
+       |FROM est e JOIN exact x USING (l_returnflag)""".stripMargin
+  }
+
   // ------------------------------------------------------------------- O1
   /** Deterministic ordered top-k (ORDER BY … LIMIT with a full
     * tie-break; reference exports are ordered, src/nass.sql:24,249 —
@@ -687,6 +715,7 @@ object Inventory {
     ("q_topk_order", qTopkOrder _, Some(qTopkOrderSql)),
     ("q_pivot_first", qPivotFirst _, Some(qPivotFirstSql)),
     ("q_stats_summary", qStatsSummary _, Some(qStatsSummarySql)),
+    ("q_hll_distinct", qHllDistinct _, Some(qHllDistinctSql)),
     ("q_sessionize", qSessionize _, Some(qSessionizeSql)),
     ("q_window_running", qWindowRunning _, Some(qWindowRunningSql))) ++
     PipelineQueries.entries
