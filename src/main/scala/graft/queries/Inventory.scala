@@ -614,6 +614,19 @@ object Inventory {
        |FROM est e JOIN exact x USING (l_returnflag)""".stripMargin
   }
 
+  // ------------------------------------------------- KMV distinct sketch
+  /** KMV/theta sketch distinct estimate (graft.sketch.Kmv) — the
+    * set-operation-capable companion to q_hll_distinct, equally
+    * hash-verified (the sketch is the k smallest portable hashes, so
+    * engines agree exactly).
+    */
+  def qKmvDistinct(s: SparkSession, d: String): DataFrame =
+    graft.sketch.Kmv.estimateDistinct(
+      Tables.lineitem(s, d), Seq("l_returnflag"), "l_partkey", k = 512)
+
+  val qKmvDistinctSql: String =
+    graft.sketch.Kmv.oracleSql("lineitem", Seq("l_returnflag"), "l_partkey", 512)
+
   // ------------------------------------------------------------------- O1
   /** Deterministic ordered top-k (ORDER BY … LIMIT with a full
     * tie-break; reference exports are ordered, src/nass.sql:24,249 —
@@ -716,6 +729,7 @@ object Inventory {
     ("q_pivot_first", qPivotFirst _, Some(qPivotFirstSql)),
     ("q_stats_summary", qStatsSummary _, Some(qStatsSummarySql)),
     ("q_hll_distinct", qHllDistinct _, Some(qHllDistinctSql)),
+    ("q_kmv_distinct", qKmvDistinct _, Some(qKmvDistinctSql)),
     ("q_sessionize", qSessionize _, Some(qSessionizeSql)),
     ("q_window_running", qWindowRunning _, Some(qWindowRunningSql))) ++
     PipelineQueries.entries

@@ -1,0 +1,100 @@
+package graft.sketch
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** KMV (k-minimum-values / theta) sketch — deterministic by
+  * construction: the sketch IS the k smallest distinct portable hashes
+  * per group, so two engines computing it agree exactly (the DuckDB
+  * oracle hash-matches both the registers and the estimates).
+  *
+  * What it adds over [[Hll]]: SET OPERATIONS. Two KMV registers
+  * support overlap/Jaccard estimation (theta-sketch style) without
+  * ever joining the raw data — the 100 TB question "how much does
+  * corpus A overlap corpus B" becomes a join of two k-row sketches.
+  *
+  * Estimator: with u_k = kth smallest hash normalized to [0,1),
+  * n̂ = (k−1)/u_k; when a group has fewer than k distinct hashes the
+  * sketch holds ALL of them and the count is exact. The only
+  * floating-point steps are final divisions — deterministic.
+  *
+  * Scale shape: distinct + per-group top-k window over hashes — the
+  * shuffle carries hashes only (no payloads), and the register output
+  * is ≤ k rows per group, broadcastable for the set-op join.
+  */
+object Kmv {
+
+  /** Hash range: [[TextAnalysis.hash60]] is uniform on [0, 2^60). */
+  val hashRange: Double = math.pow(2.0, 60)
+
+  /** k smallest distinct hashes per group: (groupCols…, rn, h). */
+  def registers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("h").asc)
+    df.select((groupCols.map(col) :+
+        TextAnalysis.hash60(col(valueCol).cast(StringType)).as("h")): _*)
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Distinct-count estimate per group: exact below k, (k−1)/u_k at k. */
+  def estimateDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int): DataFrame =
+    registers(df, groupCols, valueCol, k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_regs"), max(col("h")).as("kth_hash"))
+      .withColumn("n_est",
+        when(col("n_regs") < k, col("n_regs").cast(DoubleType))
+          .otherwise(lit((k - 1).toDouble) /
+            (col("kth_hash").cast(DoubleType) / hashRange)))
+      .drop("kth_hash")
+
+  /** Theta-style Jaccard/overlap estimate between the value sets of two
+    * single-group DataFrames: join of two ≤k-row sketches. θ = the
+    * smaller of the two kth-minimum normalized hashes; both sketches
+    * are truncated to hashes < θ and compared as exact sets below θ.
+    * Output: 1 row (est_jaccard, est_intersection).
+    */
+  def jaccardEstimate(a: DataFrame, b: DataFrame, valueCol: String,
+      k: Int): DataFrame = {
+    val ra = registers(a.select(lit("a").as("g"), col(valueCol)), Seq("g"), valueCol, k)
+    val rb = registers(b.select(lit("b").as("g"), col(valueCol)), Seq("g"), valueCol, k)
+    val thetaA = ra.agg(max(col("h"))).head().getLong(0)
+    val thetaB = rb.agg(max(col("h"))).head().getLong(0)
+    val theta = math.min(thetaA, thetaB)
+    // exact set arithmetic below θ (hashes ≤ θ are a uniform sample of
+    // the union); counts are integers, the estimate one division each
+    val sa = ra.filter(col("h") <= theta).select(col("h"))
+    val sb = rb.filter(col("h") <= theta).select(col("h"))
+    val inter = sa.intersect(sb).count().toDouble
+    val union = sa.union(sb).distinct().count().toDouble
+    val jac = if (union > 0) inter / union else 0.0
+    val nUnion = if (theta > 0) (union - 1).max(0.0) / (theta.toDouble / hashRange)
+      else 0.0
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq((jac, jac * nUnion)).toDF("est_jaccard", "est_intersection")
+  }
+
+  /** DuckDB mirror of [[estimateDistinct]] (same constants). */
+  def oracleSql(table: String, groupCols: Seq[String], valueExpr: String,
+      k: Int): String = {
+    val h = s"cast(('0x' || substr(md5(cast($valueExpr as varchar)), 1, 15)) as bigint)"
+    val grp = groupCols.mkString(", ")
+    s"""WITH hashed AS (SELECT DISTINCT $grp, $h AS h FROM $table),
+       |topk AS (
+       |  SELECT $grp, h,
+       |    row_number() OVER (PARTITION BY $grp ORDER BY h ASC) AS rn
+       |  FROM hashed),
+       |regs AS (SELECT $grp, h FROM topk WHERE rn <= $k)
+       |SELECT $grp, count(*) AS n_regs,
+       |  CASE WHEN count(*) < $k THEN cast(count(*) as double)
+       |       ELSE ${(k - 1).toDouble} / (cast(max(h) as double) / ${hashRange})
+       |  END AS n_est
+       |FROM regs GROUP BY ${(1 to groupCols.size).mkString(", ")}""".stripMargin
+  }
+}

@@ -1,0 +1,31 @@
+package graft.sketch
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KmvSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KMV estimate: exact below k, within the error band above k") {
+    val small = (1 to 100).map(i => ("g", s"v-$i")).toDF("grp", "v")
+    val exactRow = Kmv.estimateDistinct(small, Seq("grp"), "v", k = 512).head()
+    assert(exactRow.getAs[Long]("n_regs") === 100L)
+    assert(exactRow.getAs[Double]("n_est") === 100.0) // sketch holds all
+
+    val big = (1 to 20000).map(i => ("g", s"v-$i")).toDF("grp", "v")
+    val est = Kmv.estimateDistinct(big, Seq("grp"), "v", k = 512)
+      .head().getAs[Double]("n_est")
+    // standard error ≈ 1/√k ≈ 4.4% at k=512; allow 3σ
+    assert(math.abs(est - 20000) / 20000 < 0.14, s"est $est")
+  }
+
+  test("KMV jaccard estimate tracks a planted 50% overlap") {
+    val a = (1 to 8000).map(i => s"x-$i").toDF("v")
+    val b = (4001 to 12000).map(i => s"x-$i").toDF("v")
+    val out = Kmv.jaccardEstimate(a, b, "v", k = 1024).head()
+    val jac = out.getAs[Double]("est_jaccard")       // true J = 4000/12000 = 1/3
+    val inter = out.getAs[Double]("est_intersection") // true = 4000
+    assert(math.abs(jac - 1.0 / 3) < 0.07, s"jaccard $jac")
+    assert(math.abs(inter - 4000) / 4000 < 0.2, s"intersection $inter")
+  }
+}
