@@ -262,6 +262,24 @@ object PipelineQueries {
        |        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
        |        6) >= 0.2""".stripMargin
 
+  /** Count-min token-frequency estimates for the 20 most frequent
+    * tokens (exact counts alongside; est ≥ exact by construction).
+    * Deterministic cross-engine like the other sketches.
+    */
+  def qCmsTokens(s: SparkSession, d: String): DataFrame = {
+    import graft.sketch.CountMin
+    val toks = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok").asc).limit(20)
+    CountMin.estimate(toks, exact.select(col("tok")), Seq.empty, "tok", w = 256)
+      .join(exact, Seq("tok"))
+      .select(col("tok"), col("n_exact"), col("est_count"))
+  }
+
+  val qCmsTokensSql: String =
+    graft.sketch.CountMin.tokenOracleSql("documents", "text", w = 256, topN = 20)
+
   // ---------------------------------------------------------- similarity
 
   /** Brute-force cosine top-3 for a small query set (vec_id < 8). */
@@ -527,6 +545,7 @@ object PipelineQueries {
     ("q_text_quality", qTextQuality _, Some(qTextQualitySql)),
     ("q_lang_id", qLangId _, Some(qLangIdSql)),
     ("q_fingerprint", qFingerprint _, Some(qFingerprintSql)),
+    ("q_cms_tokens", qCmsTokens _, Some(qCmsTokensSql)),
     ("q_dedup_exact", qDedupExact _, Some(qDedupExactSql)),
     ("q_minhash_sig", qMinhashSig _, Some(qMinhashSigSql)),
     ("q_minhash_pairs", qMinhashPairs _, Some(qMinhashPairsSql)),

@@ -1,0 +1,102 @@
+package graft.sketch
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Count-min sketch — deterministic frequency estimation. The counter
+  * table is a sum-aggregate over fixed universal-hash buckets
+  * (order-independent, mergeable by addition); the point estimate is
+  * the MIN over the d rows' counters. Both steps are exactly
+  * reproducible cross-engine, so frequency estimates hash-match the
+  * DuckDB oracle like the HLL/KMV sketches.
+  *
+  * Guarantee: est ≥ true count always (collisions only inflate);
+  * est ≤ true + ε·N with probability 1−δ for w = e/ε, d = ln(1/δ).
+  *
+  * Scale shape: ONE hash-aggregate to (group, row, bucket) — d·w
+  * counters per group regardless of input size — versus the full
+  * distinct-key shuffle an exact count needs. The 100 TB use: token /
+  * boilerplate / URL frequency over a corpus where the key cardinality
+  * itself is the problem.
+  */
+object CountMin {
+
+  /** Row-hash coefficients h_i(x) = ((a_i·x + b_i) mod P) mod w —
+    * x pre-reduced mod P so a·x stays within int64 (same discipline as
+    * [[graft.dedup.Dedup.minhashCoeffs]]).
+    */
+  val P: Long = 2147483647L
+  val rowCoeffs: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (22695477L, 1L), (69069L, 362437L), (48271L, 11L))
+
+  def depth: Int = rowCoeffs.size
+
+  private def itemHash(c: Column): Column =
+    TextAnalysis.hash60(c.cast(StringType)) % P
+
+  /** Counter table: (groupCols…, cm_row, cm_bucket, cnt). */
+  def counters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      w: Int): DataFrame = {
+    val x = itemHash(col(valueCol))
+    val rows = array(rowCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("cm_row"), ((x * a + b) % P % w).as("cm_bucket"))
+    }: _*)
+    df.select((groupCols.map(col) :+ explode(rows).as("rb")): _*)
+      .select((groupCols.map(col) :+ col("rb.cm_row") :+ col("rb.cm_bucket")): _*)
+      .groupBy((groupCols.map(col) :+ col("cm_row") :+ col("cm_bucket")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for the values in `items` (a DataFrame holding
+    * distinct `valueCol` rows): min over the d row counters.
+    */
+  def estimate(df: DataFrame, items: DataFrame, groupCols: Seq[String],
+      valueCol: String, w: Int): DataFrame = {
+    val ctrs = counters(df, groupCols, valueCol, w)
+    val x = itemHash(col(valueCol))
+    val probes = items.select((col(valueCol) +:
+      rowCoeffs.zipWithIndex.map { case ((a, b), i) =>
+        ((x * a + b) % P % w).as(s"b$i")
+      }): _*)
+    val exploded = probes.select(col(valueCol),
+      explode(array(rowCoeffs.indices.map(i =>
+        struct(lit(i).as("cm_row"), col(s"b$i").as("cm_bucket"))): _*)).as("rb"))
+      .select(col(valueCol), col("rb.cm_row"), col("rb.cm_bucket"))
+    exploded.join(ctrs, Seq("cm_row", "cm_bucket"), "left")
+      .groupBy((col(valueCol) +: groupCols.map(col)): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
+
+  /** DuckDB mirror of counters+estimate for a token-frequency query:
+    * estimates for the `topN` most frequent whitespace tokens of
+    * `table.textCol` (exact count alongside).
+    */
+  def tokenOracleSql(table: String, textCol: String, w: Int, topN: Int): String = {
+    val h = s"cast(('0x' || substr(md5(cast(t.tok as varchar)), 1, 15)) as bigint) % $P"
+    val rowSelects = rowCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"SELECT tok, $i AS cm_row, (($h * $a + $b) % $P) % $w AS cm_bucket FROM toks t"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT u.tok FROM $table,
+       |    unnest(list_filter(string_split_regex(trim($textCol), '\\s+'),
+       |           x -> x != '')) AS u(tok)),
+       |hashed AS (
+       |$rowSelects),
+       |ctrs AS (
+       |  SELECT cm_row, cm_bucket, count(*) AS cnt
+       |  FROM hashed GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT tok, count(*) AS n_exact FROM toks GROUP BY 1
+       |  ORDER BY n_exact DESC, tok ASC LIMIT $topN),
+       |probes AS (
+       |  SELECT DISTINCT h.tok, h.cm_row, h.cm_bucket
+       |  FROM hashed h JOIN exact e USING (tok))
+       |SELECT p.tok, e.n_exact, min(coalesce(c.cnt, 0)) AS est_count
+       |FROM probes p
+       |JOIN exact e USING (tok)
+       |LEFT JOIN ctrs c USING (cm_row, cm_bucket)
+       |GROUP BY 1, 2""".stripMargin
+  }
+}
