@@ -614,6 +614,45 @@ object Inventory {
        |FROM est e JOIN exact x USING (l_returnflag)""".stripMargin
   }
 
+  // ---------------------------------------------------- bloom join-prune
+  /** Bloom-filter membership — the join-pruning sketch: a bit table
+    * built from P-status orders' custkeys, probed by every customer,
+    * with the exact semi-join flag alongside (false positives allowed,
+    * false negatives impossible — and the whole thing deterministic
+    * cross-engine, so it hash-matches).
+    */
+  def qBloomFilter(s: SparkSession, d: String): DataFrame = {
+    import graft.sketch.Bloom
+    val mBits = 16384
+    val bloom = Bloom.build(
+      Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey")), "o_custkey", mBits)
+    val probed = Bloom.mightContain(
+      Tables.customer(s, d).select(col("c_custkey")), bloom, "c_custkey", mBits)
+    val actual = Tables.customer(s, d).select(col("c_custkey"))
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("c_custkey")).distinct(),
+        Seq("c_custkey"), "left_semi")
+      .withColumn("has_p_order", lit(true))
+    probed.withColumnRenamed("c_custkey", "key")
+      .join(actual.withColumnRenamed("c_custkey", "key"), Seq("key"), "left")
+      .select(col("key"), col("might_contain"),
+        coalesce(col("has_p_order"), lit(false)).as("has_p_order"))
+  }
+
+  val qBloomFilterSql: String = {
+    val member = graft.sketch.Bloom.oracleSql(
+      "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')", "o_custkey",
+      "(SELECT DISTINCT c_custkey FROM customer)", "c_custkey", 16384)
+    s"""WITH member AS (
+       |$member)
+       |SELECT m.key, m.might_contain,
+       |  EXISTS (SELECT 1 FROM orders o
+       |          WHERE o.o_custkey = m.key AND o.o_orderstatus = 'P')
+       |    AS has_p_order
+       |FROM member m""".stripMargin
+  }
+
   // ------------------------------------------------- KMV distinct sketch
   /** KMV/theta sketch distinct estimate (graft.sketch.Kmv) — the
     * set-operation-capable companion to q_hll_distinct, equally
@@ -730,6 +769,7 @@ object Inventory {
     ("q_stats_summary", qStatsSummary _, Some(qStatsSummarySql)),
     ("q_hll_distinct", qHllDistinct _, Some(qHllDistinctSql)),
     ("q_kmv_distinct", qKmvDistinct _, Some(qKmvDistinctSql)),
+    ("q_bloom_filter", qBloomFilter _, Some(qBloomFilterSql)),
     ("q_sessionize", qSessionize _, Some(qSessionizeSql)),
     ("q_window_running", qWindowRunning _, Some(qWindowRunningSql))) ++
     PipelineQueries.entries
