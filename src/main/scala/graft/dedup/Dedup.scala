@@ -182,6 +182,38 @@ object Dedup {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** SimHash near-dup candidate pairs: pairs of docs whose 32-bit
+    * SimHash fingerprints differ in at most `maxHamming` bits.
+    * Blocking is the pigeonhole band trick: split the fingerprint into
+    * `maxHamming + 1` bands — any pair within the hamming budget must
+    * agree EXACTLY on at least one band — so candidates come from
+    * equi-joins on band values, never a global cross join, and the
+    * exact bit_count(xor) filter runs only inside buckets.
+    */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = simhashBits / nBands
+    val sh = graft.CacheRegistry.register(
+      graft.ops.Parallelism.widen(df)
+        .select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val banded = sh.select(col("id"), col("sh"),
+      explode(array((0 until nBands).map { b =>
+        concat_ws("_", lit(b),
+          shiftright(col("sh"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)))
+      }: _*)).as("bucket"))
+    val a = banded.select(col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Apply near-dedup: keep one representative per near-dup group by
     * greedily dropping the higher id of every confident candidate pair
     * (the standard LSH-dedup policy; transitive clusters collapse to

@@ -227,15 +227,47 @@ object PipelineQueries {
     Tables.documents(s, d).select(
       col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
 
-  val qSimhashSql: String = {
+  /** DuckDB CTE computing (doc_id, simhash) — shared by the
+    * fingerprint and candidate-pair oracles.
+    */
+  private val simhashCteSql: String = {
     val terms = (0 until Dedup.simhashBits).map { k =>
       s"""(CASE WHEN list_sum(list_transform(hs,
          |   h -> CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END)) > 0
          | THEN cast(${1L << k} as bigint) ELSE 0 END)""".stripMargin
     }.mkString(" +\n")
-    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |h AS (SELECT doc_id, list_transform(toks, tk -> ${hash60Sql("tk")}) AS hs FROM t)
-       |SELECT doc_id, $terms AS simhash FROM h""".stripMargin
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |h AS (SELECT doc_id, list_transform(toks, tk -> ${hash60Sql("tk")}) AS hs FROM t),
+       |sh AS (SELECT doc_id, $terms AS simhash FROM h)""".stripMargin
+  }
+
+  val qSimhashSql: String =
+    s"""WITH $simhashCteSql
+       |SELECT doc_id, simhash FROM sh""".stripMargin
+
+  /** SimHash near-dup pairs (hamming ≤ 3) via the pigeonhole band
+    * blocking — the pair-generation complement to q_simhash.
+    */
+  def qSimhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text",
+      maxHamming = 3)
+
+  val qSimhashPairsSql: String = {
+    val nBands = 4
+    val bandBits = Dedup.simhashBits / nBands
+    val bands = (0 until nBands).map { b =>
+      s"""SELECT doc_id, simhash,
+         |  '$b' || '_' || ((simhash >> ${b * bandBits}) & ${(1L << bandBits) - 1})
+         |    AS bucket FROM sh""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $simhashCteSql,
+       |banded AS (
+       |$bands)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
   }
 
   /** n-gram Jaccard near-dup pairs, blocked by (source, length bucket) —
@@ -551,6 +583,7 @@ object PipelineQueries {
     ("q_minhash_pairs", qMinhashPairs _, Some(qMinhashPairsSql)),
     ("q_dedup_apply", qDedupApply _, Some(qDedupApplySql)),
     ("q_simhash", qSimhash _, Some(qSimhashSql)),
+    ("q_simhash_pairs", qSimhashPairs _, Some(qSimhashPairsSql)),
     ("q_ngram_jaccard", qNgramJaccard _, Some(qNgramJaccardSql)),
     ("q_ann_topk", qAnnTopK _, Some(qAnnTopKSql)),
     ("q_ann_lsh", qAnnLsh _, Some(qAnnLshSql)),

@@ -80,6 +80,19 @@ class PipelineSpec extends SparkSpec {
     assert(sh(1L) !== sh(3L))
   }
 
+  test("simhash candidate pairs surface the near-identical docs") {
+    val pairs = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 6)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    // docs 1/2 differ by one word; their simhashes must be close
+    assert(keys.contains((1L, 2L)))
+    assert(pairs.forall(_._3 <= 6))
+    // unrelated content stays out at a tight threshold
+    val tight = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(!tight.exists(k => k._1 == 3L || k._2 == 3L))
+  }
+
   test("ngram jaccard finds the near-dup pair within its block") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       blockCols = Seq("source"), threshold = 0.2)
