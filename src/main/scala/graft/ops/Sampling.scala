@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic sampling and dataset splitting by portable content
+  * hash — the training-pipeline primitive behind stable train/val/test
+  * splits and reproducible sub-corpus selection.
+  *
+  * `sample(p)`/`rand()` are nondeterministic across runs, partitions,
+  * and engines; hashing the row KEY instead gives every row a fixed
+  * uniform coordinate u ∈ [0,1) (the md5-derived 60-bit hash over
+  * 2^60), so membership is a pure function of the data: re-runs,
+  * backfills, and other engines (the DuckDB oracle) agree exactly, and
+  * adding new rows never reshuffles old rows between splits — the
+  * property that keeps eval sets honest as a corpus grows.
+  */
+object Sampling {
+
+  /** Uniform [0,1) coordinate of a key (one double division). */
+  def coordinate(key: Column): Column =
+    TextAnalysis.hash60(key.cast(StringType)).cast(DoubleType) /
+      lit(math.pow(2.0, 60))
+
+  /** Deterministic p-fraction sample: keep rows with u < p. */
+  def sampleFraction(df: DataFrame, keyCol: String, p: Double): DataFrame =
+    df.filter(coordinate(col(keyCol)) < p)
+
+  /** Assign split labels by cumulative fraction, e.g.
+    * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). Fractions must
+    * sum to 1 (last bucket takes the remainder exactly).
+    */
+  def deterministicSplit(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val u = coordinate(col(keyCol))
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+    val expr = splits.init.zip(bounds.init).foldRight(
+      lit(splits.last._1): Column) { case (((label, _), hi), acc) =>
+      when(u < hi, label).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** DuckDB mirror of [[coordinate]] for oracle generation. */
+  def coordinateSql(keyExpr: String): String =
+    s"cast(cast(('0x' || substr(md5(cast($keyExpr as varchar)), 1, 15)) as bigint) as double) / ${math.pow(2.0, 60)}"
+}

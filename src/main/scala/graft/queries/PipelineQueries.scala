@@ -145,6 +145,27 @@ object PipelineQueries {
        |  ${hash60Sql(normSql)} AS fp60
        |FROM documents""".stripMargin
 
+  /** Deterministic 80/10/10 split assignment by content-hash
+    * coordinate: per-(source, split) counts — identical in any engine
+    * (the property that keeps train/val/test membership stable).
+    */
+  def qSplitAssign(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.deterministicSplit(
+      Tables.documents(s, d), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n"))
+
+  val qSplitAssignSql: String = {
+    val u = graft.ops.Sampling.coordinateSql("doc_id")
+    s"""SELECT source,
+       |  CASE WHEN $u < 0.8 THEN 'train'
+       |       WHEN $u < ${0.8 + 0.1} THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  count(*) AS n
+       |FROM documents GROUP BY 1, 2""".stripMargin
+  }
+
   // --------------------------------------------------------------- dedup
 
   /** Exact dedup by content fingerprint. */
@@ -578,6 +599,7 @@ object PipelineQueries {
     ("q_lang_id", qLangId _, Some(qLangIdSql)),
     ("q_fingerprint", qFingerprint _, Some(qFingerprintSql)),
     ("q_cms_tokens", qCmsTokens _, Some(qCmsTokensSql)),
+    ("q_split_assign", qSplitAssign _, Some(qSplitAssignSql)),
     ("q_dedup_exact", qDedupExact _, Some(qDedupExactSql)),
     ("q_minhash_sig", qMinhashSig _, Some(qMinhashSigSql)),
     ("q_minhash_pairs", qMinhashPairs _, Some(qMinhashPairsSql)),

@@ -22,6 +22,27 @@ class SinksAndSkewSpec extends SparkSpec {
     assert(out === Set((2012, "16", 99L), (2012, "30", 2L), (2013, "16", 3L)))
   }
 
+  test("deterministic split: stable membership, correct proportions") {
+    val df = (1 to 10000).map(i => (s"doc-$i", i)).toDF("key", "v")
+    val split = Sampling.deterministicSplit(df, "key",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(counts("train") - 8000.0) / 8000 < 0.05)
+    assert(math.abs(counts("val") - 1000.0) / 1000 < 0.2)
+    // membership is a pure function of the key: a subset of the corpus
+    // assigns identically (growing data never reshuffles old rows)
+    val subset = Sampling.deterministicSplit(
+      df.filter($"v" <= 5000), "key",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select($"key", $"split")
+    val joined = split.select($"key", $"split".as("full_split"))
+      .join(subset, Seq("key"))
+    assert(joined.filter($"full_split" =!= $"split").count() === 0)
+    // deterministic fraction sample is the train prefix of the same hash
+    assert(Sampling.sampleFraction(df, "key", 0.8).count() === counts("train"))
+  }
+
   test("as-of join attaches the latest right row at or before each left ts") {
     def t(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
     val left = Seq((1L, 100L, t(5)), (1L, 101L, t(10)), (1L, 102L, t(2)),
