@@ -45,6 +45,21 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Stratified deterministic sampling: per-stratum keep rates (e.g.
+    * downsample web to 10%, keep books at 100%) — the training-mixture
+    * control knob. Same stability contract as [[sampleFraction]],
+    * applied per stratum; unknown strata fall back to `defaultRate`.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val u = coordinate(col(keyCol))
+    val rate = rates.toSeq.sortBy(_._1).foldRight(
+      lit(defaultRate): Column) { case ((stratum, r), acc) =>
+      when(col(strataCol) === stratum, r).otherwise(acc)
+    }
+    df.filter(u < rate)
+  }
+
   /** DuckDB mirror of [[coordinate]] for oracle generation. */
   def coordinateSql(keyExpr: String): String =
     s"cast(cast(('0x' || substr(md5(cast($keyExpr as varchar)), 1, 15)) as bigint) as double) / ${math.pow(2.0, 60)}"

@@ -145,6 +145,91 @@ object PipelineQueries {
        |  ${hash60Sql(normSql)} AS fp60
        |FROM documents""".stripMargin
 
+  /** DuckDB: the composite quality score of (toks, text) expressions —
+    * the single-expression form of qTextQualitySql's staged version
+    * (same arithmetic, same rounding).
+    */
+  private def qualityExprSql(toks: String, text: String): String = {
+    val stops = inList(TextAnalysis.defaultStopwords)
+    s"""round((
+       |  least(len($toks) / 100.0, 1.0) +
+       |  least(round(CASE WHEN len($toks) > 0
+       |    THEN len(list_filter($toks, x -> x IN $stops)) * 1.0 / len($toks)
+       |    ELSE 0.0 END, 6) * 4.0, 1.0) +
+       |  greatest(1.0 - round(CASE WHEN length($text) > 0
+       |    THEN length(regexp_replace(lower($text), '[a-z0-9 ]', '', 'g')) * 1.0 / length($text)
+       |    ELSE 0.0 END, 6) * 4.0, 0.0) +
+       |  greatest(1.0 - round(CASE WHEN length($text) > 0
+       |    THEN length(regexp_replace($text, '[^0-9]', '', 'g')) * 1.0 / length($text)
+       |    ELSE 0.0 END, 6) * 4.0, 0.0)
+       |) / 4.0, 6)""".stripMargin
+  }
+
+  /** DuckDB: predicted language of a token-list expression (inline
+    * twin of qLangIdSql's staged CASE — same first-wins tie-break).
+    */
+  private def predictedLangSql(toks: String): String = {
+    def score(ms: Seq[String]) =
+      s"len(list_filter($toks, x -> x IN ${inList(ms)}))"
+    val best = s"greatest(${TextAnalysis.langMarkers.map(m => score(m._2)).mkString(", ")})"
+    val chain = TextAnalysis.langMarkers.map { case (lang, ms) =>
+      s"WHEN ${score(ms)} = $best AND $best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $chain ELSE 'und' END"
+  }
+
+  /** CAPSTONE: the curation pipeline end-to-end — language gate →
+    * quality gate → MinHash near-dedup → deterministic split — as ONE
+    * composed, hash-verified query. Demonstrates that every stage
+    * (each verified alone) composes without breaking cross-engine
+    * determinism.
+    */
+  def qCorpusPipeline(s: SparkSession, d: String): DataFrame = {
+    import graft.text.{TextAnalysis => TA}
+    val kept = Tables.documents(s, d)
+      .filter(TA.langId(col("text")) === "en" &&
+        TA.qualityScore(col("text")) >= 0.65)
+    val deduped = Dedup.dropNearDuplicates(kept, "doc_id", "text")
+    graft.ops.Sampling.deterministicSplit(deduped, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+  }
+
+  val qCorpusPipelineSql: String = {
+    val bandSelects = (0 until Dedup.bands).map { b =>
+      val key = (1 to Dedup.rowsPerBand)
+        .map(r => s"sig[${b * Dedup.rowsPerBand + r}]")
+        .mkString(s"'${b}' || '_' || ", " || '_' || ", "")
+      s"SELECT doc_id, sig, $key AS bucket FROM sigs"
+    }.mkString("\nUNION ALL\n")
+    val u = graft.ops.Sampling.coordinateSql("doc_id")
+    s"""WITH t0 AS (SELECT doc_id, source, n_chars, text, $toksSql AS toks
+       |            FROM documents),
+       |kept AS (
+       |  SELECT doc_id, source, n_chars, toks FROM t0
+       |  WHERE ${predictedLangSql("toks")} = 'en'
+       |    AND ${qualityExprSql("toks", "text")} >= 0.65),
+       |sh AS (SELECT doc_id, source, n_chars, ${shinglesSql("toks")} AS grams
+       |       FROM kept),
+       |sigs AS (SELECT doc_id, ${minhashSql("grams")} AS sig FROM sh),
+       |buckets AS ($bandSelects),
+       |drops AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  WHERE len(list_filter(range(1, ${Dedup.minhashCoeffs.size} + 1),
+       |        i -> a.sig[i] = b.sig[i])) * 1.0 / ${Dedup.minhashCoeffs.size} >= 0.75),
+       |final AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CASE WHEN $u < 0.8 THEN 'train'
+       |         WHEN $u < ${0.8 + 0.1} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM sh WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+       |SELECT source, split, count(*) AS n,
+       |  cast(sum(n_chars) as bigint) AS chars
+       |FROM final GROUP BY 1, 2""".stripMargin
+  }
+
   /** Deterministic 80/10/10 split assignment by content-hash
     * coordinate: per-(source, split) counts — identical in any engine
     * (the property that keeps train/val/test membership stable).
@@ -600,6 +685,7 @@ object PipelineQueries {
     ("q_fingerprint", qFingerprint _, Some(qFingerprintSql)),
     ("q_cms_tokens", qCmsTokens _, Some(qCmsTokensSql)),
     ("q_split_assign", qSplitAssign _, Some(qSplitAssignSql)),
+    ("q_corpus_pipeline", qCorpusPipeline _, Some(qCorpusPipelineSql)),
     ("q_dedup_exact", qDedupExact _, Some(qDedupExactSql)),
     ("q_minhash_sig", qMinhashSig _, Some(qMinhashSigSql)),
     ("q_minhash_pairs", qMinhashPairs _, Some(qMinhashPairsSql)),

@@ -43,6 +43,19 @@ class SinksAndSkewSpec extends SparkSpec {
     assert(Sampling.sampleFraction(df, "key", 0.8).count() === counts("train"))
   }
 
+  test("stratified sampling applies per-stratum keep rates") {
+    val df = (1 to 6000).map(i =>
+      (s"doc-$i", if (i % 3 == 0) "books" else "web")).toDF("key", "src")
+    val kept = Sampling.stratifiedSample(df, "key", "src",
+      Map("web" -> 0.1, "books" -> 1.0))
+    val bySrc = kept.groupBy($"src").count().as[(String, Long)].collect().toMap
+    assert(bySrc("books") === 2000L)                    // keep-all stratum intact
+    assert(math.abs(bySrc("web") - 400.0) / 400 < 0.25) // ~10% of 4000
+    // membership ⊆ the global fraction sample at the same rate
+    val web10 = Sampling.sampleFraction(df.filter($"src" === "web"), "key", 0.1)
+    assert(kept.filter($"src" === "web").exceptAll(web10).isEmpty)
+  }
+
   test("as-of join attaches the latest right row at or before each left ts") {
     def t(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
     val left = Seq((1L, 100L, t(5)), (1L, 101L, t(10)), (1L, 102L, t(2)),
