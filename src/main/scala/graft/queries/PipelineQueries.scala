@@ -129,6 +129,31 @@ object PipelineQueries {
        |FROM s""".stripMargin
   }
 
+  /** PII redaction + span counting — the scrub stage of the curation
+    * pipeline. Patterns apply in a fixed order; the oracle runs the
+    * same POSIX regex chain.
+    */
+  def qPiiRedact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.redactPii(col("text")).as("redacted"),
+      TextAnalysis.piiCount(col("text")).as("n_pii"))
+
+  val qPiiRedactSql: String = {
+    // DuckDB single-quoted strings take backslashes literally — the
+    // regex text passes through verbatim (only quotes need escaping)
+    def q(pat: String) = pat.replace("'", "''")
+    val chain = TextAnalysis.piiPatterns.foldLeft("text") {
+      case (acc, (pat, repl)) =>
+        s"regexp_replace($acc, '${q(pat)}', '$repl', 'g')"
+    }
+    val counts = TextAnalysis.piiPatterns.map { case (pat, _) =>
+      s"len(regexp_extract_all(text, '${q(pat)}'))"
+    }.mkString(" + ")
+    s"""SELECT doc_id, $chain AS redacted, $counts AS n_pii
+       |FROM documents""".stripMargin
+  }
+
   /** Document fingerprinting: md5 hex + portable 60-bit integer of the
     * normalized content.
     */
@@ -683,6 +708,7 @@ object PipelineQueries {
     ("q_text_quality", qTextQuality _, Some(qTextQualitySql)),
     ("q_lang_id", qLangId _, Some(qLangIdSql)),
     ("q_fingerprint", qFingerprint _, Some(qFingerprintSql)),
+    ("q_pii_redact", qPiiRedact _, Some(qPiiRedactSql)),
     ("q_cms_tokens", qCmsTokens _, Some(qCmsTokensSql)),
     ("q_split_assign", qSplitAssign _, Some(qSplitAssignSql)),
     ("q_corpus_pipeline", qCorpusPipeline _, Some(qCorpusPipelineSql)),

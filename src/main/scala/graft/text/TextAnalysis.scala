@@ -89,6 +89,36 @@ object TextAnalysis {
     round((lenTerm + stopTerm + punctTerm + digitTerm) / 4.0, 6)
   }
 
+  /** PII scrub patterns, applied in order (emails before phones so the
+    * digits of an address-like local part aren't half-matched). POSIX-
+    * compatible regexes — identical semantics in Spark and DuckDB's
+    * regexp_replace(…, 'g').
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "[0-9]{3}-[0-9]{2}-[0-9]{4}" -> "<SSN>",
+    "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}" -> "<PHONE>",
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "<IP>")
+
+  /** Redact PII spans (emails, SSNs, phones, IPv4s) with typed
+    * placeholders — the standard scrub stage of a training-data
+    * pipeline. Pure regexp_replace chain: codegen'd, order-fixed,
+    * reproducible cross-engine.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** PII-span count: independent per-pattern match counts on the RAW
+    * text (one regexp_extract_all scan per pattern, no re-derivation of
+    * the redacted string — the staged-expression discipline).
+    */
+  def piiCount(text: Column): Column =
+    piiPatterns.map { case (pat, _) =>
+      size(regexp_extract_all(text, lit(pat), lit(0)))
+    }.reduce(_ + _).cast(IntegerType)
+
   /** Language marker words: tiny per-language stopword seed sets for the
     * n-gram-free heuristic. Deterministic and portable; accuracy depends
     * on markers, mechanism is what the engine provides.

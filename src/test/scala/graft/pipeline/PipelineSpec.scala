@@ -184,6 +184,22 @@ class PipelineSpec extends SparkSpec {
     assert(feats.sortBy(_.id).toSeq === again.sortBy(_.id).toSeq)
   }
 
+  test("PII redaction scrubs emails, SSNs, phones, IPs with typed tags") {
+    val pii = Seq(
+      (1L, "contact alice@example.com or +1-555-123-4567 today"),
+      (2L, "ssn 123-45-6789 from host 192.168.0.1"),
+      (3L, "no sensitive content here at all")).toDF("doc_id", "text")
+    val out = pii.select($"doc_id",
+      TextAnalysis.redactPii($"text").as("red"),
+      TextAnalysis.piiCount($"text").as("n"))
+      .as[(Long, String, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 === "contact <EMAIL> or <PHONE> today")
+    assert(out(1L)._2 === 2)
+    assert(out(2L)._1 === "ssn <SSN> from host <IP>")
+    assert(out(2L)._2 === 2)
+    assert(out(3L) === ("no sensitive content here at all", 0))
+  }
+
   test("language id picks the language with most marker hits") {
     val out = docs.select($"doc_id", TextAnalysis.langId($"text").as("p"))
       .as[(Long, String)].collect().toMap
