@@ -158,15 +158,34 @@ object Dedup {
       .distinct()
   }
 
-  /** 32-bit SimHash from token hashes: bit k of the fingerprint is set
-    * when the +1/-1 vote sum over tokens' k-th bits is positive.
+  /** 60-bit SimHash (the full width of [[TextAnalysis.hash60]]): bit k
+    * of the fingerprint is set when the +1/-1 vote sum over tokens'
+    * k-th hash bits is positive.
     *
-    * Single fold over the token hashes maintaining all 32 vote
-    * counters (same inline-proofing rationale as [[minhashSignature]] —
-    * the per-bit form recomputes the token-hash pipeline 32×).
+    * 60 bits, not 32: band-blocked candidate generation partitions the
+    * fingerprint into `maxHamming+1` bands, and the band VALUE SPACE is
+    * what bounds bucket occupancy at scale — 15-bit bands give 32,768
+    * values where the old 32-bit layout's 8-bit bands gave 256 (N/256
+    * docs per bucket from random collisions alone → O(N²/256) pairs at
+    * corpus scale; the Manku-et-al. wide-band layout removes that).
     */
-  val simhashBits = 32
-  def simhash(text: Column): Column = {
+  val simhashBits = 60
+
+  /** Native codegen'd kernel (graft.functions.SimHashExpr) — identical
+    * values to [[simhashComposed]], the builtin higher-order-function
+    * fold it replaces (vote sums are order-insensitive; TextHashesSpec
+    * proves bit-equality), at a fraction of the interpreted-fold cost.
+    */
+  def simhash(text: Column): Column =
+    graft.functions.TextHashes.sim_hash(text, simhashBits)
+
+  /** Builtin-composed twin of [[simhash]]: single fold over the token
+    * hashes maintaining all vote counters at once (same inline-proofing
+    * rationale as [[minhashSignature]] — the per-bit form recomputes
+    * the token-hash pipeline once per bit). Kept as the spec
+    * cross-check for the native kernel.
+    */
+  private[graft] def simhashComposed(text: Column): Column = {
     val hashes = transform(TextAnalysis.tokens(text), t => TextAnalysis.hash60(t))
     // bit-k test via a literal mask array (shift functions need a
     // static Int, but the fold index is a Column)
@@ -182,27 +201,44 @@ object Dedup {
       lit(0L), (acc, x) => acc + x)
   }
 
-  /** SimHash near-dup candidate pairs: pairs of docs whose 32-bit
-    * SimHash fingerprints differ in at most `maxHamming` bits.
+  /** Pigeonhole band layout: (shift, width) per band — `maxHamming+1`
+    * bands tiling the fingerprint, last band absorbing the remainder.
+    * Shared with the oracle-SQL generator so both engines bucket
+    * identically.
+    */
+  def simhashBandLayout(maxHamming: Int): Seq[(Int, Int)] = {
+    val nBands = maxHamming + 1
+    require(nBands <= simhashBits, s"need at least 1 bit per band")
+    val base = simhashBits / nBands
+    (0 until nBands).map { b =>
+      val shift = b * base
+      (shift, if (b == nBands - 1) simhashBits - shift else base)
+    }
+  }
+
+  /** SimHash near-dup candidate pairs: pairs of docs whose SimHash
+    * fingerprints differ in at most `maxHamming` bits.
     * Blocking is the pigeonhole band trick: split the fingerprint into
     * `maxHamming + 1` bands — any pair within the hamming budget must
     * agree EXACTLY on at least one band — so candidates come from
     * equi-joins on band values, never a global cross join, and the
-    * exact bit_count(xor) filter runs only inside buckets.
+    * exact bit_count(xor) filter runs only inside buckets. With 60-bit
+    * fingerprints and maxHamming=3 each band spans 15 bits, so random
+    * (non-near-dup) band collisions are 1 in 32,768 — bucket occupancy
+    * stays bounded at corpus scale.
     */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val nBands = maxHamming + 1
-    val bandBits = simhashBits / nBands
+    val layout = simhashBandLayout(maxHamming)
     val sh = graft.CacheRegistry.register(
       graft.ops.Parallelism.widen(df)
         .select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val banded = sh.select(col("id"), col("sh"),
-      explode(array((0 until nBands).map { b =>
+      explode(array(layout.zipWithIndex.map { case ((shift, width), b) =>
         concat_ws("_", lit(b),
-          shiftright(col("sh"), b * bandBits)
-            .bitwiseAND(lit((1L << bandBits) - 1)))
+          shiftright(col("sh"), shift)
+            .bitwiseAND(lit((1L << width) - 1)))
       }: _*)).as("bucket"))
     val a = banded.select(col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
@@ -218,42 +254,77 @@ object Dedup {
     * greedily dropping the higher id of every confident candidate pair
     * (the standard LSH-dedup policy; transitive clusters collapse to
     * their min id over one pass for pairs found within bands).
+    *
+    * EXACT-DEDUP-FIRST: the corpus is collapsed to one min-id
+    * representative per content fingerprint BEFORE LSH candidate
+    * generation. A K-copy exact-duplicate cluster (ubiquitous
+    * boilerplate at corpus scale — K can be 10⁵-10⁷) shares every band
+    * key, so running LSH on the raw corpus emits K²/2 candidate pairs
+    * per band; after the exact pre-pass the cluster contributes exactly
+    * one row to every bucket. For byte-identical copies the kept set is
+    * unchanged (identical signatures → agreement 1.0 ≥ any threshold,
+    * so the raw pipeline dropped every non-min copy anyway, and a
+    * dropped representative's dropping partner is represented in the
+    * same buckets). The fingerprint is [[exact]]'s NORMALIZED one, so
+    * case/whitespace variants also collapse — a deliberate strict
+    * superset of the raw pipeline's drops, mirrored in the oracle.
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       minAgreement: Double = 0.75, fast: Boolean = false): DataFrame = {
-    val drops = minhashCandidates(df, idCol, textCol, fast = fast)
+    val repIds = graft.CacheRegistry.register(
+      exact(df, idCol, textCol)
+        .select(col("keep_id").as(idCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val reps = df.join(repIds, Seq(idCol), "left_semi")
+    val drops = minhashCandidates(reps, idCol, textCol, fast = fast)
       .filter(col("sig_agreement") >= minAgreement)
       .select(col("id_b").as(idCol)).distinct()
-    df.join(drops, Seq(idCol), "left_anti")
+    reps.join(drops, Seq(idCol), "left_anti")
   }
 
   /** Embedding-cosine near-duplicate pairs: semantic dedup over an
     * embedding column (array<float>), LSH-blocked so candidate
     * generation scales with bucket occupancy, never |corpus|².
     *
-    * Blocking = sign-random-projection buckets over `numPlanes`
-    * deterministic hyperplanes (shared with [[graft.sim.Ann]]): a pair
-    * is compared only when it agrees on every plane's sign, which
-    * passes vectors at angle θ with probability (1-θ/π)^numPlanes —
-    * few planes (default 4) keep recall high at near-dup angles while
-    * pruning the orthogonal bulk. Exact left-fold cosine (bit-exact
-    * across engines) scores the survivors; pairs at or above
-    * `threshold` (compared on the rounded value, so the boundary is
+    * Blocking = MULTI-TABLE sign-random-projection: `numTables`
+    * independent hash tables, each bucketing by the sign pattern of
+    * `numPlanes` deterministic hyperplanes (shared with
+    * [[graft.sim.Ann]]). A pair is a candidate when it agrees on every
+    * plane of AT LEAST ONE table — per-table pass probability
+    * (1-θ/π)^numPlanes, OR-amplified across tables to
+    * 1-(1-p)^numTables. Plane count controls bucket occupancy (the
+    * scale knob: 2^numPlanes key values per table — 12 planes = 4,096
+    * buckets, so random collisions put N/4096 rows in a bucket, where
+    * the old single-table numPlanes=4 default's 16 buckets degenerated
+    * to O(N²/16) pairwise work); table count buys back the recall that
+    * more planes cost. Exact left-fold cosine (bit-exact across
+    * engines) scores the survivors; pairs at or above `threshold`
+    * (compared on the rounded value, so the boundary is
     * engine-agnostic) are emitted as (id_a, id_b, cos_sim).
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.35, numPlanes: Int = 4, dim: Int = 64): DataFrame = {
+      threshold: Double = 0.35, numPlanes: Int = 12, numTables: Int = 3,
+      dim: Int = 64): DataFrame = {
     import graft.sim.Ann
-    val planes = (0 until numPlanes).map(i => Ann.hyperplane(i, dim))
-    // bucket key AND norm staged once per vector in the persisted
+    // table t draws planes [t*numPlanes, (t+1)*numPlanes) from the
+    // shared deterministic hyperplane sequence
+    val tableKeys = (0 until numTables).map { t =>
+      val planes = (0 until numPlanes).map(i => Ann.hyperplane(t * numPlanes + i, dim))
+      concat_ws("_", lit(t), Ann.lshKey(col(vecCol), planes))
+    }
+    // bucket keys AND norm staged once per vector in the persisted
     // projection — the pairwise stage then does a single dot fold per
-    // candidate (norms per pair would triple the interpreted fold work)
+    // candidate (norms per pair would triple the interpreted fold
+    // work); the explode stays OUTSIDE the persisted frame so the
+    // cache holds one row per vector, not numTables copies
     val keyed = graft.CacheRegistry.register(
       graft.ops.Parallelism.widen(df)
         .select(col(idCol).as("id"), col(vecCol).as("vec"),
-          Ann.lshKey(col(vecCol), planes).as("bucket"),
+          array(tableKeys: _*).as("buckets"),
           Ann.norm(col(vecCol)).as("nrm"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .select(col("id"), col("vec"), col("nrm"),
+        explode(col("buckets")).as("bucket"))
     val a = keyed.select(col("bucket"), col("id").as("id_a"),
       col("vec").as("vec_a"), col("nrm").as("nrm_a"))
     val b = keyed.select(col("bucket"), col("id").as("id_b"),
@@ -264,6 +335,9 @@ object Dedup {
         round(Ann.cosinePre(Ann.dot(col("vec_a"), col("vec_b")),
           col("nrm_a"), col("nrm_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+      // a pair agreeing in several tables surfaces once per table —
+      // dedup after the (cheap, deterministic) scoring
+      .distinct()
   }
 
   /** n-gram Jaccard near-dup pairs within blocking buckets (never a

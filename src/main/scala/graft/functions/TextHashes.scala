@@ -108,6 +108,33 @@ object HashKernels {
     new GenericArrayData(sig)
   }
 
+  /** SimHash fingerprint over the whitespace token stream: bit k of the
+    * result is set when the +1/−1 vote sum over tokens' k-th hash60
+    * bits is positive. Kernel twin of the builtin fold
+    * (aggregate over transform(tokens, hash60) maintaining `bits` vote
+    * counters) — the sum is order-insensitive, so values are identical.
+    */
+  def simHash(text: UTF8String, bits: Int): Long = {
+    val raw = text.toString.split("\\s+")
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < raw.length) {
+      if (!raw(i).isEmpty) {
+        val h = hash60(raw(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var k = 0
+        while (k < bits) {
+          if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+          k += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < bits) { if (votes(k) > 0) fp |= (1L << k); k += 1 }
+    fp
+  }
+
   /** Left-to-right dot-product fold in double — bit-identical to
     * aggregate(zip_with(a,b,(x,y)->double(x)*double(y)), 0.0, +):
     * same operand order, same rounding at every step. Null element or
@@ -173,6 +200,25 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
     copy(child = newChild)
 }
 
+/** SimHash fingerprint (low `bits` bits used) of a text column. */
+case class SimHashExpr(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits > 0 && bits <= 60, "hash60 supplies at most 60 bits")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simHash(input.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.simHash($c, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
 /** Left-fold dot product of two array<float|double> columns → double. */
 case class DotFold(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -218,4 +264,7 @@ object TextHashes {
 
   def dot_fold(a: Column, b: Column): Column =
     Bridge.toColumn(DotFold(Bridge.toExpression(a), Bridge.toExpression(b)))
+
+  def sim_hash(text: Column, bits: Int): Column =
+    Bridge.toColumn(SimHashExpr(Bridge.toExpression(text), bits))
 }

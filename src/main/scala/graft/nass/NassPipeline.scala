@@ -411,15 +411,36 @@ class NassPipeline(
       col("location"), col("year"), col("unit"), col("price"))
 
   // ------------------------------------------------------ presence list
+  /** commodity_list (src/nass.sql:453-464). */
+  lazy val commodity_list: DataFrame =
+    NassPipeline.commodityList(commodity_harvest, commodity_yield, commodity_price)
+
+  // ------------------------------------------------- county yield tiers
+  /** commodity_county_yield (src/nass.sql:466-533). */
+  def commodityCountyYield(countyAdc: DataFrame): DataFrame =
+    NassPipeline.countyYield(commodity_harvest, commodity_yield, countyAdc)
+
+  /** Default county-yield using the region-derived crosswalk. */
+  lazy val commodity_county_yield: DataFrame = commodityCountyYield(county_adc)
+}
+
+/** The two terminal assemblies are pure functions of the flattened
+  * commodity views, factored out so the golden specs can replay them
+  * over the reference's own committed commodity_* CSVs (an exact
+  * end-to-end diff, independent of snapshot input coverage).
+  */
+object NassPipeline {
+
   /** commodity_list (src/nass.sql:453-464): 3-way full-outer presence
     * matrix with PG row-var NULL-test semantics (side matched).
     */
-  lazy val commodity_list: DataFrame = {
-    val h = commodity_harvest.select(col("commodity")).distinct()
+  def commodityList(harvest: DataFrame, yld: DataFrame,
+      price: DataFrame): DataFrame = {
+    val h = harvest.select(col("commodity")).distinct()
       .withColumn("h", lit(true))
-    val y = commodity_yield.select(col("commodity")).distinct()
+    val y = yld.select(col("commodity")).distinct()
       .withColumn("y", lit(true))
-    val p = commodity_price.select(col("commodity")).distinct()
+    val p = price.select(col("commodity")).distinct()
       .withColumn("p", lit(true))
     h.join(y, Seq("commodity"), "full_outer")
       .join(p, Seq("commodity"), "full_outer")
@@ -429,23 +450,23 @@ class NassPipeline(
         coalesce(col("p"), lit(false)).as("price"))
   }
 
-  // ------------------------------------------------- county yield tiers
   /** commodity_county_yield (src/nass.sql:466-533): the 6-CTE tiered
     * fallback assembly. Faithful quirk: `location~'.....'` is an
     * UNANCHORED 5-char match, so 6-char ag-district ids pass into `c`
     * and therefore into the state tier `s`.
     */
-  def commodityCountyYield(countyAdc: DataFrame): DataFrame = {
-    val f = commodity_harvest
+  def countyYield(harvest: DataFrame, yld: DataFrame,
+      countyAdc: DataFrame): DataFrame = {
+    val f = harvest
       .filter(col("location").rlike("....."))
       .join(countyAdc.select(col("fips"), col("adc")),
-        commodity_harvest("location") === countyAdc("fips"))
+        harvest("location") === countyAdc("fips"))
       .select(col("commodity"), col("fips"), col("adc"),
         substring(col("fips"), 1, 2).as("state"))
       .distinct()
-    val u = commodity_harvest.filter(col("unit").isNotNull)
+    val u = harvest.filter(col("unit").isNotNull)
       .select(col("commodity"), col("unit")).distinct()
-    val c = commodity_harvest
+    val c = harvest
       .filter(col("total_acres").isNotNull && col("total_production").isNotNull &&
         col("location").rlike("....."))
       .groupBy(col("commodity"), col("location").as("fips"), col("unit"))
@@ -457,7 +478,7 @@ class NassPipeline(
     val s = c.groupBy(col("commodity"),
       substring(col("fips"), 1, 2).as("state"), col("unit"))
       .agg(avg(col("yield")).cast(DecimalType(10, 2)).as("yield"))
-    val sy = commodity_yield
+    val sy = yld
       .groupBy(col("commodity"),
         regexp_replace(col("unit"), " / ACRE", "").as("unit"),
         col("location").as("state"))
@@ -482,7 +503,4 @@ class NassPipeline(
         col("partial").as("st_partial"),
         col("none").as("st_none"))
   }
-
-  /** Default county-yield using the region-derived crosswalk. */
-  lazy val commodity_county_yield: DataFrame = commodityCountyYield(county_adc)
 }

@@ -36,26 +36,40 @@ object AsOfJoin {
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // a payload column sharing a name with a left column would produce
+    // ambiguous/duplicate output columns — reject up front
+    val overlap = payload.toSet.intersect(leftCols.toSet)
+    require(overlap.isEmpty,
+      s"payload columns must be disjoint from left columns: ${overlap.mkString(", ")}")
+    // Payload rides as ONE struct, so ROW presence (not per-value
+    // nullness) drives the match: a right row whose payload value is
+    // genuinely NULL still wins (DuckDB ASOF attaches the matched
+    // row's NULL); per-column last(_, ignoreNulls) would skip it and
+    // fall back to an older right row.
+    val payStruct = struct(payload.map(col): _*)
+    val payType = org.apache.spark.sql.types.StructType(
+      payload.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
     // tag 0 = right (sorts first at equal ts → inclusive match),
     // tag 1 = left
     val taggedRight = right.select(
-      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side")) ++
-        payload.map(col) ++
+      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side") :+
+        payStruct.as("__pay")) ++
         leftCols.filterNot(c => keys.contains(c)).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left.select(
-      (keys.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__side")) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+      (keys.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__side") :+
+        lit(null).cast(payType).as("__pay")) ++
         leftCols.filterNot(c => keys.contains(c)).map(col): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     taggedRight.unionByName(taggedLeft)
       .select((keys.map(col) :+ col("__ts") :+ col("__side")) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        payload.map(c => last(col(c), ignoreNulls = true).over(w)
-          .as(s"asof_$c")): _*)
+        leftCols.filterNot(keys.contains).map(col) :+
+        last(col("__pay"), ignoreNulls = true).over(w).as("__asof"): _*)
       .filter(col("__side") === 1)
-      .drop("__ts", "__side")
+      .select((keys.map(col) ++ leftCols.filterNot(keys.contains).map(col)) ++
+        payload.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 }

@@ -95,15 +95,29 @@ object Inventory {
         dbl(col("price").cast(DecimalType(24, 2))).as("total"))
   }
 
+  // Depth-unrolled form of the reference's recursive CTE: all leaf paths
+  // have length 3, so the recursion is exactly three per-level GROUP BYs
+  // (mirroring HierarchyRollup's fixed-round loop). Unrolling avoids
+  // WITH RECURSIVE + window-in-recursion, whose evaluation is the least
+  // version-stable construct across DuckDB releases (driver red r1+r2
+  // while the same relation passed locally).
   val qRollupHierSql: String =
-    """WITH RECURSIVE b(path, price) AS (
-      |  SELECT DISTINCT [p_type, p_brand, p_name],
-      |         cast(p_retailprice as decimal(12,2))
+    """WITH l3 AS (
+      |  SELECT DISTINCT [p_type, p_brand, p_name] AS path,
+      |         cast(p_retailprice as decimal(12,2)) AS price
       |  FROM part
-      |  UNION
-      |  SELECT path[1:len(path)-1],
-      |         sum(price) OVER (PARTITION BY path[1:len(path)-1])
-      |  FROM b WHERE len(path) > 0
+      |), l2 AS (
+      |  SELECT path[1:len(path)-1] AS path, sum(price) AS price
+      |  FROM l3 GROUP BY 1
+      |), l1 AS (
+      |  SELECT path[1:len(path)-1] AS path, sum(price) AS price
+      |  FROM l2 GROUP BY 1
+      |), l0 AS (
+      |  SELECT path[1:len(path)-1] AS path, sum(price) AS price
+      |  FROM l1 GROUP BY 1
+      |), b AS (
+      |  SELECT * FROM l3 UNION ALL SELECT * FROM l2
+      |  UNION ALL SELECT * FROM l1 UNION ALL SELECT * FROM l0
       |)
       |SELECT array_to_string(path, ', ') AS node,
       |       cast(cast(sum(price) as decimal(24,2)) as double) AS total

@@ -232,11 +232,13 @@ object PipelineQueries {
     s"""WITH t0 AS (SELECT doc_id, source, n_chars, text, $toksSql AS toks
        |            FROM documents),
        |kept AS (
-       |  SELECT doc_id, source, n_chars, toks FROM t0
+       |  SELECT doc_id, source, n_chars, text, toks FROM t0
        |  WHERE ${predictedLangSql("toks")} = 'en'
        |    AND ${qualityExprSql("toks", "text")} >= 0.65),
+       |reps AS (
+       |  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5($normSql)),
        |sh AS (SELECT doc_id, source, n_chars, ${shinglesSql("toks")} AS grams
-       |       FROM kept),
+       |       FROM kept WHERE doc_id IN (SELECT doc_id FROM reps)),
        |sigs AS (SELECT doc_id, ${minhashSql("grams")} AS sig FROM sh),
        |buckets AS ($bandSelects),
        |drops AS (
@@ -340,7 +342,13 @@ object PipelineQueries {
         .mkString(s"'${b}' || '_' || ", " || '_' || ", "")
       s"SELECT doc_id, sig, $key AS bucket FROM sigs"
     }.mkString("\nUNION ALL\n")
-    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    // exact-dedup-first mirror of Dedup.dropNearDuplicates: collapse to
+    // one min-id representative per normalized fingerprint, then run
+    // MinHash-LSH over representatives only
+    s"""WITH reps AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($normSql)),
+       |t AS (SELECT doc_id, $toksSql AS toks FROM documents
+       |      WHERE doc_id IN (SELECT doc_id FROM reps)),
        |sh AS (SELECT doc_id, ${shinglesSql("toks")} AS grams FROM t),
        |sigs AS (SELECT doc_id, ${minhashSql("grams")} AS sig FROM sh),
        |buckets AS ($bandSelects),
@@ -350,7 +358,8 @@ object PipelineQueries {
        |  WHERE len(list_filter(range(1, ${Dedup.minhashCoeffs.size} + 1),
        |        i -> a.sig[i] = b.sig[i])) * 1.0 / ${Dedup.minhashCoeffs.size} >= 0.75)
        |SELECT doc_id, source FROM documents
-       |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin
+       |WHERE doc_id IN (SELECT doc_id FROM reps)
+       |  AND doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin
   }
 
   /** 32-bit SimHash fingerprints. */
@@ -384,12 +393,11 @@ object PipelineQueries {
       maxHamming = 3)
 
   val qSimhashPairsSql: String = {
-    val nBands = 4
-    val bandBits = Dedup.simhashBits / nBands
-    val bands = (0 until nBands).map { b =>
-      s"""SELECT doc_id, simhash,
-         |  '$b' || '_' || ((simhash >> ${b * bandBits}) & ${(1L << bandBits) - 1})
-         |    AS bucket FROM sh""".stripMargin
+    val bands = Dedup.simhashBandLayout(maxHamming = 3).zipWithIndex.map {
+      case ((shift, width), b) =>
+        s"""SELECT doc_id, simhash,
+           |  '$b' || '_' || ((simhash >> $shift) & ${(1L << width) - 1})
+           |    AS bucket FROM sh""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH $simhashCteSql,
        |banded AS (
@@ -552,7 +560,11 @@ object PipelineQueries {
       s"""CASE WHEN sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}) > 0
          |  THEN ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))
          |  ELSE 0.0 END""".stripMargin
-    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  ORDER BY cast(('0x' || substr(md5(cast(vec_id as varchar)), 1, 15)) as bigint),
+       |           vec_id
+       |  LIMIT 16),
        |asg AS (
        |  SELECT neighbor_id, cvec, cid FROM (
        |    SELECT e.vec_id AS neighbor_id, e.embedding AS cvec, c.cid,
@@ -578,27 +590,40 @@ object PipelineQueries {
        |FROM ranked WHERE rank <= 3""".stripMargin
   }
 
-  /** Embedding-cosine near-dup pairs, LSH-blocked (4 sign planes),
-    * rounded-cosine threshold — the semantic-dedup complement to the
-    * shingle-based paths. The corpus has no true duplicates, so the
-    * threshold sits at the top of the observed similarity range to
-    * exercise a non-trivial result.
+  /** Embedding-cosine near-dup pairs at the SCALED blocking config
+    * (3 tables × 12 sign planes = 4,096 buckets per table,
+    * OR-amplified for recall), rounded-cosine threshold — the
+    * semantic-dedup complement to the shingle-based paths. The corpus
+    * has no true duplicates, so the threshold sits at the top of the
+    * observed similarity range to exercise a non-trivial result
+    * (14 surviving pairs at sf0.01).
     */
   def qEmbedDup(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-      threshold = 0.35, numPlanes = 4)
+      threshold = 0.35)
 
   val qEmbedDupSql: String = {
-    val planes = (0 until 4).map(i => Ann.hyperplane(i, 64))
+    val numPlanes = 12
+    val numTables = 3
     def planeLit(p: Seq[Double]) = p.mkString("[", ",", "]")
     def dotPlane(v: String, p: Seq[Double]) =
       s"""list_reduce(list_prepend(cast(0 as double),
          |  list_transform(range(1, 65),
          |    i -> cast($v[i] as double) * (${planeLit(p)})[i])),
          |  (acc, x) -> acc + x)""".stripMargin
-    val keyExpr = planes.map(p =>
-      s"(CASE WHEN ${dotPlane("embedding", p)} >= 0 THEN '1' ELSE '0' END)")
-      .mkString(" || ")
+    // table t's bucket key: sign pattern over planes [t*12, (t+1)*12),
+    // prefixed with the table index — same layout as
+    // Dedup.embeddingNearDupPairs
+    def keyExpr(t: Int) = {
+      val signs = (0 until numPlanes).map { i =>
+        val p = Ann.hyperplane(t * numPlanes + i, 64)
+        s"(CASE WHEN ${dotPlane("embedding", p)} >= 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      s"'$t' || '_' || ($signs)"
+    }
+    val tableSelects = (0 until numTables).map { t =>
+      s"SELECT vec_id, embedding, ${keyExpr(t)} AS bucket FROM embeddings"
+    }.mkString("\nUNION ALL\n")
     def dot(a: String, b: String) =
       s"""list_reduce(list_prepend(cast(0 as double),
          |  list_transform(range(1, len($a) + 1),
@@ -609,9 +634,9 @@ object PipelineQueries {
          |  THEN ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))
          |  ELSE 0.0 END""".stripMargin
     s"""WITH keyed AS (
-       |  SELECT vec_id, embedding, $keyExpr AS bucket FROM embeddings),
+       |$tableSelects),
        |pairs AS (
-       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
        |    round(${cos("a.embedding", "b.embedding")}, 6) AS cos_sim
        |  FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.35""".stripMargin

@@ -101,12 +101,18 @@ object Ann {
     * cells whose centroids are nearest to it, touching
     * ~`nprobe/nlist` of the corpus instead of all of it.
     *
-    * Centroids are SAMPLED deterministically (the `nlist` lowest-id
-    * corpus vectors) rather than k-means-trained — training is an
-    * offline concern; the partition/probe machinery, which is what an
-    * engine provides, is identical and fully reproducible. All
-    * similarity math is the left-fold dot product (bit-exact across
-    * engines), ties broken by centroid id / neighbor id.
+    * Centroids are SAMPLED deterministically rather than
+    * k-means-trained — training is an offline concern; the
+    * partition/probe machinery, which is what an engine provides, is
+    * identical and fully reproducible. The sample is the `nlist`
+    * corpus rows with the smallest (hash60(id), id) — a uniform
+    * pseudo-random draw that is agnostic to the id distribution (ids
+    * may be sparse, offset, or arbitrarily typed; the old
+    * `id < nlist` pick silently returned fewer/no centroids for
+    * non-zero-based ids). All similarity math is the left-fold dot
+    * product (bit-exact across engines), ties broken by centroid id /
+    * neighbor id. Pick nlist ≈ √N so cells hold ~√N vectors each
+    * (see SCALE.md).
     *
     * Scale shape: centroid table is broadcast twice (corpus assignment
     * and query probing are narrow map stages over `nlist` candidates);
@@ -116,7 +122,12 @@ object Ann {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cent = corpus.filter(col(idCol) < nlist)
+    val cent = corpus
+      // deterministic hash-ordered sample: sort+limit plans as
+      // TakeOrderedAndProject (no full sort materialization)
+      .orderBy(graft.text.TextAnalysis.hash60(col(idCol).cast(StringType)).asc,
+        col(idCol).asc)
+      .limit(nlist)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"),
         norm(col(vecCol)).as("cvn"))
     // row norms staged below each crossJoin (computed once per row, not

@@ -50,7 +50,14 @@ object CountMin {
   }
 
   /** Point estimates for the values in `items` (a DataFrame holding
-    * distinct `valueCol` rows): min over the d row counters.
+    * distinct `valueCol` rows): min over the d row counters, per group.
+    *
+    * With non-empty `groupCols`, each probe item is estimated against
+    * EVERY group's counter table: probes are cross-joined with the
+    * (broadcast) distinct group keys, and the counter lookup joins on
+    * groupCols ++ (cm_row, cm_bucket) — so a (group, bucket) pair with
+    * no counter row correctly contributes 0, preserving the one-sided
+    * est ≥ true guarantee per group.
     */
   def estimate(df: DataFrame, items: DataFrame, groupCols: Seq[String],
       valueCol: String, w: Int): DataFrame = {
@@ -64,7 +71,11 @@ object CountMin {
       explode(array(rowCoeffs.indices.map(i =>
         struct(lit(i).as("cm_row"), col(s"b$i").as("cm_bucket"))): _*)).as("rb"))
       .select(col(valueCol), col("rb.cm_row"), col("rb.cm_bucket"))
-    exploded.join(ctrs, Seq("cm_row", "cm_bucket"), "left")
+    val probed =
+      if (groupCols.isEmpty) exploded
+      else exploded.crossJoin(
+        broadcast(df.select(groupCols.map(col): _*).distinct()))
+    probed.join(ctrs, groupCols ++ Seq("cm_row", "cm_bucket"), "left")
       .groupBy((col(valueCol) +: groupCols.map(col)): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }

@@ -2,7 +2,6 @@ package graft.sketch
 
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -21,32 +20,51 @@ import org.apache.spark.sql.types._
   * sketch holds ALL of them and the count is exact. The only
   * floating-point steps are final divisions — deterministic.
   *
-  * Scale shape: distinct + per-group top-k window over hashes — the
-  * shuffle carries hashes only (no payloads), and the register output
-  * is ≤ k rows per group, broadcastable for the set-op join.
+  * Scale shape: ONE hash-aggregate with O(k) state per group (the
+  * [[graft.functions.KMinDistinct]] bounded aggregate — map-side
+  * partial k-min sets, merged by union-then-truncate). The shuffle
+  * carries ≤k hashes per group per map partition, never the full
+  * distinct-hash set, and the register output is ≤ k rows per group,
+  * broadcastable for the set-op join.
   */
 object Kmv {
 
   /** Hash range: [[TextAnalysis.hash60]] is uniform on [0, 2^60). */
   val hashRange: Double = math.pow(2.0, 60)
 
-  /** k smallest distinct hashes per group: (groupCols…, rn, h). */
-  def registers(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      k: Int): DataFrame = {
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("h").asc)
+  /** Per-group bounded sketch: (groupCols…, hs) with hs = the ≤k
+    * smallest distinct hashes, ascending. One aggregation shuffle,
+    * O(k) state — no global distinct, no window sort.
+    */
+  def sketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int): DataFrame =
     df.select((groupCols.map(col) :+
         TextAnalysis.hash60(col(valueCol).cast(StringType)).as("h")): _*)
-      .distinct()
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-  }
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.KMinAgg.k_min_distinct(col("h"), k).as("hs"))
 
-  /** Distinct-count estimate per group: exact below k, (k−1)/u_k at k. */
+  /** k smallest distinct hashes per group: (groupCols…, h, rn) —
+    * the exploded row form of [[sketch]] (rn = ascending rank, 1-based;
+    * kept for set-op callers that want register rows).
+    */
+  def registers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int): DataFrame =
+    sketch(df, groupCols, valueCol, k)
+      .select((groupCols.map(col) :+ posexplode(col("hs"))): _*)
+      .select((groupCols.map(col) :+ col("col").as("h") :+
+        (col("pos") + 1).cast(IntegerType).as("rn")): _*)
+
+  /** Distinct-count estimate per group: exact below k, (k−1)/u_k at k.
+    * Straight off the bounded sketch: n_regs = |hs|, u_k = last(hs)
+    * normalized (hs is ascending, so its last element is the kth
+    * minimum) — same arithmetic as the register form, one shuffle.
+    */
   def estimateDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
       k: Int): DataFrame =
-    registers(df, groupCols, valueCol, k)
-      .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_regs"), max(col("h")).as("kth_hash"))
+    sketch(df, groupCols, valueCol, k)
+      .select((groupCols.map(col) :+
+        size(col("hs")).cast(LongType).as("n_regs") :+
+        element_at(col("hs"), -1).as("kth_hash")): _*)
       .withColumn("n_est",
         when(col("n_regs") < k, col("n_regs").cast(DoubleType))
           .otherwise(lit((k - 1).toDouble) /

@@ -138,6 +138,10 @@ object EventStreams {
       .withColumn("fp", graft.text.TextAnalysis.fingerprintHex(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
+      // dedup state is keyed on fp BEFORE this projection, so dropping
+      // it is safe — and keeps the output schema identical to the
+      // upstream docs frame (and to Dedup.exact's representatives)
+      .drop("fp")
 
   /** Incremental pipeline wiring: parquet source dir → windowed agg →
     * parquet sink with checkpoint. The streaming twin of the batch

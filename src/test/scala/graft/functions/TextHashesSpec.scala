@@ -81,6 +81,22 @@ class TextHashesSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("SimHash kernel equals the builtin vote fold") {
+    val df = texts.toDF("id", "text")
+    val diff = df.select(
+      Dedup.simhash($"text").as("k"),
+      Dedup.simhashComposed($"text").as("b"))
+      .filter(not($"k" <=> $"b"))
+    assert(diff.count() === 0)
+    // and on real corpus text
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val diff2 = docs.select(
+      Dedup.simhash($"text").as("k"),
+      Dedup.simhashComposed($"text").as("b"))
+      .filter(not($"k" <=> $"b"))
+    assert(diff2.count() === 0)
+  }
+
   test("kernels behave on edge inputs: null text, empty arrays") {
     val df = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("id", "text")
     val out = df.select(

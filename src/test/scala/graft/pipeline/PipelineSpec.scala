@@ -102,6 +102,40 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 1L && p._2 == 4L))
   }
 
+  test("exact-dedup-first: a planted 1000-copy cluster yields O(clusters) candidates") {
+    val boiler = "subscribe to our newsletter for updates and offers every week please"
+    val big = ((1 to 1000).map(i => (i.toLong, boiler, "a")) ++ Seq(
+      (1001L, "the quick brown fox jumps over the lazy dog near the river bank", "a"),
+      (1002L, "the quick brown fox jumps over the lazy dog near the river bend", "a"),
+      (1003L, "completely different content about spark shuffles and partitions", "a")
+    )).toDF("doc_id", "text", "source")
+    val kept = Dedup.dropNearDuplicates(big, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    // the cluster collapses to its min id; the near-dup 1002 drops
+    // against 1001; unrelated 1003 survives
+    assert(kept === Set(1L, 1001L, 1003L))
+    // candidate generation runs on REPRESENTATIVES only: 4 reps → pair
+    // volume bounded by rep pairs, not the ~2M pairs (1000²/2 × 4
+    // bands) the raw cluster would emit
+    val repIds = Dedup.exact(big, "doc_id", "text").select($"keep_id".as("doc_id"))
+    val reps = big.join(repIds, Seq("doc_id"), "left_semi")
+    assert(reps.count() === 4)
+    assert(Dedup.minhashCandidates(reps, "doc_id", "text").count() <= 6)
+  }
+
+  test("IVF centroid sampling is id-distribution-agnostic (offset ids work)") {
+    // ids start at 100000: the old `filter(id < nlist)` centroid pick
+    // would find ZERO centroids and return an empty result
+    val vecs = (0 until 50).map { i =>
+      (i.toLong + 100000L, Array.tabulate(64)(j => math.sin(i * 17 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Ann.ivfTopK(vecs, vecs.filter($"vec_id" === 100003L),
+      "vec_id", "embedding", k = 3, nlist = 8, nprobe = 3)
+      .select($"neighbor_id").as[Long].collect()
+    assert(out.length === 3)
+    assert(out.forall(n => n != 100003L && n >= 100000L && n < 100050L))
+  }
+
   test("brute-force ANN ranks an identical vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -23,6 +23,19 @@ class CountMinSpec extends SparkSpec {
     assert(t1._2 - t1._3 <= 50, s"t1 est ${t1._2} vs exact ${t1._3}")
   }
 
+  test("grouped estimates look up each group's own counters") {
+    val rows = (1 to 900).map(_ => ("g1", "t1")) ++
+      (1 to 10).map(_ => ("g2", "t1")) ++
+      (1 to 300).map(i => ("g2", s"tail-$i"))
+    val df = rows.toDF("grp", "v")
+    val est = CountMin.estimate(df, Seq("t1").toDF("v"), Seq("grp"), "v", w = 1024)
+      .select($"grp", $"est_count").as[(String, Long)].collect().toMap
+    // per-group one-sided error: the old group-agnostic counter join
+    // took the min across BOTH groups' rows, estimating t1-in-g1 at ~10
+    assert(est("g1") >= 900L)
+    assert(est("g2") >= 10L && est("g2") < 100L)
+  }
+
   test("counter tables merge by addition") {
     val a = stream.filter($"v" =!= "t2")
     val b = stream.filter($"v" === "t2")

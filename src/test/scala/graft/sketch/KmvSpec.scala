@@ -19,6 +19,20 @@ class KmvSpec extends SparkSpec {
     assert(math.abs(est - 20000) / 20000 < 0.14, s"est $est")
   }
 
+  test("bounded k-min aggregate equals the brute-force distinct+sort form") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.StringType
+    val df = (1 to 5000).map(i => (s"g${i % 3}", s"v-${i % 1200}")).toDF("grp", "v")
+    val regs = Kmv.registers(df, Seq("grp"), "v", k = 64)
+    val w = Window.partitionBy($"grp").orderBy($"h".asc)
+    val brute = df.select($"grp",
+        graft.text.TextAnalysis.hash60($"v".cast(StringType)).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 64)
+    assert(regs.exceptAll(brute).isEmpty && brute.exceptAll(regs).isEmpty)
+  }
+
   test("KMV jaccard estimate tracks a planted 50% overlap") {
     val a = (1 to 8000).map(i => s"x-$i").toDF("v")
     val b = (4001 to 12000).map(i => s"x-$i").toDF("v")

@@ -22,6 +22,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def norm(v):
+    # sequence cells (numpy arrays from array-typed columns) first: the
+    # scalar NaN check `v != v` raises ValueError on an ndarray
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return str(list(v))
     if v is None or v != v:  # None / NaN
         return ""
     return str(v)
