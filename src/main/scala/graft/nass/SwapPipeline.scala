@@ -194,13 +194,42 @@ class SwapPipeline(
         col("production_yield"), col("price"), col("price_unit"))
   }
 
-  /** swap (src/swap.sql:171-213): the model — solve
+  /** swap (src/swap.sql:171-213): the model — see
+    * [[SwapPipeline.solve]].
+    */
+  lazy val swap: DataFrame = SwapPipeline.solve(harvest_yield)
+  /** The 4 crosstab exports (src/swap.sql:215-397) with the hardcoded
+    * 39-commodity column list.
+    */
+  lazy val swap_net: DataFrame =
+    PivotFixed.crosstab(swap, Seq("location"), "commodity", "acres",
+      SwapPipeline.pivotCommodities)
+  lazy val swap_price: DataFrame =
+    PivotFixed.crosstab(swap, Seq("location"), "commodity", "price",
+      SwapPipeline.pivotCommodities)
+  lazy val swap_yield: DataFrame =
+    PivotFixed.crosstab(swap, Seq("location"), "commodity", "yield",
+      SwapPipeline.pivotCommodities)
+  /** single-row pivot keyed by constant 1 (src/swap.sql:353-397). */
+  lazy val swap_yield_unit: DataFrame =
+    PivotFixed.crosstab(swap.withColumn("k", lit(1)),
+      Seq("k"), "commodity", "unit", SwapPipeline.pivotCommodities)
+      .drop("k")
+}
+
+object SwapPipeline {
+
+  /** The swap model (src/swap.sql:171-213): solve
     * production = irrAcres·irrYield + dryAcres·dryYield given the
     * irrigated:dry yield RATIO, emitting NON-IRRIGATED / IRRIGATED /
-    * unsplit rows.
+    * unsplit rows. Factored out of the class so the golden spec can
+    * replay the solver over a reconstructed harvest_yield preimage.
+    *
+    * @param hy harvest_yield-shaped rows: location, commodity,
+    *           irrigated_acres, total_acres, unit, nonirrigated,
+    *           irrigated, total, production_yield, price, price_unit
     */
-  lazy val swap: DataFrame = {
-    val hy = harvest_yield
+  def solve(hy: DataFrame): DataFrame = {
     val withIrr = hy.filter(col("irrigated_acres").isNotNull)
     val nonIrr = withIrr.select(
       col("location"),
@@ -237,26 +266,6 @@ class SwapPipeline(
     nonIrr.unionByName(irr).unionByName(unsplit).distinct()
   }
 
-  /** The 4 crosstab exports (src/swap.sql:215-397) with the hardcoded
-    * 39-commodity column list.
-    */
-  lazy val swap_net: DataFrame =
-    PivotFixed.crosstab(swap, Seq("location"), "commodity", "acres",
-      SwapPipeline.pivotCommodities)
-  lazy val swap_price: DataFrame =
-    PivotFixed.crosstab(swap, Seq("location"), "commodity", "price",
-      SwapPipeline.pivotCommodities)
-  lazy val swap_yield: DataFrame =
-    PivotFixed.crosstab(swap, Seq("location"), "commodity", "yield",
-      SwapPipeline.pivotCommodities)
-  /** single-row pivot keyed by constant 1 (src/swap.sql:353-397). */
-  lazy val swap_yield_unit: DataFrame =
-    PivotFixed.crosstab(swap.withColumn("k", lit(1)),
-      Seq("k"), "commodity", "unit", SwapPipeline.pivotCommodities)
-      .drop("k")
-}
-
-object SwapPipeline {
   /** 184-county universe (src/swap.sql:8-10). */
   val countyFips: Seq[String] = Seq(
     "06001", "06003", "06005", "06007", "06009", "06011", "06013", "06015",
