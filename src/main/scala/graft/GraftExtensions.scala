@@ -1,7 +1,7 @@
 package graft
 
 import graft.dedup.Dedup
-import graft.functions.{DotFold, MinHashSig, ShingleHashes, ToNumber}
+import graft.functions.{DotFold, KMinDistinct, MinHashSig, ShingleHashes, SimHashExpr, ToNumber}
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -74,9 +74,12 @@ object GraftExtensions {
     ("dot_fold",
       info("dot_fold", "dot_fold(a, b) - left-to-right double dot product of two float/double arrays"),
       args => DotFold(args(0), args(1))),
-    ("simhash32",
-      info("simhash32", "simhash32(text) - 32-bit SimHash fingerprint"),
-      lift1(Dedup.simhash)),
+    ("simhash",
+      info("simhash", "simhash(text) - 60-bit SimHash fingerprint of the whitespace token stream"),
+      args => SimHashExpr(args.head, Dedup.simhashBits)),
+    ("k_min_distinct",
+      info("k_min_distinct", "k_min_distinct(col, k) - aggregate: the k smallest distinct int64 values, ascending (KMV sketch registers)"),
+      args => KMinDistinct(args.head, intArg(args(1), "k"))),
     ("fingerprint_hex",
       info("fingerprint_hex", "fingerprint_hex(text) - md5 hex of normalized content"),
       lift1(TextAnalysis.fingerprintHex)),

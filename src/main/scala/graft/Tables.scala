@@ -30,6 +30,16 @@ object Tables {
     * the legacy conf and truncate to microseconds (matching DuckDB's
     * ns→µs truncation). Integer `div` keeps the conversion exact —
     * a double round-trip would lose precision at 1e18 nanos.
+    *
+    * SESSION SIDE EFFECT (deliberate, not restorable): the conf is set
+    * on the caller's session and stays set — parquet readers consult
+    * the session conf at EXECUTION time, so a set-then-restore around
+    * the `read` call would break the scan when the action finally
+    * runs. The flag only changes how NANOS-annotated int64 columns
+    * load (as raw longs), a type this library's other tables do not
+    * use; callers who do read NANOS parquet elsewhere in the same
+    * session should set the conf themselves to make the dependency
+    * explicit.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -22,7 +22,13 @@ import org.apache.spark.sql.types._
   *
   * PG-compat note: run with spark.sql.ansi.enabled=false so
   * out-of-range array subscripts yield NULL like PG (e.g. `di[2]` of a
-  * dash-less dataitem) — the constructor enforces it.
+  * dash-less dataitem) — the constructor enforces it. SESSION SIDE
+  * EFFECT (deliberate): the flag is set on the caller's session and
+  * stays set, because the pipeline's lazy views execute actions long
+  * after construction and ANSI mode is read at execution time; a
+  * construct-time set-and-restore would re-enable ANSI underneath the
+  * deferred plans. Callers embedding this pipeline in an ANSI session
+  * must run it in a separate SparkSession (cloneSession()) instead.
   */
 class NassPipeline(
     spark: SparkSession,

@@ -680,6 +680,18 @@ object Inventory {
   val qKmvDistinctSql: String =
     graft.sketch.Kmv.oracleSql("lineitem", Seq("l_returnflag"), "l_partkey", 512)
 
+  /** KMV register rows themselves — the direct driver check of the
+    * bounded KMinDistinct aggregate (O(k) state, map-side partial)
+    * against DuckDB's distinct + row_number-over-sort formulation.
+    */
+  def qKmvRegisters(s: SparkSession, d: String): DataFrame =
+    graft.sketch.Kmv.registers(
+      Tables.orders(s, d), Seq("o_orderstatus"), "o_custkey", k = 64)
+
+  val qKmvRegistersSql: String =
+    graft.sketch.Kmv.registersOracleSql(
+      "orders", Seq("o_orderstatus"), "o_custkey", 64)
+
   // ------------------------------------------------------------------- O1
   /** Deterministic ordered top-k (ORDER BY … LIMIT with a full
     * tie-break; reference exports are ordered, src/nass.sql:24,249 —
@@ -783,6 +795,7 @@ object Inventory {
     ("q_stats_summary", qStatsSummary _, Some(qStatsSummarySql)),
     ("q_hll_distinct", qHllDistinct _, Some(qHllDistinctSql)),
     ("q_kmv_distinct", qKmvDistinct _, Some(qKmvDistinctSql)),
+    ("q_kmv_registers", qKmvRegisters _, Some(qKmvRegistersSql)),
     ("q_bloom_filter", qBloomFilter _, Some(qBloomFilterSql)),
     ("q_sessionize", qSessionize _, Some(qSessionizeSql)),
     ("q_window_running", qWindowRunning _, Some(qWindowRunningSql))) ++

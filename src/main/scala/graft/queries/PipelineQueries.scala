@@ -451,6 +451,26 @@ object PipelineQueries {
   val qCmsTokensSql: String =
     graft.sketch.CountMin.tokenOracleSql("documents", "text", w = 256, topN = 20)
 
+  /** GROUPED count-min estimates: each of the 10 globally most
+    * frequent tokens estimated against every source's own counter
+    * table — the per-group sketch contract (absent counters → 0,
+    * one-sided error per group, not across groups).
+    */
+  def qCmsGrouped(s: SparkSession, d: String): DataFrame = {
+    import graft.sketch.CountMin
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val items = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(10)
+      .select(col("tok"))
+    CountMin.estimate(toks, items, Seq("source"), "tok", w = 256)
+      .select(col("tok"), col("source"), col("est_count"))
+  }
+
+  val qCmsGroupedSql: String =
+    graft.sketch.CountMin.groupedTokenOracleSql(
+      "documents", "text", "source", w = 256, topN = 10)
+
   // ---------------------------------------------------------- similarity
 
   /** Brute-force cosine top-3 for a small query set (vec_id < 8). */
@@ -735,6 +755,7 @@ object PipelineQueries {
     ("q_fingerprint", qFingerprint _, Some(qFingerprintSql)),
     ("q_pii_redact", qPiiRedact _, Some(qPiiRedactSql)),
     ("q_cms_tokens", qCmsTokens _, Some(qCmsTokensSql)),
+    ("q_cms_grouped", qCmsGrouped _, Some(qCmsGroupedSql)),
     ("q_split_assign", qSplitAssign _, Some(qSplitAssignSql)),
     ("q_corpus_pipeline", qCorpusPipeline _, Some(qCorpusPipelineSql)),
     ("q_dedup_exact", qDedupExact _, Some(qDedupExactSql)),

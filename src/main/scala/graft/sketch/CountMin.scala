@@ -80,6 +80,41 @@ object CountMin {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
 
+  /** DuckDB mirror of the GROUPED estimate path: per (token, group)
+    * estimates for the `topN` globally most frequent whitespace tokens
+    * of `table.textCol`, grouped by `groupCol` — each probe item is
+    * estimated against every group's own counter table; (group,
+    * bucket) pairs with no counter row contribute 0.
+    */
+  def groupedTokenOracleSql(table: String, textCol: String, groupCol: String,
+      w: Int, topN: Int): String = {
+    val h = s"cast(('0x' || substr(md5(cast(t.tok as varchar)), 1, 15)) as bigint) % $P"
+    val rowSelects = rowCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"SELECT $groupCol, tok, $i AS cm_row, (($h * $a + $b) % $P) % $w AS cm_bucket FROM toks t"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT $groupCol, u.tok FROM $table,
+       |    unnest(list_filter(string_split_regex(trim($textCol), '\\s+'),
+       |           x -> x != '')) AS u(tok)),
+       |hashed AS (
+       |$rowSelects),
+       |ctrs AS (
+       |  SELECT $groupCol, cm_row, cm_bucket, count(*) AS cnt
+       |  FROM hashed GROUP BY 1, 2, 3),
+       |exact AS (
+       |  SELECT tok, count(*) AS n FROM toks GROUP BY 1
+       |  ORDER BY n DESC, tok ASC LIMIT $topN),
+       |probes AS (
+       |  SELECT DISTINCT h.tok, h.cm_row, h.cm_bucket
+       |  FROM hashed h JOIN exact e USING (tok)),
+       |groups AS (SELECT DISTINCT $groupCol FROM $table)
+       |SELECT p.tok, g.$groupCol, min(coalesce(c.cnt, 0)) AS est_count
+       |FROM probes p CROSS JOIN groups g
+       |LEFT JOIN ctrs c ON c.$groupCol = g.$groupCol
+       |  AND c.cm_row = p.cm_row AND c.cm_bucket = p.cm_bucket
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** DuckDB mirror of counters+estimate for a token-frequency query:
     * estimates for the `topN` most frequent whitespace tokens of
     * `table.textCol` (exact count alongside).

@@ -98,6 +98,23 @@ object Kmv {
     Seq((jac, jac * nUnion)).toDF("est_jaccard", "est_intersection")
   }
 
+  /** DuckDB mirror of [[registers]] (same constants): the k smallest
+    * distinct hashes per group with their ascending rank — the direct
+    * cross-engine check of the bounded KMinDistinct aggregate against
+    * the distinct+sort formulation.
+    */
+  def registersOracleSql(table: String, groupCols: Seq[String],
+      valueExpr: String, k: Int): String = {
+    val h = s"cast(('0x' || substr(md5(cast($valueExpr as varchar)), 1, 15)) as bigint)"
+    val grp = groupCols.mkString(", ")
+    s"""WITH hashed AS (SELECT DISTINCT $grp, $h AS h FROM $table),
+       |topk AS (
+       |  SELECT $grp, h,
+       |    row_number() OVER (PARTITION BY $grp ORDER BY h ASC) AS rn
+       |  FROM hashed)
+       |SELECT $grp, h, cast(rn as integer) AS rn FROM topk WHERE rn <= $k""".stripMargin
+  }
+
   /** DuckDB mirror of [[estimateDistinct]] (same constants). */
   def oracleSql(table: String, groupCols: Seq[String], valueExpr: String,
       k: Int): String = {

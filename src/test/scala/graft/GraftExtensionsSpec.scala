@@ -25,7 +25,7 @@ class GraftExtensionsSpec extends SparkSpec {
         |  to_number('1,234.56') AS parsed,
         |  shingle_hashes(text) AS grams,
         |  minhash_sig(shingle_hashes(text)) AS sig,
-        |  simhash32(text) AS sh,
+        |  simhash(text) AS sh,
         |  fingerprint_hex(text) AS fp,
         |  fingerprint60(text) AS fp60,
         |  quality_score(text) AS q,
@@ -43,6 +43,19 @@ class GraftExtensionsSpec extends SparkSpec {
       TextAnalysis.langId(col("text")).as("lang"),
       TextAnalysis.tokenCount(col("text")).as("n_tok"))
     assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
+  }
+
+  test("k_min_distinct aggregate in SQL equals the Kmv register build") {
+    (1 to 500).map(i => ("g", s"v-${i % 120}")).toDF("grp", "v")
+      .createOrReplaceTempView("ext_kmv")
+    val sql = spark.sql(
+      """SELECT grp, k_min_distinct(fingerprint60(v), 16) AS hs
+        |FROM ext_kmv GROUP BY grp""".stripMargin)
+      .select(explode($"hs").as("h")).as[Long].collect().toSeq
+    val api = graft.sketch.Kmv.registers(
+      spark.table("ext_kmv"), Seq("grp"), "v", k = 16)
+      .select($"h").as[Long].collect().toSeq
+    assert(sql.sorted === api.sorted && sql.length === 16)
   }
 
   test("dot_fold in SQL equals the Scala fold") {
