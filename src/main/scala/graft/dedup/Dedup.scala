@@ -275,7 +275,14 @@ object Dedup {
       exact(df, idCol, textCol)
         .select(col("keep_id").as(idCol))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val reps = df.join(repIds, Seq(idCol), "left_semi")
+    // persist the representative DOCS too: they feed both signature
+    // generation and the final anti-join base, and the upstream of df
+    // is often an expensive gate (the corpus pipeline's lang+quality
+    // filter) — without the cache it would be re-evaluated per
+    // consumer. Upstream runs exactly twice (exact() + this build).
+    val reps = graft.CacheRegistry.register(
+      df.join(repIds, Seq(idCol), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val drops = minhashCandidates(reps, idCol, textCol, fast = fast)
       .filter(col("sig_agreement") >= minAgreement)
       .select(col("id_b").as(idCol)).distinct()

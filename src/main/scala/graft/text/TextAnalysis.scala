@@ -80,8 +80,20 @@ object TextAnalysis {
     * length/stopword/punctuation gate used for corpus filtering:
     * reward presence of stopwords (natural prose), penalize
     * punctuation-heavy or digit-heavy text and degenerate token lengths.
+    *
+    * Native one-pass kernel (graft.functions.QualityScoreExpr): the
+    * composed form re-tokenizes per ratio term (interpreted HOFs,
+    * no subtree sharing within one expression) — ~5 tokenizer passes
+    * per row. Bit-identical to [[qualityScoreComposed]]
+    * (TextFeaturesSpec).
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    graft.functions.TextFeatures.quality_score(text)
+
+  /** Builtin-composed twin of [[qualityScore]], kept as the kernel's
+    * spec cross-check (and the form the oracle SQL mirrors).
+    */
+  private[graft] def qualityScoreComposed(text: Column): Column = {
     val lenTerm = least(tokenCount(text).cast(DoubleType) / 100.0, lit(1.0))
     val stopTerm = least(stopwordRatio(text) * 4.0, lit(1.0))
     val punctTerm = greatest(lit(1.0) - punctRatio(text) * 4.0, lit(0.0))
@@ -136,8 +148,19 @@ object TextAnalysis {
 
   /** Predicted language = argmax of marker scores; 'und' when all zero.
     * Tie-break = marker list order (first wins), deterministic.
+    *
+    * Native one-pass kernel (graft.functions.LangIdExpr): the composed
+    * CASE chain instantiates the tokenizer once per score AND once per
+    * comparison (~10 interpreted passes per row). Bit-identical to
+    * [[langIdComposed]] (TextFeaturesSpec).
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    graft.functions.TextFeatures.lang_id(text)
+
+  /** Builtin-composed twin of [[langId]], kept as the kernel's spec
+    * cross-check (and the form the oracle SQL mirrors).
+    */
+  private[graft] def langIdComposed(text: Column): Column = {
     val scores = langMarkers.map { case (lang, ms) => lang -> langScore(text, ms) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
