@@ -347,6 +347,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark decontamination report: for every corpus document
+    * sharing at least one word w-shingle with the benchmark set, the
+    * count of distinct shared shingles — the standard eval-leakage
+    * check run before training (13-gram overlap in the common recipe;
+    * w is the knob).
+    *
+    * Scale shape: the benchmark's distinct shingle-hash set is small
+    * (eval suites are, even when the corpus is 100 TB) and BROADCAST;
+    * the corpus side is one narrow map (native shingle kernel) +
+    * explode + broadcast-hash semi-join + count — no shuffle of corpus
+    * text, no pairwise work. The caller guarantees the benchmark side
+    * fits a broadcast (require a sane bound upstream if unsure).
+    */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, w: Int = 5,
+      fast: Boolean = false): DataFrame = {
+    val bh = benchmark
+      .select(explode(shingleHashes(col(textCol), w, fast)).as("h"))
+      .distinct()
+    // shingleHashes is distinct-within-doc, so count(*) after the join
+    // IS the distinct shared-shingle count per document
+    graft.ops.Parallelism.widen(corpus)
+      .select(col(idCol), explode(shingleHashes(col(textCol), w, fast)).as("h"))
+      .join(broadcast(bh), Seq("h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** n-gram Jaccard near-dup pairs within blocking buckets (never a
     * global cross join — the blocking key bounds pair count at scale).
     */

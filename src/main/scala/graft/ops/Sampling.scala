@@ -60,6 +60,40 @@ object Sampling {
     df.filter(u < rate)
   }
 
+  /** Domain mixing: downsample each source to hit a TARGET mixture —
+    * the knob that turns "we have 80% web, 5% books" into "train on
+    * 50% web, 20% books". Per-source keep rates are computed from the
+    * actual counts: scale = min over targeted sources of n_s/target_s
+    * (the largest corpus size at which the mixture is feasible without
+    * upsampling), rate_s = target_s·scale / n_s — the binding source
+    * keeps everything, the rest downsample deterministically via the
+    * same hash coordinate as [[sampleFraction]]. Sources absent from
+    * `targets` are dropped (rate 0).
+    *
+    * Scale shape: one tiny count aggregate, broadcast-joined back; the
+    * filter is a pure per-row expression. Deterministic end to end.
+    */
+  def domainMix(df: DataFrame, keyCol: String, sourceCol: String,
+      targets: Seq[(String, Double)]): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "targets must be positive shares")
+    val counts = df.filter(col(sourceCol).isin(targets.map(_._1): _*))
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n_src"))
+    val tgt = targets.foldRight(lit(null).cast(DoubleType): Column) {
+      case ((s, t), acc) => when(col(sourceCol) === s, lit(t)).otherwise(acc)
+    }
+    val withScale = counts
+      .withColumn("feasible", col("n_src").cast(DoubleType) / tgt)
+      .agg(min(col("feasible")).as("scale"))
+    val rated = df
+      .join(broadcast(counts), Seq(sourceCol), "inner")
+      .crossJoin(broadcast(withScale))
+      .withColumn("rate",
+        least(lit(1.0), tgt * col("scale") / col("n_src").cast(DoubleType)))
+    rated.filter(coordinate(col(keyCol)) < col("rate"))
+      .drop("n_src", "scale")
+  }
+
   /** DuckDB mirror of [[coordinate]] for oracle generation. */
   def coordinateSql(keyExpr: String): String =
     s"cast(cast(('0x' || substr(md5(cast($keyExpr as varchar)), 1, 15)) as bigint) as double) / ${math.pow(2.0, 60)}"

@@ -27,12 +27,17 @@ object PipelineQueries {
   private def hash60Sql(e: String): String =
     s"cast(('0x' || substr(md5($e), 1, 15)) as bigint)"
 
-  /** DuckDB: distinct hashed word 3-shingles of the token list `l`. */
-  private def shinglesSql(l: String): String =
+  /** DuckDB: distinct hashed word w-shingles of the token list `l`. */
+  private def shinglesWSql(l: String, w: Int): String = {
+    val joined = (0 until w).map(o => s"$l[i+$o]").mkString(" || ' ' || ")
     s"""list_distinct(list_transform(
-       |  list_transform(range(1, greatest(len($l) - 2, 0) + 1),
-       |    i -> $l[i] || ' ' || $l[i+1] || ' ' || $l[i+2]),
+       |  list_transform(range(1, greatest(len($l) - ${w - 1}, 0) + 1),
+       |    i -> $joined),
        |  g -> ${hash60Sql("g")} % ${Dedup.P}))""".stripMargin
+  }
+
+  /** DuckDB: distinct hashed word 3-shingles of the token list `l`. */
+  private def shinglesSql(l: String): String = shinglesWSql(l, 3)
 
   /** DuckDB: 16-element minhash signature of shingle-hash list `sh`. */
   private def minhashSql(sh: String): String =
@@ -276,6 +281,105 @@ object PipelineQueries {
        |       ELSE 'test' END AS split,
        |  count(*) AS n
        |FROM documents GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Intra-document repetition ratio (1 − distinct/total 3-shingles) —
+    * the Gopher-style repeated-phrase quality signal.
+    */
+  def qRepetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
+
+  val qRepetitionSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+       |SELECT doc_id, len(toks) AS n_tokens,
+       |  round(CASE WHEN greatest(len(toks) - 2, 0) > 0
+       |    THEN 1.0 - len(${shinglesSql("toks")}) * 1.0 / greatest(len(toks) - 2, 0)
+       |    ELSE 0.0 END, 6) AS rep_ratio
+       |FROM t""".stripMargin
+
+  /** Sequence packing: concat-and-chunk into 2,048-token packs,
+    * shard-local by source (a global order would serialize; real
+    * pipelines pack per shard). Every document maps to its token span
+    * and overlapping pack range.
+    */
+  def qSeqPack(s: SparkSession, d: String): DataFrame =
+    graft.ops.Packing.packSequences(
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      "source", "doc_id", "n_tokens", budget = 2048)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("start_tok"), col("end_tok"), col("pack_first"), col("pack_last"))
+
+  val qSeqPackSql: String =
+    s"""WITH t AS (SELECT doc_id, source, len($toksSql) AS n_tokens
+       |           FROM documents),
+       |p AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    cast(coalesce(sum(n_tokens) OVER (
+       |      PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint)
+       |      AS start_tok
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens, start_tok,
+       |  cast(start_tok + n_tokens as bigint) AS end_tok,
+       |  cast(floor(start_tok / 2048) as bigint) AS pack_first,
+       |  cast(floor(greatest(start_tok + n_tokens - 1, start_tok) / 2048) as bigint)
+       |    AS pack_last
+       |FROM p""".stripMargin
+
+  /** Benchmark decontamination: corpus docs sharing ≥1 word 3-shingle
+    * with the held-out benchmark slice (doc_id % 100 = 0), with the
+    * distinct shared-shingle count — the eval-leakage report.
+    */
+  def qContam(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.contaminationReport(
+      docs.filter(col("doc_id") % 100 =!= 0),
+      docs.filter(col("doc_id") % 100 === 0),
+      "doc_id", "text", w = 3)
+  }
+
+  val qContamSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, ${shinglesWSql("toks", 3)} AS gs FROM t),
+       |bh AS (SELECT DISTINCT u.h FROM g, unnest(g.gs) AS u(h)
+       |       WHERE doc_id % 100 = 0),
+       |ch AS (SELECT doc_id, u.h FROM g, unnest(g.gs) AS u(h)
+       |       WHERE doc_id % 100 <> 0)
+       |SELECT doc_id, count(*) AS n_shared
+       |FROM ch JOIN bh USING (h) GROUP BY 1""".stripMargin
+
+  /** Domain mixing: downsample sources to a target mixture (src0-src3
+    * at 40/30/20/10) — per-source kept counts after the deterministic
+    * rate filter.
+    */
+  private val mixTargets = Seq(
+    "src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
+
+  def qDomainMix(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.domainMix(
+      Tables.documents(s, d), "doc_id", "source", mixTargets)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+
+  val qDomainMixSql: String = {
+    val inSet = inList(mixTargets.map(_._1))
+    val tgt = mixTargets.foldRight("cast(NULL as double)") {
+      case ((s0, t), acc) => s"CASE WHEN source = '$s0' THEN $t ELSE $acc END"
+    }
+    val u = graft.ops.Sampling.coordinateSql("doc_id")
+    s"""WITH counts AS (
+       |  SELECT source, count(*) AS n_src FROM documents
+       |  WHERE source IN $inSet GROUP BY 1),
+       |sc AS (SELECT min(cast(n_src as double) / ($tgt)) AS scale FROM counts),
+       |kept AS (
+       |  SELECT d.source FROM documents d
+       |  JOIN counts USING (source) CROSS JOIN sc
+       |  WHERE $u < least(1.0, ($tgt) * scale / cast(n_src as double)))
+       |SELECT source, count(*) AS n_kept FROM kept GROUP BY 1""".stripMargin
   }
 
   // --------------------------------------------------------------- dedup
@@ -757,6 +861,10 @@ object PipelineQueries {
     ("q_cms_tokens", qCmsTokens _, Some(qCmsTokensSql)),
     ("q_cms_grouped", qCmsGrouped _, Some(qCmsGroupedSql)),
     ("q_split_assign", qSplitAssign _, Some(qSplitAssignSql)),
+    ("q_repetition", qRepetition _, Some(qRepetitionSql)),
+    ("q_seq_pack", qSeqPack _, Some(qSeqPackSql)),
+    ("q_contam", qContam _, Some(qContamSql)),
+    ("q_domain_mix", qDomainMix _, Some(qDomainMixSql)),
     ("q_corpus_pipeline", qCorpusPipeline _, Some(qCorpusPipelineSql)),
     ("q_dedup_exact", qDedupExact _, Some(qDedupExactSql)),
     ("q_minhash_sig", qMinhashSig _, Some(qMinhashSigSql)),

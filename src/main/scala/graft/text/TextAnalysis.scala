@@ -101,6 +101,22 @@ object TextAnalysis {
     round((lenTerm + stopTerm + punctTerm + digitTerm) / 4.0, 6)
   }
 
+  /** Intra-document repetition ratio (Gopher/MassiveText-style quality
+    * signal): 1 − distinct/total word w-shingles — 0 for fully novel
+    * text, approaching 1 for a document that repeats one phrase.
+    * Shingles are counted via the portable hash kernel (collisions
+    * undercount distinct shingles with probability ~positions²/2³¹ —
+    * negligible, deterministic, and mirrored exactly by the oracle).
+    */
+  def repetitionRatio(text: Column, w: Int = 3): Column = {
+    val positions = greatest(tokenCount(text) - (w - 1), lit(0))
+    val distinctShingles =
+      size(graft.functions.TextHashes.shingle_hashes(text, w, graft.dedup.Dedup.P))
+    round(when(positions > 0,
+      lit(1.0) - distinctShingles.cast(DoubleType) / positions.cast(DoubleType))
+      .otherwise(lit(0.0)), 6)
+  }
+
   /** PII scrub patterns, applied in order (emails before phones so the
     * digits of an address-like local part aren't half-matched). POSIX-
     * compatible regexes — identical semantics in Spark and DuckDB's

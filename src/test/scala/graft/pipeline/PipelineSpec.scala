@@ -136,6 +136,74 @@ class PipelineSpec extends SparkSpec {
     assert(out.forall(n => n != 100003L && n >= 100000L && n < 100050L))
   }
 
+  test("repetition ratio flags repeated phrases, not novel text") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "every word here is completely different from the others"),
+      (3L, "two words")).toDF("doc_id", "text")
+    val r = df.select($"doc_id", TextAnalysis.repetitionRatio($"text").as("rr"))
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) > 0.8)   // 8 positions, 1 distinct shingle
+    assert(r(2L) === 0.0) // all shingles distinct
+    assert(r(3L) === 0.0) // under w tokens → no positions
+  }
+
+  test("sequence packing is shard-local, contiguous, and budget-chunked") {
+    import graft.ops.Packing
+    val df = Seq(
+      (1L, "a", 100), (2L, "a", 100), (3L, "a", 100),
+      (4L, "b", 250), (5L, "b", 0), (6L, "b", 60)
+    ).toDF("doc_id", "shard", "n_tokens")
+    val out = Packing.packSequences(df, "shard", "doc_id", "n_tokens", budget = 128)
+      .select($"doc_id", $"start_tok", $"end_tok", $"pack_first", $"pack_last")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 0L, 100L, 0L, 0L)))
+    assert(out(2L) === ((2L, 100L, 200L, 0L, 1L)))  // straddles the chunk edge
+    assert(out(3L) === ((3L, 200L, 300L, 1L, 2L)))
+    assert(out(4L) === ((4L, 0L, 250L, 0L, 1L)))    // shard b restarts at 0
+    assert(out(5L) === ((5L, 250L, 250L, 1L, 1L)))  // empty doc: zero span
+    assert(out(6L) === ((6L, 250L, 310L, 1L, 2L)))
+  }
+
+  test("contamination report counts distinct shared shingles per doc") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "totally unrelated content with zero overlap whatsoever here")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "someone saw the quick brown fox yesterday")
+    ).toDF("doc_id", "text")
+    val rep = Dedup.contaminationReport(corpus, bench, "doc_id", "text", w = 3)
+      .as[(Long, Long)].collect().toMap
+    // shared 3-shingles: "the quick brown", "quick brown fox" → 2
+    assert(rep === Map(1L -> 2L))
+  }
+
+  test("domain mix hits the target mixture via per-source rates") {
+    import graft.ops.Sampling
+    val rows = (1 to 400).map(i => (i.toLong, s"src${i % 4}")) ++
+      (401 to 500).map(i => (i.toLong, "other"))
+    val df = rows.toDF("doc_id", "source")
+    val kept = Sampling.domainMix(df, "doc_id", "source",
+      Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(!kept.contains("other"))        // untargeted source dropped
+    // 100 docs per source; scale = min(100/0.4,…)=250 → expected kept
+    // ≈ (100, 75, 50, 25); the binding source keeps everything
+    assert(kept("src0") === 100L)
+    assert(kept("src1") < 100L && kept("src1") > 40L)
+    assert(kept("src2") < kept("src1"))
+    assert(kept("src3") < kept("src2"))
+    // determinism: same input → identical kept set
+    val again = Sampling.domainMix(df, "doc_id", "source",
+      Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(again === kept)
+  }
+
   test("brute-force ANN ranks an identical vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
