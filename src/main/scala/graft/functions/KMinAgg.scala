@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -10,8 +11,10 @@ import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
 /** Bounded k-minimum-distinct-values aggregate: per group, the k
-  * smallest DISTINCT long values of `child`, returned as an ascending
-  * array<long>.
+  * smallest DISTINCT NON-NULL long values of `child`, returned as an
+  * ascending array<long>. NULL inputs are skipped — a null hash is not
+  * a register value; both DuckDB oracle mirrors filter nulls the same
+  * way ([[graft.sketch.Kmv.oracleSql]]/`registersOracleSql`).
   *
   * This is the KMV/theta-sketch register builder (see
   * [[graft.sketch.Kmv]]) as a real bounded-state aggregate: O(k) memory
@@ -35,6 +38,14 @@ case class KMinDistinct(
   with UnaryLike[Expression] {
 
   require(k > 0, "k must be positive")
+
+  // a non-bigint child would pass analysis and then CCE at runtime in
+  // update(); fail it at analysis time instead (AbstractDataType /
+  // ExpectsInputTypes are private[sql], so check directly)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"k_min_distinct requires a BIGINT input, got ${child.dataType.sql}")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false

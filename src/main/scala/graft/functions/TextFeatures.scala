@@ -30,6 +30,28 @@ object TextFeatureKernels {
     java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** Spark lower() semantics (UTF8String.toLowerCase): locale-FREE
+    * byte-wise A-Z mapping when the string is pure ASCII, default-
+    * locale String.toLowerCase otherwise. Plain s.toLowerCase would
+    * diverge on tr/az-locale JVMs for ASCII 'I' (→ dotless ı).
+    */
+  private def lowerLikeSpark(s: String): String = {
+    var i = 0
+    var ascii = true
+    while (i < s.length) {
+      if (s.charAt(i) >= 0x80) { ascii = false; i = s.length } else i += 1
+    }
+    if (!ascii) return s.toLowerCase
+    val out = new Array[Char](s.length)
+    i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      out(i) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      i += 1
+    }
+    new String(out)
+  }
+
   /** Marker-hit counts per language, in [[langs]] order, plus token
     * and stopword counts — one tokenizer pass for everything.
     */
@@ -100,7 +122,7 @@ object TextFeatureKernels {
     val (nTok, nStop, _) = counts(s)
     // code-point counts mirror Spark length()/regexp_replace residue
     // counting (a non-matching surrogate pair is one code point)
-    val lowered = s.toLowerCase
+    val lowered = lowerLikeSpark(s)
     var nPunct = 0
     var i = 0
     while (i < lowered.length) {

@@ -54,7 +54,7 @@ object Budget {
       .filter(col("crops").contains(", IRRIGATED"))
       .select(col("source_desc"),
         regexp_replace(col("crops"), ", IRRIGATED", "").as("crops"),
-        col("location"), col("year").as("irr_year"),
+        col("location"), col("year"),
         col("total").as("irrigated"))
     // the reference merges on (source, crops, location) only because
     // getArea processes ONE year per call (src/budget.r:10,76-78);
@@ -62,9 +62,7 @@ object Budget {
     // and stays correct when a caller feeds multiple years at once
     filtered
       .filter(!col("crops").contains(", IRRIGATED"))
-      .join(irrigated
-        .withColumnRenamed("irr_year", "year"),
-        Seq("source_desc", "crops", "location", "year"), "left")
+      .join(irrigated, Seq("source_desc", "crops", "location", "year"), "left")
   }
 
   /** harvest<yr> output (src/budget.r:82-106): CENSUS preferred over

@@ -68,10 +68,15 @@ object Sampling {
     * upsampling), rate_s = target_s·scale / n_s — the binding source
     * keeps everything, the rest downsample deterministically via the
     * same hash coordinate as [[sampleFraction]]. Sources absent from
-    * `targets` are dropped (rate 0).
+    * `targets` are dropped (rate 0). Caveat: a TARGETED source with
+    * zero rows cannot constrain the scale (no count row exists), so
+    * the mixture silently proceeds without it — callers needing
+    * strict feasibility should validate per-source counts first.
     *
     * Scale shape: one tiny count aggregate, broadcast-joined back; the
     * filter is a pure per-row expression. Deterministic end to end.
+    * Output schema = input schema (internal rate/count columns are
+    * projected away).
     */
   def domainMix(df: DataFrame, keyCol: String, sourceCol: String,
       targets: Seq[(String, Double)]): DataFrame = {
@@ -85,13 +90,12 @@ object Sampling {
     val withScale = counts
       .withColumn("feasible", col("n_src").cast(DoubleType) / tgt)
       .agg(min(col("feasible")).as("scale"))
-    val rated = df
-      .join(broadcast(counts), Seq(sourceCol), "inner")
+    val rate =
+      least(lit(1.0), tgt * col("scale") / col("n_src").cast(DoubleType))
+    df.join(broadcast(counts), Seq(sourceCol), "inner")
       .crossJoin(broadcast(withScale))
-      .withColumn("rate",
-        least(lit(1.0), tgt * col("scale") / col("n_src").cast(DoubleType)))
-    rated.filter(coordinate(col(keyCol)) < col("rate"))
-      .drop("n_src", "scale")
+      .filter(coordinate(col(keyCol)) < rate)
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** DuckDB mirror of [[coordinate]] for oracle generation. */

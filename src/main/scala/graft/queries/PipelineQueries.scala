@@ -466,7 +466,7 @@ object PipelineQueries {
        |  AND doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin
   }
 
-  /** 32-bit SimHash fingerprints. */
+  /** 60-bit SimHash fingerprints (native kernel). */
   def qSimhash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"), Dedup.simhash(col("text")).as("simhash"))

@@ -33,8 +33,9 @@ object Kmv {
   val hashRange: Double = math.pow(2.0, 60)
 
   /** Per-group bounded sketch: (groupCols…, hs) with hs = the ≤k
-    * smallest distinct hashes, ascending. One aggregation shuffle,
-    * O(k) state — no global distinct, no window sort.
+    * smallest distinct NON-NULL hashes, ascending (a null value hashes
+    * to null and is not a register). One aggregation shuffle, O(k)
+    * state — no global distinct, no window sort.
     */
   def sketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
       k: Int): DataFrame =
@@ -107,7 +108,8 @@ object Kmv {
       valueExpr: String, k: Int): String = {
     val h = s"cast(('0x' || substr(md5(cast($valueExpr as varchar)), 1, 15)) as bigint)"
     val grp = groupCols.mkString(", ")
-    s"""WITH hashed AS (SELECT DISTINCT $grp, $h AS h FROM $table),
+    s"""WITH hashed AS (SELECT DISTINCT $grp, $h AS h FROM $table
+       |               WHERE $valueExpr IS NOT NULL),
        |topk AS (
        |  SELECT $grp, h,
        |    row_number() OVER (PARTITION BY $grp ORDER BY h ASC) AS rn
@@ -120,7 +122,8 @@ object Kmv {
       k: Int): String = {
     val h = s"cast(('0x' || substr(md5(cast($valueExpr as varchar)), 1, 15)) as bigint)"
     val grp = groupCols.mkString(", ")
-    s"""WITH hashed AS (SELECT DISTINCT $grp, $h AS h FROM $table),
+    s"""WITH hashed AS (SELECT DISTINCT $grp, $h AS h FROM $table
+       |               WHERE $valueExpr IS NOT NULL),
        |topk AS (
        |  SELECT $grp, h,
        |    row_number() OVER (PARTITION BY $grp ORDER BY h ASC) AS rn

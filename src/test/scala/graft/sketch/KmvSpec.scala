@@ -33,6 +33,16 @@ class KmvSpec extends SparkSpec {
     assert(regs.exceptAll(brute).isEmpty && brute.exceptAll(regs).isEmpty)
   }
 
+  test("null values are not registers (skipped, not a null row)") {
+    val df = (Seq.tabulate(20)(i => ("g", Option(s"v-$i"))) ++
+      Seq(("g", Option.empty[String]))).toDF("grp", "v")
+    val regs = Kmv.registers(df, Seq("grp"), "v", k = 64).collect()
+    assert(regs.length === 20)
+    assert(regs.forall(!_.isNullAt(1)))
+    val est = Kmv.estimateDistinct(df, Seq("grp"), "v", k = 64).head()
+    assert(est.getAs[Long]("n_regs") === 20L)
+  }
+
   test("KMV jaccard estimate tracks a planted 50% overlap") {
     val a = (1 to 8000).map(i => s"x-$i").toDF("v")
     val b = (4001 to 12000).map(i => s"x-$i").toDF("v")
