@@ -24,7 +24,8 @@ object PlanAudit {
       "q_scan_prune", "q_join_multi", "q_agg_group", "q_window_rank",
       "q_anti_join", "q_theta_bands", "q_minhash_pairs", "q_ann_topk",
       "q_ann_ivf", "q_embed_dup", "q_rollup_hier", "q_sessionize",
-      "q_corpus_pipeline", "q_dedup_apply", "q_kmv_distinct", "q_asof_join")
+      "q_corpus_pipeline", "q_dedup_apply", "q_kmv_distinct", "q_asof_join",
+      "q_seq_pack", "q_contam", "q_domain_mix", "q_repetition")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

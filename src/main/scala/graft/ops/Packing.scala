@@ -19,6 +19,13 @@ import org.apache.spark.sql.types._
   * sort-shuffle on the shard key; everything else is arithmetic on the
   * running sum. Deterministic: order inside a shard is `orderCol`,
   * so re-runs and other engines agree exactly.
+  *
+  * Shard granularity is the parallelism knob: a shard is one window
+  * partition, so a SKEWED shard (one source holding most of a 100 TB
+  * corpus) serializes its own packing. Pre-split giant sources into a
+  * composite shard key (e.g. `concat(source, '_', pmod(hash(id), k))`)
+  * — packs then restart per sub-shard, which is exactly the shard
+  * boundary a downstream writer wants anyway.
   */
 object Packing {
 

@@ -143,6 +143,25 @@ object EventStreams {
       // upstream docs frame (and to Dedup.exact's representatives)
       .drop("fp")
 
+  /** Streaming corpus gate — the incremental twin of the batch
+    * curation pipeline's filter+dedup prefix (queries.PipelineQueries
+    * qCorpusPipeline): language gate → quality gate → watermark-bounded
+    * exact dedup, composed as one incremental transform. The gate
+    * expressions are the same native one-pass kernels the batch path
+    * uses (graft.functions.LangIdExpr / QualityScoreExpr), so batch and
+    * streaming admit the SAME documents — the property the spec pins.
+    * State: only the dedup fingerprints within the watermark horizon
+    * (the stateless gates add none).
+    */
+  def corpusGateStream(docs: DataFrame, tsCol: String, textCol: String,
+      lang: String = "en", minQuality: Double = 0.65,
+      watermark: String = "1 hour"): DataFrame =
+    dedupStream(
+      docs.filter(
+        graft.text.TextAnalysis.langId(col(textCol)) === lang &&
+          graft.text.TextAnalysis.qualityScore(col(textCol)) >= minQuality),
+      tsCol, textCol, watermark)
+
   /** Incremental pipeline wiring: parquet source dir → windowed agg →
     * parquet sink with checkpoint. The streaming twin of the batch
     * hourly rollup.

@@ -73,6 +73,35 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.length.toLong === batchGroups)
   }
 
+  test("streaming corpus gate admits the same documents as the batch gate") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.{TextAnalysis => TA}
+    val docs = Seq(
+      (1L, ts(0), "the quick brown fox is with the lazy dog and the cat"),
+      (2L, ts(1), "el la de que los aqui algo mas"),             // not en
+      (3L, ts(2), "!!!! #### $$$$ %%%% ^^^^ &&&&"),              // low quality
+      (4L, ts(3), "THE  QUICK brown fox is with the lazy dog and the cat"),
+      (5L, ts(4), "the engine is built with care and the tests are with it too"))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val gated = EventStreams.corpusGateStream(
+      mem.toDF().toDF("doc_id", "ts", "text"), "ts", "text")
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("gate_out").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    val streamIds = spark.table("gate_out")
+      .select($"doc_id").as[Long].collect().toSet
+    q.stop()
+    // batch twin: same gate kernels + exact-dedup representatives
+    val batch = docs.toDF("doc_id", "ts", "text")
+      .filter(TA.langId($"text") === "en" && TA.qualityScore($"text") >= 0.65)
+    val batchIds = graft.dedup.Dedup.exact(batch, "doc_id", "text")
+      .select($"keep_id").as[Long].collect().toSet
+    assert(streamIds === batchIds)
+    assert(!streamIds.contains(2L) && !streamIds.contains(3L)) // gated out
+    assert(!streamIds.contains(4L))                            // dup of 1
+  }
+
   test("streaming sessionization matches batch semantics for closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
