@@ -75,28 +75,45 @@ object Kmv {
   /** Theta-style Jaccard/overlap estimate between the value sets of two
     * single-group DataFrames: join of two ≤k-row sketches. θ = the
     * smaller of the two kth-minimum normalized hashes; both sketches
-    * are truncated to hashes < θ and compared as exact sets below θ.
+    * are truncated to hashes ≤ θ and compared as exact sets below θ.
     * Output: 1 row (est_jaccard, est_intersection).
+    *
+    * ONE distributed plan, zero driver-side actions: the two bounded
+    * sketches (≤k rows each) full-outer-join on the hash, θ rides in
+    * from a crossed 1-row aggregate, and the estimate is a final
+    * single-row aggregation — so the caller composes it lazily like
+    * any other operator (the old form ran 4 separate jobs to fetch
+    * θ and the set counts to the driver).
     */
   def jaccardEstimate(a: DataFrame, b: DataFrame, valueCol: String,
       k: Int): DataFrame = {
-    val ra = registers(a.select(lit("a").as("g"), col(valueCol)), Seq("g"), valueCol, k)
-    val rb = registers(b.select(lit("b").as("g"), col(valueCol)), Seq("g"), valueCol, k)
-    val thetaA = ra.agg(max(col("h"))).head().getLong(0)
-    val thetaB = rb.agg(max(col("h"))).head().getLong(0)
-    val theta = math.min(thetaA, thetaB)
+    val ra = sketch(a.select(lit("a").as("g"), col(valueCol)), Seq("g"), valueCol, k)
+      .select(explode(col("hs")).as("h"), lit(true).as("in_a"))
+    val rb = sketch(b.select(lit("b").as("g"), col(valueCol)), Seq("g"), valueCol, k)
+      .select(explode(col("hs")).as("h"), lit(true).as("in_b"))
+    val theta = ra.agg(max(col("h")).as("tha"))
+      .crossJoin(rb.agg(max(col("h")).as("thb")))
+      .select(least(col("tha"), col("thb")).as("theta"))
     // exact set arithmetic below θ (hashes ≤ θ are a uniform sample of
     // the union); counts are integers, the estimate one division each
-    val sa = ra.filter(col("h") <= theta).select(col("h"))
-    val sb = rb.filter(col("h") <= theta).select(col("h"))
-    val inter = sa.intersect(sb).count().toDouble
-    val union = sa.union(sb).distinct().count().toDouble
-    val jac = if (union > 0) inter / union else 0.0
-    val nUnion = if (theta > 0) (union - 1).max(0.0) / (theta.toDouble / hashRange)
-      else 0.0
-    val spark = a.sparkSession
-    import spark.implicits._
-    Seq((jac, jac * nUnion)).toDF("est_jaccard", "est_intersection")
+    val joined = ra.join(rb, Seq("h"), "full_outer")
+      .crossJoin(broadcast(theta))
+      .filter(col("h") <= col("theta"))
+    joined.agg(
+      sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("n_inter"),
+      count(lit(1)).as("n_union"),
+      first(col("theta")).as("theta"))
+      .select(
+        when(col("n_union") > 0,
+          col("n_inter").cast(DoubleType) / col("n_union").cast(DoubleType))
+          .otherwise(lit(0.0)).as("est_jaccard"),
+        col("n_union"), col("theta"))
+      .select(col("est_jaccard"),
+        (col("est_jaccard") *
+          when(col("theta") > 0,
+            greatest(col("n_union").cast(DoubleType) - 1.0, lit(0.0)) /
+              (col("theta").cast(DoubleType) / hashRange))
+            .otherwise(lit(0.0))).as("est_intersection"))
   }
 
   /** DuckDB mirror of [[registers]] (same constants): the k smallest
