@@ -122,29 +122,36 @@ object Dedup {
   /** MinHash LSH candidate pairs: explode band keys, self-join within
     * buckets, dedup (a<b), then score by signature agreement.
     */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      w: Int = 3, fast: Boolean = false): DataFrame = {
-    // STAGED projections, not one nested expression: inlining
-    // bandKeys(minhashSignature(shingleHashes(…))) would make Catalyst
-    // re-expand the shingle hashing once per signature element and the
-    // signature once per band element — a 256× expression blowup
-    // (observed 309s → ~3s at sf0.1). Column references across Project
-    // nodes are evaluated once; CollapseProject keeps non-cheap exprs
-    // referenced more than once staged.
-    // widen BEFORE the md5+permutation map: a single-split input would
-    // otherwise run the whole signature pipeline on one core.
-    // persist the SIGNATURES (narrow: id + 16 longs), not the exploded
-    // buckets — the self-join recomputes the cheap band-key explode
-    // from the cached sigs on each side instead of storing 'bands'
-    // copies of every row, and the join partitioning is left to AQE:
-    // band buckets are tiny by construction (only near-dups collide),
-    // so AQE coalesces the shuffle at small scale and splits skew at
-    // large scale (an explicit repartition here cost 2-4× at sf0.1).
-    val sigs = graft.CacheRegistry.register(
+  /** Persisted (id, sig) MinHash signature frame of a corpus.
+    *
+    * STAGED projections, not one nested expression: inlining
+    * bandKeys(minhashSignature(shingleHashes(…))) would make Catalyst
+    * re-expand the shingle hashing once per signature element and the
+    * signature once per band element — a 256× expression blowup
+    * (observed 309s → ~3s at sf0.1). Column references across Project
+    * nodes are evaluated once; CollapseProject keeps non-cheap exprs
+    * referenced more than once staged.
+    * widen BEFORE the md5+permutation map: a single-split input would
+    * otherwise run the whole signature pipeline on one core.
+    * persist the SIGNATURES (narrow: id + 16 longs), not the exploded
+    * buckets — joins recompute the cheap band-key explode from the
+    * cached sigs on each side instead of storing 'bands' copies of
+    * every row, and the join partitioning is left to AQE: band buckets
+    * are tiny by construction (only near-dups collide), so AQE
+    * coalesces the shuffle at small scale and splits skew at large
+    * scale (an explicit repartition here cost 2-4× at sf0.1).
+    */
+  private def stagedSignatures(df: DataFrame, idCol: String, textCol: String,
+      w: Int, fast: Boolean): DataFrame =
+    graft.CacheRegistry.register(
       graft.ops.Parallelism.widen(df)
         .select(col(idCol).as("id"), shingleHashes(col(textCol), w, fast).as("grams"))
         .select(col("id"), minhashSignature(col("grams")).as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, fast: Boolean = false): DataFrame = {
+    val sigs = stagedSignatures(df, idCol, textCol, w, fast)
     val buckets = sigs
       .select(col("id"), col("sig"), explode(bandKeys(col("sig"))).as("bucket"))
     val a = buckets.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
@@ -345,6 +352,68 @@ object Dedup {
       // a pair agreeing in several tables surfaces once per table —
       // dedup after the (cheap, deterministic) scoring
       .distinct()
+  }
+
+  /** Cross-corpus MinHash-LSH candidate pairs: (incoming id_a,
+    * reference id_b) sharing a band bucket, scored by signature
+    * agreement — the two-sided variant of [[minhashCandidates]]
+    * (no `id_a < id_b` ordering filter: the sides are distinct
+    * corpora).
+    */
+  def minhashCandidatesAcross(incoming: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, w: Int = 3,
+      fast: Boolean = false): DataFrame = {
+    def banded(df: DataFrame, side: String) =
+      stagedSignatures(df, idCol, textCol, w, fast)
+        .select(col("id").as(s"id_$side"), col("sig").as(s"sig_$side"),
+          explode(bandKeys(col("sig"))).as("bucket"))
+    banded(incoming, "a").join(banded(reference, "b"), Seq("bucket"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          bool => bool)).cast(DoubleType) / minhashCoeffs.size)
+          .as("sig_agreement"))
+      .distinct()
+  }
+
+  /** Incremental dedup: drop from `incoming` every document that
+    * exact- or near-duplicates a document already in `reference` —
+    * the daily-ingest companion to [[dropNearDuplicates]] (which
+    * dedups a corpus against itself). Duplicates WITHIN the incoming
+    * batch are deliberately kept (compose [[dropNearDuplicates]] for
+    * that); the reference corpus is never modified, only probed.
+    *
+    * Same exact-first scale discipline as [[dropNearDuplicates]]:
+    * both sides collapse to one representative per normalized
+    * fingerprint before banding (a K-copy boilerplate cluster on
+    * either side would otherwise multiply bucket pairs), and a
+    * near-dropped representative drops every incoming doc sharing its
+    * fingerprint.
+    */
+  def dropDuplicatesAgainst(incoming: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, minAgreement: Double = 0.75,
+      fast: Boolean = false): DataFrame = {
+    val fp = TextAnalysis.fingerprintHex(col(textCol))
+    val incFp = graft.CacheRegistry.register(
+      incoming.withColumn("__fp", fp)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // exact stage: any incoming doc whose fingerprint exists in the
+    // reference is a duplicate — one distinct + anti-join on the fp
+    val refFps = reference.select(fp.as("__fp")).distinct()
+    val exactSurvivors = incFp.join(refFps, Seq("__fp"), "left_anti")
+    // near stage over representatives only
+    val incReps = exactSurvivors.join(
+      exactSurvivors.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol)),
+      Seq("__fp", idCol), "left_semi")
+    val refReps = reference.join(
+      exact(reference, idCol, textCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+    val dropFps = minhashCandidatesAcross(incReps, refReps, idCol, textCol,
+      fast = fast)
+      .filter(col("sig_agreement") >= minAgreement)
+      .select(col("id_a").as(idCol)).distinct()
+      .join(incReps.select(col(idCol), col("__fp")), Seq(idCol))
+      .select(col("__fp")).distinct()
+    exactSurvivors.join(dropFps, Seq("__fp"), "left_anti").drop("__fp")
   }
 
   /** Benchmark decontamination report: for every corpus document

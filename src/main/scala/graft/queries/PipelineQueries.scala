@@ -466,6 +466,55 @@ object PipelineQueries {
        |  AND doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin
   }
 
+  /** Incremental dedup: the odd-id half of the corpus ingested AGAINST
+    * the even-id half as the existing reference — survivors are
+    * incoming docs with no exact or near duplicate in the reference
+    * (in-batch duplicates deliberately kept).
+    */
+  def qDedupIncr(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.dropDuplicatesAgainst(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text")
+      .select(col("doc_id"), col("source"))
+  }
+
+  val qDedupIncrSql: String = {
+    def bandSelects(src: String, idOut: String) =
+      (0 until Dedup.bands).map { b =>
+        val key = (1 to Dedup.rowsPerBand)
+          .map(r => s"sig[${b * Dedup.rowsPerBand + r}]")
+          .mkString(s"'${b}' || '_' || ", " || '_' || ", "")
+        s"SELECT $idOut, sig, $key AS bucket FROM $src"
+      }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT doc_id, source, md5($normSql) AS fp, $toksSql AS toks
+       |           FROM documents),
+       |inc AS (SELECT * FROM t WHERE doc_id % 2 = 1),
+       |ref AS (SELECT * FROM t WHERE doc_id % 2 = 0),
+       |exsurv AS (
+       |  SELECT * FROM inc WHERE fp NOT IN (SELECT DISTINCT fp FROM ref)),
+       |increp AS (SELECT fp, min(doc_id) AS doc_id FROM exsurv GROUP BY 1),
+       |refrep AS (SELECT fp, min(doc_id) AS doc_id FROM ref GROUP BY 1),
+       |isg AS (
+       |  SELECT e.fp, ${shinglesSql("e.toks")} AS grams
+       |  FROM exsurv e JOIN increp USING (fp, doc_id)),
+       |rsg AS (
+       |  SELECT r.doc_id, ${shinglesSql("r.toks")} AS grams
+       |  FROM ref r JOIN refrep USING (fp, doc_id)),
+       |isigs AS (SELECT fp, ${minhashSql("grams")} AS sig FROM isg),
+       |rsigs AS (SELECT doc_id, ${minhashSql("grams")} AS sig FROM rsg),
+       |ibuckets AS (${bandSelects("isigs", "fp")}),
+       |rbuckets AS (${bandSelects("rsigs", "doc_id")}),
+       |dropfp AS (
+       |  SELECT DISTINCT a.fp
+       |  FROM ibuckets a JOIN rbuckets b ON a.bucket = b.bucket
+       |  WHERE len(list_filter(range(1, ${Dedup.minhashCoeffs.size} + 1),
+       |        i -> a.sig[i] = b.sig[i])) * 1.0 / ${Dedup.minhashCoeffs.size} >= 0.75)
+       |SELECT doc_id, source FROM exsurv
+       |WHERE fp NOT IN (SELECT fp FROM dropfp)""".stripMargin
+  }
+
   /** 60-bit SimHash fingerprints (native kernel). */
   def qSimhash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -870,6 +919,7 @@ object PipelineQueries {
     ("q_minhash_sig", qMinhashSig _, Some(qMinhashSigSql)),
     ("q_minhash_pairs", qMinhashPairs _, Some(qMinhashPairsSql)),
     ("q_dedup_apply", qDedupApply _, Some(qDedupApplySql)),
+    ("q_dedup_incr", qDedupIncr _, Some(qDedupIncrSql)),
     ("q_simhash", qSimhash _, Some(qSimhashSql)),
     ("q_simhash_pairs", qSimhashPairs _, Some(qSimhashPairsSql)),
     ("q_ngram_jaccard", qNgramJaccard _, Some(qNgramJaccardSql)),

@@ -136,6 +136,33 @@ class PipelineSpec extends SparkSpec {
     assert(out.forall(n => n != 100003L && n >= 100000L && n < 100050L))
   }
 
+  test("incremental dedup drops incoming docs that duplicate the reference") {
+    val reference = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank", "r"),
+      (11L, "content that lives only in the existing reference corpus", "r")
+    ).toDF("doc_id", "text", "source")
+    val incoming = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog near the river bank", "i"), // exact dup of 10
+      (21L, "THE QUICK brown fox jumps over the lazy dog near the river bank", "i"), // normalized dup of 10
+      (22L, "the quick brown fox jumps over the lazy dog near the river bend", "i"), // near dup of 10
+      (23L, "entirely novel incoming material about catalyst optimizer rules", "i"),
+      (24L, "entirely novel incoming material about catalyst optimizer rules", "i")  // in-batch dup: KEPT
+    ).toDF("doc_id", "text", "source")
+    val kept = Dedup.dropDuplicatesAgainst(incoming, reference, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    // exact (20), normalized (21), and near (22) duplicates drop; both
+    // copies of the novel doc survive (in-batch dedup is a separate op)
+    assert(kept === Set(23L, 24L))
+    // a cluster of reference copies must not explode candidate volume:
+    // the rep-level pairing bounds pairs by rep count, and results agree
+    val bigRef = reference.unionByName(
+      Seq.tabulate(500)(i => (100L + i, "boilerplate repeated verbatim in the reference forever and ever amen", "r"))
+        .toDF("doc_id", "text", "source"))
+    val kept2 = Dedup.dropDuplicatesAgainst(incoming, bigRef, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept2 === Set(23L, 24L))
+  }
+
   test("repetition ratio flags repeated phrases, not novel text") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam"),
