@@ -382,6 +382,50 @@ object PipelineQueries {
        |SELECT source, count(*) AS n_kept FROM kept GROUP BY 1""".stripMargin
   }
 
+  /** Per-source corpus profile — the curation dashboard aggregation:
+    * doc/token volume, mean quality and repetition (exact DECIMAL sums
+    * of the 6-dp-rounded scores, divided once at the end — no
+    * order-dependent double accumulation), and PII incidence.
+    */
+  def qCorpusProfile(s: SparkSession, d: String): DataFrame = {
+    import graft.text.{TextAnalysis => TA}
+    Tables.documents(s, d)
+      .select(col("source"),
+        TA.tokenCount(col("text")).as("toks"),
+        TA.qualityScore(col("text")).cast(DecimalType(10, 6)).as("q"),
+        TA.repetitionRatio(col("text")).cast(DecimalType(10, 6)).as("rr"),
+        (TA.piiCount(col("text")) > 0).cast(IntegerType).as("has_pii"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast(LongType).as("n_tokens"),
+        (sum(col("q")).cast(DoubleType) / count(lit(1))).as("mean_quality"),
+        (sum(col("rr")).cast(DoubleType) / count(lit(1))).as("mean_repetition"),
+        sum(col("has_pii")).cast(LongType).as("n_pii_docs"))
+  }
+
+  val qCorpusProfileSql: String = {
+    def q(pat: String) = pat.replace("'", "''")
+    val piiHits = TextAnalysis.piiPatterns.map { case (pat, _) =>
+      s"len(regexp_extract_all(text, '${q(pat)}'))"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT source, text, $toksSql AS toks FROM documents),
+       |f AS (
+       |  SELECT source, len(toks) AS n_toks,
+       |    cast(${qualityExprSql("toks", "text")} as decimal(10,6)) AS q,
+       |    cast(round(CASE WHEN greatest(len(toks) - 2, 0) > 0
+       |      THEN 1.0 - len(${shinglesSql("toks")}) * 1.0 / greatest(len(toks) - 2, 0)
+       |      ELSE 0.0 END, 6) as decimal(10,6)) AS rr,
+       |    CASE WHEN $piiHits > 0 THEN 1 ELSE 0 END AS has_pii
+       |  FROM t)
+       |SELECT source, count(*) AS n_docs,
+       |  cast(sum(n_toks) as bigint) AS n_tokens,
+       |  cast(sum(q) as double) / count(*) AS mean_quality,
+       |  cast(sum(rr) as double) / count(*) AS mean_repetition,
+       |  cast(sum(has_pii) as bigint) AS n_pii_docs
+       |FROM f GROUP BY 1""".stripMargin
+  }
+
   // --------------------------------------------------------------- dedup
 
   /** Exact dedup by content fingerprint. */
@@ -914,6 +958,7 @@ object PipelineQueries {
     ("q_seq_pack", qSeqPack _, Some(qSeqPackSql)),
     ("q_contam", qContam _, Some(qContamSql)),
     ("q_domain_mix", qDomainMix _, Some(qDomainMixSql)),
+    ("q_corpus_profile", qCorpusProfile _, Some(qCorpusProfileSql)),
     ("q_corpus_pipeline", qCorpusPipeline _, Some(qCorpusPipelineSql)),
     ("q_dedup_exact", qDedupExact _, Some(qDedupExactSql)),
     ("q_minhash_sig", qMinhashSig _, Some(qMinhashSigSql)),

@@ -93,4 +93,50 @@ class PropertySpec extends SparkSpec {
       graft.CacheRegistry.releaseAll()
     }
   }
+
+  // --------------------------------- packing partitions the token stream
+  test("law: pack spans tile each shard's token stream exactly") {
+    val rowGen = Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0, 300))
+    val rows = cases(rowGen, 300).zipWithIndex.map { case ((sh, n), i) =>
+      (i.toLong, s"shard$sh", n)
+    }
+    val out = graft.ops.Packing.packSequences(
+      rows.toDF("id", "shard", "n_tokens"), "shard", "id", "n_tokens", 128)
+      .select(col("shard"), col("id"), col("n_tokens"),
+        col("start_tok"), col("end_tok"), col("pack_first"), col("pack_last"))
+      .as[(String, Long, Int, Long, Long, Long, Long)].collect()
+    out.groupBy(_._1).values.foreach { shard =>
+      val sorted = shard.sortBy(_._2)
+      // spans are contiguous from 0 and cover the shard's total exactly
+      var expect = 0L
+      sorted.foreach { case (_, _, n, s0, e0, pf, pl) =>
+        assert(s0 === expect && e0 === s0 + n)
+        assert(pf === s0 / 128)
+        assert(pl === math.max(e0 - 1, s0) / 128)
+        expect = e0
+      }
+    }
+  }
+
+  // --------------------------------- domain mix: subset + monotone rates
+  test("law: domainMix output is a deterministic subset honoring rate order") {
+    import graft.ops.Sampling
+    val rows = cases(Gen.chooseNum(0, 5), 600).zipWithIndex.map {
+      case (s, i) => (i.toLong, s"s$s")
+    }
+    val df = rows.toDF("id", "src")
+    val targets = Seq("s0" -> 0.5, "s1" -> 0.3, "s2" -> 0.2)
+    val kept = Sampling.domainMix(df, "id", "src", targets)
+      .as[(Long, String)].collect().toSet
+    // subset of the input, only targeted sources
+    assert(kept.subsetOf(rows.toSet))
+    assert(kept.forall(r => targets.exists(_._1 == r._2)))
+    // output schema is exactly the input schema (no leaked columns)
+    assert(Sampling.domainMix(df, "id", "src", targets).columns.toSeq ===
+      Seq("id", "src"))
+    // determinism
+    val again = Sampling.domainMix(df, "id", "src", targets)
+      .as[(Long, String)].collect().toSet
+    assert(again === kept)
+  }
 }
