@@ -119,9 +119,6 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprintHex(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash LSH candidate pairs: explode band keys, self-join within
-    * buckets, dedup (a<b), then score by signature agreement.
-    */
   /** Persisted (id, sig) MinHash signature frame of a corpus.
     *
     * STAGED projections, not one nested expression: inlining
@@ -149,6 +146,9 @@ object Dedup {
         .select(col("id"), minhashSignature(col("grams")).as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** MinHash LSH candidate pairs: explode band keys, self-join within
+    * buckets, dedup (a<b), then score by signature agreement.
+    */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, fast: Boolean = false): DataFrame = {
     val sigs = stagedSignatures(df, idCol, textCol, w, fast)
@@ -397,9 +397,15 @@ object Dedup {
       incoming.withColumn("__fp", fp)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // exact stage: any incoming doc whose fingerprint exists in the
-    // reference is a duplicate — one distinct + anti-join on the fp
+    // reference is a duplicate — one distinct + anti-join on the fp.
+    // exactSurvivors is PERSISTED: it feeds the rep build (twice), the
+    // fp drop-mapping, and the final anti-join — without the cache the
+    // reference-corpus fingerprint scan+distinct would re-run per
+    // consumer (same discipline as dropNearDuplicates' reps cache)
     val refFps = reference.select(fp.as("__fp")).distinct()
-    val exactSurvivors = incFp.join(refFps, Seq("__fp"), "left_anti")
+    val exactSurvivors = graft.CacheRegistry.register(
+      incFp.join(refFps, Seq("__fp"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // near stage over representatives only
     val incReps = exactSurvivors.join(
       exactSurvivors.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol)),

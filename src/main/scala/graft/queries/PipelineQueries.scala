@@ -48,6 +48,18 @@ object PipelineQueries {
   private def inList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ",", ")")
 
+  /** DuckDB: one SELECT per LSH band, exploding table `src`'s
+    * (id, sig) rows into ($idOut, sig, bucket) — the single source of
+    * the band/row layout for every MinHash oracle.
+    */
+  private def bandSelectsSql(src: String, idOut: String): String =
+    (0 until Dedup.bands).map { b =>
+      val key = (1 to Dedup.rowsPerBand)
+        .map(r => s"sig[${b * Dedup.rowsPerBand + r}]")
+        .mkString(s"'${b}' || '_' || ", " || '_' || ", "")
+      s"SELECT $idOut, sig, $key AS bucket FROM $src"
+    }.mkString("\nUNION ALL\n")
+
   // -------------------------------------------------------- text analysis
 
   /** Token counting: whitespace tokens + BPE-ish subword estimate. */
@@ -227,12 +239,7 @@ object PipelineQueries {
   }
 
   val qCorpusPipelineSql: String = {
-    val bandSelects = (0 until Dedup.bands).map { b =>
-      val key = (1 to Dedup.rowsPerBand)
-        .map(r => s"sig[${b * Dedup.rowsPerBand + r}]")
-        .mkString(s"'${b}' || '_' || ", " || '_' || ", "")
-      s"SELECT doc_id, sig, $key AS bucket FROM sigs"
-    }.mkString("\nUNION ALL\n")
+    val bandSelects = bandSelectsSql("sigs", "doc_id")
     val u = graft.ops.Sampling.coordinateSql("doc_id")
     s"""WITH t0 AS (SELECT doc_id, source, n_chars, text, $toksSql AS toks
        |            FROM documents),
@@ -459,12 +466,7 @@ object PipelineQueries {
     Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text")
 
   val qMinhashPairsSql: String = {
-    val bandSelects = (0 until Dedup.bands).map { b =>
-      val key = (1 to Dedup.rowsPerBand)
-        .map(r => s"sig[${b * Dedup.rowsPerBand + r}]")
-        .mkString(s"'${b}' || '_' || ", " || '_' || ", "")
-      s"SELECT doc_id, sig, $key AS bucket FROM sigs"
-    }.mkString("\nUNION ALL\n")
+    val bandSelects = bandSelectsSql("sigs", "doc_id")
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |sh AS (SELECT doc_id, ${shinglesSql("toks")} AS grams FROM t),
        |sigs AS (SELECT doc_id, ${minhashSql("grams")} AS sig FROM sh),
@@ -484,12 +486,7 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"))
 
   val qDedupApplySql: String = {
-    val bandSelects = (0 until Dedup.bands).map { b =>
-      val key = (1 to Dedup.rowsPerBand)
-        .map(r => s"sig[${b * Dedup.rowsPerBand + r}]")
-        .mkString(s"'${b}' || '_' || ", " || '_' || ", "")
-      s"SELECT doc_id, sig, $key AS bucket FROM sigs"
-    }.mkString("\nUNION ALL\n")
+    val bandSelects = bandSelectsSql("sigs", "doc_id")
     // exact-dedup-first mirror of Dedup.dropNearDuplicates: collapse to
     // one min-id representative per normalized fingerprint, then run
     // MinHash-LSH over representatives only
@@ -525,13 +522,6 @@ object PipelineQueries {
   }
 
   val qDedupIncrSql: String = {
-    def bandSelects(src: String, idOut: String) =
-      (0 until Dedup.bands).map { b =>
-        val key = (1 to Dedup.rowsPerBand)
-          .map(r => s"sig[${b * Dedup.rowsPerBand + r}]")
-          .mkString(s"'${b}' || '_' || ", " || '_' || ", "")
-        s"SELECT $idOut, sig, $key AS bucket FROM $src"
-      }.mkString("\nUNION ALL\n")
     s"""WITH t AS (SELECT doc_id, source, md5($normSql) AS fp, $toksSql AS toks
        |           FROM documents),
        |inc AS (SELECT * FROM t WHERE doc_id % 2 = 1),
@@ -548,8 +538,8 @@ object PipelineQueries {
        |  FROM ref r JOIN refrep USING (fp, doc_id)),
        |isigs AS (SELECT fp, ${minhashSql("grams")} AS sig FROM isg),
        |rsigs AS (SELECT doc_id, ${minhashSql("grams")} AS sig FROM rsg),
-       |ibuckets AS (${bandSelects("isigs", "fp")}),
-       |rbuckets AS (${bandSelects("rsigs", "doc_id")}),
+       |ibuckets AS (${bandSelectsSql("isigs", "fp")}),
+       |rbuckets AS (${bandSelectsSql("rsigs", "doc_id")}),
        |dropfp AS (
        |  SELECT DISTINCT a.fp
        |  FROM ibuckets a JOIN rbuckets b ON a.bucket = b.bucket
