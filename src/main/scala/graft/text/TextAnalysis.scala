@@ -175,12 +175,19 @@ object TextAnalysis {
 
   /** Builtin-composed twin of [[langId]], kept as the kernel's spec
     * cross-check (and the form the oracle SQL mirrors).
+    *
+    * Null-propagating like the kernel: without the isNull guard the
+    * when-chain's null score comparisons would fall through to the
+    * 'und' default, so the twins would disagree on null text (NULL vs
+    * 'und') for any caller grouping by language even though gate
+    * FILTERS behave identically (both fail `=== lang`).
     */
   private[graft] def langIdComposed(text: Column): Column = {
     val scores = langMarkers.map { case (lang, ms) => lang -> langScore(text, ms) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+    val composed = scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
       when(s === best && best > 0, lit(lang)).otherwise(acc)
     }
+    when(text.isNull, lit(null).cast("string")).otherwise(composed)
   }
 }
