@@ -278,17 +278,19 @@ object Dedup {
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       minAgreement: Double = 0.75, fast: Boolean = false): DataFrame = {
-    val repIds = graft.CacheRegistry.register(
-      exact(df, idCol, textCol)
-        .select(col("keep_id").as(idCol))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // persist the representative DOCS too: they feed both signature
-    // generation and the final anti-join base, and the upstream of df
-    // is often an expensive gate (the corpus pipeline's lang+quality
-    // filter) — without the cache it would be re-evaluated per
-    // consumer. Upstream runs exactly twice (exact() + this build).
+    // representative rows in ONE aggregation: min_by(full row, id) per
+    // normalized fingerprint is the same row set as the old
+    // exact()+left_semi pair (min id per content group, ids unique by
+    // contract) but evaluates the upstream of df — often an expensive
+    // gate, e.g. the corpus pipeline's lang+quality filter — ONCE
+    // instead of twice, and replaces an agg+join with a single agg.
+    // Persisted: reps feed both signature generation and the final
+    // anti-join base.
     val reps = graft.CacheRegistry.register(
-      df.join(repIds, Seq(idCol), "left_semi")
+      df.groupBy(TextAnalysis.fingerprintHex(col(textCol)).as("__fp"))
+        .agg(min_by(struct(df.columns.map(col).toIndexedSeq: _*),
+          col(idCol)).as("__rep"))
+        .select(col("__rep.*"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val drops = minhashCandidates(reps, idCol, textCol, fast = fast)
       .filter(col("sig_agreement") >= minAgreement)
@@ -396,27 +398,37 @@ object Dedup {
     val incFp = graft.CacheRegistry.register(
       incoming.withColumn("__fp", fp)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // exact stage: any incoming doc whose fingerprint exists in the
-    // reference is a duplicate — one distinct + anti-join on the fp.
-    // exactSurvivors is PERSISTED: it feeds the rep build (twice), the
-    // fp drop-mapping, and the final anti-join — without the cache the
-    // reference-corpus fingerprint scan+distinct would re-run per
-    // consumer (same discipline as dropNearDuplicates' reps cache)
-    val refFps = reference.select(fp.as("__fp")).distinct()
-    val exactSurvivors = graft.CacheRegistry.register(
-      incFp.join(refFps, Seq("__fp"), "left_anti")
+    // ONE cached fingerprint aggregation of the reference serves both
+    // exact stages: its fp column is already distinct (it's the groupBy
+    // key) and min_by carries the representative's id AND text, so the
+    // reference corpus is scanned — and its normalize+md5 map, the
+    // expensive stage at 100 TB, evaluated — exactly once, where the
+    // old shape paid a distinct-fp scan, a second fingerprint scan
+    // inside exact(), and a join back for the rep text.
+    val refExact = graft.CacheRegistry.register(
+      reference.groupBy(fp.as("__fp"))
+        .agg(min(col(idCol)).as(idCol),
+          min_by(col(textCol), col(idCol)).as(textCol))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // near stage over representatives only
-    val incReps = exactSurvivors.join(
-      exactSurvivors.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol)),
-      Seq("__fp", idCol), "left_semi")
-    val refReps = reference.join(
-      exact(reference, idCol, textCol).select(col("keep_id").as(idCol)),
-      Seq(idCol), "left_semi")
+    // exact stage: any incoming doc whose fingerprint exists in the
+    // reference is a duplicate — anti-join on the fp.
+    // exactSurvivors is PERSISTED: it feeds the rep build, the fp
+    // drop-mapping, and the final anti-join — without the cache the
+    // incoming fingerprint scan + anti-join would re-run per consumer
+    // (same discipline as dropNearDuplicates' reps cache)
+    val exactSurvivors = graft.CacheRegistry.register(
+      incFp.join(refExact.select(col("__fp")), Seq("__fp"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // near stage over representatives only — same one-agg min_by shape
+    val incReps = exactSurvivors
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as(idCol),
+        min_by(col(textCol), col(idCol)).as(textCol))
+    val refReps = refExact.select(col(idCol), col(textCol))
     val dropFps = minhashCandidatesAcross(incReps, refReps, idCol, textCol,
       fast = fast)
       .filter(col("sig_agreement") >= minAgreement)
-      .select(col("id_a").as(idCol)).distinct()
+      .select(col("id_a").as(idCol))
       .join(incReps.select(col(idCol), col("__fp")), Seq(idCol))
       .select(col("__fp")).distinct()
     exactSurvivors.join(dropFps, Seq("__fp"), "left_anti").drop("__fp")
