@@ -356,6 +356,49 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicate CLUSTERS: every document labeled with the min doc id of
+    * its transitive near-duplicate component — pairs alone under-dedup
+    * (A≈B, B≈C but A̸≈C leaves two of the three after greedy pair
+    * dropping picks badly), so production dedup keeps one representative
+    * per CONNECTED COMPONENT of the near-dup graph.
+    *
+    * Pipeline: exact-first representative per normalized fingerprint
+    * (same min_by shape as [[dropNearDuplicates]]) → MinHash-LSH
+    * candidate edges over representatives (≥ minAgreement) →
+    * [[graft.ops.ConnectedComponents]] over the rep graph → every
+    * document inherits its representative's component. Exact copies
+    * share a representative and therefore a cluster; documents with no
+    * near-duplicate form singleton clusters labeled by their own
+    * representative.
+    *
+    * Scale shape: the only data-sized stages are the fingerprint
+    * aggregation and the banded candidate join (both shared with the
+    * dedup family); the CC loop runs on the EDGE list — near-dup pairs,
+    * orders of magnitude smaller than the corpus — for O(log diameter)
+    * rounds.
+    */
+  def duplicateClusters(df: DataFrame, idCol: String, textCol: String,
+      minAgreement: Double = 0.75, fast: Boolean = false): DataFrame = {
+    val fp = TextAnalysis.fingerprintHex(col(textCol))
+    val docFp = graft.CacheRegistry.register(
+      df.select(col(idCol), fp.as("__fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val reps = graft.CacheRegistry.register(
+      df.groupBy(fp.as("__fp"))
+        .agg(min(col(idCol)).as(idCol),
+          min_by(col(textCol), col(idCol)).as(textCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val edges = minhashCandidates(reps, idCol, textCol, fast = fast)
+      .filter(col("sig_agreement") >= minAgreement)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comps = graft.ops.ConnectedComponents.run(
+      reps.select(col(idCol).as("id")), edges)
+    docFp
+      .join(reps.select(col("__fp"), col(idCol).as("__rep")), Seq("__fp"))
+      .join(comps, col("__rep") === comps("id"))
+      .select(col(idCol), col("component").as("cluster_id"))
+  }
+
   /** Cross-corpus MinHash-LSH candidate pairs: (incoming id_a,
     * reference id_b) sharing a band bucket, scored by signature
     * agreement — the two-sided variant of [[minhashCandidates]]

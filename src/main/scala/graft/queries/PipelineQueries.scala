@@ -507,6 +507,48 @@ object PipelineQueries {
        |  AND doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin
   }
 
+  /** Duplicate clustering: every document labeled with the min doc id
+    * of its transitive near-duplicate component (exact-first reps →
+    * LSH edges → connected components → docs inherit their rep's
+    * component; singletons label themselves).
+    */
+  def qDupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.duplicateClusters(Tables.documents(s, d), "doc_id", "text")
+
+  val qDupClustersSql: String = {
+    val bandSelects = bandSelectsSql("sigs", "doc_id")
+    // transitive closure over the (tiny) near-dup edge list via a
+    // recursive UNION — set semantics dedups across iterations, so the
+    // recursion terminates on the cyclic symmetrized graph. All values
+    // are BIGINT doc ids (engine-version-proof).
+    s"""WITH RECURSIVE reps AS (
+       |  SELECT md5($normSql) AS fp, min(doc_id) AS doc_id
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT doc_id, $toksSql AS toks FROM documents
+       |      WHERE doc_id IN (SELECT doc_id FROM reps)),
+       |sh AS (SELECT doc_id, ${shinglesSql("toks")} AS grams FROM t),
+       |sigs AS (SELECT doc_id, ${minhashSql("grams")} AS sig FROM sh),
+       |buckets AS ($bandSelects),
+       |edges AS (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  WHERE len(list_filter(range(1, ${Dedup.minhashCoeffs.size} + 1),
+       |        i -> a.sig[i] = b.sig[i])) * 1.0 / ${Dedup.minhashCoeffs.size} >= 0.75),
+       |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst),
+       |comp AS (
+       |  SELECT src AS id, least(src, min(dst)) AS component
+       |  FROM reach GROUP BY src),
+       |m AS (
+       |  SELECT d.doc_id, r.doc_id AS rep
+       |  FROM documents d JOIN reps r ON md5($normSql) = r.fp)
+       |SELECT m.doc_id, coalesce(c.component, m.rep) AS cluster_id
+       |FROM m LEFT JOIN comp c ON c.id = m.rep""".stripMargin
+  }
+
   /** Incremental dedup: the odd-id half of the corpus ingested AGAINST
     * the even-id half as the existing reference — survivors are
     * incoming docs with no exact or near duplicate in the reference
@@ -959,6 +1001,7 @@ object PipelineQueries {
     ("q_minhash_sig", qMinhashSig _, Some(qMinhashSigSql)),
     ("q_minhash_pairs", qMinhashPairs _, Some(qMinhashPairsSql)),
     ("q_dedup_apply", qDedupApply _, Some(qDedupApplySql)),
+    ("q_dup_clusters", qDupClusters _, Some(qDupClustersSql)),
     ("q_dedup_incr", qDedupIncr _, Some(qDedupIncrSql)),
     ("q_simhash", qSimhash _, Some(qSimhashSql)),
     ("q_simhash_pairs", qSimhashPairs _, Some(qSimhashPairsSql)),
