@@ -705,6 +705,46 @@ object PipelineQueries {
     graft.sketch.CountMin.groupedTokenOracleSql(
       "documents", "text", "source", w = 256, topN = 10)
 
+  /** TF-IDF cosine similar-pairs over a df-capped vocabulary:
+    * fixed-point weights → exact decimal dots/norms → one rounded
+    * double division per pair (see [[graft.sim.TfIdf]]).
+    */
+  def qTfidfPairs(s: SparkSession, d: String): DataFrame =
+    graft.sim.TfIdf.similarPairs(Tables.documents(s, d), "doc_id", "text",
+      threshold = 0.3, maxDf = 100)
+
+  val qTfidfPairsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, u.tok FROM documents, unnest($toksSql) AS u(tok)),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |nd AS (SELECT count(*) AS n FROM documents),
+       |vocab AS (
+       |  SELECT tok, count(*) AS df_t FROM tf GROUP BY 1
+       |  HAVING count(*) <= 100),
+       |w AS (
+       |  SELECT doc_id, tok,
+       |    cast(floor(tf * round(ln((n + 1.0) / (df_t + 1.0)) + 1.0, 6)
+       |      * 1000000 + 0.5) as bigint) AS w
+       |  FROM tf JOIN vocab USING (tok) CROSS JOIN nd),
+       |nrm AS (
+       |  SELECT doc_id,
+       |    sum(cast(w as decimal(38,0)) * cast(w as decimal(38,0))) AS n2
+       |  FROM w GROUP BY 1),
+       |dots AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    sum(cast(a.w as decimal(38,0)) * cast(b.w as decimal(38,0))) AS dot
+       |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    round(cast(dot as double) /
+       |      (sqrt(cast(na.n2 as double)) * sqrt(cast(nb.n2 as double))), 6)
+       |      AS cos_sim
+       |  FROM dots
+       |  JOIN nrm na ON na.doc_id = id_a
+       |  JOIN nrm nb ON nb.doc_id = id_b)
+       |SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.3""".stripMargin
+
   // ---------------------------------------------------------- similarity
 
   /** Brute-force cosine top-3 for a small query set (vec_id < 8). */
@@ -1006,6 +1046,7 @@ object PipelineQueries {
     ("q_simhash", qSimhash _, Some(qSimhashSql)),
     ("q_simhash_pairs", qSimhashPairs _, Some(qSimhashPairsSql)),
     ("q_ngram_jaccard", qNgramJaccard _, Some(qNgramJaccardSql)),
+    ("q_tfidf_pairs", qTfidfPairs _, Some(qTfidfPairsSql)),
     ("q_ann_topk", qAnnTopK _, Some(qAnnTopKSql)),
     ("q_ann_lsh", qAnnLsh _, Some(qAnnLshSql)),
     ("q_ann_ivf", qAnnIvf _, Some(qAnnIvfSql)),
