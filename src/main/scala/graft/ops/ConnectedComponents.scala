@@ -14,18 +14,19 @@ import org.apache.spark.storage.StorageLevel
   * Every vertex starts labeled with its own id; each round it takes the
   * minimum label over itself and its neighbors (one join + one
   * aggregation on the symmetrized edge list), then compresses paths by
-  * re-reading its label's label (one self-join). Pointer jumping halves
+  * re-reading its new label's label in the previous round's table (one
+  * join against the already-materialized frame). Pointer jumping halves
   * label-tree depth per round, so convergence takes O(log diameter)
   * rounds, not O(diameter) — the difference between 5 and 5,000 rounds
   * on a chain-shaped component.
   *
   * Scale shape: per round, one shuffle join of edges against labels,
-  * one min-aggregation, and one labels-to-labels join — all keyed
-  * shuffles AQE can size; no driver-side data beyond a two-long
+  * one min-aggregation, and one propagated-to-labels jump join — all
+  * keyed shuffles AQE can size; no driver-side data beyond a two-long
   * convergence aggregate per round. Each round's label frame is
-  * localCheckpoint-ed EAGERLY: the pointer-jump self-join references
-  * the previous frame twice, so without lineage truncation the logical
-  * plan doubles per round (observed: a 400 MB plan string by round 8 —
+  * localCheckpoint-ed (lazily — the convergence aggregate is the
+  * materializing action, so a round runs exactly one job): without
+  * lineage truncation the logical plan doubles per round (observed: a 400 MB plan string by round 8 —
   * analysis cost, not data, becomes the bottleneck); with it, every
   * round analyzes a constant-size plan over the previous round's RDD.
   * Superseded checkpoint storage is unpinned by the ContextCleaner once
@@ -42,7 +43,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
-  /** @param vertices one column `idCol`, one row per vertex (vertices
+  /** The iterative loop runs ONLY over edge-incident vertices: in a
+    * dedup corpus the near-dup subgraph is orders of magnitude smaller
+    * than the vertex set, and every round's shuffles should be sized by
+    * the former. Vertices with no edges never change label, so they are
+    * attached as singleton components with ONE left join after the
+    * fixpoint instead of riding every round.
+    *
+    * @param vertices one column `idCol`, one row per vertex (vertices
     *                 with no edges come out as their own singleton
     *                 component)
     * @param edges    columns `srcCol`, `dstCol`; undirected (symmetrized
@@ -70,10 +78,11 @@ object ConnectedComponents {
     def labelSum(df: DataFrame): Any =
       df.agg(sum(col("component").cast("decimal(38,0)"))).head().get(0)
 
-    var labels = vertices
-      .select(col(idCol).as("id"), col(idCol).as("component"))
-      .localCheckpoint(true)
-    var prevSum = labelSum(labels)
+    // sym carries both directions, so src alone covers every endpoint
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(false)
+    var prevSum = labelSum(labels) // materializes the lazy checkpoint
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -88,21 +97,30 @@ object ConnectedComponents {
           least(col("component"),
             coalesce(col("nbr_component"), col("component")))
             .as("component"))
-      // pointer jumping: component'(v) = component(component(v)) —
-      // labels are always existing vertex ids, and a vertex's label is
-      // ≤ its id, so the jump is well-defined and non-increasing.
-      // EAGER localCheckpoint: truncates lineage (see scale note above)
-      // and materializes in one step.
+      // pointer jumping through the PREVIOUS round's labels:
+      // component'(v) = min(prop(v), labels(prop(v))). Jumping through
+      // `labels` instead of `propagated` keeps the same fixpoint (all
+      // values are vertex ids of the same component and labels are
+      // non-increasing, so the combined operator is still monotone with
+      // label-prop's fixpoint) while referencing `propagated` ONCE —
+      // a self-join on the uncached frame would recompute the whole
+      // propagation a second time every round.
+      // LAZY localCheckpoint: the labelSum action right below is the
+      // materializer, so each round runs exactly one job; lineage is
+      // still truncated before the next round reads the frame.
       val jumped = propagated.as("l")
-        .join(propagated.select(col("id").as("jid"),
+        .join(labels.select(col("id").as("jid"),
           col("component").as("jcomponent")).as("j"),
           col("l.component") === col("j.jid"), "left")
         .select(col("l.id").as("id"),
-          coalesce(col("jcomponent"), col("l.component")).as("component"))
-        .localCheckpoint(true)
+          least(col("l.component"),
+            coalesce(col("jcomponent"), col("l.component")))
+            .as("component"))
+        .localCheckpoint(false)
       // one tiny driver-side aggregate per round detects the fixpoint
       // (labels are non-increasing, so an unchanged sum means no label
-      // moved)
+      // moved) — and, being the first action, materializes the
+      // checkpoint
       val s = labelSum(jumped)
       converged = s == prevSum
       prevSum = s
@@ -112,6 +130,10 @@ object ConnectedComponents {
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxRounds rounds")
-    labels
+    // edge-free vertices are their own singleton component
+    vertices.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("component"), col("id")).as("component"))
   }
 }
