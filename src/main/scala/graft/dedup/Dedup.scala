@@ -323,11 +323,13 @@ object Dedup {
       dim: Int = 64): DataFrame = {
     import graft.sim.Ann
     // table t draws planes [t*numPlanes, (t+1)*numPlanes) from the
-    // shared deterministic hyperplane sequence
-    val tableKeys = (0 until numTables).map { t =>
-      val planes = (0 until numPlanes).map(i => Ann.hyperplane(t * numPlanes + i, dim))
-      concat_ws("_", lit(t), Ann.lshKey(col(vecCol), planes))
-    }
+    // shared deterministic hyperplane sequence; ALL tables' keys come
+    // from one SignBuckets kernel call — the hyperplane matrix rides as
+    // a reference object instead of numTables·numPlanes·dim literal
+    // nodes the optimizer would re-chew every run
+    val allPlanes = (0 until numTables * numPlanes).map(Ann.hyperplane(_, dim))
+    val tableKeyArray = graft.functions.TextHashes.sign_buckets(
+      col(vecCol), allPlanes, numTables, withPrefix = true)
     // bucket keys AND norm staged once per vector in the persisted
     // projection — the pairwise stage then does a single dot fold per
     // candidate (norms per pair would triple the interpreted fold
@@ -336,7 +338,7 @@ object Dedup {
     val keyed = graft.CacheRegistry.register(
       graft.ops.Parallelism.widen(df)
         .select(col(idCol).as("id"), col(vecCol).as("vec"),
-          array(tableKeys: _*).as("buckets"),
+          tableKeyArray.as("buckets"),
           Ann.norm(col(vecCol)).as("nrm"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       .select(col("id"), col("vec"), col("nrm"),

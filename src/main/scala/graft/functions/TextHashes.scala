@@ -155,6 +155,55 @@ object HashKernels {
     }
     acc
   }
+
+  /** All sign-random-projection bucket keys of a vector in one pass —
+    * the kernel twin of building each table key as
+    * concat_ws("_", t, concat(when(dotFold(vec, plane_i) >= 0, "1")
+    * .otherwise("0") …)). `planes` is the row-major flattened
+    * [numTables·planesPerTable, dim] hyperplane matrix; table t's key
+    * uses plane rows [t·planesPerTable, (t+1)·planesPerTable).
+    *
+    * Null/edge parity with the composed form: a null vector, a
+    * dimension mismatch, or a null element makes every per-plane dot
+    * null, and `when(null >= 0, …).otherwise("0")` yields '0' — so the
+    * key degrades to the all-zeros pattern rather than null, exactly
+    * as the builtin chain does.
+    */
+  def signBuckets(vec: ArrayData, vecFloat: Boolean, planes: Array[Double],
+      numTables: Int, planesPerTable: Int, dim: Int,
+      withPrefix: Boolean): ArrayData = {
+    val out = new Array[UTF8String](numTables)
+    val sb = new java.lang.StringBuilder
+    var t = 0
+    while (t < numTables) {
+      sb.setLength(0)
+      if (withPrefix) { sb.append(t); sb.append('_') }
+      var j = 0
+      while (j < planesPerTable) {
+        val base = (t * planesPerTable + j) * dim
+        val d = dotRow(vec, vecFloat, planes, base, dim)
+        sb.append(if (d != null && d.doubleValue() >= 0.0) '1' else '0')
+        j += 1
+      }
+      out(t) = UTF8String.fromString(sb.toString)
+      t += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  private def dotRow(vec: ArrayData, vecFloat: Boolean, planes: Array[Double],
+      base: Int, dim: Int): java.lang.Double = {
+    if (vec == null || vec.numElements() != dim) return null
+    var acc = 0.0
+    var i = 0
+    while (i < dim) {
+      if (vec.isNullAt(i)) return null
+      val x = if (vecFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      acc += x * planes(base + i)
+      i += 1
+    }
+    acc
+  }
 }
 
 /** array<long> of distinct hashed word w-shingles of a text column. */
@@ -254,6 +303,53 @@ case class DotFold(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** array<string> of per-table sign-projection bucket keys for a vector
+  * column. The hyperplane matrix rides along as a plain reference
+  * object, NOT as literal child expressions — the composed form inlines
+  * numTables·planesPerTable·dim literal nodes (2,304 doubles at the
+  * 3×12×64 near-dup config) into the plan, and Catalyst re-analyzes,
+  * re-optimizes, and re-codegens all of them on every run; this node
+  * keeps the plan O(1) regardless of the plane count.
+  *
+  * Null vector → null (standard unary null propagation); callers
+  * wanting the composed chain's all-zeros degradation for null vectors
+  * coalesce with the static zero-pattern keys — [[TextHashes.sign_buckets]]
+  * does exactly that, so the column-level twin is total.
+  */
+case class SignBuckets(child: Expression, planes: Seq[Double],
+    numTables: Int, planesPerTable: Int, dim: Int, withPrefix: Boolean)
+    extends UnaryExpression {
+  require(planes.length == numTables * planesPerTable * dim,
+    "planes must be the row-major [numTables*planesPerTable, dim] matrix")
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"SignBuckets needs an array<float|double> input, got $t")
+  }
+  @transient private lazy val vFloat = isFloat
+  @transient private lazy val planeArr = planes.toArray
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.signBuckets(input.asInstanceOf[ArrayData],
+      vFloat, planeArr, numTables, planesPerTable, dim, withPrefix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("signPlanes", planeArr, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.HashKernels.signBuckets(
+         |  $c, $vFloat, $pRef, $numTables, $planesPerTable, $dim, $withPrefix);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignBuckets =
+    copy(child = newChild)
+}
+
 object TextHashes {
   def shingle_hashes(text: Column, w: Int, p: Long): Column =
     Bridge.toColumn(ShingleHashes(Bridge.toExpression(text), w, p))
@@ -267,4 +363,26 @@ object TextHashes {
 
   def sim_hash(text: Column, bits: Int): Column =
     Bridge.toColumn(SimHashExpr(Bridge.toExpression(text), bits))
+
+  /** All sign-projection bucket keys of `vec` in one kernel call.
+    * `planes` holds `numTables·planesPerTable` rows of length `dim`
+    * (row-major). A null vector degrades to the all-zeros key pattern —
+    * the same value the composed when/otherwise chain produces — so the
+    * result is never null.
+    */
+  def sign_buckets(vec: Column, planes: Seq[Seq[Double]], numTables: Int,
+      withPrefix: Boolean): Column = {
+    require(planes.nonEmpty && numTables > 0 && planes.length % numTables == 0,
+      "planes must split evenly across tables")
+    val perTable = planes.length / numTables
+    val dim = planes.head.length
+    val kernel = Bridge.toColumn(SignBuckets(Bridge.toExpression(vec),
+      planes.flatten, numTables, perTable, dim, withPrefix))
+    val zeros = "0" * perTable
+    val zeroKeys = (0 until numTables).map(t =>
+      org.apache.spark.sql.functions.lit(
+        if (withPrefix) s"${t}_$zeros" else zeros))
+    org.apache.spark.sql.functions.coalesce(kernel,
+      org.apache.spark.sql.functions.array(zeroKeys: _*))
+  }
 }

@@ -88,12 +88,15 @@ object Ann {
       (x.toDouble / 1009.0) * 2.0 - 1.0
     }
 
-  /** Sign-pattern bucket key over h hyperplanes. */
+  /** Sign-pattern bucket key over h hyperplanes — one SignBuckets
+    * kernel call (plan stays O(1) in h·dim; the old per-plane
+    * when(dot(vec, array(lit…)) >= 0, …) chain inlined h·dim literal
+    * nodes). Null vector degrades to the all-zeros key, exactly like
+    * the composed chain.
+    */
   def lshKey(vec: Column, planes: Seq[Seq[Double]]): Column =
-    concat_ws("", planes.map { p =>
-      val proj = dot(vec, array(p.map(lit): _*))
-      when(proj >= 0, lit("1")).otherwise(lit("0"))
-    }: _*)
+    element_at(
+      graft.functions.TextHashes.sign_buckets(vec, planes, 1, withPrefix = false), 1)
 
   /** IVF-Flat approximate top-k — the inverted-file scale path: the
     * corpus is PARTITIONED into `nlist` cells (each vector assigned to

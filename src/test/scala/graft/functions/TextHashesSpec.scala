@@ -97,6 +97,44 @@ class TextHashesSpec extends SparkSpec {
     assert(diff2.count() === 0)
   }
 
+  test("SignBuckets kernel equals the composed per-plane sign chain") {
+    import graft.sim.Ann
+    val numTables = 3
+    val numPlanes = 12
+    val dim = 64
+    val allPlanes = (0 until numTables * numPlanes).map(Ann.hyperplane(_, dim))
+    // the pre-kernel composed form: per table, a concat of
+    // when(dotFold >= 0) signs, prefixed with the table index
+    def composed(vec: Column): Column = array((0 until numTables).map { t =>
+      val signs = (0 until numPlanes).map { i =>
+        val p = allPlanes(t * numPlanes + i)
+        when(TextHashes.dot_fold(vec, array(p.map(lit): _*)) >= 0, lit("1"))
+          .otherwise(lit("0"))
+      }
+      concat_ws("_", lit(t), concat(signs: _*))
+    }: _*)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val diff = emb.select(
+      TextHashes.sign_buckets($"embedding", allPlanes, numTables,
+        withPrefix = true).as("k"),
+      composed($"embedding").as("b"))
+      .filter(not($"k" <=> $"b"))
+    assert(diff.count() === 0)
+    // null vector and wrong-dimension vector both degrade to the
+    // all-zeros pattern in BOTH forms (null dot falls through to '0')
+    val edge = Seq(
+      (1L, null.asInstanceOf[Array[Float]]),
+      (2L, Array(1.0f, -2.0f))).toDF("id", "embedding")
+    val edgeRows = edge.select(
+      TextHashes.sign_buckets($"embedding", allPlanes, numTables,
+        withPrefix = true).as("k"),
+      composed($"embedding").as("b")).collect()
+    edgeRows.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+      assert(r.getSeq[String](0) === (0 until numTables).map(t => s"${t}_" + "0" * numPlanes))
+    }
+  }
+
   test("kernels behave on edge inputs: null text, empty arrays") {
     val df = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("id", "text")
     val out = df.select(
