@@ -11,14 +11,16 @@ import org.apache.spark.storage.StorageLevel
   * linked only through intermediates).
   *
   * Algorithm: iterative min-label propagation with pointer jumping.
-  * Every vertex starts labeled with its own id; each round it takes the
-  * minimum label over itself and its neighbors (one join + one
-  * aggregation on the symmetrized edge list), then compresses paths by
-  * re-reading its new label's label in the previous round's table (one
-  * join against the already-materialized frame). Pointer jumping halves
-  * label-tree depth per round, so convergence takes O(log diameter)
-  * rounds, not O(diameter) — the difference between 5 and 5,000 rounds
-  * on a chain-shaped component.
+  * Every vertex starts labeled with min(itself, its neighbors) — the
+  * first propagation folded into the same shuffle that enumerates the
+  * vertex set; each round it then takes the minimum label over itself
+  * and its neighbors (one join + one min-aggregation over the union
+  * with the self rows), and compresses paths by re-reading its new
+  * label's label in the previous round's table (one join against the
+  * already-materialized frame). Pointer jumping halves label-tree depth
+  * per round, so convergence takes O(log diameter) rounds, not
+  * O(diameter) — the difference between 5 and 5,000 rounds on a
+  * chain-shaped component.
   *
   * Scale shape: per round, one shuffle join of edges against labels,
   * one min-aggregation, and one propagated-to-labels jump join — all
@@ -78,25 +80,33 @@ object ConnectedComponents {
     def labelSum(df: DataFrame): Any =
       df.agg(sum(col("component").cast("decimal(38,0)"))).head().get(0)
 
-    // sym carries both directions, so src alone covers every endpoint
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // sym carries both directions, so src alone covers every endpoint.
+    // Seeding with min(v, min(N(v))) — computed in the SAME shuffle
+    // that enumerates the vertex set — bakes the first neighbor-min
+    // propagation into initialization, saving one full loop round
+    // versus the identity labeling.
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mind"))
+      .select(col("id"), least(col("id"), col("mind")).as("component"))
       .localCheckpoint(false)
     var prevSum = labelSum(labels) // materializes the lazy checkpoint
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      // neighbor-min propagation: component'(v) = min over {v} ∪ N(v)
-      val nbrMin = sym
-        .join(labels, sym("src") === labels("id"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("component")).as("nbr_component"))
+      // neighbor-min propagation: component'(v) = min over {v} ∪ N(v).
+      // One union + one min-aggregation — the self row rides the union,
+      // so no separate left join is needed to keep isolated-in-frontier
+      // vertices labeled.
+      // the self branch re-aliases its columns so the two union children
+      // don't share attribute ids (labels feeds both sides; duplicate
+      // ids across union branches break constraint propagation)
       val propagated = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"),
-            coalesce(col("nbr_component"), col("component")))
-            .as("component"))
+        .select(col("id").as("id"), col("component").as("component"))
+        .unionByName(
+          sym.join(labels, sym("src") === labels("id"))
+            .select(col("dst").as("id"), col("component")))
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"))
       // pointer jumping through the PREVIOUS round's labels:
       // component'(v) = min(prop(v), labels(prop(v))). Jumping through
       // `labels` instead of `propagated` keeps the same fixpoint (all
@@ -126,6 +136,8 @@ object ConnectedComponents {
       prevSum = s
       labels = jumped
       round += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $round done at ${System.nanoTime()}")
     }
     if (!converged)
       throw new IllegalStateException(
