@@ -337,6 +337,32 @@ object PipelineQueries {
        |    AS pack_last
        |FROM p""".stripMargin
 
+  /** Token-budget chunking with overlap — the dual of q_seq_pack:
+    * 16-token windows, 4 tokens shared between consecutive chunks. A
+    * narrow (shuffle-free) per-document explode.
+    */
+  def qChunkSplit(s: SparkSession, d: String): DataFrame =
+    graft.ops.Chunking.chunkByTokens(
+      Tables.documents(s, d), "doc_id", "text", chunkTokens = 16, overlap = 4)
+
+  val qChunkSplitSql: String =
+    graft.ops.Chunking.chunkOracleSql(
+      "documents", "doc_id", "text", chunkTokens = 16, overlap = 4)
+
+  /** Histogram-sketch percentiles of document length per source —
+    * bounded-state (64 bins), mergeable, no sort; the scale path for
+    * profiling quantiles over a 100 TB corpus.
+    */
+  def qQuantileHist(s: SparkSession, d: String): DataFrame =
+    graft.sketch.QuantileHist.quantiles(
+      Tables.documents(s, d), Seq("source"), "n_chars",
+      lo = 0.0, hi = 600.0, nBins = 64, qs = Seq(0.5, 0.9, 0.99))
+
+  val qQuantileHistSql: String =
+    graft.sketch.QuantileHist.quantileOracleSql(
+      "documents", "source", "n_chars",
+      lo = 0.0, hi = 600.0, nBins = 64, qs = Seq(0.5, 0.9, 0.99))
+
   /** Benchmark decontamination: corpus docs sharing ≥1 word 3-shingle
     * with the held-out benchmark slice (doc_id % 100 = 0), with the
     * distinct shared-shingle count — the eval-leakage report.
@@ -1033,6 +1059,8 @@ object PipelineQueries {
     ("q_split_assign", qSplitAssign _, Some(qSplitAssignSql)),
     ("q_repetition", qRepetition _, Some(qRepetitionSql)),
     ("q_seq_pack", qSeqPack _, Some(qSeqPackSql)),
+    ("q_chunk_split", qChunkSplit _, Some(qChunkSplitSql)),
+    ("q_quantile_hist", qQuantileHist _, Some(qQuantileHistSql)),
     ("q_contam", qContam _, Some(qContamSql)),
     ("q_domain_mix", qDomainMix _, Some(qDomainMixSql)),
     ("q_corpus_profile", qCorpusProfile _, Some(qCorpusProfileSql)),

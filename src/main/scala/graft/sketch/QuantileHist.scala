@@ -1,0 +1,109 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fixed-grid histogram quantile sketch — deterministic, bounded-state,
+  * mergeable percentile estimation, completing the sketch family
+  * (HLL count-distinct, KMV Jaccard, count-min frequency, Bloom
+  * membership): the counter table holds at most `nBins` rows per group
+  * REGARDLESS of input size, counters merge by addition across
+  * partitions/engines/days, and the estimate is pure arithmetic over
+  * the counters — exactly reproducible in DuckDB, so estimates
+  * hash-match the oracle like every other sketch here.
+  *
+  * Estimation = linear interpolation inside the first bin whose
+  * cumulative count reaches q·total (the classic equi-width histogram
+  * estimator). Error is bounded by bin width — callers pick
+  * [lo, hi)/nBins for the value domain; out-of-range values clamp to
+  * the edge bins (their mass is counted, their position saturates).
+  *
+  * Scale shape: ONE hash-aggregate to (group, bin) — map-side partial
+  * aggregation collapses each partition to ≤ nBins rows before the
+  * shuffle — then window/interp arithmetic over ≤ nBins rows per
+  * group. An exact percentile at 100 TB needs a full sort of every
+  * group's values; this needs neither sort nor more than nBins
+  * counters of state.
+  */
+object QuantileHist {
+
+  private def binCol(v: Column, lo: Double, hi: Double, nBins: Int): Column = {
+    val width = (hi - lo) / nBins
+    least(greatest(floor((v.cast(DoubleType) - lo) / width).cast(IntegerType),
+      lit(0)), lit(nBins - 1))
+  }
+
+  /** Counter table: (groupCols…, qh_bin, cnt) — ≤ nBins rows per group,
+    * mergeable by addition. Null values are not counted.
+    */
+  def counters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, "need a positive-width domain and bins")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy((groupCols.map(col) :+
+        binCol(col(valueCol), lo, hi, nBins).as("qh_bin")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-group quantile estimates for each q in `qs`:
+    * (groupCols…, q, est). est is rounded to 6 digits so the
+    * engine-boundary comparison is representation-stable.
+    */
+  def quantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Double, hi: Double, nBins: Int, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantiles must lie in [0, 1]")
+    val width = (hi - lo) / nBins
+    val grp = groupCols.map(col)
+    val cum = counters(df, groupCols, valueCol, lo, hi, nBins)
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(grp: _*).orderBy(col("qh_bin"))))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy(grp: _*)))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+    // the picked bin is the FIRST whose cumulative count reaches
+    // q·total; bins are unique per group, so min(struct(bin, …)) is
+    // the deterministic argmin carrying the interp operands along
+    val picked = cum
+      .filter(col("cum") >= col("q") * col("total"))
+      .groupBy((grp :+ col("q")): _*)
+      .agg(min(struct(col("qh_bin"), col("cnt"), col("cum"), col("total")))
+        .as("p"))
+    picked.select((grp :+ col("q") :+
+      round(lit(lo) + lit(width) *
+        (col("p.qh_bin") +
+          (col("q") * col("p.total") - (col("p.cum") - col("p.cnt"))) / col("p.cnt")),
+        6).as("est")): _*)
+  }
+
+  /** DuckDB mirror of [[quantiles]] for a single group column. */
+  def quantileOracleSql(table: String, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, nBins: Int, qs: Seq[Double]): String = {
+    val qList = qs.mkString("[", ", ", "]")
+    s"""WITH ctr AS (
+       |  SELECT $groupCol,
+       |    least(greatest(cast(floor((cast($valueCol as double) - $lo) /
+       |      (($hi - $lo) / $nBins)) as int), 0), ${nBins - 1}) AS qh_bin,
+       |    count(*) AS cnt
+       |  FROM $table WHERE $valueCol IS NOT NULL
+       |  GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT $groupCol, qh_bin, cnt,
+       |    sum(cnt) OVER (PARTITION BY $groupCol ORDER BY qh_bin) AS cum,
+       |    sum(cnt) OVER (PARTITION BY $groupCol) AS total
+       |  FROM ctr),
+       |qd AS (
+       |  SELECT c.*, u.q FROM cum c, unnest($qList) AS u(q)),
+       |cand AS (
+       |  SELECT * FROM qd WHERE cum >= q * total),
+       |pick AS (
+       |  SELECT $groupCol, q, min(qh_bin) AS bin
+       |  FROM cand GROUP BY 1, 2)
+       |SELECT c.$groupCol, c.q,
+       |  round($lo + (($hi - $lo) / $nBins) *
+       |    (c.qh_bin + (c.q * c.total - (c.cum - c.cnt)) / c.cnt), 6) AS est
+       |FROM cand c JOIN pick p
+       |  ON c.$groupCol = p.$groupCol AND c.q = p.q AND c.qh_bin = p.bin""".stripMargin
+  }
+}

@@ -1,0 +1,49 @@
+package graft.sketch
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QuantileHistSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private val lo = 0.0
+  private val hi = 600.0
+  private val nBins = 64
+  private val width = (hi - lo) / nBins
+
+  test("counter table is bounded and conserves mass") {
+    val ctr = QuantileHist.counters(docs, Seq("source"), "n_chars", lo, hi, nBins)
+    val over = ctr.groupBy("source").agg(count(lit(1)).as("rows"))
+      .filter(col("rows") > nBins)
+    assert(over.count() === 0)
+    val mass = ctr.agg(sum(col("cnt"))).head().getLong(0)
+    assert(mass === docs.filter(col("n_chars").isNotNull).count())
+  }
+
+  test("counters merge by addition: split-and-merge equals whole") {
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val merged = QuantileHist.counters(a, Seq("source"), "n_chars", lo, hi, nBins)
+      .unionByName(QuantileHist.counters(b, Seq("source"), "n_chars", lo, hi, nBins))
+      .groupBy(col("source"), col("qh_bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val whole = QuantileHist.counters(docs, Seq("source"), "n_chars", lo, hi, nBins)
+    assert(merged.exceptAll(whole).count() === 0)
+    assert(whole.exceptAll(merged).count() === 0)
+  }
+
+  test("estimates are monotone in q and within one bin of the exact quantile") {
+    val est = QuantileHist.quantiles(docs, Seq("source"), "n_chars",
+      lo, hi, nBins, Seq(0.5, 0.9, 0.99))
+      .groupBy("source").pivot("q", Seq("0.5", "0.9", "0.99")).agg(first("est"))
+      .toDF("source", "p50e", "p90e", "p99e")
+    val bad = est.filter(col("p50e") > col("p90e") || col("p90e") > col("p99e"))
+    assert(bad.count() === 0)
+    val exact = docs.groupBy("source")
+      .agg(expr("percentile(n_chars, 0.5)").as("p50"))
+    val joined = est.join(exact, "source")
+      .filter(abs(col("p50e") - col("p50")) > width)
+    assert(joined.count() === 0)
+  }
+}
