@@ -26,7 +26,8 @@ object PlanAudit {
       "q_ann_ivf", "q_embed_dup", "q_rollup_hier", "q_sessionize",
       "q_corpus_pipeline", "q_dedup_apply", "q_kmv_distinct", "q_asof_join",
       "q_seq_pack", "q_contam", "q_domain_mix", "q_repetition",
-      "q_dedup_incr", "q_corpus_profile")
+      "q_dedup_incr", "q_corpus_profile", "q_dup_clusters",
+      "q_tfidf_pairs", "q_chunk_split", "q_quantile_hist")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
