@@ -98,6 +98,36 @@ object Sampling {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Epoch-weighted replication — the UPSAMPLING dual of [[domainMix]]:
+    * training mixtures often repeat scarce high-quality sources for
+    * fractional epochs (books ×3.25) while passing bulk web through
+    * once. Each row is emitted floor(e) times, plus once more when its
+    * hash coordinate falls below frac(e) — so a 3.25-epoch source
+    * repeats every document 3 times and a deterministic quarter of
+    * them a 4th; e < 1 degrades to [[sampleFraction]]. Sources absent
+    * from `epochs` use `defaultEpochs`.
+    *
+    * Determinism contract is [[coordinate]]'s: the bumped subset is a
+    * pure function of the key, stable under re-runs, backfills, and
+    * engines. Scale shape: a narrow per-row explode — no shuffle, no
+    * aggregate, no driver-side anything; output partitioning follows
+    * the input. Output = input columns + `copy_idx` (0-based).
+    */
+  def repeatFactor(df: DataFrame, keyCol: String, sourceCol: String,
+      epochs: Seq[(String, Double)], defaultEpochs: Double = 1.0): DataFrame = {
+    require(epochs.forall(_._2 >= 0) && defaultEpochs >= 0,
+      "epoch factors must be non-negative")
+    val e = epochs.foldRight(lit(defaultEpochs): Column) { case ((s, v), acc) =>
+      when(col(sourceCol) === s, lit(v)).otherwise(acc)
+    }
+    val copies = (floor(e).cast(IntegerType) +
+      (coordinate(col(keyCol)) < (e - floor(e))).cast(IntegerType)).as("__n")
+    df.withColumn("__n", copies)
+      .filter(col("__n") > 0) // guards sequence() against an empty range
+      .withColumn("copy_idx", explode(sequence(lit(0), col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** DuckDB mirror of [[coordinate]] for oracle generation. */
   def coordinateSql(keyExpr: String): String =
     s"cast(cast(('0x' || substr(md5(cast($keyExpr as varchar)), 1, 15)) as bigint) as double) / ${math.pow(2.0, 60)}"

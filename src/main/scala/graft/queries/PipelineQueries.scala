@@ -337,6 +337,36 @@ object PipelineQueries {
        |    AS pack_last
        |FROM p""".stripMargin
 
+  /** Epoch-weighted replication: repeat scarce sources for fractional
+    * epochs (src0 ×2.5, src3 ×3.25), pass src1 through once, and
+    * downsample src2 to 0.6 — the upsampling mixture knob, one row per
+    * emitted copy.
+    */
+  private val epochTargets = Seq(
+    "src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.6, "src3" -> 3.25)
+
+  def qEpochMix(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.repeatFactor(
+      Tables.documents(s, d).select(col("doc_id"), col("source")),
+      "doc_id", "source", epochTargets)
+
+  val qEpochMixSql: String = {
+    val coord = graft.ops.Sampling.coordinateSql("doc_id")
+    val epCase = epochTargets.map { case (s, v) =>
+      s"WHEN '$s' THEN $v" }.mkString(" ")
+    s"""WITH e AS (
+       |  SELECT doc_id, source,
+       |    CASE source $epCase ELSE 1.0 END AS ep
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source,
+       |    cast(floor(ep) as int) +
+       |      (CASE WHEN $coord < ep - floor(ep) THEN 1 ELSE 0 END) AS n
+       |  FROM e)
+       |SELECT doc_id, source, u.ci AS copy_idx
+       |FROM c, unnest(range(0, n)) AS u(ci)""".stripMargin
+  }
+
   /** Token-budget chunking with overlap — the dual of q_seq_pack:
     * 16-token windows, 4 tokens shared between consecutive chunks. A
     * narrow (shuffle-free) per-document explode.
@@ -1060,6 +1090,7 @@ object PipelineQueries {
     ("q_repetition", qRepetition _, Some(qRepetitionSql)),
     ("q_seq_pack", qSeqPack _, Some(qSeqPackSql)),
     ("q_chunk_split", qChunkSplit _, Some(qChunkSplitSql)),
+    ("q_epoch_mix", qEpochMix _, Some(qEpochMixSql)),
     ("q_quantile_hist", qQuantileHist _, Some(qQuantileHistSql)),
     ("q_contam", qContam _, Some(qContamSql)),
     ("q_domain_mix", qDomainMix _, Some(qDomainMixSql)),

@@ -231,6 +231,35 @@ class PipelineSpec extends SparkSpec {
     assert(again === kept)
   }
 
+  test("repeat factor emits exact whole-epoch copies plus the hashed fraction") {
+    import graft.ops.Sampling
+    val rows = (1 to 100).map(i => (i.toLong, s"src${i % 2}"))
+    val df = rows.toDF("doc_id", "source")
+    val out = Sampling.repeatFactor(df, "doc_id", "source",
+      Seq("src0" -> 3.0, "src1" -> 1.25))
+    val bySource = out.groupBy($"source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // integer epochs are exact: 50 docs × 3 copies
+    assert(bySource("src0") === 150L)
+    // fractional epochs: 50 + the deterministic subset under u < 0.25
+    val bumped = df.filter($"source" === "src1")
+      .filter(Sampling.coordinate($"doc_id") < 0.25).count()
+    assert(bySource("src1") === 50L + bumped)
+    // copy_idx is dense per document: 0..n-1
+    val badIdx = out.groupBy($"doc_id").agg(
+      count(lit(1)).as("n"), max($"copy_idx").as("mx"), min($"copy_idx").as("mn"))
+      .filter($"mx" =!= $"n" - 1 || $"mn" =!= 0)
+    assert(badIdx.count() === 0)
+    // e < 1 degrades to sampleFraction: identical kept key set
+    val frac = Sampling.repeatFactor(df, "doc_id", "source",
+      Seq("src0" -> 0.4), defaultEpochs = 0.0)
+      .select($"doc_id").as[Long].collect().toSet
+    val direct = Sampling.sampleFraction(
+      df.filter($"source" === "src0"), "doc_id", 0.4)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(frac === direct)
+  }
+
   test("brute-force ANN ranks an identical vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
