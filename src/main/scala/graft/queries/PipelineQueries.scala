@@ -992,6 +992,68 @@ object PipelineQueries {
        |SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.35""".stripMargin
   }
 
+  /** Deterministic Lloyd's k-means over the embedding corpus — the
+    * semantic-clustering stage (cluster first, pairwise within clusters
+    * only). Even the ITERATIVE trainer is hash-verified against DuckDB:
+    * the integer-quantized centroid update makes every iteration
+    * order-independent, so three full Lloyd rounds replay exactly in
+    * SQL.
+    */
+  def qKmeans(s: SparkSession, d: String): DataFrame =
+    graft.sim.KMeans.fitAssign(Tables.embeddings(s, d), "vec_id", "embedding",
+      k = 8, iters = 3)
+
+  val qKmeansSql: String = {
+    val k = 8
+    val iters = 3
+    // left-fold dot of two 64-dim lists, matching graft.functions.DotFold
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(cast(0 as double),
+         |      list_transform(range(1, 65),
+         |        i -> cast($a[i] as double) * cast($b[i] as double))),
+         |      (acc, v) -> acc + v)""".stripMargin
+    // one Lloyd round: nearest-centroid assignment (ties to the lower
+    // cluster id), then per-(cluster, dim) exact integer mean update;
+    // clusters that attract no rows keep their previous centroid
+    def asg(n: Int, cent: String) =
+      s"""asg$n AS (
+         |  SELECT vec_id, x, cluster, dist2 FROM (
+         |    SELECT vec_id, x, cluster, dist2,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY dist2 ASC, cluster ASC) AS r
+         |    FROM (SELECT b.vec_id, b.x, c.cluster,
+         |            b.xx - 2 * ${dot("b.x", "c.cv")} + ${dot("c.cv", "c.cv")} AS dist2
+         |          FROM b CROSS JOIN $cent c))
+         |  WHERE r = 1)""".stripMargin
+    def upd(n: Int) =
+      s"""upd$n AS (
+         |  SELECT cluster, d.i AS dim,
+         |    sum(cast(round(cast(x[d.i] as double) * ${graft.sim.KMeans.Scale}) as bigint)) AS sq,
+         |    count(*) AS cnt
+         |  FROM asg$n, unnest(range(1, 65)) AS d(i)
+         |  GROUP BY cluster, d.i),
+         |cent$n AS (
+         |  SELECT c.cluster,
+         |    CASE WHEN min(u.dim) IS NULL THEN c.cv
+         |         ELSE list(cast(u.sq as double) / u.cnt / ${graft.sim.KMeans.Scale}.0
+         |                   ORDER BY u.dim) END AS cv
+         |  FROM cent${n - 1} c LEFT JOIN upd$n u USING (cluster)
+         |  GROUP BY c.cluster, c.cv)""".stripMargin
+    val rounds = (1 to iters).map(n => s"${asg(n, s"cent${n - 1}")},\n${upd(n)}")
+      .mkString(",\n")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding AS x, ${dot("embedding", "embedding")} AS xx
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cluster, x AS cv
+       |  FROM (SELECT vec_id, x,
+       |          cast(('0x' || substr(md5(cast(vec_id as varchar)), 1, 15)) as bigint) AS h
+       |        FROM b ORDER BY h, vec_id LIMIT $k)),
+       |$rounds,
+       |${asg(iters + 1, s"cent$iters")}
+       |SELECT vec_id, cluster, round(dist2, 6) AS dist2 FROM asg${iters + 1}""".stripMargin
+  }
+
   // ---------------------------------------------------------- multimodal
 
   /** Binary-column metadata: never decodes the payload. */
@@ -1110,6 +1172,7 @@ object PipelineQueries {
     ("q_ann_lsh", qAnnLsh _, Some(qAnnLshSql)),
     ("q_ann_ivf", qAnnIvf _, Some(qAnnIvfSql)),
     ("q_embed_dup", qEmbedDup _, Some(qEmbedDupSql)),
+    ("q_kmeans", qKmeans _, Some(qKmeansSql)),
     ("q_binary_meta", qBinaryMeta _, Some(qBinaryMetaSql)),
     ("q_media_features", qMediaFeatures _, Some(qMediaFeaturesSql)),
     ("q_media_resize", qMediaResize _, Some(qMediaResizeSql)),

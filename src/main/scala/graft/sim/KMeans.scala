@@ -1,0 +1,128 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic Lloyd's k-means over an embedding column — the
+  * clustering stage of a semantic-dedup / domain-discovery pipeline
+  * (cluster first, then compare or sample only within clusters, so the
+  * pairwise work scales with cluster occupancy instead of N²).
+  *
+  * Why this is reproducible across runs AND engines (the usual k-means
+  * is neither):
+  *  - init: the k corpus rows with the smallest (hash60(id), id) — a
+  *    uniform pseudo-random draw with no RNG state, same trick as
+  *    [[Ann.ivfTopK]]'s centroid sample.
+  *  - assignment: squared-L2 computed as xx − 2·x·c + cc from
+  *    left-fold dot products (bit-exact in any engine that folds
+  *    left-to-right), ties broken by cluster id.
+  *  - update: the mean is computed from per-dimension sums of the
+  *    components QUANTIZED to integers (round(x·1e6) as long). Integer
+  *    addition is exact and order-independent, so the new centroid does
+  *    not depend on row order or partitioning — the one place where
+  *    textbook float k-means diverges run-to-run. Safe for clusters up
+  *    to ~2^43 rows at unit-range components (long overflow bound);
+  *    beyond that, raise the quantization step.
+  *
+  * Scale shape: assignment is a SINGLE narrow stage — the trained
+  * centroids are literals, so the per-row argmin over k candidates is
+  * one codegen'd array_min expression, no join and no shuffle. Each
+  * training iteration adds one partial-aggregated shuffle of
+  * (cluster, dim) keyed integer sums whose volume is k·dim rows per map
+  * partition, independent of N. The centroid state (k·dim doubles) is
+  * driver-bounded, exactly like the classic MLlib implementation.
+  */
+object KMeans {
+
+  /** Quantization step for the exact integer centroid update. */
+  val Scale = 1000000L
+
+  /** Trained centroids: cluster id (0..k-1, in init-draw order) →
+    * components.
+    */
+  final case class Model(centroids: Seq[(Int, Seq[Double])])
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.TextHashes.dot_fold(a, b)
+
+  /** Left fold matching the engines' list_reduce order. */
+  private def selfDot(v: Seq[Double]): Double =
+    v.foldLeft(0.0)((acc, x) => acc + x * x)
+
+  /** (vec_id, x, xx) projection with the vector cast to array<double>
+    * and its self-dot staged once per row.
+    */
+  private def base(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+    graft.ops.Parallelism.widen(vectors)
+      .select(col(idCol).as("vec_id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("x"))
+      .withColumn("xx", dot(col("x"), col("x")))
+
+  /** Nearest-centroid assignment: (vec_id, x, cluster, dist2). Pure
+    * narrow expression — an array_min over k literal (dist2, cluster)
+    * structs; struct ordering breaks dist ties to the lower cluster id.
+    */
+  private def assign(b: DataFrame, m: Model): DataFrame = {
+    val cands = m.centroids.map { case (cl, cv) =>
+      struct(
+        (col("xx") - lit(2.0) * dot(col("x"), typedLit(cv)) + lit(selfDot(cv)))
+          .as("dist2"),
+        lit(cl).as("cluster"))
+    }
+    b.withColumn("best", array_min(array(cands: _*)))
+      .select(col("vec_id"), col("x"),
+        col("best.cluster").as("cluster"), col("best.dist2").as("dist2"))
+  }
+
+  /** Train k centroids with `iters` Lloyd iterations. Each iteration
+    * collects k·dim quantized sums to the driver (bounded model state,
+    * not a data collect) and rebuilds the literal centroid expressions;
+    * clusters that attract no rows keep their previous centroid.
+    */
+  def fit(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Model = {
+    val b = base(vectors, idCol, vecCol).cache()
+    try {
+      val h = graft.text.TextAnalysis.hash60(col("vec_id").cast(StringType))
+      val init = b.orderBy(h.asc, col("vec_id").asc).limit(k)
+        .select(col("x")).collect()
+        .zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](0)) }
+      var model = Model(init.toIndexedSeq)
+      for (_ <- 0 until iters) {
+        // per-(cluster, dim) exact integer sums; partial aggregation
+        // bounds the shuffle at k·dim rows per map partition
+        val sums = assign(b, model)
+          .select(col("cluster"), posexplode(col("x")).as(Seq("dim", "comp")))
+          .groupBy(col("cluster"), col("dim"))
+          .agg(sum(round(col("comp") * Scale).cast(LongType)).as("sq"),
+            count(lit(1)).as("cnt"))
+          .collect()
+          .groupBy(_.getInt(0))
+        model = Model(model.centroids.map { case (cl, old) =>
+          sums.get(cl) match {
+            case Some(rows) =>
+              val byDim = rows.map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+              (cl, old.indices.map { d =>
+                val (sq, cnt) = byDim(d)
+                sq.toDouble / cnt / Scale
+              })
+            case None => (cl, old) // empty cluster: keep previous centroid
+          }
+        })
+      }
+      model
+    } finally b.unpersist()
+  }
+
+  /** Train then assign: (vec_id, cluster, dist2). The returned plan is
+    * one narrow stage over the corpus (trained centroids are literals).
+    */
+  def fitAssign(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val m = fit(vectors, idCol, vecCol, k, iters)
+    assign(base(vectors, idCol, vecCol), m)
+      .select(col("vec_id"), col("cluster"), round(col("dist2"), 6).as("dist2"))
+  }
+}
