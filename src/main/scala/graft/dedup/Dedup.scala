@@ -507,6 +507,44 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-document duplicated-span profile — the exact-substring-dedup
+    * signal: for each document, how many of its distinct w-token spans
+    * also occur in at least `minDocs` documents overall (itself
+    * included). A high `dup_frac` marks boilerplate-heavy documents
+    * that span-level dedup would trim; it is the CROSS-document
+    * complement of `repetitionRatio`'s within-document signal.
+    *
+    * Scale shape: spans are distinct-within-doc hashed shingles, so
+    * the span-frequency table needs one partial-aggregated shuffle
+    * (count per span hash IS its document frequency — k·docs rows in,
+    * heavy hitters collapse map-side); the join back is a plain
+    * equi-join on the hash with fan-out 1 per span occurrence, so
+    * nothing is quadratic even for a span shared by 10⁷ documents.
+    * Docs too short to have any w-token span survive with zero counts
+    * (left join at the end).
+    */
+  def spanProfile(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 6, minDocs: Int = 2, fast: Boolean = false): DataFrame = {
+    val spans = graft.CacheRegistry.register(
+      graft.ops.Parallelism.widen(df)
+        .select(col(idCol).as("id"),
+          explode(shingleHashes(col(textCol), w, fast)).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val freq = spans.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    val perDoc = spans.join(freq, Seq("h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") >= minDocs, 1L).otherwise(0L)).as("n_dup"))
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(when(col("n_spans") > 0,
+          col("n_dup").cast(DoubleType) / col("n_spans"))
+          .otherwise(0.0), 6).as("dup_frac"))
+  }
+
   /** n-gram Jaccard near-dup pairs within blocking buckets (never a
     * global cross join — the blocking key bounds pair count at scale).
     */

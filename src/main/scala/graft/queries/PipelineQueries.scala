@@ -307,6 +307,27 @@ object PipelineQueries {
        |    ELSE 0.0 END, 6) AS rep_ratio
        |FROM t""".stripMargin
 
+  /** Per-document duplicated-span profile (6-token spans, shared by ≥2
+    * docs) — the exact-substring-dedup signal over the corpus.
+    */
+  def qSpanDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.spanProfile(Tables.documents(s, d), "doc_id", "text",
+      w = 6, minDocs = 2)
+
+  val qSpanDedupSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |u AS (SELECT doc_id, unnest(${shinglesWSql("toks", 6)}) AS h FROM t),
+       |f AS (SELECT h, count(*) AS nd FROM u GROUP BY h),
+       |p AS (SELECT u.doc_id, count(*) AS n_spans,
+       |        cast(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) as bigint) AS n_dup
+       |      FROM u JOIN f USING (h) GROUP BY u.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(p.n_spans, 0) AS n_spans,
+       |  coalesce(p.n_dup, 0) AS n_dup,
+       |  round(CASE WHEN p.n_spans > 0 THEN p.n_dup * 1.0 / p.n_spans
+       |        ELSE 0.0 END, 6) AS dup_frac
+       |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id""".stripMargin
+
   /** Sequence packing: concat-and-chunk into 2,048-token packs,
     * shard-local by source (a global order would serialize; real
     * pipelines pack per shard). Every document maps to its token span
@@ -1150,6 +1171,7 @@ object PipelineQueries {
     ("q_cms_grouped", qCmsGrouped _, Some(qCmsGroupedSql)),
     ("q_split_assign", qSplitAssign _, Some(qSplitAssignSql)),
     ("q_repetition", qRepetition _, Some(qRepetitionSql)),
+    ("q_span_dedup", qSpanDedup _, Some(qSpanDedupSql)),
     ("q_seq_pack", qSeqPack _, Some(qSeqPackSql)),
     ("q_chunk_split", qChunkSplit _, Some(qChunkSplitSql)),
     ("q_epoch_mix", qEpochMix _, Some(qEpochMixSql)),

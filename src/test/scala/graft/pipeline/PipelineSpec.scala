@@ -51,6 +51,24 @@ class PipelineSpec extends SparkSpec {
       blockCols = Seq("source")).count() === 0)
   }
 
+  test("span profile counts cross-document duplicated spans") {
+    // docs 1/2 share every 6-token span except the tail; doc 3 shares
+    // none; a 3-token doc has no 6-token span at all but must survive
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"),
+      (3L, "u v w x y z p q r s"),
+      (4L, "too short doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanProfile(d, "doc_id", "text", w = 6, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((5L, 4L, 0.8)))   // spans @1..5; 4 shared with doc 2
+    assert(out(2L) === ((5L, 4L, 0.8)))
+    assert(out(3L) === ((5L, 0L, 0.0)))   // unique content
+    assert(out(4L) === ((0L, 0L, 0.0)))   // shorter than w
+  }
+
   test("minhash candidates surface near-dups, not unrelated docs") {
     val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
       .select($"id_a", $"id_b", $"sig_agreement")
