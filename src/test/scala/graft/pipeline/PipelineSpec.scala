@@ -69,6 +69,25 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) === ((0L, 0L, 0.0)))   // shorter than w
   }
 
+  test("unigram LM scores common-token docs above rare-token docs") {
+    // "the" dominates the corpus; "xylophone"/"quux" are singletons —
+    // the all-common doc must have the higher (less negative) score
+    val d = Seq(
+      (1L, "the the the the the the"),
+      (2L, "xylophone quux zebra"),
+      (3L, "the the xylophone"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = graft.text.UnigramLm.score(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._2 > out(3L)._2 && out(3L)._2 > out(2L)._2)
+    assert(out.values.forall(_._2 <= 0.0)) // log-probs are never positive
+    assert(out(4L) === ((0L, 0.0)))        // token-less doc survives
+    // doc 1: p(the) = 8/12, score = round(round(ln(2/3)*1e6)/1e6, 6)
+    val exp = math.round(math.log(8.0 / 12.0) * 1e6) / 1e6
+    assert(math.abs(out(1L)._2 - exp) < 1e-9)
+  }
+
   test("minhash candidates surface near-dups, not unrelated docs") {
     val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
       .select($"id_a", $"id_b", $"sig_agreement")
