@@ -563,6 +563,34 @@ object Inventory {
       |  count(*) AS n, cast(sum(cast(value as decimal(18,6))) as double) AS value_sum
       |FROM events GROUP BY 1,2""".stripMargin
 
+  // ------------------------------------------------- semi-structured cols
+  /** Schema-on-read JSON extraction from a string column (the
+    * column-level analog of the reference's jq-flattened API ingest,
+    * src/nass.mk:108-109): both the typed `from_json` path and the
+    * path-expression `get_json_object` path, aggregated per event
+    * type. `n_agree` pins the two extractors to each other — if they
+    * ever disagreed, the oracle's count(*) would mismatch.
+    */
+  def qJsonExtract(s: SparkSession, d: String): DataFrame = {
+    val kSchema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"), kSchema).getField("k").as("k1"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k2"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("k1") === col("k2"), 1L).otherwise(0L)).as("n_agree"),
+        sum(col("k1")).as("k_sum"),
+        min(col("k1")).as("k_min"), max(col("k1")).as("k_max"))
+  }
+
+  val qJsonExtractSql: String =
+    """SELECT event_type, count(*) AS n, count(*) AS n_agree,
+      |  cast(sum(cast(json_extract(props, '$.k') as bigint)) as bigint) AS k_sum,
+      |  min(cast(json_extract(props, '$.k') as bigint)) AS k_min,
+      |  max(cast(json_extract(props, '$.k') as bigint)) AS k_max
+      |FROM events GROUP BY 1""".stripMargin
+
   // ----------------------------------------------------------- §2.8 first
   /** Crosstab with PG first-value-per-cell semantics on unique cells
     * (reference crosstab takes the first value, src/swap.sql:216).
@@ -795,6 +823,7 @@ object Inventory {
     ("q_window_rank", qWindowRank _, Some(qWindowRankSql)),
     ("q_groupby_expr", qGroupByExpr _, Some(qGroupByExprSql)),
     ("q_events_hourly", qEventsHourly _, Some(qEventsHourlySql)),
+    ("q_json_extract", qJsonExtract _, Some(qJsonExtractSql)),
     ("q_topk_order", qTopkOrder _, Some(qTopkOrderSql)),
     ("q_pivot_first", qPivotFirst _, Some(qPivotFirstSql)),
     ("q_stats_summary", qStatsSummary _, Some(qStatsSummarySql)),

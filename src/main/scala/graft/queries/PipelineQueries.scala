@@ -307,6 +307,33 @@ object PipelineQueries {
        |    ELSE 0.0 END, 6) AS rep_ratio
        |FROM t""".stripMargin
 
+  /** Self-trained unigram-LM scoring — the perplexity-proxy quality
+    * filter: per-document mean token log-probability under the
+    * corpus's own unigram distribution. Quantized per-token
+    * log-probs make even this float-heavy score hash-verifiable.
+    */
+  def qUnigramLm(s: SparkSession, d: String): DataFrame =
+    graft.text.UnigramLm.score(Tables.documents(s, d), "doc_id", "text")
+
+  val qUnigramLmSql: String = {
+    val sc = graft.text.UnigramLm.Scale
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |v AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+       |tot AS (SELECT cast(sum(c) as bigint) AS tt FROM v),
+       |q AS (SELECT tok,
+       |        cast(round(ln(cast(c as double) / cast(tt as double)) * $sc) as bigint) AS lp
+       |      FROM v CROSS JOIN tot),
+       |p AS (SELECT u.doc_id, count(*) AS n_tokens, cast(sum(q.lp) as bigint) AS slp
+       |      FROM u JOIN q USING (tok) GROUP BY u.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(p.n_tokens, 0) AS n_tokens,
+       |  round(CASE WHEN p.n_tokens > 0
+       |        THEN cast(p.slp as double) / p.n_tokens / $sc.0
+       |        ELSE 0.0 END, 6) AS avg_logp
+       |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin
+  }
+
   /** Per-document duplicated-span profile (6-token spans, shared by ≥2
     * docs) — the exact-substring-dedup signal over the corpus.
     */
@@ -1172,6 +1199,7 @@ object PipelineQueries {
     ("q_split_assign", qSplitAssign _, Some(qSplitAssignSql)),
     ("q_repetition", qRepetition _, Some(qRepetitionSql)),
     ("q_span_dedup", qSpanDedup _, Some(qSpanDedupSql)),
+    ("q_unigram_lm", qUnigramLm _, Some(qUnigramLmSql)),
     ("q_seq_pack", qSeqPack _, Some(qSeqPackSql)),
     ("q_chunk_split", qChunkSplit _, Some(qChunkSplitSql)),
     ("q_epoch_mix", qEpochMix _, Some(qEpochMixSql)),
