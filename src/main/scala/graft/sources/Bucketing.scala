@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed-table layout — the storage-side half of the co-located
+  * join strategy (SURVEY §4 "partitioning & shuffle"): writing both
+  * sides of a recurring big-big join bucketed (and optionally sorted)
+  * by the join key lets every subsequent join run with ZERO exchanges —
+  * the shuffle is paid once at write time instead of per query. At
+  * 100 TB this is the difference between re-shuffling the fact table on
+  * every pipeline run and never shuffling it again.
+  *
+  * Rules for the shuffle to actually disappear (spec-pinned):
+  *  - both tables bucketed by the join key with the SAME bucket count;
+  *  - the join is an equi-join on exactly the bucket columns;
+  *  - `spark.sql.sources.bucketing.enabled` (default true).
+  * Sorted buckets additionally drop the per-task sort of a sort-merge
+  * join. Bucket count sizes the read parallelism — pick it like a
+  * shuffle partition count (data / ~128 MB), not like a cluster size.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed (optionally bucket-sorted) managed
+    * parquet table. Overwrites any existing table of that name.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** True iff the executed plan of `df` contains no shuffle exchange —
+    * the property bucketed co-located joins buy. Call on a plan built
+    * with AQE off (adaptive wrapping hides children until execution).
+    */
+  def shuffleFree(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.isEmpty
+}

@@ -83,6 +83,34 @@ class SinksAndSkewSpec extends SparkSpec {
     // 51.0 (== hi, exclusive) and -1.0 (below all) match nothing
   }
 
+  test("bucketed co-located join runs with zero shuffle exchanges") {
+    import graft.sources.Bucketing
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_quantity")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_orderkey".as("l_orderkey"), $"o_custkey")
+    Bucketing.writeBucketed(li, "li_b", Seq("l_orderkey"), 8, Seq("l_orderkey"))
+    Bucketing.writeBucketed(ord, "ord_b", Seq("l_orderkey"), 8, Seq("l_orderkey"))
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // AQE off so the executed plan is inspectable pre-run; broadcast
+      // off so the join would otherwise need two exchanges
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bucketed = spark.table("li_b").join(spark.table("ord_b"), "l_orderkey")
+      assert(Bucketing.shuffleFree(bucketed), "bucketed join must not shuffle")
+      val plain = li.join(ord, "l_orderkey")
+      assert(!Bucketing.shuffleFree(plain), "sanity: plain join shuffles")
+      assert(bucketed.count() === plain.count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
   test("salted join equals the plain join on skewed data") {
     val big = (1 to 10000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i))
       .toDF("key", "v")
