@@ -162,6 +162,41 @@ object EventStreams {
           graft.text.TextAnalysis.qualityScore(col(textCol)) >= minQuality),
       tsCol, textCol, watermark)
 
+  /** Stream-static enrichment: every micro-batch of the stream joined
+    * to a static dimension snapshot. Stateless — the dim is broadcast
+    * per batch, no watermark and no join state; the streaming analog of
+    * the reference's dimension joins (src/nass.sql:470). Works
+    * identically on batch frames (broadcast left join), which is what
+    * the spec pins.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
+  /** Watermarked stream-stream inner join: left and right events match
+    * on key with the right timestamp within ±`within` of the left.
+    * Both sides carry event-time watermarks AND the join condition
+    * bounds the time skew, so each side's buffered state is evictable
+    * once the watermark passes — the two conditions Structured
+    * Streaming needs to avoid unbounded join state. All four column
+    * names must be distinct (stream-stream joins cannot share
+    * attribute names across sides). On batch frames `withWatermark` is
+    * a no-op and this degrades to the equivalent range join — the
+    * differential-testing twin.
+    */
+  def joinStreamsWithin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      within: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val iv = expr(s"INTERVAL $within")
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) - iv &&
+          col(rightTs) <= col(leftTs) + iv)
+  }
+
   /** Incremental pipeline wiring: parquet source dir → windowed agg →
     * parquet sink with checkpoint. The streaming twin of the batch
     * hourly rollup.

@@ -102,6 +102,57 @@ class EventStreamsSpec extends SparkSpec {
     assert(!streamIds.contains(4L))                            // dup of 1
   }
 
+  test("stream-static enrichment attaches dim attributes per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((10L, "gold"), (20L, "trial")).toDF("user_id", "segment")
+    val mem = MemoryStream[Event]
+    val q = EventStreams.enrichWithDim(mem.toDF(), dim, Seq("user_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    val out = spark.table("enrich_out")
+      .select($"event_id", $"segment").as[(Long, String)].collect().toMap
+    q.stop()
+    assert(out(1L) === "gold" && out(4L) === "trial")
+    // batch twin: identical transform on the batch frame
+    val batch = EventStreams.enrichWithDim(events.toDF(), dim, Seq("user_id"))
+      .select($"event_id", $"segment").as[(Long, String)].collect().toMap
+    assert(out === batch)
+  }
+
+  test("stream-stream join within a time bound matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq((10L, ts(0)), (10L, ts(40)), (20L, ts(2)))
+    val views = Seq((10L, ts(5)), (10L, ts(60)), (30L, ts(3)))
+    val memC = MemoryStream[(Long, java.sql.Timestamp)]
+    val memV = MemoryStream[(Long, java.sql.Timestamp)]
+    def joined(c: org.apache.spark.sql.DataFrame, v: org.apache.spark.sql.DataFrame) =
+      EventStreams.joinStreamsWithin(
+        c.toDF("c_user", "c_ts"), v.toDF("v_user", "v_ts"),
+        "c_user", "v_user", "c_ts", "v_ts", within = "10 minutes")
+    val q = joined(memC.toDF(), memV.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    memC.addData(clicks: _*)
+    memV.addData(views: _*)
+    q.processAllAvailable()
+    val stream = spark.table("ssj_out")
+      .select($"c_user", $"c_ts", $"v_ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime)).toSet
+    q.stop()
+    // batch twin: withWatermark is a no-op on batch frames
+    val batch = joined(clicks.toDF("u", "t"), views.toDF("u", "t"))
+      .select($"c_user", $"c_ts", $"v_ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime)).toSet
+    assert(stream === batch)
+    // click@0 ⋈ view@5 only; click@40 matches nothing within ±10min
+    assert(stream.map(_._1) === Set(10L))
+    assert(stream.size === 1)
+  }
+
   test("streaming sessionization matches batch semantics for closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
