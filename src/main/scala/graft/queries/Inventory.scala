@@ -591,6 +591,32 @@ object Inventory {
       |  max(cast(json_extract(props, '$.k') as bigint)) AS k_max
       |FROM events GROUP BY 1""".stripMargin
 
+  // -------------------------------------------------------- data layout
+  /** Z-order (Morton) clustering key over two dimensions — the
+    * multi-dim data-layout technique for min/max scan pruning
+    * (lakehouse OPTIMIZE ZORDER BY). Pure integer bit interleaving,
+    * so the key itself is oracle-exact; the layout step (range
+    * repartition + in-partition sort) is spec-pinned for locality.
+    */
+  def qZorder(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.ops.ZOrder.zValue(col("l_partkey"), col("l_suppkey")).as("z"))
+
+  val qZorderSql: String = {
+    val mask = (1L << graft.ops.ZOrder.BitsPerDim) - 1
+    val terms = (0 until graft.ops.ZOrder.BitsPerDim).flatMap { i =>
+      Seq(s"(((x >> $i) & 1) << ${2 * i})", s"(((y >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" | ")
+    s"""WITH m AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    cast(l_partkey as bigint) & $mask AS x,
+       |    cast(l_suppkey as bigint) & $mask AS y
+       |  FROM lineitem WHERE l_returnflag = 'R')
+       |SELECT l_orderkey, l_linenumber, $terms AS z FROM m""".stripMargin
+  }
+
   // ----------------------------------------------------------- §2.8 first
   /** Crosstab with PG first-value-per-cell semantics on unique cells
     * (reference crosstab takes the first value, src/swap.sql:216).
@@ -824,6 +850,7 @@ object Inventory {
     ("q_groupby_expr", qGroupByExpr _, Some(qGroupByExprSql)),
     ("q_events_hourly", qEventsHourly _, Some(qEventsHourlySql)),
     ("q_json_extract", qJsonExtract _, Some(qJsonExtractSql)),
+    ("q_zorder", qZorder _, Some(qZorderSql)),
     ("q_topk_order", qTopkOrder _, Some(qTopkOrderSql)),
     ("q_pivot_first", qPivotFirst _, Some(qPivotFirstSql)),
     ("q_stats_summary", qStatsSummary _, Some(qStatsSummarySql)),
