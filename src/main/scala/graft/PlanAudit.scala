@@ -27,7 +27,9 @@ object PlanAudit {
       "q_corpus_pipeline", "q_dedup_apply", "q_kmv_distinct", "q_asof_join",
       "q_seq_pack", "q_contam", "q_domain_mix", "q_repetition",
       "q_dedup_incr", "q_corpus_profile", "q_dup_clusters",
-      "q_tfidf_pairs", "q_chunk_split", "q_quantile_hist")
+      "q_tfidf_pairs", "q_chunk_split", "q_quantile_hist",
+      "q_kmeans", "q_span_dedup", "q_unigram_lm", "q_json_extract",
+      "q_zorder")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
