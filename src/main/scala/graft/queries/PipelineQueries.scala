@@ -77,6 +77,42 @@ object PipelineQueries {
        |  length(text) AS n_chars_calc
        |FROM documents""".stripMargin
 
+  /** Top-20 adjacent-token bigrams with occurrence and document
+    * frequency — corpus collocation statistics (vocabulary-induction /
+    * boilerplate-phrase surface). Scale shape: a narrow bigram map
+    * (token array let-bound once per row), one partial-aggregated
+    * count shuffle, and a TakeOrdered(20) — no full sort. Ties are
+    * broken on the bigram string so top-k is engine-deterministic.
+    */
+  def qBigrams(s: SparkSession, d: String): DataFrame = {
+    // let-bind the token array as a lambda variable (single-element
+    // transform), same trick as Dedup.shingleHashes: the two element_at
+    // reads per bigram hit the bound array, not the tokenizer expr
+    val bigrams = element_at(
+      transform(array(TextAnalysis.tokens(col("text"))), t =>
+        transform(
+          when(size(t) >= 2, sequence(lit(1), size(t) - 1))
+            .otherwise(array().cast(ArrayType(IntegerType))),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))),
+      1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(20)
+  }
+
+  val qBigramsSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |u AS (SELECT doc_id,
+       |        unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+       |          i -> toks[i] || ' ' || toks[i+1])) AS bigram
+       |      FROM t)
+       |SELECT bigram, count(*) AS n, count(distinct doc_id) AS n_docs
+       |FROM u GROUP BY bigram
+       |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin
+
   /** Quality scoring: stopword/punct/digit ratios + composite score. */
   def qTextQuality(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -1190,6 +1226,7 @@ object PipelineQueries {
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_token_count", qTokenCount _, Some(qTokenCountSql)),
+    ("q_bigrams", qBigrams _, Some(qBigramsSql)),
     ("q_text_quality", qTextQuality _, Some(qTextQualitySql)),
     ("q_lang_id", qLangId _, Some(qLangIdSql)),
     ("q_fingerprint", qFingerprint _, Some(qFingerprintSql)),
