@@ -44,6 +44,12 @@ object GraftExtensions {
       : Seq[Expression] => Expression =
     args => Bridge.toEagerExpression(f(Bridge.toColumn(args.head)))
 
+  private def lift2(
+      f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column)
+      : Seq[Expression] => Expression =
+    args => Bridge.toEagerExpression(
+      f(Bridge.toColumn(args(0)), Bridge.toColumn(args(1))))
+
   private def intArg(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
@@ -94,7 +100,10 @@ object GraftExtensions {
       lift1(TextAnalysis.langId)),
     ("token_count",
       info("token_count", "token_count(text) - whitespace token count"),
-      lift1(TextAnalysis.tokenCount)))
+      lift1(TextAnalysis.tokenCount)),
+    ("z_value",
+      info("z_value", "z_value(x, y) - Morton bit-interleave of two non-negative ints (16 bits each) for z-order clustering"),
+      lift2(graft.ops.ZOrder.zValue)))
 
   /** Register the same functions into an ALREADY-RUNNING session (the
     * extensions hook only fires at session construction).

@@ -305,6 +305,64 @@ object PipelineQueries {
        |FROM final GROUP BY 1, 2""".stripMargin
   }
 
+  /** ROUND-5 CAPSTONE: the quality stack composed — composite quality
+    * score AND unigram-LM perplexity proxy AND cross-document
+    * boilerplate (span dup fraction) gates, aggregated per source.
+    * Each signal is hash-verified alone (q_text_quality, q_unigram_lm,
+    * q_span_dedup); this pins that they compose without breaking
+    * cross-engine determinism (every gate compares the same ROUNDED
+    * value in both engines, so thresholds cut identically).
+    */
+  def qCurationV2(s: SparkSession, d: String): DataFrame = {
+    import graft.text.{TextAnalysis => TA}
+    val docs = Tables.documents(s, d)
+    val lmKeep = graft.text.UnigramLm.score(docs, "doc_id", "text")
+      .filter(col("avg_logp") >= -3.41).select("doc_id")
+    val spKeep = Dedup.spanProfile(docs, "doc_id", "text", w = 6, minDocs = 2)
+      .filter(col("dup_frac") <= 0.3).select("doc_id")
+    docs
+      .filter(TA.qualityScore(col("text")) >= 0.6)
+      .join(lmKeep, Seq("doc_id"))
+      .join(spKeep, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars"))
+  }
+
+  val qCurationV2Sql: String = {
+    val sc = graft.text.UnigramLm.Scale
+    s"""WITH t AS (SELECT doc_id, source, n_chars, text, $toksSql AS toks
+       |           FROM documents),
+       |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |v AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+       |tot AS (SELECT cast(sum(c) as bigint) AS tt FROM v),
+       |q AS (SELECT tok,
+       |        cast(round(ln(cast(c as double) / cast(tt as double)) * $sc) as bigint) AS lp
+       |      FROM v CROSS JOIN tot),
+       |p AS (SELECT u.doc_id, count(*) AS n_tokens, cast(sum(q.lp) as bigint) AS slp
+       |      FROM u JOIN q USING (tok) GROUP BY u.doc_id),
+       |lmkeep AS (
+       |  SELECT t.doc_id FROM t LEFT JOIN p USING (doc_id)
+       |  WHERE round(CASE WHEN p.n_tokens > 0
+       |        THEN cast(p.slp as double) / p.n_tokens / $sc.0
+       |        ELSE 0.0 END, 6) >= -3.41),
+       |su AS (SELECT doc_id, unnest(${shinglesWSql("toks", 6)}) AS h FROM t),
+       |sf AS (SELECT h, count(*) AS nd FROM su GROUP BY h),
+       |sp AS (SELECT su.doc_id, count(*) AS n_spans,
+       |         cast(sum(CASE WHEN sf.nd >= 2 THEN 1 ELSE 0 END) as bigint) AS n_dup
+       |       FROM su JOIN sf USING (h) GROUP BY su.doc_id),
+       |spkeep AS (
+       |  SELECT t.doc_id FROM t LEFT JOIN sp USING (doc_id)
+       |  WHERE round(CASE WHEN sp.n_spans > 0 THEN sp.n_dup * 1.0 / sp.n_spans
+       |        ELSE 0.0 END, 6) <= 0.3),
+       |kept AS (
+       |  SELECT t.source, t.n_chars FROM t
+       |  WHERE ${qualityExprSql("toks", "text")} >= 0.6
+       |    AND doc_id IN (SELECT doc_id FROM lmkeep)
+       |    AND doc_id IN (SELECT doc_id FROM spkeep))
+       |SELECT source, count(*) AS n_kept, cast(sum(n_chars) as bigint) AS chars
+       |FROM kept GROUP BY 1""".stripMargin
+  }
+
   /** Deterministic 80/10/10 split assignment by content-hash
     * coordinate: per-(source, split) counts — identical in any engine
     * (the property that keeps train/val/test membership stable).
@@ -1245,6 +1303,7 @@ object PipelineQueries {
     ("q_domain_mix", qDomainMix _, Some(qDomainMixSql)),
     ("q_corpus_profile", qCorpusProfile _, Some(qCorpusProfileSql)),
     ("q_corpus_pipeline", qCorpusPipeline _, Some(qCorpusPipelineSql)),
+    ("q_curation_v2", qCurationV2 _, Some(qCurationV2Sql)),
     ("q_dedup_exact", qDedupExact _, Some(qDedupExactSql)),
     ("q_minhash_sig", qMinhashSig _, Some(qMinhashSigSql)),
     ("q_minhash_pairs", qMinhashPairs _, Some(qMinhashPairsSql)),

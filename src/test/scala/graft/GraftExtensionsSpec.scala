@@ -45,6 +45,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
   }
 
+  test("z_value in SQL equals the ZOrder expression") {
+    val pairs = Seq((0L, 0L), (1L, 0L), (2L, 3L), (65535L, 65535L))
+      .toDF("x", "y")
+    pairs.createOrReplaceTempView("ext_zv")
+    val sql = spark.sql("SELECT z_value(x, y) AS z FROM ext_zv")
+      .as[Long].collect().toSeq
+    val api = pairs.select(graft.ops.ZOrder.zValue($"x", $"y"))
+      .as[Long].collect().toSeq
+    assert(sql === api)
+  }
+
   test("k_min_distinct aggregate in SQL equals the Kmv register build") {
     (1 to 500).map(i => ("g", s"v-${i % 120}")).toDF("grp", "v")
       .createOrReplaceTempView("ext_kmv")
