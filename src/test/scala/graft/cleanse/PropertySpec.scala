@@ -139,4 +139,53 @@ class PropertySpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(again === kept)
   }
+
+  test("law: zValue is a bijection on the 8-bit grid and quadrant-monotone") {
+    import graft.ops.ZOrder
+    val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))
+    val zs = grid.toDF("x", "y")
+      .select($"x", $"y", ZOrder.zValue($"x", $"y").as("z"))
+      .as[(Long, Long, Long)].collect()
+    // distinct coordinates → distinct z (interleave loses no bits)
+    assert(zs.map(_._3).distinct.length === grid.length)
+    // the high interleaved bit dominates: every z in the (x<8, y<8)
+    // quadrant sorts before every z with x≥8 or y≥8
+    val lowQ = zs.filter(t => t._1 < 8 && t._2 < 8).map(_._3).max
+    val rest = zs.filter(t => t._1 >= 8 || t._2 >= 8).map(_._3).min
+    assert(lowQ < rest)
+  }
+
+  test("law: span profile counts are bounded and exhaustive") {
+    import graft.dedup.Dedup
+    val wordGen = Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
+    val docs = cases(docGen, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = Dedup.spanProfile(docs, "doc_id", "text", w = 3, minDocs = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length === 120)                         // every doc survives
+    out.foreach { case (_, nSpans, nDup, frac) =>
+      assert(nDup >= 0 && nDup <= nSpans)              // dup ⊆ spans
+      assert(frac >= 0.0 && frac <= 1.0)
+      if (nSpans > 0)
+        assert(math.abs(frac - math.rint(nDup.toDouble / nSpans * 1e6) / 1e6) < 1e-9)
+      else assert(frac === 0.0)
+    }
+  }
+
+  test("law: unigram-LM scores are non-positive and vocabulary-consistent") {
+    import graft.text.UnigramLm
+    val wordGen = Gen.oneOf("u", "v", "w", "x")
+    val docGen = Gen.listOfN(8, wordGen).map(_.mkString(" "))
+    val docs = cases(docGen, 100).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = UnigramLm.score(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(out.length === 100)
+    out.foreach { case (_, n, s) =>
+      assert(n === 8L)
+      assert(s <= 0.0)                              // log-probs never positive
+      assert(s >= math.log(1.0 / 800) - 1e-6)       // min token prob ≥ 1/total
+    }
+  }
 }
