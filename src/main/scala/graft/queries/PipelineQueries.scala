@@ -113,6 +113,44 @@ object PipelineQueries {
        |FROM u GROUP BY bigram
        |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin
 
+  /** Corpus tokenization to vocabulary ids — the encode step before
+    * training shards are written: a frequency-ranked vocabulary
+    * (count desc, token asc — fully deterministic), then each document
+    * mapped to its id sequence in token order. Scale shape: vocabulary
+    * ranking is one partial-aggregated count shuffle plus a
+    * vocab-sized window (vocabularies fit one node by definition —
+    * same assumption every tokenizer makes); encoding is one equi-join
+    * of the exploded token stream against the vocab (AQE broadcasts
+    * it) and a per-doc ordered reassembly bounded by document length.
+    */
+  def qTokenize(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("vid", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("tok").asc)).cast(LongType))
+      .select(col("tok"), col("vid"))
+    toks.join(vocab, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        transform(sort_array(collect_list(struct(col("pos"), col("vid")))),
+          x => x.getField("vid")).as("ids"))
+  }
+
+  val qTokenizeSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |u AS (SELECT doc_id, r.i AS pos, toks[r.i] AS tok
+       |      FROM t, unnest(range(1, len(toks) + 1)) AS r(i)),
+       |v AS (SELECT tok,
+       |        row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS vid
+       |      FROM u GROUP BY tok)
+       |SELECT u.doc_id, count(*) AS n_tokens,
+       |  list(v.vid ORDER BY u.pos) AS ids
+       |FROM u JOIN v USING (tok)
+       |GROUP BY u.doc_id""".stripMargin
+
   /** Quality scoring: stopword/punct/digit ratios + composite score. */
   def qTextQuality(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -1285,6 +1323,7 @@ object PipelineQueries {
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_token_count", qTokenCount _, Some(qTokenCountSql)),
     ("q_bigrams", qBigrams _, Some(qBigramsSql)),
+    ("q_tokenize", qTokenize _, Some(qTokenizeSql)),
     ("q_text_quality", qTextQuality _, Some(qTextQualitySql)),
     ("q_lang_id", qLangId _, Some(qLangIdSql)),
     ("q_fingerprint", qFingerprint _, Some(qFingerprintSql)),

@@ -69,6 +69,19 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) === ((0L, 0L, 0.0)))   // shorter than w
   }
 
+  test("tokenize-to-ids is length-preserving with a dense ranked vocab") {
+    val out = graft.queries.PipelineQueries.qTokenize(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+    assert(out.nonEmpty)
+    val maxId = out.flatMap(_._3).max
+    out.foreach { case (_, n, ids) =>
+      assert(ids.length.toLong === n)          // one id per token, in order
+      assert(ids.forall(i => i >= 1 && i <= maxId))
+    }
+    // ids are dense 1..|vocab| (row_number ranking leaves no gaps)
+    assert(out.flatMap(_._3).distinct.sorted === (1L to maxId))
+  }
+
   test("unigram LM scores common-token docs above rare-token docs") {
     // "the" dominates the corpus; "xylophone"/"quux" are singletons —
     // the all-common doc must have the higher (less negative) score
