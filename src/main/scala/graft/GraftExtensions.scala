@@ -44,11 +44,14 @@ object GraftExtensions {
       : Seq[Expression] => Expression =
     args => Bridge.toEagerExpression(f(Bridge.toColumn(args.head)))
 
-  private def lift2(
+  private def lift2(name: String,
       f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column)
-      : Seq[Expression] => Expression =
-    args => Bridge.toEagerExpression(
-      f(Bridge.toColumn(args(0)), Bridge.toColumn(args(1))))
+      : Seq[Expression] => Expression = {
+    case Seq(a, b) => Bridge.toEagerExpression(
+      f(Bridge.toColumn(a), Bridge.toColumn(b)))
+    case args => throw new IllegalArgumentException(
+      s"$name takes exactly 2 arguments, got ${args.length}")
+  }
 
   private def intArg(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -103,7 +106,7 @@ object GraftExtensions {
       lift1(TextAnalysis.tokenCount)),
     ("z_value",
       info("z_value", "z_value(x, y) - Morton bit-interleave of two non-negative ints (16 bits each) for z-order clustering"),
-      lift2(graft.ops.ZOrder.zValue)))
+      lift2("z_value", graft.ops.ZOrder.zValue)))
 
   /** Register the same functions into an ALREADY-RUNNING session (the
     * extensions hook only fires at session construction).

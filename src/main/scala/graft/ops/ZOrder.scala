@@ -47,6 +47,8 @@ object ZOrder {
     */
   def sortByZ(df: DataFrame, xCol: String, yCol: String,
       partitions: Int = 0): DataFrame = {
+    require(!df.columns.contains("z"),
+      "input already has a 'z' column — rename it before sortByZ")
     val withZ = df.withColumn("z", zValue(col(xCol), col(yCol)))
     val n = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions

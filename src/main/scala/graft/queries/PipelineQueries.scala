@@ -124,9 +124,15 @@ object PipelineQueries {
     * it) and a per-doc ordered reassembly bounded by document length.
     */
   def qTokenize(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"),
-        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+    // the token stream feeds BOTH the vocabulary build and the probe
+    // side of the encode join — persist it once (same shape as
+    // UnigramLm.score / Dedup.spanProfile) so the scan+tokenize map
+    // doesn't run twice
+    val toks = graft.CacheRegistry.register(
+      graft.ops.Parallelism.widen(Tables.documents(s, d))
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .withColumn("vid", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -1231,7 +1237,8 @@ object PipelineQueries {
        |        FROM b ORDER BY h, vec_id LIMIT $k)),
        |$rounds,
        |${asg(iters + 1, s"cent$iters")}
-       |SELECT vec_id, cluster, round(dist2, 6) AS dist2 FROM asg${iters + 1}""".stripMargin
+       |SELECT vec_id, cluster, round(greatest(dist2, 0.0), 6) AS dist2
+       |FROM asg${iters + 1}""".stripMargin
   }
 
   // ---------------------------------------------------------- multimodal

@@ -89,6 +89,7 @@ object KMeans {
         .select(col("x")).collect()
         .zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](0)) }
+      require(init.nonEmpty, "k-means needs a non-empty vector input")
       var model = Model(init.toIndexedSeq)
       for (_ <- 0 until iters) {
         // per-(cluster, dim) exact integer sums; partial aggregation
@@ -122,7 +123,12 @@ object KMeans {
   def fitAssign(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     val m = fit(vectors, idCol, vecCol, k, iters)
+    // clamp before rounding: xx − 2·dot + cc cancels to a TINY NEGATIVE
+    // for vectors nearly coinciding with their centroid, and
+    // round(-1e-10, 6) is -0.0 in some engines but +0.0 in others —
+    // the one value str()-based hash gates disagree on
     assign(base(vectors, idCol, vecCol), m)
-      .select(col("vec_id"), col("cluster"), round(col("dist2"), 6).as("dist2"))
+      .select(col("vec_id"), col("cluster"),
+        round(greatest(col("dist2"), lit(0.0)), 6).as("dist2"))
   }
 }

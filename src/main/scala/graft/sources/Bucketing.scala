@@ -33,11 +33,18 @@ object Bucketing {
   }
 
   /** True iff the executed plan of `df` contains no shuffle exchange —
-    * the property bucketed co-located joins buy. Call on a plan built
-    * with AQE off (adaptive wrapping hides children until execution).
+    * the property bucketed co-located joins buy. Requires a plan built
+    * with AQE off: the adaptive wrapper hides its children until
+    * execution, which would make every plan look shuffle-free — fail
+    * loudly instead of returning that false positive.
     */
-  def shuffleFree(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.collect {
+  def shuffleFree(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan
+    require(!plan.isInstanceOf[
+      org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec],
+      "disable spark.sql.adaptive.enabled before inspecting for shuffles")
+    plan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
     }.isEmpty
+  }
 }
