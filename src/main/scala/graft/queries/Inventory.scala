@@ -379,6 +379,50 @@ object Inventory {
       |UNION
       |SELECT s_nationkey FROM supplier""".stripMargin
 
+  /** INTERSECT / EXCEPT — the set operations the reference never uses
+    * (SURVEY §2.7: UNION only) but a complete relational surface needs:
+    * nations with customers but no suppliers, and the shared set,
+    * tagged and unioned into one result. Spark `intersect`/`except`
+    * carry SQL set semantics (distinct, null-safe equality), same as
+    * DuckDB's operators.
+    */
+  def qSetOps(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_nationkey").as("key"))
+    val sup = Tables.supplier(s, d).select(col("s_nationkey").as("key"))
+    c.intersect(sup).withColumn("tag", lit("both"))
+      .union(c.except(sup).withColumn("tag", lit("cust_only")))
+  }
+
+  val qSetOpsSql: String =
+    """SELECT key, 'both' AS tag FROM (
+      |  SELECT c_nationkey AS key FROM customer
+      |  INTERSECT
+      |  SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT key, 'cust_only' AS tag FROM (
+      |  SELECT c_nationkey AS key FROM customer
+      |  EXCEPT
+      |  SELECT s_nationkey FROM supplier)""".stripMargin
+
+  /** CUBE aggregation with grouping-id disambiguation — grouping-sets
+    * coverage beyond the reference (which has plain GROUP BY only).
+    * `grouping_id` distinguishes a NULL group value from a rollup
+    * subtotal row, matching DuckDB's GROUPING() bit layout.
+    */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        dbl(sum(dec("l_quantity"))).as("qty_sum"),
+        grouping_id().as("gid"))
+
+  val qCubeSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS qty_sum,
+      |  grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   // ------------------------------------------------------------------- J4
   /** Anti-join (reference leaf-detection idiom LEFT JOIN … WHERE r IS
     * NULL, src/nass.sql:206-212 → left_anti).
@@ -840,6 +884,8 @@ object Inventory {
     ("q_coalesce_fallback", qCoalesceFallback _, Some(qCoalesceFallbackSql)),
     ("q_array_funcs", qArrayFuncs _, Some(qArrayFuncsSql)),
     ("q_union_distinct", qUnionDistinct _, Some(qUnionDistinctSql)),
+    ("q_set_ops", qSetOps _, Some(qSetOpsSql)),
+    ("q_cube", qCube _, Some(qCubeSql)),
     ("q_anti_join", qAntiJoin _, Some(qAntiJoinSql)),
     ("q_left_join_flag", qLeftJoinFlag _, Some(qLeftJoinFlagSql)),
     ("q_theta_bands", qThetaBands _, Some(qThetaBandsSql)),
