@@ -816,6 +816,57 @@ object Inventory {
     * reference never uses (SURVEY §2.6 notes its absence) but any
     * analytics engine must provide.
     */
+  /** Offset/distribution window functions beyond the reference's
+    * partition-only aggregates: lag/lead navigation, ntile bucketing,
+    * and cume_dist — the remaining window-function families a complete
+    * surface needs. Fully ordered (ts, event_id) so every offset is
+    * engine-deterministic.
+    */
+  def qWindowLead(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        lag(col("event_id"), 1).over(w).as("prev_id"),
+        lead(col("event_id"), 1).over(w).as("next_id"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cdist"))
+  }
+
+  val qWindowLeadSql: String =
+    """SELECT user_id, event_id,
+      |  lag(event_id, 1) OVER w AS prev_id,
+      |  lead(event_id, 1) OVER w AS next_id,
+      |  ntile(4) OVER w AS quartile,
+      |  round(cume_dist() OVER w, 6) AS cdist
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin
+
+  /** Timestamp scalar functions over the events stream (the engine-
+    * portable subset: component extraction + epoch conversion; no
+    * locale- or week-numbering-dependent functions).
+    */
+  def qTimeFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        year(col("ts")).as("y"), month(col("ts")).as("mo"),
+        dayofmonth(col("ts")).as("d"), hour(col("ts")).as("h"),
+        minute(col("ts")).as("mi"),
+        unix_millis(col("ts")).as("epoch_ms"),
+        date_trunc("day", col("ts")).as("day_start"))
+
+  val qTimeFuncsSql: String =
+    """SELECT event_id,
+      |  cast(extract(year FROM ts) as int) AS y,
+      |  cast(extract(month FROM ts) as int) AS mo,
+      |  cast(extract(day FROM ts) as int) AS d,
+      |  cast(extract(hour FROM ts) as int) AS h,
+      |  cast(extract(minute FROM ts) as int) AS mi,
+      |  epoch_ms(ts) AS epoch_ms,
+      |  date_trunc('day', ts) AS day_start
+      |FROM events""".stripMargin
+
   def qWindowRunning(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))
@@ -905,6 +956,8 @@ object Inventory {
     ("q_kmv_registers", qKmvRegisters _, Some(qKmvRegistersSql)),
     ("q_bloom_filter", qBloomFilter _, Some(qBloomFilterSql)),
     ("q_sessionize", qSessionize _, Some(qSessionizeSql)),
-    ("q_window_running", qWindowRunning _, Some(qWindowRunningSql))) ++
+    ("q_window_running", qWindowRunning _, Some(qWindowRunningSql)),
+    ("q_window_lead", qWindowLead _, Some(qWindowLeadSql)),
+    ("q_time_funcs", qTimeFuncs _, Some(qTimeFuncsSql))) ++
     PipelineQueries.entries
 }
