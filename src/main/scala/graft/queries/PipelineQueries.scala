@@ -114,16 +114,23 @@ object PipelineQueries {
        |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin
 
   /** Corpus tokenization to vocabulary ids — the encode step before
-    * training shards are written: a frequency-ranked vocabulary
-    * (count desc, token asc — fully deterministic), then each document
-    * mapped to its id sequence in token order. Scale shape: vocabulary
-    * ranking is one partial-aggregated count shuffle plus a
-    * vocab-sized window (vocabularies fit one node by definition —
-    * same assumption every tokenizer makes); encoding is one equi-join
-    * of the exploded token stream against the vocab (AQE broadcasts
-    * it) and a per-doc ordered reassembly bounded by document length.
+    * training shards are written: a frequency-ranked, SIZE-CAPPED
+    * vocabulary (top maxVocab by count desc, token asc — fully
+    * deterministic; out-of-vocabulary tokens are dropped, the
+    * fixed-vocab contract every real tokenizer has), then each
+    * document mapped to its id sequence in token order.
+    *
+    * Scale shape: the vocabulary cut is a DISTRIBUTED top-k
+    * (TakeOrderedAndProject after the partial-aggregated count
+    * shuffle — never a single-partition sort of all distinct tokens,
+    * which at web scale is billions of junk strings); the id window
+    * then runs over the ≤maxVocab survivors only. Encoding is one
+    * equi-join of the exploded token stream against the capped vocab
+    * (AQE broadcasts it) and a per-doc ordered reassembly bounded by
+    * document length.
     */
   def qTokenize(s: SparkSession, d: String): DataFrame = {
+    val maxVocab = 65536
     // the token stream feeds BOTH the vocabulary build and the probe
     // side of the encode join — persist it once (same shape as
     // UnigramLm.score / Dedup.spanProfile) so the scan+tokenize map
@@ -134,6 +141,7 @@ object PipelineQueries {
           posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(maxVocab)
       .withColumn("vid", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("c").desc, col("tok").asc)).cast(LongType))
@@ -149,9 +157,11 @@ object PipelineQueries {
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |u AS (SELECT doc_id, r.i AS pos, toks[r.i] AS tok
        |      FROM t, unnest(range(1, len(toks) + 1)) AS r(i)),
+       |vc AS (SELECT tok, count(*) AS c FROM u GROUP BY tok
+       |       ORDER BY c DESC, tok ASC LIMIT 65536),
        |v AS (SELECT tok,
-       |        row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS vid
-       |      FROM u GROUP BY tok)
+       |        row_number() OVER (ORDER BY c DESC, tok ASC) AS vid
+       |      FROM vc)
        |SELECT u.doc_id, count(*) AS n_tokens,
        |  list(v.vid ORDER BY u.pos) AS ids
        |FROM u JOIN v USING (tok)
