@@ -83,6 +83,20 @@ class SinksAndSkewSpec extends SparkSpec {
     // 51.0 (== hi, exclusive) and -1.0 (below all) match nothing
   }
 
+  test("ORC roundtrip preserves rows and pushes filters to the scan") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.collect().toSet === src.collect().toSet)
+    // predicate pushdown reaches the ORC reader (same contract as
+    // parquet: PushedFilters in the scan node)
+    val plan = back.filter($"n_regionkey" === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"),
+      s"no pushdown in:\n$plan")
+  }
+
   test("bucketed co-located join runs with zero shuffle exchanges") {
     import graft.sources.Bucketing
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
