@@ -810,12 +810,7 @@ object Inventory {
     """SELECT o_orderkey, cast(cast(o_totalprice as decimal(18,2)) as double) AS price
       |FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 100""".stripMargin
 
-  // ------------------------------------------------- frame-based window
-  /** Running (cumulative) aggregate with an explicit ROWS frame and a
-    * full tie-break ordering — the frame-based window shape the
-    * reference never uses (SURVEY §2.6 notes its absence) but any
-    * analytics engine must provide.
-    */
+  // ---------------------------------------- offset/distribution windows
   /** Offset/distribution window functions beyond the reference's
     * partition-only aggregates: lag/lead navigation, ntile bucketing,
     * and cume_dist — the remaining window-function families a complete
@@ -867,6 +862,12 @@ object Inventory {
       |  date_trunc('day', ts) AS day_start
       |FROM events""".stripMargin
 
+  // ------------------------------------------------- frame-based window
+  /** Running (cumulative) aggregate with an explicit ROWS frame and a
+    * full tie-break ordering — the frame-based window shape the
+    * reference never uses (SURVEY §2.6 notes its absence) but any
+    * analytics engine must provide.
+    */
   def qWindowRunning(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))

@@ -163,20 +163,21 @@ class EventStreamsSpec extends SparkSpec {
       within = "10 minutes", watermark = "10 minutes")
       .writeStream.outputMode("append")
       .format("memory").queryName("evict_out").start()
-    // batch 1: a matching pair at t0/t5, plus sentinels far in the
-    // future that push both watermarks to ~t490
-    memC.addData((1L, ts(0)), (99L, ts(500)))
-    memV.addData((1L, ts(5)), (98L, ts(500)))
-    q.processAllAvailable()
-    val afterBatch1 = spark.table("evict_out").count()
-    assert(afterBatch1 === 1) // t0 ⋈ t5 within ±10min
-    // batch 2: a view at t1 would match the t0 click, but the click's
-    // buffered state is evictable once the watermark passed t0+10min —
-    // the late row must produce nothing
-    memV.addData((1L, ts(1)))
-    q.processAllAvailable()
-    assert(spark.table("evict_out").count() === afterBatch1)
-    q.stop()
+    try {
+      // batch 1: a matching pair at t0/t5, plus sentinels far in the
+      // future that push both watermarks to ~t490
+      memC.addData((1L, ts(0)), (99L, ts(500)))
+      memV.addData((1L, ts(5)), (98L, ts(500)))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("evict_out").count()
+      assert(afterBatch1 === 1) // t0 ⋈ t5 within ±10min
+      // batch 2: a view at t1 would match the t0 click, but the click's
+      // buffered state is evictable once the watermark passed t0+10min —
+      // the late row must produce nothing
+      memV.addData((1L, ts(1)))
+      q.processAllAvailable()
+      assert(spark.table("evict_out").count() === afterBatch1)
+    } finally q.stop()
   }
 
   test("streaming sessionization matches batch semantics for closed sessions") {
