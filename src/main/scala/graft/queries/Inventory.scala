@@ -900,6 +900,45 @@ object Inventory {
         col("n_events"),
         dbl(col("sum_value").cast(DecimalType(24, 6))).as("sum_value"))
 
+  /** Native declarative sessionization — Spark's built-in
+    * `session_window` (the same construct Structured Streaming uses
+    * for stateful session aggregation, no custom state code). Gap
+    * semantics differ from the lag-based form at the boundary: a
+    * session's window is [first, last+gap) with an EXCLUSIVE end, so
+    * an event arriving exactly `gap` after the last one starts a NEW
+    * session (the lag formulation's `> gap` keeps it). The oracle
+    * encodes the `>=` split accordingly, and session_end is
+    * last_event + gap, not last_event.
+    */
+  def qSessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        dbl(sum(dec("value", 18, 6)).cast(DecimalType(24, 6))).as("sum_value"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  val qSessionWindowSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked)
+      |SELECT user_id,
+      |  min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events,
+      |  cast(cast(sum(cast(value as decimal(18,6))) as decimal(24,6)) as double) AS sum_value
+      |FROM sessions GROUP BY user_id, session_id""".stripMargin
+
   val qSessionizeSql: String =
     """WITH marked AS (
       |  SELECT user_id, ts, value,
@@ -957,6 +996,7 @@ object Inventory {
     ("q_kmv_registers", qKmvRegisters _, Some(qKmvRegistersSql)),
     ("q_bloom_filter", qBloomFilter _, Some(qBloomFilterSql)),
     ("q_sessionize", qSessionize _, Some(qSessionizeSql)),
+    ("q_session_window", qSessionWindow _, Some(qSessionWindowSql)),
     ("q_window_running", qWindowRunning _, Some(qWindowRunningSql)),
     ("q_window_lead", qWindowLead _, Some(qWindowLeadSql)),
     ("q_time_funcs", qTimeFuncs _, Some(qTimeFuncsSql))) ++
