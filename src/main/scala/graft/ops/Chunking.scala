@@ -49,8 +49,8 @@ object Chunking {
       .otherwise(greatest(
         ((n - overlap + (stride - 1)) / stride).cast(IntegerType), lit(1)))
     // null text → empty token array (size(null) is -1, which would
-    // otherwise fabricate one chunk; the oracle's unnest(NULL) emits
-    // zero rows, and so must we)
+    // otherwise fabricate one chunk); the oracle coalesces its token
+    // list to [] for the same zero-chunk result
     df.select(col(idCol),
       coalesce(TextAnalysis.tokens(col(textCol)),
         array().cast("array<string>")).as("__toks"))
@@ -72,8 +72,8 @@ object Chunking {
     val stride = chunkTokens - overlap
     s"""WITH toks AS (
        |  SELECT $idCol,
-       |    list_filter(string_split_regex(trim($textCol), '\\s+'),
-       |      x -> x != '') AS t
+       |    coalesce(list_filter(string_split_regex(trim($textCol), '\\s+'),
+       |      x -> x != ''), []) AS t
        |  FROM $table),
        |sized AS (
        |  SELECT $idCol, t,

@@ -45,6 +45,17 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Per-key lookup as a when/otherwise CASE chain (shared by the
+    * stratified/mixture/replication knobs so NULL- and unknown-key
+    * policy lives in one place: keys are matched with ===, so a NULL
+    * key falls through to `default`).
+    */
+  private def caseLookup(key: Column, pairs: Seq[(String, Double)],
+      default: Column): Column =
+    pairs.foldRight(default) { case ((k, v), acc) =>
+      when(key === k, lit(v)).otherwise(acc)
+    }
+
   /** Stratified deterministic sampling: per-stratum keep rates (e.g.
     * downsample web to 10%, keep books at 100%) — the training-mixture
     * control knob. Same stability contract as [[sampleFraction]],
@@ -53,10 +64,8 @@ object Sampling {
   def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
     val u = coordinate(col(keyCol))
-    val rate = rates.toSeq.sortBy(_._1).foldRight(
-      lit(defaultRate): Column) { case ((stratum, r), acc) =>
-      when(col(strataCol) === stratum, r).otherwise(acc)
-    }
+    val rate = caseLookup(col(strataCol), rates.toSeq.sortBy(_._1),
+      lit(defaultRate))
     df.filter(u < rate)
   }
 
@@ -84,9 +93,7 @@ object Sampling {
       "targets must be positive shares")
     val counts = df.filter(col(sourceCol).isin(targets.map(_._1): _*))
       .groupBy(col(sourceCol)).agg(count(lit(1)).as("n_src"))
-    val tgt = targets.foldRight(lit(null).cast(DoubleType): Column) {
-      case ((s, t), acc) => when(col(sourceCol) === s, lit(t)).otherwise(acc)
-    }
+    val tgt = caseLookup(col(sourceCol), targets, lit(null).cast(DoubleType))
     val withScale = counts
       .withColumn("feasible", col("n_src").cast(DoubleType) / tgt)
       .agg(min(col("feasible")).as("scale"))
@@ -117,11 +124,13 @@ object Sampling {
       epochs: Seq[(String, Double)], defaultEpochs: Double = 1.0): DataFrame = {
     require(epochs.forall(_._2 >= 0) && defaultEpochs >= 0,
       "epoch factors must be non-negative")
-    val e = epochs.foldRight(lit(defaultEpochs): Column) { case ((s, v), acc) =>
-      when(col(sourceCol) === s, lit(v)).otherwise(acc)
-    }
+    val e = caseLookup(col(sourceCol), epochs, lit(defaultEpochs))
+    // NULL key ⇒ NULL coordinate ⇒ the comparison is NULL; coalesce to
+    // 0 so such rows still get their floor(e) whole-epoch copies (the
+    // oracle's CASE WHEN NULL THEN 1 ELSE 0 END agrees)
     val copies = (floor(e).cast(IntegerType) +
-      (coordinate(col(keyCol)) < (e - floor(e))).cast(IntegerType)).as("__n")
+      coalesce((coordinate(col(keyCol)) < (e - floor(e))).cast(IntegerType),
+        lit(0))).as("__n")
     df.withColumn("__n", copies)
       .filter(col("__n") > 0) // guards sequence() against an empty range
       .withColumn("copy_idx", explode(sequence(lit(0), col("__n") - 1)))

@@ -104,6 +104,7 @@ object QuantileHist {
        |  round($lo + (($hi - $lo) / $nBins) *
        |    (c.qh_bin + (c.q * c.total - (c.cum - c.cnt)) / c.cnt), 6) AS est
        |FROM cand c JOIN pick p
-       |  ON c.$groupCol = p.$groupCol AND c.q = p.q AND c.qh_bin = p.bin""".stripMargin
+       |  ON c.$groupCol IS NOT DISTINCT FROM p.$groupCol
+       |  AND c.q = p.q AND c.qh_bin = p.bin""".stripMargin
   }
 }

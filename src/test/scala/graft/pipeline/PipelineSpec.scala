@@ -308,6 +308,14 @@ class PipelineSpec extends SparkSpec {
       df.filter($"source" === "src0"), "doc_id", 0.4)
       .select($"doc_id").as[Long].collect().toSet
     assert(frac === direct)
+    // NULL key: no coordinate, so no fractional bump — but the
+    // floor(e) whole-epoch copies must survive (and match the oracle)
+    val withNull = Seq((Some(1L), "src0"), (None: Option[Long], "src0"))
+      .toDF("doc_id", "source")
+    val nullCopies = Sampling.repeatFactor(withNull, "doc_id", "source",
+      Seq("src0" -> 3.25))
+      .filter($"doc_id".isNull).count()
+    assert(nullCopies === 3L)
   }
 
   test("brute-force ANN ranks an identical vector first") {
