@@ -197,6 +197,26 @@ object EventStreams {
           col(rightTs) <= col(leftTs) + iv)
   }
 
+  /** Idempotent foreachBatch sink: each micro-batch overwrites its own
+    * `__batch_id` partition, so replaying a batch after a failure
+    * rewrites the same partition instead of appending duplicates —
+    * exactly-once OUTPUT on top of at-least-once batch delivery, the
+    * standard production sink pattern when the target is a plain file
+    * layout rather than a transactional table. Failure mid-write
+    * leaves a partial partition that the replay fully replaces
+    * (dynamic partition overwrite).
+    */
+  def startIdempotentSink(df: DataFrame, sinkDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.ParquetSink.overwritePartitions(
+          batch.withColumn("__batch_id", lit(batchId)),
+          sinkDir, Seq("__batch_id"))
+      }
+      .start()
+
   /** Incremental pipeline wiring: parquet source dir → windowed agg →
     * parquet sink with checkpoint. The streaming twin of the batch
     * hourly rollup.
