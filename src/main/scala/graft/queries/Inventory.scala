@@ -623,7 +623,9 @@ object Inventory {
         get_json_object(col("props"), "$.k").cast(LongType).as("k2"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(when(col("k1") === col("k2"), 1L).otherwise(0L)).as("n_agree"),
+        // null-safe: both extractors returning NULL (missing/invalid k)
+        // IS agreement — === would count it as a mismatch
+        sum(when(col("k1") <=> col("k2"), 1L).otherwise(0L)).as("n_agree"),
         sum(col("k1")).as("k_sum"),
         min(col("k1")).as("k_min"), max(col("k1")).as("k_max"))
   }
@@ -921,15 +923,15 @@ object Inventory {
 
   val qSessionWindowSql: String =
     """WITH marked AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, ts, value, event_id,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
       |      THEN 1 ELSE 0 END AS new_session
       |  FROM events
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessions AS (
       |  SELECT user_id, ts, value,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS UNBOUNDED PRECEDING) AS session_id
       |  FROM marked)
       |SELECT user_id,
@@ -941,15 +943,15 @@ object Inventory {
 
   val qSessionizeSql: String =
     """WITH marked AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, ts, value, event_id,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
       |      THEN 1 ELSE 0 END AS new_session
       |  FROM events
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessions AS (
       |  SELECT user_id, ts, value,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS UNBOUNDED PRECEDING) AS session_id
       |  FROM marked)
       |SELECT user_id,

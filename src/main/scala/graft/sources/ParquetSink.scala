@@ -12,17 +12,14 @@ import org.apache.spark.sql.DataFrame
   */
 object ParquetSink {
   def overwritePartitions(df: DataFrame, path: String,
-      partitionCols: Seq[String]): Unit = {
-    val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try df.write
+      partitionCols: Seq[String]): Unit =
+    // per-writer option, NOT a session-conf set/restore: two concurrent
+    // writers in one session (e.g. two foreachBatch sinks) would race
+    // on the global conf, and a writer caught in "static" mode deletes
+    // the ENTIRE target directory instead of only its partitions
+    df.write
       .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
 }

@@ -99,10 +99,19 @@ object EventStreams {
   /** Batch-shaped sessionization with identical semantics (gap split
     * via lag window), for backfill and for differential testing of the
     * streaming path.
+    *
+    * `tieCols` pins the order of rows sharing a timestamp: the lag
+    * window and the running-sum window sort independently, so without
+    * a total order two tied rows at a session boundary can land in
+    * different relative positions per window and split one session in
+    * two, nondeterministically. Pass the event's unique id (default)
+    * or any column set that makes (ts, tieCols) unique per user.
     */
-  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L,
+      tieCols: Seq[String] = Seq("event_id")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts") +: tieCols.map(col): _*)
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       // millisecond-exact gap (unix_millis) — casting to long truncates
