@@ -440,9 +440,11 @@ object Dedup {
       idCol: String, textCol: String, minAgreement: Double = 0.75,
       fast: Boolean = false): DataFrame = {
     val fp = TextAnalysis.fingerprintHex(col(textCol))
-    val incFp = graft.CacheRegistry.register(
-      incoming.withColumn("__fp", fp)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // NOT persisted: this frame is consumed exactly once (into
+    // exactSurvivors, which IS persisted and feeds every downstream
+    // consumer) — caching the full incoming rows here only competed
+    // for block-manager memory with the caches that matter
+    val incFp = incoming.withColumn("__fp", fp)
     // ONE cached fingerprint aggregation of the reference serves both
     // exact stages: its fp column is already distinct (it's the groupBy
     // key) and min_by carries the representative's id AND text, so the
@@ -464,18 +466,21 @@ object Dedup {
     val exactSurvivors = graft.CacheRegistry.register(
       incFp.join(refExact.select(col("__fp")), Seq("__fp"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // near stage over representatives only — same one-agg min_by shape
+    // near stage over representatives only — same one-agg min_by shape.
+    // The incoming side is keyed by its FINGERPRINT (not the doc id):
+    // candidate pairs then come back already fp-keyed, so the dropped
+    // fingerprints fall straight out of the candidate scores — no join
+    // back to the rep frame (and no second groupBy over the survivors
+    // to rebuild it) before the final anti-join.
     val incReps = exactSurvivors
       .groupBy(col("__fp"))
-      .agg(min(col(idCol)).as(idCol),
-        min_by(col(textCol), col(idCol)).as(textCol))
+      .agg(min_by(col(textCol), col(idCol)).as(textCol))
+      .select(col("__fp").as(idCol), col(textCol))
     val refReps = refExact.select(col(idCol), col(textCol))
     val dropFps = minhashCandidatesAcross(incReps, refReps, idCol, textCol,
       fast = fast)
       .filter(col("sig_agreement") >= minAgreement)
-      .select(col("id_a").as(idCol))
-      .join(incReps.select(col(idCol), col("__fp")), Seq(idCol))
-      .select(col("__fp")).distinct()
+      .select(col("id_a").as("__fp")).distinct()
     exactSurvivors.join(dropFps, Seq("__fp"), "left_anti").drop("__fp")
   }
 

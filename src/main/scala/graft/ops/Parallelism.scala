@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Input-parallelism hints for expression-heavy narrow map stages.
   *
@@ -13,15 +14,32 @@ import org.apache.spark.sql.DataFrame
   */
 object Parallelism {
 
+  /** True when the plan already contains a width-setting (shuffling)
+    * operator — its output is `spark.sql.shuffle.partitions` wide, so
+    * widening is pointless. Checked on the LOGICAL plan because probing
+    * `df.rdd.getNumPartitions` under AQE materializes every upstream
+    * query stage (an eager full execution of the plan's shuffle DAG)
+    * just to read a partition count.
+    */
+  private def postShuffle(plan: LogicalPlan): Boolean = plan.exists {
+    case _: Aggregate | _: Join | _: Window | _: Sort |
+         _: Distinct | _: Deduplicate | _: RepartitionOperation |
+         _: SetOperation => true
+    case _ => false
+  }
+
   /** Round-robin repartition up to the session's default parallelism,
     * only when the plan currently has fewer partitions. The shuffle
     * moves only the raw input (small by precondition); the expensive
-    * downstream expressions then run on every core.
+    * downstream expressions then run on every core. Plans that already
+    * shuffle are returned untouched — without even compiling the
+    * physical plan (see [[postShuffle]]).
     */
   def widen(df: DataFrame, target: Int = 0): DataFrame = {
     val t =
       if (target > 0) target
       else df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < t) df.repartition(t) else df
+    if (postShuffle(df.queryExecution.analyzed)) df
+    else if (df.rdd.getNumPartitions < t) df.repartition(t) else df
   }
 }

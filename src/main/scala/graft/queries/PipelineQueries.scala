@@ -146,11 +146,16 @@ object PipelineQueries {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("c").desc, col("tok").asc)).cast(LongType))
       .select(col("tok"), col("vid"))
+    // ids is emitted as a comma-joined STRING, not array<long>: the
+    // driver's pandas canonicalizer cannot sort array cells (same
+    // canonicalization as q_minhash_sig's signature column)
     toks.join(vocab, Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        transform(sort_array(collect_list(struct(col("pos"), col("vid")))),
-          x => x.getField("vid")).as("ids"))
+        array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("vid")))),
+            x => x.getField("vid").cast(StringType)),
+          ",").as("ids"))
   }
 
   val qTokenizeSql: String =
@@ -163,7 +168,7 @@ object PipelineQueries {
        |        row_number() OVER (ORDER BY c DESC, tok ASC) AS vid
        |      FROM vc)
        |SELECT u.doc_id, count(*) AS n_tokens,
-       |  list(v.vid ORDER BY u.pos) AS ids
+       |  array_to_string(list(v.vid ORDER BY u.pos), ',') AS ids
        |FROM u JOIN v USING (tok)
        |GROUP BY u.doc_id""".stripMargin
 
@@ -976,15 +981,11 @@ object PipelineQueries {
        |w AS (
        |  SELECT doc_id, tok,
        |    cast(floor(tf * round(ln((n + 1.0) / (df_t + 1.0)) + 1.0, 6)
-       |      * 1000000 + 0.5) as bigint) AS w
+       |      * ${graft.sim.TfIdf.Scale} + 0.5) as bigint) AS w
        |  FROM tf JOIN vocab USING (tok) CROSS JOIN nd),
-       |nrm AS (
-       |  SELECT doc_id,
-       |    sum(cast(w as decimal(38,0)) * cast(w as decimal(38,0))) AS n2
-       |  FROM w GROUP BY 1),
+       |nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
        |dots AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    sum(cast(a.w as decimal(38,0)) * cast(b.w as decimal(38,0))) AS dot
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
        |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |scored AS (

@@ -26,9 +26,9 @@ import org.apache.spark.sql.types._
   * round-trip.
   *
   * Cross-engine determinism (the oracle hashes values exactly):
-  * weights are fixed-point BIGINTs — `floor(tf · idf₆ · 10⁶ + 0.5)`
+  * weights are fixed-point BIGINTs — `floor(tf · idf₆ · 10³ + 0.5)`
   * with idf pre-rounded to 6 dp — so dot products and squared norms
-  * are EXACT decimal sums (order-independent across partitions and
+  * are EXACT integer sums (order-independent across partitions and
   * engines); the only floating-point steps are one ln/round per vocab
   * token and one sqrt/divide per surviving pair, each a deterministic
   * scalar function of identical inputs. floor(x + 0.5), not
@@ -36,8 +36,25 @@ import org.apache.spark.sql.types._
   * DuckDB, and half-up vs half-even rounding of doubles differs by
   * engine version — floor of an integral-valued double is exact
   * everywhere.
+  *
+  * Aggregation width: dots and norms accumulate in plain LONG (the
+  * 3-dp weight scale keeps per-term products ≤ ~10¹⁵ for realistic
+  * tf·idf magnitudes, so a pair's dot stays far under 2⁶³ even at
+  * 10⁴-token overlaps) — half the hash-aggregate width of the
+  * decimal(38) accumulation it replaces, on the operator's hottest
+  * shuffle (the inverted-index pair fan-out). The exactness envelope
+  * is documented, not silent: [[Scale]] is the knob, and callers with
+  * pathological per-document term counts (tf·idf₆ beyond ~3·10⁶)
+  * should lower it.
   */
 object TfIdf {
+
+  /** Fixed-point scale of the weight quantization (3 decimal places).
+    * Cosine is scale-invariant, so this only sets the quantization
+    * granularity of the similarity definition — and the headroom that
+    * keeps long-typed dot products exact (see class doc).
+    */
+  val Scale: Long = 1000L
 
   /** Fixed-point TF-IDF terms: (idCol, token, w) with w = the 6-dp
     * fixed-point weight as BIGINT. Vocabulary = tokens with document
@@ -55,7 +72,8 @@ object TfIdf {
     tf.join(dfreq, Seq("tok"))
       .crossJoin(broadcast(n))
       .select(col(idCol), col("tok"),
-        floor(col("tf") * idf6 * lit(1e6) + 0.5d).cast(LongType).as("w"))
+        floor(col("tf") * idf6 * lit(Scale.toDouble) + 0.5d)
+          .cast(LongType).as("w"))
   }
 
   /** Cosine-similar pairs (id_a, id_b, cos_sim) with id_a < id_b and
@@ -64,20 +82,21 @@ object TfIdf {
     */
   def similarPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.3, maxDf: Long = 100): DataFrame = {
-    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
     // vectors feed the norm aggregation AND both sides of the pair
     // join — persist the narrow (id, tok, w) frame once
     val vecs = graft.CacheRegistry.register(
       docVectors(df, idCol, textCol, maxDf)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // long sums, not decimal(38): exact within the documented Scale
+    // envelope and half the aggregation width on the pair shuffle
     val norms = vecs.groupBy(col(idCol))
-      .agg(sum(dec(col("w")) * dec(col("w"))).as("n2"))
+      .agg(sum(col("w") * col("w")).as("n2"))
     val a = vecs.select(col("tok"), col(idCol).as("id_a"), col("w").as("w_a"))
     val b = vecs.select(col("tok"), col(idCol).as("id_b"), col("w").as("w_b"))
     val dots = a.join(b, Seq("tok"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(sum(dec(col("w_a")) * dec(col("w_b"))).as("dot"))
+      .agg(sum(col("w_a") * col("w_b")).as("dot"))
     dots
       .join(norms.select(col(idCol).as("id_a"), col("n2").as("n2_a")), Seq("id_a"))
       .join(norms.select(col(idCol).as("id_b"), col("n2").as("n2_b")), Seq("id_b"))

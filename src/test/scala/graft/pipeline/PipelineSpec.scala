@@ -71,7 +71,8 @@ class PipelineSpec extends SparkSpec {
 
   test("tokenize-to-ids is length-preserving with a dense ranked vocab") {
     val out = graft.queries.PipelineQueries.qTokenize(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2).split(',').filter(_.nonEmpty).map(_.toLong).toSeq))
     assert(out.nonEmpty)
     val maxId = out.flatMap(_._3).max
     out.foreach { case (_, n, ids) =>
