@@ -106,7 +106,7 @@ object GraftExtensions {
       lift1(TextAnalysis.tokenCount)),
     ("z_value",
       info("z_value", "z_value(x, y) - Morton bit-interleave of two non-negative ints (16 bits each) for z-order clustering"),
-      lift2("z_value", graft.ops.ZOrder.zValue)))
+      lift2("z_value", graft.ops.ZOrder.zValue(_, _))))
 
   /** Register the same functions into an ALREADY-RUNNING session (the
     * extensions hook only fires at session construction).

@@ -30,26 +30,48 @@ object ZOrder {
   /** Morton-interleave two non-negative integer columns: bit i of `x`
     * goes to bit 2i, bit i of `y` to bit 2i+1. Pure shift/mask/or
     * expression tree — codegen'd, no UDF.
+    *
+    * Inputs are MASKED to the low [[BitsPerDim]] bits: two keys
+    * differing only above bit 15 collide to the same z-value (and
+    * negatives wrap), which silently degrades scan pruning on
+    * wide-domain columns. Quantize first — `col % 65536` for
+    * hash-like keys, or `floor((col - lo) * 65536 / (hi - lo))` to
+    * preserve range locality — or pass `strict = true` to fail fast
+    * on any out-of-domain value instead of wrapping.
     */
-  def zValue(x: Column, y: Column): Column = {
-    val xs = x.cast(LongType).bitwiseAND(lit((1L << BitsPerDim) - 1))
-    val ys = y.cast(LongType).bitwiseAND(lit((1L << BitsPerDim) - 1))
-    (0 until BitsPerDim).map { i =>
+  def zValue(x: Column, y: Column, strict: Boolean = false): Column = {
+    val dom = lit((1L << BitsPerDim) - 1)
+    val xs = x.cast(LongType).bitwiseAND(dom)
+    val ys = y.cast(LongType).bitwiseAND(dom)
+    val z = (0 until BitsPerDim).map { i =>
       val xb = shiftleft(shiftright(xs, i).bitwiseAND(lit(1L)), 2 * i)
       val yb = shiftleft(shiftright(ys, i).bitwiseAND(lit(1L)), 2 * i + 1)
       xb.bitwiseOR(yb)
     }.reduce(_ bitwiseOR _)
+    if (!strict) z
+    else when(
+      x.cast(LongType).between(0L, (1L << BitsPerDim) - 1) &&
+        y.cast(LongType).between(0L, (1L << BitsPerDim) - 1), z)
+      .otherwise(raise_error(concat(
+        lit(s"ZOrder.zValue(strict): coordinate outside [0, 2^$BitsPerDim) — " +
+          "quantize first (e.g. col % 65536, or a range bucket): x="),
+        x.cast(StringType), lit(" y="), y.cast(StringType))).cast(LongType))
   }
 
   /** Repartition-by-range + in-partition sort on the z-value of
     * (xCol, yCol): the layout step before a clustered write. Returns
     * the frame with the `z` column retained (writers drop it).
+    *
+    * Both coordinates must already be in `[0, 2^16)` — see [[zValue]]
+    * for the quantization recipes; `strict = true` makes out-of-domain
+    * values fail the job instead of silently wrapping into colliding
+    * z-values (degraded pruning, no error).
     */
   def sortByZ(df: DataFrame, xCol: String, yCol: String,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0, strict: Boolean = false): DataFrame = {
     require(!df.columns.contains("z"),
       "input already has a 'z' column — rename it before sortByZ")
-    val withZ = df.withColumn("z", zValue(col(xCol), col(yCol)))
+    val withZ = df.withColumn("z", zValue(col(xCol), col(yCol), strict))
     val n = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     withZ.repartitionByRange(n, col("z")).sortWithinPartitions(col("z"))

@@ -17,6 +17,12 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
+  /** Default tie-break columns for [[sessionizeBatch]] — applied only
+    * when present in the input frame (reference identity of this Seq
+    * marks "caller did not choose").
+    */
+  val DefaultTieCols: Seq[String] = Seq("event_id")
+
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -106,12 +112,22 @@ object EventStreams {
     * different relative positions per window and split one session in
     * two, nondeterministically. Pass the event's unique id (default)
     * or any column set that makes (ts, tieCols) unique per user.
+    *
+    * The DEFAULT is applied only when the frame actually has an
+    * `event_id` column — a caller without one keeps the old
+    * (order-nondeterministic on ties) behavior instead of failing.
+    * An EXPLICITLY passed tie column that is missing still fails with
+    * an AnalysisException: silently ignoring a requested determinism
+    * key would be worse than the error.
     */
   def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L,
-      tieCols: Seq[String] = Seq("event_id")): DataFrame = {
+      tieCols: Seq[String] = DefaultTieCols): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val ties =
+      if (tieCols eq DefaultTieCols) DefaultTieCols.filter(events.columns.contains)
+      else tieCols
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts") +: tieCols.map(col): _*)
+      .orderBy(col("ts") +: ties.map(col): _*)
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       // millisecond-exact gap (unix_millis) — casting to long truncates

@@ -16,6 +16,26 @@ class ZOrderSpec extends SparkSpec {
     assert(out.toSeq == cases.map(_._3))
   }
 
+  test("strict zValue fails on out-of-domain coordinates instead of wrapping") {
+    // lax mode masks: 65536 collides with 0. strict mode must surface
+    // the collision as an error, not a silently degraded layout.
+    val ok = Seq((65535L, 0L)).toDF("x", "y")
+      .select(ZOrder.zValue($"x", $"y", strict = true)).as[Long].collect()
+    assert(ok.head === 0x55555555L) // x bits land on even positions
+    val err = intercept[Exception] {
+      Seq((65536L, 0L)).toDF("x", "y")
+        .select(ZOrder.zValue($"x", $"y", strict = true)).collect()
+    }
+    assert(err.getMessage.contains("quantize") ||
+      Option(err.getCause).exists(_.getMessage.contains("quantize")))
+    val neg = intercept[Exception] {
+      Seq((-1L, 0L)).toDF("x", "y")
+        .select(ZOrder.zValue($"x", $"y", strict = true)).collect()
+    }
+    assert(neg.getMessage.contains("quantize") ||
+      Option(neg.getCause).exists(_.getMessage.contains("quantize")))
+  }
+
   test("z-sorted partitions have bounded per-dimension extent") {
     // a uniform 32x32 grid z-sorted into 4 range partitions: each
     // partition must cover a localized region of BOTH dims — the

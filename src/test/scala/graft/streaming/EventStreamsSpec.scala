@@ -48,6 +48,21 @@ class EventStreamsSpec extends SparkSpec {
     assert(sess(1).getAs[Long]("n_events") === 1)   // min 90
   }
 
+  test("sessionizeBatch default tie-break tolerates a frame without event_id") {
+    // default tieCols apply only when the column exists — a frame
+    // lacking event_id must still sessionize (round-5 advice: the new
+    // default silently broke external callers without that column)
+    val noId = events.toDF().drop("event_id")
+    val sess = sessionizeBatch(noId)
+      .filter($"user_id" === 10).orderBy($"session_start").collect()
+    assert(sess.length === 2)
+    // an EXPLICIT missing tie column still fails loudly
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      sessionizeBatch(noId, tieCols = Seq("event_id")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("event_id"))
+  }
+
   test("streaming dedup keeps the first document per fingerprint") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
