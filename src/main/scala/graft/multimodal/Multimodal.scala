@@ -7,10 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video payloads are opaque
   * `binary` columns plus typed metadata. The Spark-side machinery —
   * schema, batch iteration, partitioning, metadata extraction — is real
-  * and tested; the codec itself is STUBBED (this container has no
-  * image/audio libraries) behind [[FakeCodec]], a deterministic fake
-  * whose output depends only on the payload bytes. Swap `FakeCodec` for
-  * a JNI/javacpp decoder in production; nothing else changes.
+  * and tested; the codec is a pluggable [[ImageCodec]]: the DEFAULT is
+  * [[FakeCodec]], a deterministic fake whose output depends only on
+  * the payload bytes (the cross-engine oracle replicates its
+  * arithmetic), and [[ImageIoCodec]] decodes real PNG/JPEG bytes via
+  * in-JVM `javax.imageio` through the exact same mapPartitions
+  * boundary. Audio/video codecs would slot in the same way (JNI/
+  * javacpp in production); nothing outside the codec object changes.
   *
   * Scale notes: decode runs in `mapPartitions` so per-partition codec
   * state is initialized once, not per row (the same shape a Python
@@ -29,11 +32,32 @@ object Multimodal {
       channels: Int,
       brightness: Double)
 
-  /** Deterministic fake decoder: "dimensions" and "pixel stats" derived
-    * purely from payload bytes. Replace with a real codec in production.
+  /** The pluggable codec boundary. Implementations ship inside the
+    * mapPartitions closure (hence Serializable) and see only payload
+    * bytes — the Spark-side plumbing (schema, batching, partitioning)
+    * is codec-agnostic, so swapping the stub for a real decoder
+    * changes NOTHING else.
     */
-  object FakeCodec {
-    def decode(bytes: Array[Byte]): (Int, Int, Int, Double) = {
+  trait ImageCodec extends Serializable {
+    /** (width, height, channels, brightness∈[0,1]), or None when the
+      * payload is not decodable by this codec.
+      */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Double)]
+
+    /** Row-major w×h luminance plane for resampling, or None when not
+      * decodable — the single-channel view [[Multimodal.resize]]
+      * samples from.
+      */
+    def luminance(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])]
+  }
+
+  /** Deterministic fake decoder: "dimensions" and "pixel stats" derived
+    * purely from payload bytes — the oracle-verifiable stand-in for a
+    * real codec (its arithmetic is replicated in the DuckDB oracle
+    * SQL, so keep it bit-stable). Decodes everything.
+    */
+  object FakeCodec extends ImageCodec {
+    def decodeRaw(bytes: Array[Byte]): (Int, Int, Int, Double) = {
       val n = bytes.length
       val w = 16 + math.abs(if (n > 0) bytes(0).toInt else 0) % 48
       val h = 16 + math.abs(if (n > 1) bytes(1).toInt else 0) % 48
@@ -42,6 +66,74 @@ object Multimodal {
       val brightness = if (n > 0) sum.toDouble / n / 255.0 else 0.0
       (w, h, c, brightness)
     }
+
+    override def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] =
+      Some(decodeRaw(bytes))
+
+    /** The payload bytes tiled modulo their length into the fake w×h
+      * grid — index (x + y·w) reads bytes((x + y·w) % n), exactly the
+      * sampling rule the resize oracle replicates.
+      */
+    override def luminance(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      val (w, h, _, _) = decodeRaw(bytes)
+      val n = bytes.length
+      val plane = new Array[Byte](w * h)
+      var i = 0
+      while (i < plane.length) {
+        plane(i) = if (n > 0) bytes(i % n) else 0.toByte
+        i += 1
+      }
+      Some((w, h, plane))
+    }
+  }
+
+  /** Real image codec over in-JVM `javax.imageio` (PNG/JPEG/GIF/BMP —
+    * no external dependencies): same [[ImageCodec]] boundary, same
+    * mapPartitions plumbing, actual pixels. Payloads ImageIO cannot
+    * parse decode to None (callers drop or route them). Brightness is
+    * the mean integer luminance ((r+g+b)/3, truncating — deterministic)
+    * over all pixels, scaled to [0,1].
+    */
+  object ImageIoCodec extends ImageCodec {
+    private def read(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+    override def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] =
+      read(bytes).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, img.getColorModel.getNumComponents,
+          if (w * h > 0) sum.toDouble / (w.toLong * h) / 255.0 else 0.0)
+      }
+
+    override def luminance(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      read(bytes).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val plane = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            plane(y * w + x) =
+              ((((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, plane)
+      }
   }
 
   /** Attach a binary payload column (here: the UTF-8 bytes of a text
@@ -62,19 +154,23 @@ object Multimodal {
   /** Batch decode via mapPartitions: codec init once per partition,
     * rows streamed through. Returns a typed Dataset with an explicit
     * schema — the contract a downstream feature store consumes.
+    * Payloads the codec cannot decode are dropped (never happens with
+    * the default [[FakeCodec]], which decodes everything).
     */
-  def decodeFeatures(spark: SparkSession, df: DataFrame, idCol: String): Dataset[MediaFeature] = {
+  def decodeFeatures(spark: SparkSession, df: DataFrame, idCol: String,
+      codec: ImageCodec = FakeCodec): Dataset[MediaFeature] = {
     import spark.implicits._
     df.select(col(idCol).cast(LongType), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition codec init would go here
-        rows.map { case (id, bytes) =>
-          val (w, h, c, bright) = FakeCodec.decode(bytes)
-          // half-up at 6dp (floor(x*1e6+0.5)) — reproducible across
-          // engines, unlike rint's half-even
-          MediaFeature(id, bytes.length, w, h, c,
-            math.floor(bright * 1e6 + 0.5) / 1e6)
+        // per-partition codec state is initialized here, once
+        rows.flatMap { case (id, bytes) =>
+          codec.decode(bytes).map { case (w, h, c, bright) =>
+            // half-up at 6dp (floor(x*1e6+0.5)) — reproducible across
+            // engines, unlike rint's half-even
+            MediaFeature(id, bytes.length, w, h, c,
+              math.floor(bright * 1e6 + 0.5) / 1e6)
+          }
         }
       }
   }
@@ -91,40 +187,40 @@ object Multimodal {
       resized: Array[Byte],
       checksum: Long)
 
-  /** Deterministic fake resize: nearest-neighbor sampling of the
-    * payload bytes viewed as a (srcW × srcH) pixel buffer (dims from
-    * [[FakeCodec]]), wrapped modulo payload length so every source
-    * index is valid. Same mapPartitions codec boundary as
-    * [[decodeFeatures]] — swap the sampling loop for a real scaler and
-    * nothing else changes. The resized bytes travel as a binary
+  /** Deterministic nearest-neighbor resize over the codec's luminance
+    * plane (with the default [[FakeCodec]]: the payload bytes tiled
+    * into the fake grid — the arithmetic the oracle replicates; with
+    * [[ImageIoCodec]]: real pixels). Same mapPartitions codec boundary
+    * as [[decodeFeatures]]. The resized bytes travel as a binary
     * column; `checksum` (byte sum) lets the oracle verify the sampling
-    * arithmetic without shipping blobs through SQL.
+    * arithmetic without shipping blobs through SQL. Undecodable
+    * payloads are dropped.
     */
   def resize(spark: SparkSession, df: DataFrame, idCol: String,
-      outW: Int, outH: Int): Dataset[ResizedMedia] = {
+      outW: Int, outH: Int, codec: ImageCodec = FakeCodec): Dataset[ResizedMedia] = {
     import spark.implicits._
     df.select(col(idCol).cast(LongType), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (id, bytes) =>
-          val (w, h, _, _) = FakeCodec.decode(bytes)
-          val n = bytes.length
-          val out = new Array[Byte](outW * outH)
-          var checksum = 0L
-          var y = 0
-          while (y < outH) {
-            val sy = y * h / outH
-            var x = 0
-            while (x < outW) {
-              val sx = x * w / outW
-              val b = if (n > 0) bytes((sx + sy * w) % n) else 0.toByte
-              out(y * outW + x) = b
-              checksum += (b & 0xff)
-              x += 1
+        rows.flatMap { case (id, bytes) =>
+          codec.luminance(bytes).map { case (w, h, plane) =>
+            val out = new Array[Byte](outW * outH)
+            var checksum = 0L
+            var y = 0
+            while (y < outH) {
+              val sy = y * h / outH
+              var x = 0
+              while (x < outW) {
+                val sx = x * w / outW
+                val b = if (plane.nonEmpty) plane(sx + sy * w) else 0.toByte
+                out(y * outW + x) = b
+                checksum += (b & 0xff)
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            ResizedMedia(id, w, h, outW, outH, out, checksum)
           }
-          ResizedMedia(id, w, h, outW, outH, out, checksum)
         }
       }
   }
