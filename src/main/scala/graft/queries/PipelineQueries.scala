@@ -487,6 +487,56 @@ object PipelineQueries {
        |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin
   }
 
+  /** Self-trained bigram-LM scoring — the order-2 fluency signal:
+    * per-document mean log p(w₂|w₁) under the corpus's own bigram
+    * transition distribution (quantized per-bigram log-probs keep the
+    * float-heavy score hash-verifiable, the UnigramLm discipline).
+    */
+  def qBigramLm(s: SparkSession, d: String): DataFrame =
+    graft.text.BigramLm.score(Tables.documents(s, d), "doc_id", "text")
+
+  val qBigramLmSql: String = {
+    val sc = graft.text.BigramLm.Scale
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |u AS (SELECT doc_id,
+       |        unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+       |          i -> toks[i] || ' ' || toks[i+1])) AS bg
+       |      FROM t),
+       |cb AS (SELECT bg, count(*) AS cb FROM u GROUP BY bg),
+       |cl AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS cl
+       |       FROM u GROUP BY 1),
+       |q AS (SELECT bg,
+       |        cast(round(ln(cast(cb as double) / cast(cl as double)) * $sc) as bigint) AS lp
+       |      FROM cb JOIN cl ON split_part(cb.bg, ' ', 1) = cl.w1),
+       |p AS (SELECT u.doc_id, count(*) AS n_bigrams, cast(sum(q.lp) as bigint) AS slp
+       |      FROM u JOIN q USING (bg) GROUP BY u.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(p.n_bigrams, 0) AS n_bigrams,
+       |  round(CASE WHEN p.n_bigrams > 0
+       |        THEN cast(p.slp as double) / p.n_bigrams / $sc.0
+       |        ELSE 0.0 END, 6) AS avg_logp
+       |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin
+  }
+
+  /** Quality-weighted deterministic sampling ("soft filtering"): each
+    * document survives with probability equal to its quality score —
+    * the smooth alternative to a hard threshold gate, hash-stable
+    * row-for-row across engines and re-runs.
+    */
+  def qWeightedSample(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.weightedSample(
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("weight")),
+      "doc_id", "weight")
+
+  val qWeightedSampleSql: String =
+    s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+       |w AS (SELECT doc_id, source,
+       |        ${qualityExprSql("toks", "text")} AS weight FROM t)
+       |SELECT doc_id, source, weight FROM w
+       |WHERE ${graft.ops.Sampling.coordinateSql("doc_id")} <
+       |      least(1.0, greatest(0.0, weight))""".stripMargin
+
   /** Per-document duplicated-span profile (6-token spans, shared by ≥2
     * docs) — the exact-substring-dedup signal over the corpus.
     */
@@ -1352,6 +1402,8 @@ object PipelineQueries {
     ("q_repetition", qRepetition _, Some(qRepetitionSql)),
     ("q_span_dedup", qSpanDedup _, Some(qSpanDedupSql)),
     ("q_unigram_lm", qUnigramLm _, Some(qUnigramLmSql)),
+    ("q_bigram_lm", qBigramLm _, Some(qBigramLmSql)),
+    ("q_weighted_sample", qWeightedSample _, Some(qWeightedSampleSql)),
     ("q_seq_pack", qSeqPack _, Some(qSeqPackSql)),
     ("q_chunk_split", qChunkSplit _, Some(qChunkSplitSql)),
     ("q_epoch_mix", qEpochMix _, Some(qEpochMixSql)),

@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Self-trained bigram language-model scoring — the conditional
+  * (order-2) sibling of [[UnigramLm]]: each document is scored by the
+  * mean log of p(w₂|w₁) = c(w₁w₂)/c(w₁·) over its adjacent token
+  * pairs, where c(w₁·) counts w₁ as a bigram LEFT (so the
+  * probabilities per left-token sum to exactly 1 and no smoothing
+  * constant is needed). Repetitive boilerplate (high-probability
+  * transitions) scores near 0; incoherent token salad scores very
+  * negative — a sharper fluency signal than unigram frequency, which
+  * cannot see word ORDER at all.
+  *
+  * Determinism (the [[UnigramLm]] contract): each distinct bigram's
+  * log-probability is one libm call on an exact rational, QUANTIZED to
+  * an integer (round(lp·1e6) as long); per-document scores are exact
+  * integer sums divided once at the end — no order-dependent float
+  * accumulation, so the score replays exactly in any engine.
+  *
+  * Scale shape: the bigram stream is a narrow map (size-1 pairs per
+  * doc); bigram and left-token counts are partial-aggregated shuffles
+  * (heavy hitters collapse map-side); the log-prob table joins back by
+  * bigram key (AQE broadcasts natural-language bigram vocabularies
+  * when they fit); one per-doc aggregation. Nothing holds unbounded
+  * state. Documents with fewer than 2 tokens survive with
+  * n_bigrams = 0 and avg_logp = 0.0.
+  */
+object BigramLm {
+
+  /** Quantization step for the exact integer score accumulation. */
+  val Scale = 1000000L
+
+  /** Per-document mean bigram log-probability (nats, rounded to 1e-6):
+    * (idCol, n_bigrams, avg_logp).
+    */
+  def score(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // "w1 w2" joined-string bigram keys: tokens are whitespace-free by
+    // construction, so the first space splits the pair back losslessly.
+    // The token array is let-bound as a lambda variable (single-element
+    // transform, the qBigrams/shingleHashes trick) so the tokenizer
+    // expression runs ONCE per row, not once per element_at; the
+    // when-guard keeps 0/1-token docs at an empty list (a bare
+    // sequence(1, size-1) would count DOWN for them).
+    val bigramsOf = element_at(
+      transform(array(TextAnalysis.tokens(col(textCol))), t =>
+        transform(
+          when(size(t) >= 2, sequence(lit(1), size(t) - 1))
+            .otherwise(array().cast(ArrayType(IntegerType))),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))),
+      1)
+    val bgs = graft.CacheRegistry.register(
+      graft.ops.Parallelism.widen(df)
+        .select(col(idCol).as("id"), explode(bigramsOf).as("bg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cb = bgs.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val cl = bgs.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("cl"))
+    val logp = cb
+      .join(cl, substring_index(cb("bg"), " ", 1) === cl("w1"))
+      .select(col("bg"),
+        round(log(col("cb").cast(DoubleType) / col("cl").cast(DoubleType)) * Scale)
+          .cast(LongType).as("lp"))
+    val perDoc = bgs.join(logp, Seq("bg"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(when(col("n_bigrams") > 0,
+          col("slp").cast(DoubleType) / col("n_bigrams") / Scale)
+          .otherwise(0.0), 6).as("avg_logp"))
+  }
+}
