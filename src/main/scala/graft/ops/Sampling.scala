@@ -45,6 +45,22 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Quality-weighted deterministic sampling ("soft filtering"): each
+    * row keeps with probability equal to its own weight column,
+    * clamped to [0,1] — the curation move that downsamples low-quality
+    * documents smoothly instead of hard-thresholding them (a 0.9-score
+    * doc survives 90% of the time, a 0.2 doc 20%), while staying a
+    * pure function of (key, weight): re-runs, backfills, and other
+    * engines agree row-for-row. A NULL weight drops the row (the
+    * comparison is NULL), matching SQL filter semantics.
+    *
+    * Scale shape: a single narrow filter expression — no shuffle, no
+    * aggregate; the hash coordinate and the weight are both per-row.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String): DataFrame =
+    df.filter(coordinate(col(keyCol)) <
+      least(lit(1.0), greatest(lit(0.0), col(weightCol).cast(DoubleType))))
+
   /** Per-key lookup as a when/otherwise CASE chain (shared by the
     * stratified/mixture/replication knobs so NULL- and unknown-key
     * policy lives in one place: keys are matched with ===, so a NULL

@@ -56,6 +56,33 @@ class SinksAndSkewSpec extends SparkSpec {
     assert(kept.filter($"src" === "web").exceptAll(web10).isEmpty)
   }
 
+  test("weighted sampling keeps rows in proportion to their own weight") {
+    val df = (1 to 9000).map { i =>
+      val w = (i % 3) match {
+        case 0 => 0.0   // never survives
+        case 1 => 1.0   // always survives (u < 1 for every hash)
+        case 2 => 0.5
+      }
+      (s"doc-$i", w)
+    }.toDF("key", "w")
+    val kept = Sampling.weightedSample(df, "key", "w")
+      .groupBy($"w").count().as[(Double, Long)].collect().toMap
+    assert(!kept.contains(0.0))                      // zero weight drops all
+    assert(kept(1.0) === 3000L)                      // full weight keeps all
+    assert(math.abs(kept(0.5) - 1500.0) / 1500 < 0.15)
+    // weights clamp: >1 behaves as 1, negative as 0; NULL drops
+    val edge = Seq(("a", Some(5.0)), ("b", Some(-2.0)), ("c", Option.empty[Double]))
+      .toDF("key", "w")
+    val ek = Sampling.weightedSample(edge, "key", "w")
+      .select($"key").as[String].collect().toSet
+    assert(ek === Set("a"))
+    // determinism: a re-run selects the identical row set
+    val again = Sampling.weightedSample(df, "key", "w")
+    assert(Sampling.weightedSample(df, "key", "w")
+      .exceptAll(again).isEmpty && again.exceptAll(
+        Sampling.weightedSample(df, "key", "w")).isEmpty)
+  }
+
   test("as-of join attaches the latest right row at or before each left ts") {
     def t(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
     val left = Seq((1L, 100L, t(5)), (1L, 101L, t(10)), (1L, 102L, t(2)),
