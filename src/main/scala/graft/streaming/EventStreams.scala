@@ -168,6 +168,37 @@ object EventStreams {
       // upstream docs frame (and to Dedup.exact's representatives)
       .drop("fp")
 
+  /** Streaming incremental dedup against a STATIC reference corpus —
+    * the streaming twin of
+    * [[graft.dedup.Dedup.dropDuplicatesAgainst]]'s exact stage, for
+    * the daily-ingest shape "drop arriving documents already in the
+    * training corpus": a stream-static LEFT ANTI join on the
+    * normalized-content fingerprint (static side re-read per
+    * micro-batch, so a corpus snapshot swap is picked up without a
+    * restart), composed with [[dedupStream]]'s watermark-bounded
+    * in-stream dedup so repeats WITHIN the ingest window collapse
+    * too.
+    *
+    * Scale shape: the reference side reduces to its distinct
+    * fingerprint set (one column — at 10⁹ corpus docs that's tens of
+    * GB, shuffled once per micro-batch as an ordinary equi-join;
+    * pre-bucket the fingerprint table by fp to make it exchange-free);
+    * stream state is only the within-watermark fingerprint horizon,
+    * exactly [[dedupStream]]'s bound.
+    */
+  def dedupAgainstStream(docs: DataFrame, reference: DataFrame,
+      tsCol: String, textCol: String,
+      watermark: String = "1 hour"): DataFrame = {
+    val fp = graft.text.TextAnalysis.fingerprintHex(col(textCol))
+    val refFps = reference.select(fp.as("fp")).distinct()
+    docs
+      .withColumn("fp", fp)
+      .withWatermark(tsCol, watermark)
+      .join(refFps, Seq("fp"), "left_anti")
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+  }
+
   /** Streaming corpus gate — the incremental twin of the batch
     * curation pipeline's filter+dedup prefix (queries.PipelineQueries
     * qCorpusPipeline): language gate → quality gate → watermark-bounded

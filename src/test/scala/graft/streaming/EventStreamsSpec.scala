@@ -88,6 +88,45 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.length.toLong === batchGroups)
   }
 
+  test("streaming dedup against a static reference drops corpus duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq(
+      (100L, "already in the training corpus"),
+      (101L, "ALSO  already   IN the training corpus")
+    ).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val survivors = dedupAgainstStream(
+      mem.toDF().toDF("doc_id", "ts", "text"), reference, "ts", "text")
+    val q = survivors.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_ref_out").start()
+    mem.addData(
+      (1L, ts(0), "a genuinely new document"),
+      (2L, ts(1), "already in the training corpus"),        // exact corpus dup
+      (3L, ts(2), "also already in the training corpus"),   // normalized corpus dup
+      (4L, ts(3), "a GENUINELY new document"),              // in-stream normalized dup of 1
+      (5L, ts(4), "another new document"))
+    q.processAllAvailable()
+    val out = spark.table("dedup_ref_out").collect()
+    q.stop()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === Set(1L, 5L))
+    // equivalence with the batch twin's exact stage: survivors of
+    // dropDuplicatesAgainst (which keeps in-batch dups) deduped
+    // in-batch = the streaming result
+    val incoming = Seq(
+      (1L, "a genuinely new document"),
+      (2L, "already in the training corpus"),
+      (3L, "also already in the training corpus"),
+      (4L, "a GENUINELY new document"),
+      (5L, "another new document")).toDF("doc_id", "text")
+    val batchIds = graft.dedup.Dedup.dropDuplicatesAgainst(
+      incoming, reference, "doc_id", "text")
+      .groupBy(graft.text.TextAnalysis.fingerprintHex(col("text")))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select($"doc_id").as[Long].collect().toSet
+    graft.CacheRegistry.releaseAll()
+    assert(batchIds === out.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
   test("streaming corpus gate admits the same documents as the batch gate") {
     implicit val sqlCtx = spark.sqlContext
     import graft.text.{TextAnalysis => TA}
