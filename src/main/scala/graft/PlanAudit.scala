@@ -30,7 +30,8 @@ object PlanAudit {
       "q_tfidf_pairs", "q_chunk_split", "q_quantile_hist",
       "q_kmeans", "q_span_dedup", "q_unigram_lm", "q_json_extract",
       "q_zorder", "q_bigrams", "q_tokenize", "q_curation_v2",
-      "q_cube", "q_window_lead", "q_session_window")
+      "q_cube", "q_window_lead", "q_session_window",
+      "q_bigram_lm", "q_weighted_sample")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -81,6 +81,13 @@ class SinksAndSkewSpec extends SparkSpec {
     assert(Sampling.weightedSample(df, "key", "w")
       .exceptAll(again).isEmpty && again.exceptAll(
         Sampling.weightedSample(df, "key", "w")).isEmpty)
+    // monotonicity law: raising every weight never drops a kept row
+    // (u < w ⇒ u < w + 0.3) — the property that makes weight sweeps
+    // nested, like sampleFraction's prefix property
+    val bumped = Sampling.weightedSample(
+      df.withColumn("w", least(lit(1.0), $"w" + 0.3)), "key", "w")
+    assert(Sampling.weightedSample(df, "key", "w").select($"key")
+      .exceptAll(bumped.select($"key")).isEmpty)
   }
 
   test("as-of join attaches the latest right row at or before each left ts") {
