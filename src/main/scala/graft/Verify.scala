@@ -43,7 +43,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // the oracle map honors the same subset filter as the dumps: a
+    // full oracle_sql.json next to a partial dump would make checkers
+    // either fail on the missing queries or silently compare STALE
+    // parquet left in the outDir by an earlier full run
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -20,6 +20,17 @@ object Parallelism {
     * `df.rdd.getNumPartitions` under AQE materializes every upstream
     * query stage (an eager full execution of the plan's shuffle DAG)
     * just to read a partition count.
+    *
+    * Known imprecision, accepted deliberately: a logical Join that the
+    * planner turns into a broadcast join never shuffles, and AQE may
+    * coalesce a small post-shuffle output to few partitions — both
+    * cases now skip the widen. That is the right trade: the frames
+    * matching those shapes here are post-aggregation rep/vector frames
+    * whose row counts are small exactly when AQE coalesces them (and
+    * huge — hence already wide — at production scale), while the old
+    * probe paid a full eager execution on EVERY call. Callers that do
+    * need to force width onto a shuffled-but-coalesced plan can
+    * `repartition` explicitly.
     */
   private def postShuffle(plan: LogicalPlan): Boolean = plan.exists {
     case _: Aggregate | _: Join | _: Window | _: Sort |

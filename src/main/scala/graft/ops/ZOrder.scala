@@ -49,13 +49,22 @@ object ZOrder {
       xb.bitwiseOR(yb)
     }.reduce(_ bitwiseOR _)
     if (!strict) z
-    else when(
-      x.cast(LongType).between(0L, (1L << BitsPerDim) - 1) &&
-        y.cast(LongType).between(0L, (1L << BitsPerDim) - 1), z)
-      .otherwise(raise_error(concat(
-        lit(s"ZOrder.zValue(strict): coordinate outside [0, 2^$BitsPerDim) — " +
-          "quantize first (e.g. col % 65536, or a range bucket): x="),
-        x.cast(StringType), lit(" y="), y.cast(StringType))).cast(LongType))
+    else {
+      // NULL coordinates stay NULL (lax behavior — they never wrapped);
+      // only a NON-NULL value outside the domain raises. The message
+      // coalesces each side so a mixed null/out-of-range row still
+      // prints the diagnostic instead of raise_error(NULL).
+      val xl = x.cast(LongType)
+      val yl = y.cast(LongType)
+      val inDomain = (c: Column) =>
+        c.isNull || c.between(0L, (1L << BitsPerDim) - 1)
+      when(inDomain(xl) && inDomain(yl), z)
+        .otherwise(raise_error(concat(
+          lit(s"ZOrder.zValue(strict): coordinate outside [0, 2^$BitsPerDim) — " +
+            "quantize first (e.g. col % 65536, or a range bucket): x="),
+          coalesce(xl.cast(StringType), lit("NULL")),
+          lit(" y="), coalesce(yl.cast(StringType), lit("NULL")))).cast(LongType))
+    }
   }
 
   /** Repartition-by-range + in-partition sort on the z-value of

@@ -37,15 +37,19 @@ import org.apache.spark.sql.types._
   * engine version — floor of an integral-valued double is exact
   * everywhere.
   *
-  * Aggregation width: dots and norms accumulate in plain LONG (the
-  * 3-dp weight scale keeps per-term products ≤ ~10¹⁵ for realistic
-  * tf·idf magnitudes, so a pair's dot stays far under 2⁶³ even at
-  * 10⁴-token overlaps) — half the hash-aggregate width of the
-  * decimal(38) accumulation it replaces, on the operator's hottest
-  * shuffle (the inverted-index pair fan-out). The exactness envelope
-  * is documented, not silent: [[Scale]] is the knob, and callers with
-  * pathological per-document term counts (tf·idf₆ beyond ~3·10⁶)
-  * should lower it.
+  * Aggregation width: dots and norms accumulate in plain LONG when the
+  * corpus's weights provably fit (max |w| ≤ [[SafeLongWeight]], so a
+  * pair's dot of up to 10⁶ overlap terms stays under 2⁶³) — half the
+  * hash-aggregate width of decimal(38) on the operator's hottest
+  * shuffle (the inverted-index pair fan-out) — and FALL BACK to exact
+  * decimal(38) accumulation otherwise. The choice is made from one
+  * cheap max-aggregate over the (already persisted) vector frame, and
+  * both paths produce identical values (each is exact in its regime),
+  * so the fallback is a width decision, not a semantics change. This
+  * matters because Spark's non-ANSI long sum WRAPS silently on
+  * overflow — a spammy document repeating one rare token ~10⁵ times
+  * would otherwise push w·w past 2⁶³ and quietly emit NaN cosines
+  * while the oracle's exact accumulation keeps the pair.
   */
 object TfIdf {
 
@@ -56,9 +60,17 @@ object TfIdf {
     */
   val Scale: Long = 1000L
 
-  /** Fixed-point TF-IDF terms: (idCol, token, w) with w = the 6-dp
-    * fixed-point weight as BIGINT. Vocabulary = tokens with document
-    * frequency ≤ maxDf.
+  /** Largest |w| for which long accumulation is provably exact:
+    * SafeLongWeight² · 10⁶ overlap terms ≤ 9·10¹⁸ < 2⁶³. Weights are
+    * tf·idf₆·[[Scale]], so this admits tf·idf₆ up to 3,000 — ordinary
+    * documents by a wide margin; corpora with heavier terms take the
+    * decimal path automatically.
+    */
+  val SafeLongWeight: Long = 3000000L
+
+  /** Fixed-point TF-IDF terms: (idCol, token, w) with
+    * w = floor(tf · idf₆ · Scale + 0.5) as BIGINT (3-dp fixed point).
+    * Vocabulary = tokens with document frequency ≤ maxDf.
     */
   def docVectors(df: DataFrame, idCol: String, textCol: String,
       maxDf: Long): DataFrame = {
@@ -87,16 +99,25 @@ object TfIdf {
     val vecs = graft.CacheRegistry.register(
       docVectors(df, idCol, textCol, maxDf)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // long sums, not decimal(38): exact within the documented Scale
-    // envelope and half the aggregation width on the pair shuffle
+    // width decision (see class doc): long sums when the max weight
+    // provably cannot overflow, exact decimal(38) otherwise. One
+    // bounded driver scalar over the persisted frame — which the
+    // downstream consumers were about to materialize anyway.
+    val maxW = {
+      val r = vecs.agg(max(abs(col("w")))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0) // empty vocabulary → 0
+    }
+    val term = (p: org.apache.spark.sql.Column) =>
+      if (maxW <= SafeLongWeight) p
+      else p.cast(DecimalType(38, 0))
     val norms = vecs.groupBy(col(idCol))
-      .agg(sum(col("w") * col("w")).as("n2"))
+      .agg(sum(term(col("w")) * term(col("w"))).as("n2"))
     val a = vecs.select(col("tok"), col(idCol).as("id_a"), col("w").as("w_a"))
     val b = vecs.select(col("tok"), col(idCol).as("id_b"), col("w").as("w_b"))
     val dots = a.join(b, Seq("tok"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(sum(col("w_a") * col("w_b")).as("dot"))
+      .agg(sum(term(col("w_a")) * term(col("w_b"))).as("dot"))
     dots
       .join(norms.select(col(idCol).as("id_a"), col("n2").as("n2_a")), Seq("id_a"))
       .join(norms.select(col(idCol).as("id_b"), col("n2").as("n2_b")), Seq("id_b"))

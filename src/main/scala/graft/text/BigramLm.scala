@@ -56,8 +56,11 @@ object BigramLm {
         .select(col(idCol).as("id"), explode(bigramsOf).as("bg"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cb = bgs.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-    val cl = bgs.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-      .agg(count(lit(1)).as("cl"))
+    // left-token counts derive from cb (sum of cb per left token), not
+    // from a second corpus-sized scan of bgs: the distinct-bigram frame
+    // is orders of magnitude smaller than the occurrence stream
+    val cl = cb.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cb")).as("cl"))
     val logp = cb
       .join(cl, substring_index(cb("bg"), " ", 1) === cl("w1"))
       .select(col("bg"),

@@ -47,6 +47,9 @@ class CacheRegistrySpec extends SparkSpec {
     CacheRegistry.releaseAll()
     assert(mine.storageLevel === StorageLevel.NONE)
     assert(theirs.storageLevel === StorageLevel.MEMORY_AND_DISK)
-    CacheRegistry.release(other) // cleanup
+    // the explicit teardown sweep reaches the abandoned session too
+    CacheRegistry.releaseAllSessions()
+    assert(theirs.storageLevel === StorageLevel.NONE)
+    assert(CacheRegistry.registeredCount(other) === 0)
   }
 }

@@ -34,6 +34,19 @@ class ZOrderSpec extends SparkSpec {
     }
     assert(neg.getMessage.contains("quantize") ||
       Option(neg.getCause).exists(_.getMessage.contains("quantize")))
+    // NULL coordinates pass through as NULL z (the lax behavior), even
+    // in strict mode — only non-null out-of-domain values raise; and a
+    // mixed null/out-of-range row still prints the diagnostic
+    val withNull = Seq((Some(3L), Option.empty[Long]))
+      .toDF("x", "y")
+      .select(ZOrder.zValue($"x", $"y", strict = true)).collect()
+    assert(withNull.head.isNullAt(0))
+    val mixed = intercept[Exception] {
+      Seq((Option.empty[Long], Some(70000L))).toDF("x", "y")
+        .select(ZOrder.zValue($"x", $"y", strict = true)).collect()
+    }
+    assert(mixed.getMessage.contains("x=NULL") ||
+      Option(mixed.getCause).exists(_.getMessage.contains("x=NULL")))
   }
 
   test("z-sorted partitions have bounded per-dimension extent") {
