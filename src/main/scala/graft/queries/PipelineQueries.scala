@@ -537,6 +537,69 @@ object PipelineQueries {
        |WHERE ${graft.ops.Sampling.coordinateSql("doc_id")} <
        |      least(1.0, greatest(0.0, weight))""".stripMargin
 
+  /** Winnowing fingerprints (MOSS local-minima selection, k=3-gram
+    * hashes, w=4 windows): the position-robust per-document signature
+    * whose guarantee — any shared ≥(w+k-1)-token run contributes one
+    * identical print to both documents — makes partial overlaps
+    * joinable at signature cost.
+    */
+  def qWinnow(s: SparkSession, d: String): DataFrame = {
+    val prints = graft.dedup.Winnow.winnowedPrints(col("text"), k = 3, w = 4)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      greatest(TextAnalysis.tokenCount(col("text")) - 2, lit(0L)).as("n_grams"),
+      size(prints).cast(LongType).as("n_prints"),
+      array_join(transform(prints, x => x.cast(StringType)), ",").as("prints"))
+  }
+
+  val qWinnowSql: String = {
+    val gram = hash60Sql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")
+    val sel = "list_sort(list_distinct(list_transform(" +
+      "range(1, len(grams) - 3 + 1), j -> list_min(grams[j:j+3]))))"
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |        list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+       |          i -> $gram) AS grams
+       |      FROM t)
+       |SELECT doc_id,
+       |  len(grams) AS n_grams,
+       |  cast(CASE WHEN len(grams) >= 4 THEN len($sel)
+       |       WHEN len(grams) > 0 THEN 1 ELSE 0 END as bigint) AS n_prints,
+       |  CASE WHEN len(grams) >= 4 THEN array_to_string($sel, ',')
+       |       WHEN len(grams) > 0 THEN cast(list_min(grams) as varchar)
+       |       ELSE '' END AS prints
+       |FROM g""".stripMargin
+  }
+
+  /** Winnowed partial-overlap candidate pairs: documents sharing ≥2
+    * selected prints (boilerplate prints df-capped at 100) with the
+    * shared-print count.
+    */
+  def qWinnowPairs(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Winnow.overlapCandidates(Tables.documents(s, d),
+      "doc_id", "text", k = 3, w = 4, minShared = 2, maxDocsPerPrint = 100)
+
+  val qWinnowPairsSql: String = {
+    val gram = hash60Sql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")
+    val sel = "list_sort(list_distinct(list_transform(" +
+      "range(1, len(grams) - 3 + 1), j -> list_min(grams[j:j+3]))))"
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |        list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+       |          i -> $gram) AS grams
+       |      FROM t),
+       |pr AS (SELECT doc_id,
+       |         unnest(CASE WHEN len(grams) >= 4 THEN $sel
+       |                WHEN len(grams) > 0 THEN [list_min(grams)]
+       |                ELSE [] END) AS p
+       |       FROM g),
+       |keep AS (SELECT p FROM pr GROUP BY p HAVING count(*) <= 100),
+       |prc AS (SELECT pr.doc_id, pr.p FROM pr JOIN keep USING (p))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |FROM prc a JOIN prc b ON a.p = b.p AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+  }
+
   /** Per-document duplicated-span profile (6-token spans, shared by ≥2
     * docs) — the exact-substring-dedup signal over the corpus.
     */
@@ -1401,6 +1464,8 @@ object PipelineQueries {
     ("q_split_assign", qSplitAssign _, Some(qSplitAssignSql)),
     ("q_repetition", qRepetition _, Some(qRepetitionSql)),
     ("q_span_dedup", qSpanDedup _, Some(qSpanDedupSql)),
+    ("q_winnow", qWinnow _, Some(qWinnowSql)),
+    ("q_winnow_pairs", qWinnowPairs _, Some(qWinnowPairsSql)),
     ("q_unigram_lm", qUnigramLm _, Some(qUnigramLmSql)),
     ("q_bigram_lm", qBigramLm _, Some(qBigramLmSql)),
     ("q_weighted_sample", qWeightedSample _, Some(qWeightedSampleSql)),
