@@ -537,6 +537,39 @@ object PipelineQueries {
        |WHERE ${graft.ops.Sampling.coordinateSql("doc_id")} <
        |      least(1.0, greatest(0.0, weight))""".stripMargin
 
+  /** Percentile-threshold curation gate: keep the top 25% of documents
+    * by quality score, with the cutoff estimated by the bounded
+    * histogram sketch (one hash-aggregate + broadcast scalar — no
+    * exact-percentile sort at any scale).
+    */
+  def qQualityGate(s: SparkSession, d: String): DataFrame =
+    graft.sketch.QuantileHist.topFraction(
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality")),
+      "quality", frac = 0.25, lo = 0.0, hi = 1.0, nBins = 256)
+
+  val qQualityGateSql: String =
+    s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+       |w AS (SELECT doc_id, source,
+       |        ${qualityExprSql("toks", "text")} AS quality FROM t),
+       |ctr AS (
+       |  SELECT least(greatest(cast(floor((quality - 0.0) / (1.0 / 256)) as int),
+       |           0), 255) AS qh_bin, count(*) AS cnt
+       |  FROM w WHERE quality IS NOT NULL GROUP BY 1),
+       |cum AS (
+       |  SELECT qh_bin, cnt,
+       |    sum(cnt) OVER (ORDER BY qh_bin) AS cum,
+       |    sum(cnt) OVER () AS total
+       |  FROM ctr),
+       |cand AS (SELECT * FROM cum WHERE cum >= 0.75 * total),
+       |pick AS (SELECT min(qh_bin) AS bin FROM cand),
+       |thr AS (
+       |  SELECT round(0.0 + (1.0 / 256) *
+       |    (c.qh_bin + (0.75 * c.total - (c.cum - c.cnt)) / c.cnt), 6) AS est
+       |  FROM cand c JOIN pick p ON c.qh_bin = p.bin)
+       |SELECT w.doc_id, w.source, w.quality
+       |FROM w CROSS JOIN thr WHERE w.quality >= thr.est""".stripMargin
+
   /** Winnowing fingerprints (MOSS local-minima selection, k=3-gram
     * hashes, w=4 windows): the position-robust per-document signature
     * whose guarantee — any shared ≥(w+k-1)-token run contributes one
@@ -1469,6 +1502,7 @@ object PipelineQueries {
     ("q_unigram_lm", qUnigramLm _, Some(qUnigramLmSql)),
     ("q_bigram_lm", qBigramLm _, Some(qBigramLmSql)),
     ("q_weighted_sample", qWeightedSample _, Some(qWeightedSampleSql)),
+    ("q_quality_gate", qQualityGate _, Some(qQualityGateSql)),
     ("q_seq_pack", qSeqPack _, Some(qSeqPackSql)),
     ("q_chunk_split", qChunkSplit _, Some(qChunkSplitSql)),
     ("q_epoch_mix", qEpochMix _, Some(qEpochMixSql)),

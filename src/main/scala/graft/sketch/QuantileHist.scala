@@ -77,6 +77,28 @@ object QuantileHist {
         6).as("est")): _*)
   }
 
+  /** Percentile-threshold gate: keep rows whose `valueCol` lies in the
+    * top `frac` of the column's distribution — "keep the best 25% by
+    * quality score", the smooth-curation sibling of a fixed threshold
+    * (which needs manual retuning as the corpus drifts). The cutoff is
+    * this sketch's (1−frac) quantile estimate: ONE bounded
+    * hash-aggregate plus a 1-row broadcast, never the full sort an
+    * exact percentile needs at 100 TB; accuracy is bin-width-bounded
+    * like every estimate here, and fully deterministic. Rows equal to
+    * the interpolated threshold are kept (≥). Empty input → empty
+    * output.
+    */
+  def topFraction(df: DataFrame, valueCol: String, frac: Double,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, "frac must lie in (0, 1]")
+    val thr = quantiles(df, Seq.empty, valueCol, lo, hi, nBins,
+      Seq(1.0 - frac))
+      .select(col("est").as("__qh_thr"))
+    df.crossJoin(broadcast(thr))
+      .filter(col(valueCol) >= col("__qh_thr"))
+      .drop("__qh_thr")
+  }
+
   /** DuckDB mirror of [[quantiles]] for a single group column. */
   def quantileOracleSql(table: String, groupCol: String, valueCol: String,
       lo: Double, hi: Double, nBins: Int, qs: Seq[Double]): String = {

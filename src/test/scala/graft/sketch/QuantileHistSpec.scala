@@ -33,6 +33,25 @@ class QuantileHistSpec extends SparkSpec {
     assert(whole.exceptAll(merged).count() === 0)
   }
 
+  test("topFraction keeps ~the requested share, always the highest values") {
+    val vals = (1 to 4000).map(i => (i.toLong, (i % 1000) / 1000.0))
+      .toDF("id", "score")
+    val kept = QuantileHist.topFraction(vals, "score",
+      frac = 0.25, lo = 0.0, hi = 1.0, nBins = 256)
+    val n = kept.count()
+    // bin-width-bounded accuracy around 25% of 4000
+    assert(math.abs(n - 1000.0) / 1000 < 0.05, s"kept $n")
+    // the kept set is exactly a top segment: its minimum exceeds the
+    // maximum of the dropped rows (values are dense so ties aside)
+    val minKept = kept.agg(min(col("score"))).head().getDouble(0)
+    val maxDropped = vals.join(kept.select(col("id")), Seq("id"), "left_anti")
+      .agg(max(col("score"))).head().getDouble(0)
+    assert(minKept > maxDropped)
+    // frac = 1.0 keeps everything
+    assert(QuantileHist.topFraction(vals, "score", 1.0, 0.0, 1.0, 256)
+      .count() === 4000L)
+  }
+
   test("estimates are monotone in q and within one bin of the exact quantile") {
     val est = QuantileHist.quantiles(docs, Seq("source"), "n_chars",
       lo, hi, nBins, Seq(0.5, 0.9, 0.99))
