@@ -382,9 +382,10 @@ object Dedup {
   def duplicateClusters(df: DataFrame, idCol: String, textCol: String,
       minAgreement: Double = 0.75, fast: Boolean = false): DataFrame = {
     val fp = TextAnalysis.fingerprintHex(col(textCol))
-    val docFp = graft.CacheRegistry.register(
-      df.select(col(idCol), fp.as("__fp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // NOT persisted: consumed exactly once, by the final mapping join
+    // (the incFp lesson from dropDuplicatesAgainst — a single-consumer
+    // cache only competes for block-manager memory)
+    val docFp = df.select(col(idCol), fp.as("__fp"))
     val reps = graft.CacheRegistry.register(
       df.groupBy(fp.as("__fp"))
         .agg(min(col(idCol)).as(idCol),
