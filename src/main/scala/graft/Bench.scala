@@ -59,8 +59,11 @@ object Bench {
     println(json)
     // also persist the COMPLETE per-query JSON to a file: the driver's
     // captured stdout tail has truncated long lines in past rounds,
-    // losing per-query timings needed to diff regressions round-over-round
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // losing per-query timings needed to diff regressions round-over-round.
+    // SUBSET runs default to a different file so a profiling run cannot
+    // silently clobber the committed full-inventory artifact.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "bench_subset.json" else "bench_full.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -34,14 +34,6 @@ import org.apache.spark.sql.types._
   */
 object Winnow {
 
-  /** Sorted distinct winnowed prints of `text` as array<long>:
-    * minimum k-gram hash of every w-window of the gram stream; a
-    * document with fewer than w grams (but at least one) selects its
-    * global minimum — the whole document is one window; fewer than k
-    * tokens → empty. Both the gram stream and the window scan are
-    * LET-BOUND (single-element transform) so the tokenizer and the
-    * gram pipeline evaluate once per row, not once per window slice.
-    */
   /** Partial-overlap candidate pairs: documents sharing at least
     * `minShared` winnowed prints, with the shared count — the
     * signature-cost join for "which documents quote/embed each other"
@@ -53,18 +45,24 @@ object Winnow {
     * bounded-bucket discipline as the LSH band join and the TF-IDF df
     * cap. Prints are distinct within a document, so the pair count IS
     * the distinct shared-print count.
+    *
+    * The capped print stream is computed in ONE pass (a window count
+    * over the print key — the same shuffle the pair join needs anyway)
+    * and persisted; both self-join sides read the cache, so the df-cap
+    * work never runs twice.
     */
   def overlapCandidates(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int = 3, w: Int = 4, minShared: Long = 2,
       maxDocsPerPrint: Long = 100): org.apache.spark.sql.DataFrame = {
-    val pr = graft.CacheRegistry.register(
+    val capped = graft.CacheRegistry.register(
       graft.ops.Parallelism.widen(df)
         .select(col(idCol).as("id"),
           explode(winnowedPrints(col(textCol), k, w)).as("p"))
+        .withColumn("__nd", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("p"))))
+        .filter(col("__nd") <= maxDocsPerPrint)
+        .drop("__nd")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val keep = pr.groupBy(col("p")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") <= maxDocsPerPrint).select(col("p"))
-    val capped = pr.join(keep, Seq("p"))
     val a = capped.select(col("p"), col("id").as("id_a"))
     val b = capped.select(col("p"), col("id").as("id_b"))
     a.join(b, Seq("p"))
@@ -74,6 +72,14 @@ object Winnow {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Sorted distinct winnowed prints of `text` as array<long>:
+    * minimum k-gram hash of every w-window of the gram stream; a
+    * document with fewer than w grams (but at least one) selects its
+    * global minimum — the whole document is one window; fewer than k
+    * tokens → empty. Both the gram stream and the window scan are
+    * LET-BOUND (single-element transform) so the tokenizer and the
+    * gram pipeline evaluate once per row, not once per window slice.
+    */
   def winnowedPrints(text: Column, k: Int = 3, w: Int = 4): Column = {
     require(k >= 1 && w >= 1, "k and w must be positive")
     val gramsOf = element_at(

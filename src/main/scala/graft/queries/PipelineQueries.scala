@@ -564,8 +564,10 @@ object PipelineQueries {
        |cand AS (SELECT * FROM cum WHERE cum >= 0.75 * total),
        |pick AS (SELECT min(qh_bin) AS bin FROM cand),
        |thr AS (
-       |  SELECT round(0.0 + (1.0 / 256) *
-       |    (c.qh_bin + (0.75 * c.total - (c.cum - c.cnt)) / c.cnt), 6) AS est
+       |  -- UNROUNDED, mirroring topFraction: display rounding could
+       |  -- push the cutoff above values sitting exactly on it
+       |  SELECT 0.0 + (1.0 / 256) *
+       |    (c.qh_bin + (0.75 * c.total - (c.cum - c.cnt)) / c.cnt) AS est
        |  FROM cand c JOIN pick p ON c.qh_bin = p.bin)
        |SELECT w.doc_id, w.source, w.quality
        |FROM w CROSS JOIN thr WHERE w.quality >= thr.est""".stripMargin

@@ -52,7 +52,12 @@ object QuantileHist {
     * engine-boundary comparison is representation-stable.
     */
   def quantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      lo: Double, hi: Double, nBins: Int, qs: Seq[Double]): DataFrame = {
+      lo: Double, hi: Double, nBins: Int, qs: Seq[Double]): DataFrame =
+    quantilesAt(df, groupCols, valueCol, lo, hi, nBins, qs, rounded = true)
+
+  private def quantilesAt(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, lo: Double, hi: Double, nBins: Int,
+      qs: Seq[Double], rounded: Boolean): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       "quantiles must lie in [0, 1]")
     val width = (hi - lo) / nBins
@@ -70,11 +75,11 @@ object QuantileHist {
       .groupBy((grp :+ col("q")): _*)
       .agg(min(struct(col("qh_bin"), col("cnt"), col("cum"), col("total")))
         .as("p"))
+    val raw = lit(lo) + lit(width) *
+      (col("p.qh_bin") +
+        (col("q") * col("p.total") - (col("p.cum") - col("p.cnt"))) / col("p.cnt"))
     picked.select((grp :+ col("q") :+
-      round(lit(lo) + lit(width) *
-        (col("p.qh_bin") +
-          (col("q") * col("p.total") - (col("p.cum") - col("p.cnt"))) / col("p.cnt")),
-        6).as("est")): _*)
+      (if (rounded) round(raw, 6) else raw).as("est")): _*)
   }
 
   /** Percentile-threshold gate: keep rows whose `valueCol` lies in the
@@ -91,8 +96,13 @@ object QuantileHist {
   def topFraction(df: DataFrame, valueCol: String, frac: Double,
       lo: Double, hi: Double, nBins: Int): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, "frac must lie in (0, 1]")
-    val thr = quantiles(df, Seq.empty, valueCol, lo, hi, nBins,
-      Seq(1.0 - frac))
+    // UNROUNDED threshold: quantiles' 6-dp display rounding can round
+    // the cutoff UP past the true interpolated value, which would drop
+    // rows sitting exactly at it — e.g. frac = 1.0 with the corpus
+    // minimum on a bin edge like 3/256 would lose those rows and break
+    // the "frac = 1 keeps everything" contract
+    val thr = quantilesAt(df, Seq.empty, valueCol, lo, hi, nBins,
+      Seq(1.0 - frac), rounded = false)
       .select(col("est").as("__qh_thr"))
     df.crossJoin(broadcast(thr))
       .filter(col(valueCol) >= col("__qh_thr"))

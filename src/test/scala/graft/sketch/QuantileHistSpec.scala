@@ -50,6 +50,13 @@ class QuantileHistSpec extends SparkSpec {
     // frac = 1.0 keeps everything
     assert(QuantileHist.topFraction(vals, "score", 1.0, 0.0, 1.0, 256)
       .count() === 4000L)
+    // regression pin: a corpus whose minimum sits EXACTLY on a bin
+    // edge (3/256 = 0.01171875) — 6-dp display rounding of the
+    // threshold would round it UP to 0.011719 and drop every row;
+    // the gate must use the unrounded interpolated cutoff
+    val edge = (1L to 100L).map(i => (i, 3.0 / 256)).toDF("id", "score")
+    assert(QuantileHist.topFraction(edge, "score", 1.0, 0.0, 1.0, 256)
+      .count() === 100L)
   }
 
   test("estimates are monotone in q and within one bin of the exact quantile") {
