@@ -1348,9 +1348,12 @@ object PipelineQueries {
     graft.sim.KMeans.fitAssign(Tables.embeddings(s, d), "vec_id", "embedding",
       k = 8, iters = 3)
 
-  val qKmeansSql: String = {
-    val k = 8
-    val iters = 3
+  /** Unrolled-Lloyd CTE prologue shared by the k-means and SemDeDup
+    * oracles: a complete `WITH` list ending at `asg{iters+1}`, the
+    * final (vec_id, x, cluster, dist2) assignment. Callers append
+    * either a bare `SELECT` or further `,`-separated CTEs.
+    */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     // left-fold dot of two 64-dim lists, matching graft.functions.DotFold
     def dot(a: String, b: String) =
       s"""list_reduce(list_prepend(cast(0 as double),
@@ -1395,9 +1398,46 @@ object PipelineQueries {
        |          cast(('0x' || substr(md5(cast(vec_id as varchar)), 1, 15)) as bigint) AS h
        |        FROM b ORDER BY h, vec_id LIMIT $k)),
        |$rounds,
-       |${asg(iters + 1, s"cent$iters")}
+       |${asg(iters + 1, s"cent$iters")}""".stripMargin
+  }
+
+  val qKmeansSql: String =
+    s"""${kmeansCtes(8, 3)}
        |SELECT vec_id, cluster, round(greatest(dist2, 0.0), 6) AS dist2
-       |FROM asg${iters + 1}""".stripMargin
+       |FROM asg4""".stripMargin
+
+  /** SemDeDup (cluster-then-pairwise semantic dedup): deterministic
+    * k-means, then within each cluster drop every vector with a
+    * lower-id neighbor at cosine ≥ τ. The full pipeline — three Lloyd
+    * rounds AND the within-cluster prune — replays exactly in DuckDB
+    * off the shared unrolled-Lloyd prologue.
+    */
+  def qSemdedup(s: SparkSession, d: String): DataFrame =
+    graft.sim.SemDedup.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+      k = 8, iters = 3, tau = SemDedupTau)
+
+  private val SemDedupTau = 0.3
+
+  val qSemdedupSql: String = {
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(cast(0 as double),
+         |  list_transform(range(1, len($a) + 1),
+         |    i -> cast($a[i] as double) * cast($b[i] as double))),
+         |  (acc, v) -> acc + v)""".stripMargin
+    def cos(a: String, b: String) =
+      s"""CASE WHEN sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}) > 0
+         |  THEN ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))
+         |  ELSE 0.0 END""".stripMargin
+    s"""${kmeansCtes(8, 3)},
+       |sd_pairs AS (
+       |  SELECT b2.vec_id, round(${cos("a.x", "b2.x")}, 6) AS cs
+       |  FROM asg4 a JOIN asg4 b2
+       |    ON a.cluster = b2.cluster AND a.vec_id < b2.vec_id),
+       |sd_drop AS (
+       |  SELECT vec_id, max(cs) AS max_dup_sim FROM sd_pairs
+       |  WHERE cs >= $SemDedupTau GROUP BY vec_id)
+       |SELECT k.vec_id, k.cluster, (d.vec_id IS NULL) AS kept, d.max_dup_sim
+       |FROM asg4 k LEFT JOIN sd_drop d ON k.vec_id = d.vec_id""".stripMargin
   }
 
   // ---------------------------------------------------------- multimodal
@@ -1529,6 +1569,7 @@ object PipelineQueries {
     ("q_ann_ivf", qAnnIvf _, Some(qAnnIvfSql)),
     ("q_embed_dup", qEmbedDup _, Some(qEmbedDupSql)),
     ("q_kmeans", qKmeans _, Some(qKmeansSql)),
+    ("q_semdedup", qSemdedup _, Some(qSemdedupSql)),
     ("q_binary_meta", qBinaryMeta _, Some(qBinaryMetaSql)),
     ("q_media_features", qMediaFeatures _, Some(qMediaFeaturesSql)),
     ("q_media_resize", qMediaResize _, Some(qMediaResizeSql)),

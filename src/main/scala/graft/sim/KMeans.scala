@@ -117,6 +117,17 @@ object KMeans {
     } finally b.unpersist()
   }
 
+  /** Assignment that RETAINS the vector: (vec_id, x, cluster) with `x`
+    * cast to array<double>. Same narrow literal-centroid argmin as
+    * [[fitAssign]]; for consumers (e.g. [[SemDedup]]) that need the
+    * vector downstream, keeping it here avoids a corpus-wide join back
+    * to the input.
+    */
+  def assignWith(vectors: DataFrame, idCol: String, vecCol: String,
+      m: Model): DataFrame =
+    assign(base(vectors, idCol, vecCol), m)
+      .select(col("vec_id"), col("x"), col("cluster"))
+
   /** Train then assign: (vec_id, cluster, dist2). The returned plan is
     * one narrow stage over the corpus (trained centroids are literals).
     */
