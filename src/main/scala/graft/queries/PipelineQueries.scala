@@ -487,6 +487,44 @@ object PipelineQueries {
        |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin
   }
 
+  /** DSIR importance weights: per-document log-ratio of a hashed
+    * unigram+bigram LM trained on the TARGET slice (English docs) vs
+    * the raw corpus — the data-selection score that says "looks like
+    * the target domain". Quantized per-bucket log ratios make the
+    * float-heavy weight hash-verifiable across engines.
+    */
+  def qDsir(s: SparkSession, d: String): DataFrame =
+    graft.text.Dsir.importanceWeights(Tables.documents(s, d), "doc_id", "text",
+      col("lang") === "en", numBuckets = 4096)
+
+  val qDsirSql: String = {
+    val sc = graft.text.Dsir.Scale
+    val b = 4096
+    s"""WITH t AS (SELECT doc_id, (lang = 'en') AS tgt, $toksSql AS toks
+       |           FROM documents),
+       |f AS (SELECT doc_id, tgt, unnest(list_concat(
+       |        list_transform(toks, tk -> ${hash60Sql("tk")} % $b),
+       |        list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+       |          i -> ${hash60Sql("toks[i] || ' ' || toks[i+1]")} % $b))) AS f
+       |      FROM t),
+       |v AS (SELECT f, count(*) AS cr,
+       |        sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+       |      FROM f GROUP BY f),
+       |tot AS (SELECT cast(sum(cr) as bigint) AS tr,
+       |               cast(sum(ct) as bigint) AS tt FROM v),
+       |w AS (SELECT f,
+       |        cast(round((ln((cast(ct as double) + 1.0) / (cast(tt as double) + $b.0)) -
+       |                    ln((cast(cr as double) + 1.0) / (cast(tr as double) + $b.0))) * $sc)
+       |          as bigint) AS lr
+       |      FROM v CROSS JOIN tot),
+       |p AS (SELECT f.doc_id, count(*) AS n_feats, cast(sum(w.lr) as bigint) AS slr
+       |      FROM f JOIN w USING (f) GROUP BY f.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(p.n_feats, 0) AS n_feats,
+       |  round(coalesce(cast(p.slr as double) / $sc.0, 0.0), 6) AS logw
+       |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin
+  }
+
   /** Self-trained bigram-LM scoring — the order-2 fluency signal:
     * per-document mean log p(w₂|w₁) under the corpus's own bigram
     * transition distribution (quantized per-bigram log-probs keep the
@@ -1542,6 +1580,7 @@ object PipelineQueries {
     ("q_winnow", qWinnow _, Some(qWinnowSql)),
     ("q_winnow_pairs", qWinnowPairs _, Some(qWinnowPairsSql)),
     ("q_unigram_lm", qUnigramLm _, Some(qUnigramLmSql)),
+    ("q_dsir", qDsir _, Some(qDsirSql)),
     ("q_bigram_lm", qBigramLm _, Some(qBigramLmSql)),
     ("q_weighted_sample", qWeightedSample _, Some(qWeightedSampleSql)),
     ("q_quality_gate", qQualityGate _, Some(qQualityGateSql)),
