@@ -1478,6 +1478,59 @@ object PipelineQueries {
        |FROM asg4 k LEFT JOIN sd_drop d ON k.vec_id = d.vec_id""".stripMargin
   }
 
+  /** PageRank centrality over the customer↔supplier purchase graph
+    * (both directions of every distinct trading pair): the
+    * graph-centrality weight of a curation pipeline, with the FULL
+    * five-iteration damped power method replayed exactly in SQL thanks
+    * to the quantized-integer rank units.
+    */
+  def qPagerank(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    // namespace the bipartite ids into one long space: cust → 2k, supp → 2k+1
+    val ed = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = ed.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(ed.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    graft.ops.PageRank.run(nodes, edges, damping = 0.85, iters = 5)
+      .select(
+        when(col("id") % 2 === 0, "cust").otherwise("supp").as("kind"),
+        expr("id div 2").as("node_key"),
+        col("rank"))
+  }
+
+  val qPagerankSql: String = {
+    val sc = graft.ops.PageRank.Scale
+    val d = 0.85
+    val base = Math.round((1.0 - d) * sc)
+    def iter(n: Int) =
+      s"""r$n AS (
+         |  SELECT n.id,
+         |    cast($base + cast(round($d * cast(coalesce(s.s, 0) as double)) as bigint)
+         |         as bigint) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, sum(r.r // e.outdeg) AS s
+         |    FROM e JOIN r${n - 1} r ON e.src = r.id GROUP BY e.dst) s
+         |    ON n.id = s.dst)""".stripMargin
+    s"""WITH ed AS (
+       |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges AS (SELECT a AS src, b AS dst FROM ed
+       |          UNION ALL SELECT b AS src, a AS dst FROM ed),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |e AS (SELECT edges.src, edges.dst, deg.outdeg
+       |      FROM edges JOIN deg USING (src)),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |r0 AS (SELECT id, cast($sc as bigint) AS r FROM nodes),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT CASE WHEN id % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+       |  id // 2 AS node_key,
+       |  round(cast(r as double) / $sc, 6) AS rank
+       |FROM r5""".stripMargin
+  }
+
   // ---------------------------------------------------------- multimodal
 
   /** Binary-column metadata: never decodes the payload. */
@@ -1609,6 +1662,7 @@ object PipelineQueries {
     ("q_embed_dup", qEmbedDup _, Some(qEmbedDupSql)),
     ("q_kmeans", qKmeans _, Some(qKmeansSql)),
     ("q_semdedup", qSemdedup _, Some(qSemdedupSql)),
+    ("q_pagerank", qPagerank _, Some(qPagerankSql)),
     ("q_binary_meta", qBinaryMeta _, Some(qBinaryMetaSql)),
     ("q_media_features", qMediaFeatures _, Some(qMediaFeaturesSql)),
     ("q_media_resize", qMediaResize _, Some(qMediaResizeSql)),
