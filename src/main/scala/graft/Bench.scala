@@ -49,6 +49,13 @@ object Bench {
           CacheRegistry.releaseAll() // transient caches: no cross-run reuse
           dt
         }
+        // between-query hygiene, OUTSIDE the timed region: drop any
+        // cached blocks a query left outside the registry so later
+        // queries don't inherit eviction pressure. Deliberately NO
+        // System.gc() here — A/B at sf0.1 showed forced full GCs
+        // between queries cost ~12% of suite total (heap re-expansion
+        // + JIT state churn), more than the cleanup debt they reap.
+        spark.catalog.clearCache()
         name -> times.min
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

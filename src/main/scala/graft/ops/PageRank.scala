@@ -50,13 +50,19 @@ object PageRank {
       Parallelism.widen(edges).join(deg, Seq("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val base = Math.round((1.0 - damping) * Scale)
-    var ranks = nodes.select(col("id"), lit(Scale).as("r"))
+    // every iteration right-joins the vertex set (and the caller's
+    // vertex frame is typically a distinct = a shuffle): persist it
+    // once instead of recomputing it iters+1 times
+    val v = graft.CacheRegistry.register(
+      nodes.select(col("id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var ranks = v.select(col("id"), lit(Scale).as("r"))
     for (_ <- 1 to iters) {
       val sums = e.join(ranks, e("src") === ranks("id"))
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = nodes
-        .join(sums, nodes("id") === sums("dst"), "left")
+      ranks = v
+        .join(sums, v("id") === sums("dst"), "left")
         .select(col("id"),
           (lit(base) +
             round(lit(damping) * coalesce(col("s"), lit(0L)).cast(DoubleType))
