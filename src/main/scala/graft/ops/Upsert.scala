@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Changelog application (CDC upsert-with-deletes) — the
+  * incremental-refresh primitive: fold a stream of keyed change rows
+  * into a base snapshot, newest version per key wins, keys whose
+  * newest version is a tombstone disappear. This is the batch twin of
+  * a streaming materialized view: ingest day N's changelog against the
+  * day N−1 snapshot without recomputing the corpus.
+  *
+  * Scale shape: ONE key-partitioned shuffle — the union of base and
+  * changelog aggregated with `max_by(row, version)`, which
+  * partial-aggregates map-side (each map task keeps one candidate row
+  * per key), so the shuffle carries at most one row per key per map
+  * partition. No window sort, no join. Deterministic for any total
+  * ordering of `versionCols` (break ties with a unique id column).
+  */
+object Upsert {
+
+  /** Apply `changelog` to `base`: latest version per key across both
+    * survives, unless it is a delete. `base` rows are assumed live
+    * (their `isDelete` is false); `isDelete` is evaluated on changelog
+    * rows. Output schema = input schema (both frames must share it).
+    */
+  def applyChangelog(base: DataFrame, changelog: DataFrame,
+      keyCols: Seq[String], versionCols: Seq[String],
+      isDelete: Column): DataFrame = {
+    require(keyCols.nonEmpty && versionCols.nonEmpty)
+    val cols = base.columns.toSeq
+    val u = base.withColumn("__del", lit(false))
+      .unionByName(changelog.withColumn("__del", isDelete))
+    u.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct((cols.filterNot(keyCols.contains) :+ "__del").map(col): _*),
+        struct(versionCols.map(col): _*)).as("__v"))
+      .where(!col("__v.__del"))
+      .select((keyCols.map(col) ++
+        cols.filterNot(keyCols.contains).map(c => col(s"__v.$c"))): _*)
+  }
+}

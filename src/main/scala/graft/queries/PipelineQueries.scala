@@ -1531,6 +1531,43 @@ object PipelineQueries {
        |FROM r5""".stripMargin
   }
 
+  /** CDC changelog application: fold the back half of the event stream
+    * (as a changelog with 'error' rows as tombstones) into the
+    * snapshot materialized from the front half — the incremental
+    * corpus-refresh primitive, one max_by shuffle per stage, no
+    * window sort.
+    */
+  def qCdcUpsert(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.TimestampType
+    val ev = Tables.events(s, d)
+    val cut = lit("2024-01-16 00:00:00").cast(TimestampType)
+    val isDel = col("event_type") === "error"
+    val before = ev.filter(col("ts") < cut)
+    val base = graft.ops.Upsert.applyChangelog(before.limit(0), before,
+      Seq("user_id"), Seq("ts", "event_id"), isDel)
+    graft.ops.Upsert.applyChangelog(base, ev.filter(col("ts") >= cut),
+      Seq("user_id"), Seq("ts", "event_id"), isDel)
+  }
+
+  val qCdcUpsertSql: String =
+    """WITH snap AS (
+      |  SELECT user_id, event_id, ts, event_type, value, props FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
+      |  WHERE rn = 1 AND event_type <> 'error'),
+      |u AS (
+      |  SELECT user_id, event_id, ts, event_type, value, props,
+      |    false AS del FROM snap
+      |  UNION ALL
+      |  SELECT user_id, event_id, ts, event_type, value, props,
+      |    (event_type = 'error') AS del
+      |  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+      |SELECT user_id, event_id, ts, event_type, value, props FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rn FROM u)
+      |WHERE rn = 1 AND NOT del""".stripMargin
+
   // ---------------------------------------------------------- multimodal
 
   /** Binary-column metadata: never decodes the payload. */
@@ -1663,6 +1700,7 @@ object PipelineQueries {
     ("q_kmeans", qKmeans _, Some(qKmeansSql)),
     ("q_semdedup", qSemdedup _, Some(qSemdedupSql)),
     ("q_pagerank", qPagerank _, Some(qPagerankSql)),
+    ("q_cdc_upsert", qCdcUpsert _, Some(qCdcUpsertSql)),
     ("q_binary_meta", qBinaryMeta _, Some(qBinaryMetaSql)),
     ("q_media_features", qMediaFeatures _, Some(qMediaFeaturesSql)),
     ("q_media_resize", qMediaResize _, Some(qMediaResizeSql)),
