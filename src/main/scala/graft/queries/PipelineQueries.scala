@@ -1531,6 +1531,40 @@ object PipelineQueries {
        |FROM r5""".stripMargin
   }
 
+  /** Distributed BPE vocabulary training, four merge rounds on the
+    * document corpus — the ITERATIVE trainer (pair-count argmax +
+    * corpus-wide merge rewrite per round) hash-replays exactly in
+    * DuckDB via unrolled CTEs, the k-means discipline applied to
+    * subword learning.
+    */
+  def qBpe(s: SparkSession, d: String): DataFrame =
+    graft.text.Bpe.merges(s, Tables.documents(s, d), "text", steps = 4)
+
+  val qBpeSql: String = {
+    def round(r: Int) =
+      s"""p$r AS (
+         |  SELECT sym[i] AS a, sym[i+1] AS b, cnt
+         |  FROM s${r - 1}, unnest(range(1, len(sym))) AS t(i)),
+         |m$r AS (
+         |  SELECT a, b, cast(sum(cnt) as bigint) AS w
+         |  FROM p$r GROUP BY a, b ORDER BY w DESC, a ASC, b ASC LIMIT 1),
+         |s$r AS (
+         |  SELECT cnt, list_reduce(list_transform(sym, c -> [c]),
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND x[1] = m.b
+         |                THEN list_append(acc[:-2], m.a || m.b)
+         |                ELSE list_concat(acc, x) END) AS sym
+         |  FROM s${r - 1} CROSS JOIN m$r m)""".stripMargin
+    s"""WITH w0 AS (
+       |  SELECT w, count(*) AS cnt FROM (
+       |    SELECT unnest($toksSql) AS w FROM documents) GROUP BY w),
+       |s0 AS (SELECT cnt, list_transform(range(1, len(w) + 1), i -> w[i]) AS sym
+       |       FROM w0),
+       |${(1 to 4).map(round).mkString(",\n")}
+       |${(1 to 4).map(r =>
+            s"SELECT $r AS step, a AS lhs, b AS rhs, w AS weight FROM m$r")
+          .mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** CDC changelog application: fold the back half of the event stream
     * (as a changelog with 'error' rows as tombstones) into the
     * snapshot materialized from the front half — the incremental
@@ -1701,6 +1735,7 @@ object PipelineQueries {
     ("q_semdedup", qSemdedup _, Some(qSemdedupSql)),
     ("q_pagerank", qPagerank _, Some(qPagerankSql)),
     ("q_cdc_upsert", qCdcUpsert _, Some(qCdcUpsertSql)),
+    ("q_bpe", qBpe _, Some(qBpeSql)),
     ("q_binary_meta", qBinaryMeta _, Some(qBinaryMetaSql)),
     ("q_media_features", qMediaFeatures _, Some(qMediaFeaturesSql)),
     ("q_media_resize", qMediaResize _, Some(qMediaResizeSql)),

@@ -1,0 +1,42 @@
+package graft.text
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("learns the classic merges on a planted corpus") {
+    // "low low low lower newest newest": most frequent pair is (l,o)
+    // weight 4, then (lo,w) weight 4 after the first merge, ...
+    val docs = Seq((1L, "low low low lower newest newest widest"))
+      .toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", steps = 3)
+    assert(m.map(x => (x.lhs, x.rhs)) == Seq(("l", "o"), ("lo", "w"),
+      ("e", "s")),
+      s"unexpected merges: $m")
+    assert(m.head.weight == 4L) // 'lo' appears in low×3 + lower×1
+  }
+
+  test("leftmost-first non-overlapping application on runs") {
+    // corpus "aaa aaa": pair (a,a) has weight 4 (two per word);
+    // after merging, words are [aa, a] so round 2 merges (aa, a)
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", steps = 2)
+    assert(m(0).lhs == "a" && m(0).rhs == "a" && m(0).weight == 4L)
+    assert(m(1).lhs == "aa" && m(1).rhs == "a" && m(1).weight == 2L)
+  }
+
+  test("stops early when the corpus runs out of pairs") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", steps = 5)
+    // round 1 merges (a,b); single-symbol words have no pairs left
+    assert(m.size == 1 && m.head.lhs == "a" && m.head.rhs == "b")
+  }
+
+  test("ties break lexicographically") {
+    val docs = Seq((1L, "zx ba zx ba")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", steps = 1)
+    // (b,a) and (z,x) both weight 2: lexicographic pick is (b,a)
+    assert(m.head.lhs == "b" && m.head.rhs == "a")
+  }
+}
