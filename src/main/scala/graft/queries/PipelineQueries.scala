@@ -1540,7 +1540,12 @@ object PipelineQueries {
   def qBpe(s: SparkSession, d: String): DataFrame =
     graft.text.Bpe.merges(s, Tables.documents(s, d), "text", steps = 4)
 
-  val qBpeSql: String = {
+  /** Unrolled-BPE CTE prologue shared by the trainer and encoder
+    * oracles: ends with `s{steps}`, the (w, cnt, sym) table of every
+    * distinct word segmented under all learned merges, plus `m1..m`
+    * holding each round's winning pair.
+    */
+  private def bpeCtes(steps: Int): String = {
     def round(r: Int) =
       s"""p$r AS (
          |  SELECT sym[i] AS a, sym[i+1] AS b, cnt
@@ -1549,21 +1554,46 @@ object PipelineQueries {
          |  SELECT a, b, cast(sum(cnt) as bigint) AS w
          |  FROM p$r GROUP BY a, b ORDER BY w DESC, a ASC, b ASC LIMIT 1),
          |s$r AS (
-         |  SELECT cnt, list_reduce(list_transform(sym, c -> [c]),
+         |  SELECT s.w, s.cnt, list_reduce(list_transform(s.sym, c -> [c]),
          |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND x[1] = m.b
          |                THEN list_append(acc[:-2], m.a || m.b)
          |                ELSE list_concat(acc, x) END) AS sym
-         |  FROM s${r - 1} CROSS JOIN m$r m)""".stripMargin
+         |  FROM s${r - 1} s CROSS JOIN m$r m)""".stripMargin
     s"""WITH w0 AS (
        |  SELECT w, count(*) AS cnt FROM (
        |    SELECT unnest($toksSql) AS w FROM documents) GROUP BY w),
-       |s0 AS (SELECT cnt, list_transform(range(1, len(w) + 1), i -> w[i]) AS sym
+       |s0 AS (SELECT w, cnt, list_transform(range(1, len(w) + 1), i -> w[i]) AS sym
        |       FROM w0),
-       |${(1 to 4).map(round).mkString(",\n")}
+       |${(1 to steps).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  val qBpeSql: String =
+    s"""${bpeCtes(4)}
        |${(1 to 4).map(r =>
             s"SELECT $r AS step, a AS lhs, b AS rhs, w AS weight FROM m$r")
           .mkString("\nUNION ALL\n")}""".stripMargin
+
+  /** BPE encoding under the learned merges: per-document whitespace
+    * token and subword counts — the vocabulary-compression report.
+    * The merge chain folds over the DISTINCT-word table only; the
+    * corpus joins against that map.
+    */
+  def qBpeEncode(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val m = graft.text.Bpe.train(docs, "text", steps = 4)
+    graft.text.Bpe.encode(docs, "doc_id", "text", m)
   }
+
+  val qBpeEncodeSql: String =
+    s"""${bpeCtes(4)},
+       |enc AS (SELECT w, len(sym) AS n_sub FROM s4),
+       |toks AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+       |p AS (SELECT t.doc_id, count(*) AS n_tokens,
+       |        cast(sum(e.n_sub) as bigint) AS n_subwords
+       |      FROM toks t JOIN enc e USING (w) GROUP BY t.doc_id)
+       |SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+       |  coalesce(p.n_subwords, 0) AS n_subwords
+       |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin
 
   /** CDC changelog application: fold the back half of the event stream
     * (as a changelog with 'error' rows as tombstones) into the
@@ -1736,6 +1766,7 @@ object PipelineQueries {
     ("q_pagerank", qPagerank _, Some(qPagerankSql)),
     ("q_cdc_upsert", qCdcUpsert _, Some(qCdcUpsertSql)),
     ("q_bpe", qBpe _, Some(qBpeSql)),
+    ("q_bpe_encode", qBpeEncode _, Some(qBpeEncodeSql)),
     ("q_binary_meta", qBinaryMeta _, Some(qBinaryMetaSql)),
     ("q_media_features", qMediaFeatures _, Some(qMediaFeaturesSql)),
     ("q_media_resize", qMediaResize _, Some(qMediaResizeSql)),

@@ -102,4 +102,34 @@ object Bpe {
     import spark.implicits._
     train(df, textCol, steps).toDF()
   }
+
+  /** Encode: segment every document with a learned merge list. The
+    * merge chain is applied to the DISTINCT-word table (one fold per
+    * merge, composed as a single narrow expression), and documents
+    * join their token stream against that ≤vocabulary-sized map (AQE
+    * broadcasts it when it fits) — the corpus is never folded per
+    * occurrence. Returns (idCol, n_tokens, n_subwords): the
+    * compression the vocabulary achieves per document.
+    */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val folded = merges.foldLeft(chars(col("w"))) {
+      (sym, m) => applyMerge(sym, m.lhs, m.rhs)
+    }
+    val toks = graft.CacheRegistry.register(
+      graft.ops.Parallelism.widen(df)
+        .select(col(idCol).as("id"),
+          explode(TextAnalysis.tokens(col(textCol))).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val wordLens = toks.select(col("w")).distinct()
+      .select(col("w"), size(folded).as("n_sub"))
+    val perDoc = toks.join(wordLens, Seq("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_sub")).as("n_subwords"))
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"))
+  }
 }

@@ -33,6 +33,19 @@ class BpeSpec extends SparkSpec {
     assert(m.size == 1 && m.head.lhs == "a" && m.head.rhs == "b")
   }
 
+  test("encode reports exact subword counts under the learned merges") {
+    val docs = Seq((1L, "low low lower"), (2L, ""), (3L, "xyz"))
+      .toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", steps = 2) // (l,o) then (lo,w)
+    assert(m.map(x => (x.lhs, x.rhs)) == Seq(("l", "o"), ("lo", "w")))
+    val out = Bpe.encode(docs, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // low → [low] (1 subword); lower → [low, e, r] (3)
+    assert(out(1L) == (3L, 1L + 1L + 3L))
+    assert(out(2L) == (0L, 0L))
+    assert(out(3L) == (1L, 3L)) // xyz untouched by the merges
+  }
+
   test("ties break lexicographically") {
     val docs = Seq((1L, "zx ba zx ba")).toDF("doc_id", "text")
     val m = Bpe.train(docs, "text", steps = 1)
