@@ -4,7 +4,7 @@ import graft.Tables
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.sim.Ann
-import graft.text.TextAnalysis
+import graft.text.{Bm25, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1595,6 +1595,60 @@ object PipelineQueries {
        |  coalesce(p.n_subwords, 0) AS n_subwords
        |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin
 
+  /** BM25 keyword retrieval: top-10 documents for three literal
+    * keyword queries — the lexical complement to the ANN family, with
+    * per-(term, doc) contributions quantized so the float-heavy score
+    * hash-replays in DuckDB. One query term ('watermark') is absent
+    * from the corpus, pinning the missing-postings path.
+    */
+  private val Bm25Queries = Seq(
+    ("q1", "slow hash join"),
+    ("q2", "stream window watermark"),
+    ("q3", "customer order data"))
+
+  def qBm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Bm25.topK(Tables.documents(s, d), "doc_id", "text",
+      Bm25Queries.toDF("query_id", "qtext"), k = 10)
+  }
+
+  val qBm25Sql: String = {
+    val sc = Bm25.Scale
+    val k1 = 1.2
+    val b = 0.75
+    val qtoksSql = toksSql.replace("trim(text)", "trim(qtext)")
+    val values = Bm25Queries.map { case (id, t) => s"('$id', '$t')" }
+      .mkString(", ")
+    s"""WITH q AS (SELECT * FROM (VALUES $values) AS v(query_id, qtext)),
+       |toks AS (SELECT doc_id AS id, unnest($toksSql) AS tok FROM documents),
+       |tf AS (SELECT id, tok, count(*) AS tf FROM toks GROUP BY id, tok),
+       |dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY id),
+       |stats AS (SELECT cast(count(*) as bigint) AS n_docs,
+       |                 cast(sum(dl) as bigint) AS n_toks FROM dl),
+       |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |qt AS (SELECT query_id, unnest(list_distinct($qtoksSql)) AS tok FROM q),
+       |c AS (
+       |  SELECT qt.query_id, tf.id,
+       |    cast(round(
+       |      ln((cast(n_docs as double) - cast(df as double) + 0.5) /
+       |         (cast(df as double) + 0.5) + 1.0) *
+       |      (cast(tf as double) * ${k1 + 1.0} /
+       |       (cast(tf as double) + $k1 * (${1.0 - b} +
+       |        $b * cast(dl as double) /
+       |        (cast(n_toks as double) / cast(n_docs as double))))) *
+       |      $sc) as bigint) AS c
+       |  FROM qt JOIN tf USING (tok) JOIN dfq USING (tok)
+       |  JOIN dl ON tf.id = dl.id CROSS JOIN stats),
+       |s2 AS (SELECT query_id, id, cast(sum(c) as bigint) AS sc
+       |       FROM c GROUP BY query_id, id),
+       |r AS (SELECT query_id, id, sc, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY sc DESC, id ASC) AS rank
+       |      FROM s2)
+       |SELECT query_id, id AS doc_id,
+       |  round(cast(sc as double) / $sc.0, 6) AS score, rank
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
   /** CDC changelog application: fold the back half of the event stream
     * (as a changelog with 'error' rows as tombstones) into the
     * snapshot materialized from the front half — the incremental
@@ -1767,6 +1821,7 @@ object PipelineQueries {
     ("q_cdc_upsert", qCdcUpsert _, Some(qCdcUpsertSql)),
     ("q_bpe", qBpe _, Some(qBpeSql)),
     ("q_bpe_encode", qBpeEncode _, Some(qBpeEncodeSql)),
+    ("q_bm25", qBm25 _, Some(qBm25Sql)),
     ("q_binary_meta", qBinaryMeta _, Some(qBinaryMetaSql)),
     ("q_media_features", qMediaFeatures _, Some(qMediaFeaturesSql)),
     ("q_media_resize", qMediaResize _, Some(qMediaResizeSql)),
