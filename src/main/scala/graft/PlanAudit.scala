@@ -31,7 +31,9 @@ object PlanAudit {
       "q_kmeans", "q_span_dedup", "q_unigram_lm", "q_json_extract",
       "q_zorder", "q_bigrams", "q_tokenize", "q_curation_v2",
       "q_cube", "q_window_lead", "q_session_window",
-      "q_bigram_lm", "q_weighted_sample", "q_winnow_pairs")
+      "q_bigram_lm", "q_weighted_sample", "q_winnow_pairs",
+      "q_semdedup", "q_dsir", "q_pagerank", "q_cdc_upsert",
+      "q_bpe_encode", "q_bm25")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
