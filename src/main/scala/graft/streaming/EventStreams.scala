@@ -273,6 +273,51 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming CDC materialization: fold each micro-batch of change
+    * rows into a parquet snapshot with [[graft.ops.Upsert]] — the
+    * streaming twin of the batch changelog application, giving a
+    * continuously-maintained latest-version-per-key table. Each batch
+    * reads the current snapshot, applies itself (latest wins,
+    * tombstones drop), and atomically replaces the snapshot via
+    * write-to-staging + directory swap; a replayed batch re-applies
+    * idempotently because applyChangelog is (max_by) idempotent for
+    * already-seen versions.
+    *
+    * Scale note: per-batch cost is one key-partitioned max_by shuffle
+    * over snapshot ∪ batch. For snapshots too large to rewrite per
+    * batch, partition the snapshot by key range and rewrite only
+    * partitions a batch touches (the ParquetSink.overwritePartitions
+    * pattern); the fold itself is unchanged.
+    */
+  def startCdcSnapshot(changes: DataFrame, snapshotDir: String,
+      checkpointDir: String, keyCols: Seq[String], versionCols: Seq[String],
+      isDelete: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val dir = new java.io.File(snapshotDir)
+        val base =
+          if (dir.exists()) spark.read.parquet(snapshotDir)
+            .select(batch.columns.map(col): _*)
+          else batch.limit(0)
+        val next = graft.ops.Upsert.applyChangelog(
+          base, batch, keyCols, versionCols, isDelete)
+        val staging = snapshotDir + ".staging"
+        next.write.mode("overwrite").parquet(staging)
+        // atomic-enough swap for a file-layout snapshot: readers see
+        // either the old or the new directory, never a partial write
+        val old = new java.io.File(snapshotDir + ".old")
+        if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+        if (dir.exists() && !dir.renameTo(old))
+          throw new java.io.IOException(s"cannot stage out $snapshotDir")
+        if (!new java.io.File(staging).renameTo(dir))
+          throw new java.io.IOException(s"cannot promote $staging")
+        if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+      }
+      .start()
+
   /** Incremental pipeline wiring: parquet source dir → windowed agg →
     * parquet sink with checkpoint. The streaming twin of the batch
     * hourly rollup.

@@ -234,6 +234,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC snapshot equals batch changelog application") {
+    implicit val sqlCtx = spark.sqlContext
+    val snap = java.nio.file.Files.createTempDirectory("graft-cdc").toString + "/snap"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ckpt").toString
+    val mem = MemoryStream[(Long, Long, String, String)]
+    val q = EventStreams.startCdcSnapshot(
+      mem.toDF().toDF("key", "v", "payload", "op"),
+      snap, ckpt, Seq("key"), Seq("v"), col("op") === "d")
+    try {
+      mem.addData((1L, 1L, "one-v1", "u"), (2L, 1L, "two-v1", "u"))
+      q.processAllAvailable()
+      mem.addData((1L, 2L, "one-v2", "u"), (2L, 2L, "x", "d"),
+        (3L, 1L, "three-v1", "u"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(snap)
+        .select($"key", $"payload").as[(Long, String)].collect().toSet
+      // batch twin over the full concatenated changelog
+      val full = Seq((1L, 1L, "one-v1", "u"), (2L, 1L, "two-v1", "u"),
+        (1L, 2L, "one-v2", "u"), (2L, 2L, "x", "d"), (3L, 1L, "three-v1", "u"))
+        .toDF("key", "v", "payload", "op")
+      val want = graft.ops.Upsert.applyChangelog(full.limit(0), full,
+        Seq("key"), Seq("v"), col("op") === "d")
+        .select($"key", $"payload").as[(Long, String)].collect().toSet
+      assert(got === want && got === Set((1L, "one-v2"), (3L, "three-v1")))
+    } finally q.stop()
+  }
+
   test("idempotent foreachBatch sink: replaying a batch does not duplicate") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-sink-out").toString
