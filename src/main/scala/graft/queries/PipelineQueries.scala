@@ -1531,6 +1531,55 @@ object PipelineQueries {
        |FROM r5""".stripMargin
   }
 
+  /** Brute-force cosine top-3 in Johnson-Lindenstrauss PROJECTED space
+    * (64 → 16 dims): the dimensionality-reduction preprocessing for
+    * corpus-scale similarity. The oracle recomputes the deterministic
+    * hyperplanes from their integer formula inside SQL, so projection
+    * and search both hash-replay.
+    */
+  def qAnnRp(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val proj = emb.select(col("vec_id"),
+      Ann.project(col("embedding"), outDim = 16).as("pvec"))
+    Ann.bruteForceTopK(proj, proj.filter(col("vec_id") < 8),
+      "vec_id", "pvec", k = 3)
+  }
+
+  val qAnnRpSql: String = {
+    val so = 4096
+    val scale = math.sqrt(16.0) // 4.0, exact
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(cast(0 as double),
+         |  list_transform(range(1, len($a) + 1),
+         |    i -> cast($a[i] as double) * cast($b[i] as double))),
+         |  (acc, v) -> acc + v)""".stripMargin
+    def cos(a: String, b: String) =
+      s"""CASE WHEN sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}) > 0
+         |  THEN ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))
+         |  ELSE 0.0 END""".stripMargin
+    s"""WITH pr AS (
+       |  SELECT vec_id, list_transform(range(0, 16), j ->
+       |    list_reduce(list_prepend(cast(0 as double),
+       |      list_transform(range(1, 65), i ->
+       |        cast(embedding[i] as double) *
+       |        (((($so + j) * 2654435761 + (i - 1) * 40503 + 17) % 1009)
+       |          / 1009.0 * 2.0 - 1.0))),
+       |      (acc, v) -> acc + v) / $scale) AS pvec
+       |  FROM embeddings),
+       |sims AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cos("q.pvec", "c.pvec")} AS sim_raw
+       |  FROM pr q JOIN pr c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 8),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim_raw,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim_raw DESC, neighbor_id ASC) AS rank
+       |  FROM sims)
+       |SELECT query_id, neighbor_id, round(sim_raw, 6) AS sim, rank
+       |FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
   /** Distributed BPE vocabulary training, four merge rounds on the
     * document corpus — the ITERATIVE trainer (pair-count argmax +
     * corpus-wide merge rewrite per round) hash-replays exactly in
@@ -1822,6 +1871,7 @@ object PipelineQueries {
     ("q_bpe", qBpe _, Some(qBpeSql)),
     ("q_bpe_encode", qBpeEncode _, Some(qBpeEncodeSql)),
     ("q_bm25", qBm25 _, Some(qBm25Sql)),
+    ("q_ann_rp", qAnnRp _, Some(qAnnRpSql)),
     ("q_binary_meta", qBinaryMeta _, Some(qBinaryMetaSql)),
     ("q_media_features", qMediaFeatures _, Some(qMediaFeaturesSql)),
     ("q_media_resize", qMediaResize _, Some(qMediaResizeSql)),

@@ -88,6 +88,25 @@ object Ann {
       (x.toDouble / 1009.0) * 2.0 - 1.0
     }
 
+  /** Johnson-Lindenstrauss random projection to `outDim` dimensions:
+    * y_j = ⟨x, plane_j⟩ / √outDim over `outDim` deterministic
+    * hyperplanes drawn at `seedOffset` (keep offsets disjoint from the
+    * LSH/near-dup plane indices so the projection is independent of
+    * the bucketing). Distance-preserving in expectation (JL lemma), so
+    * downstream cosine/L2 work runs on outDim ≪ dim components — the
+    * standard preprocessing when 100 TB of embeddings make full-width
+    * distance math the bottleneck. Pure narrow expression: no shuffle,
+    * no state, projects in one codegen'd map over the corpus.
+    */
+  def project(vec: Column, outDim: Int, dim: Int = 64,
+      seedOffset: Int = 4096): Column = {
+    require(outDim >= 1)
+    val s = math.sqrt(outDim.toDouble)
+    array((0 until outDim).map { j =>
+      dot(vec, typedLit(hyperplane(seedOffset + j, dim))) / s
+    }: _*)
+  }
+
   /** Sign-pattern bucket key over h hyperplanes — one SignBuckets
     * kernel call (plan stays O(1) in h·dim; the old per-plane
     * when(dot(vec, array(lit…)) >= 0, …) chain inlined h·dim literal
