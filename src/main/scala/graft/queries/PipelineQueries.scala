@@ -1580,6 +1580,75 @@ object PipelineQueries {
        |FROM ranked WHERE rank <= 3""".stripMargin
   }
 
+  /** Hybrid-retrieval fusion: reciprocal-rank fusion of the EXACT
+    * full-space cosine top-10 and the JL-projected-space top-10 —
+    * integer-quantized contributions make the fused score an exact
+    * sum, so even the combination of two float-heavy retrievers
+    * hash-replays.
+    */
+  def qRrf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 8)
+    val full = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+    val proj = emb.select(col("vec_id"),
+      Ann.project(col("embedding"), outDim = 16).as("pvec"))
+    val projected = Ann.bruteForceTopK(proj, proj.filter(col("vec_id") < 8),
+      "vec_id", "pvec", k = 10)
+      .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+    graft.sim.Rrf.fuse(Seq(full, projected), k0 = 60, k = 5)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("rrf_score"), col("n_lists"), col("rank"))
+  }
+
+  val qRrfSql: String = {
+    val so = 4096
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(cast(0 as double),
+         |  list_transform(range(1, len($a) + 1),
+         |    i -> cast($a[i] as double) * cast($b[i] as double))),
+         |  (acc, v) -> acc + v)""".stripMargin
+    def cos(a: String, b: String) =
+      s"""CASE WHEN sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}) > 0
+         |  THEN ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))
+         |  ELSE 0.0 END""".stripMargin
+    s"""WITH pr AS (
+       |  SELECT vec_id, list_transform(range(0, 16), j ->
+       |    list_reduce(list_prepend(cast(0 as double),
+       |      list_transform(range(1, 65), i ->
+       |        cast(embedding[i] as double) *
+       |        (((($so + j) * 2654435761 + (i - 1) * 40503 + 17) % 1009)
+       |          / 1009.0 * 2.0 - 1.0))),
+       |      (acc, v) -> acc + v) / 4.0) AS pvec
+       |  FROM embeddings),
+       |full_r AS (
+       |  SELECT query_id, id, rank FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cos("q.embedding", "c.embedding")} DESC,
+       |                 c.vec_id ASC) AS rank
+       |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 8) WHERE rank <= 10),
+       |proj_r AS (
+       |  SELECT query_id, id, rank FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cos("q.pvec", "c.pvec")} DESC,
+       |                 c.vec_id ASC) AS rank
+       |    FROM pr q JOIN pr c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 8) WHERE rank <= 10),
+       |u AS (SELECT * FROM full_r UNION ALL SELECT * FROM proj_r),
+       |sc AS (
+       |  SELECT query_id, id,
+       |    cast(sum(1000000000 // (60 + rank)) as bigint) AS rrf_score,
+       |    count(*) AS n_lists
+       |  FROM u GROUP BY query_id, id)
+       |SELECT query_id, id AS neighbor_id, rrf_score, n_lists, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_score DESC, id ASC) AS rank
+       |  FROM sc) WHERE rank <= 5""".stripMargin
+  }
+
   /** Distributed BPE vocabulary training, four merge rounds on the
     * document corpus — the ITERATIVE trainer (pair-count argmax +
     * corpus-wide merge rewrite per round) hash-replays exactly in
@@ -1872,6 +1941,7 @@ object PipelineQueries {
     ("q_bpe_encode", qBpeEncode _, Some(qBpeEncodeSql)),
     ("q_bm25", qBm25 _, Some(qBm25Sql)),
     ("q_ann_rp", qAnnRp _, Some(qAnnRpSql)),
+    ("q_rrf", qRrf _, Some(qRrfSql)),
     ("q_binary_meta", qBinaryMeta _, Some(qBinaryMetaSql)),
     ("q_media_features", qMediaFeatures _, Some(qMediaFeaturesSql)),
     ("q_media_resize", qMediaResize _, Some(qMediaResizeSql)),
