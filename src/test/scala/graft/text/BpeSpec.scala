@@ -46,6 +46,26 @@ class BpeSpec extends SparkSpec {
     assert(out(3L) == (1L, 3L)) // xyz untouched by the merges
   }
 
+  test("batched training equals sequential when picked pairs are disjoint") {
+    // (l,o) and (e,s) dominate and share no symbol: one batched round
+    // of 2 must reproduce two sequential rounds
+    val docs = Seq((1L, "low low low lo estes estes es"))
+      .toDF("doc_id", "text")
+    val seq2 = Bpe.train(docs, "text", steps = 2)
+      .map(m => (m.lhs, m.rhs, m.weight))
+    val bat2 = Bpe.trainBatched(docs, "text", steps = 1, batch = 2)
+      .map(m => (m.lhs, m.rhs, m.weight))
+    assert(seq2.toSet == bat2.toSet, s"seq=$seq2 bat=$bat2")
+  }
+
+  test("batched training skips overlapping pairs within a round") {
+    // "aaa aaa": (a,a) picked first; any other a-pair overlaps it, so
+    // the round must not also merge (aa,a) with stale counts
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val m = Bpe.trainBatched(docs, "text", steps = 1, batch = 2)
+    assert(m.map(x => (x.lhs, x.rhs)) == Seq(("a", "a")))
+  }
+
   test("ties break lexicographically") {
     val docs = Seq((1L, "zx ba zx ba")).toDF("doc_id", "text")
     val m = Bpe.train(docs, "text", steps = 1)
