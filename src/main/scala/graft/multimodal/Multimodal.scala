@@ -178,6 +178,29 @@ object Multimodal {
   /** Typed row for resized media: the resized payload plus the scalar
     * features the oracle can verify.
     */
+  /** Perceptual average-hash over the 8×8 downsampled luminance plane:
+    * bit i is 1 iff sample i exceeds the plane mean (compared as
+    * sample·64 > Σsamples — exact integer arithmetic, no float mean),
+    * emitted as a 64-char '0'/'1' string (row-major) so bit 63 never
+    * wrestles with signed-long packing. Identical or near-identical
+    * images collapse to the same hash — the image-side exact-dedup
+    * key, and the input to Hamming-banded near-dup (split the string
+    * in 4 bands of 16, SimHash-style) when fuzzy matching is needed.
+    * Runs through the same pluggable codec boundary as [[resize]].
+    */
+  def perceptualHash(spark: SparkSession, df: DataFrame, idCol: String,
+      codec: ImageCodec = FakeCodec): DataFrame = {
+    import spark.implicits._
+    resize(spark, df, idCol, outW = 8, outH = 8, codec)
+      .map { r =>
+        val sum = r.resized.foldLeft(0L)((a, b) => a + (b & 0xff))
+        val bits = r.resized.map(b =>
+          if ((b & 0xff) * 64L > sum) '1' else '0').mkString
+        (r.id, bits)
+      }
+      .toDF(idCol, "phash")
+  }
+
   case class ResizedMedia(
       id: Long,
       srcW: Int,

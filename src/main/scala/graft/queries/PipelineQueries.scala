@@ -1856,6 +1856,40 @@ object PipelineQueries {
       .select(col("id"), col("srcW"), col("srcH"),
         length(col("resized")).as("out_len"), col("checksum"))
 
+  /** Perceptual-hash image dedup over the stub codec: every payload's
+    * 8×8 average-hash plus how many corpus images share it — the
+    * multimodal twin of exact text dedup, with the pixel sampling AND
+    * the integer-exact thresholding replicated in SQL.
+    */
+  def qPhash(s: SparkSession, d: String): DataFrame = {
+    val ph = Multimodal.perceptualHash(
+      s, Multimodal.withPayload(Tables.documents(s, d), "text"), "doc_id")
+    val counts = ph.groupBy(col("phash")).agg(count(lit(1)).as("n_same"))
+    ph.join(counts, Seq("phash"))
+      .select(col("doc_id"), col("phash"), col("n_same"))
+  }
+
+  val qPhashSql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS id, length(text) AS n,
+      |    16 + abs(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END) % 48 AS w,
+      |    16 + abs(CASE WHEN length(text) > 1 THEN ascii(substr(text, 2, 1)) ELSE 0 END) % 48 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT id,
+      |    list_transform(range(0, 64),
+      |      i -> CASE WHEN n > 0
+      |        THEN ascii(substr(text, cast((((i % 8) * w) // 8 + (((i // 8) * h) // 8) * w) % n + 1 as bigint), 1))
+      |        ELSE 0 END) AS s
+      |  FROM b JOIN documents ON b.id = documents.doc_id),
+      |ph AS (
+      |  SELECT id AS doc_id,
+      |    array_to_string(list_transform(s,
+      |      v -> CASE WHEN v * 64 > list_sum(s) THEN '1' ELSE '0' END), '') AS phash
+      |  FROM px)
+      |SELECT doc_id, phash, n_same FROM ph
+      |JOIN (SELECT phash, count(*) AS n_same FROM ph GROUP BY phash) USING (phash)""".stripMargin
+
   val qMediaResizeSql: String =
     """WITH b AS (
       |  SELECT doc_id AS id, length(text) AS n,
@@ -1942,6 +1976,7 @@ object PipelineQueries {
     ("q_bm25", qBm25 _, Some(qBm25Sql)),
     ("q_ann_rp", qAnnRp _, Some(qAnnRpSql)),
     ("q_rrf", qRrf _, Some(qRrfSql)),
+    ("q_phash", qPhash _, Some(qPhashSql)),
     ("q_binary_meta", qBinaryMeta _, Some(qBinaryMetaSql)),
     ("q_media_features", qMediaFeatures _, Some(qMediaFeaturesSql)),
     ("q_media_resize", qMediaResize _, Some(qMediaResizeSql)),

@@ -27,6 +27,23 @@ class ImageIoCodecSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("perceptual hash: identical images collide, halves-image splits bits") {
+    val rows = Seq(
+      (1L, png(16, 16)), (2L, png(16, 16)),  // identical → same hash
+      (3L, "definitely not an image".getBytes("UTF-8"))
+    ).toDF("id", "payload")
+    val got = Multimodal.perceptualHash(spark, rows, "id",
+      codec = Multimodal.ImageIoCodec).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet === Set(1L, 2L)) // undecodable payload dropped
+    assert(got(1L) === got(2L))
+    assert(got(1L).length == 64)
+    // bright left half above the mean, dark right half below: each
+    // 8-char row of the hash is half ones, half zeros
+    assert(got(1L).grouped(8).forall(row =>
+      row.count(_ == '1') == 4 && row.take(4).forall(_ == '1')))
+  }
+
   test("decodeFeatures reads real PNG dimensions and brightness; garbage rows drop") {
     val rows = Seq(
       (1L, png(8, 6)),
