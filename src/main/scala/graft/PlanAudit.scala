@@ -33,7 +33,7 @@ object PlanAudit {
       "q_cube", "q_window_lead", "q_session_window",
       "q_bigram_lm", "q_weighted_sample", "q_winnow_pairs",
       "q_semdedup", "q_dsir", "q_pagerank", "q_cdc_upsert",
-      "q_bpe_encode", "q_bm25")
+      "q_bpe_encode", "q_bm25", "q_ann_rp", "q_rrf", "q_phash")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
