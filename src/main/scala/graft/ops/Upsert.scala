@@ -26,15 +26,31 @@ object Upsert {
     */
   def applyChangelog(base: DataFrame, changelog: DataFrame,
       keyCols: Seq[String], versionCols: Seq[String],
+      isDelete: Column): DataFrame =
+    applyChangelogRetain(base.withColumn("__deleted", lit(false)),
+      changelog, keyCols, versionCols, isDelete)
+      .where(!col("__deleted")).drop("__deleted")
+
+  /** Tombstone-RETAINING fold: like [[applyChangelog]], but `base`
+    * carries (and the output keeps) a `__deleted` marker column, so a
+    * key's delete VERSION survives in the snapshot. This is what an
+    * incremental maintainer must persist: with tombstones dropped, a
+    * late out-of-order upsert older than the delete would find no base
+    * row and silently resurrect the key. Readers filter `!__deleted`;
+    * compact tombstones out only once the changelog source can no
+    * longer emit versions below them (retention watermark).
+    */
+  def applyChangelogRetain(base: DataFrame, changelog: DataFrame,
+      keyCols: Seq[String], versionCols: Seq[String],
       isDelete: Column): DataFrame = {
     require(keyCols.nonEmpty && versionCols.nonEmpty)
+    require(base.columns.contains("__deleted"),
+      "retaining base must carry the __deleted marker")
     val cols = base.columns.toSeq
-    val u = base.withColumn("__del", lit(false))
-      .unionByName(changelog.withColumn("__del", isDelete))
+    val u = base.unionByName(changelog.withColumn("__deleted", isDelete))
     u.groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct((cols.filterNot(keyCols.contains) :+ "__del").map(col): _*),
+      .agg(max_by(struct(cols.filterNot(keyCols.contains).map(col): _*),
         struct(versionCols.map(col): _*)).as("__v"))
-      .where(!col("__v.__del"))
       .select((keyCols.map(col) ++
         cols.filterNot(keyCols.contains).map(c => col(s"__v.$c"))): _*)
   }

@@ -277,10 +277,13 @@ object EventStreams {
     * rows into a parquet snapshot with [[graft.ops.Upsert]] — the
     * streaming twin of the batch changelog application, giving a
     * continuously-maintained latest-version-per-key table. Each batch
-    * reads the current snapshot, applies itself (latest wins,
-    * tombstones drop), and atomically replaces the snapshot via
-    * write-to-staging + directory swap; a replayed batch re-applies
-    * idempotently because applyChangelog is (max_by) idempotent for
+    * reads the current snapshot, applies itself (latest version wins;
+    * tombstone versions are RETAINED with a `__deleted` marker so
+    * late out-of-order upserts cannot resurrect deleted keys — read
+    * live rows via [[readCdcSnapshot]]), and atomically replaces the
+    * snapshot via write-to-staging + directory swap with a
+    * restore-from-backup recovery step; a replayed batch re-applies
+    * idempotently because the max_by fold is idempotent for
     * already-seen versions.
     *
     * Scale note: per-batch cost is one key-partitioned max_by shuffle
@@ -297,26 +300,48 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val dir = new java.io.File(snapshotDir)
+        // Hadoop FS paths, not java.io.File: the snapshot may live on
+        // any scheme Spark can read (file:, hdfs:, ...). Renames are
+        // atomic on HDFS/local; on object stores use a manifest-table
+        // format instead of this directory-swap sink.
+        val conf = spark.sparkContext.hadoopConfiguration
+        val dir = new org.apache.hadoop.fs.Path(snapshotDir)
+        val fs = dir.getFileSystem(conf)
+        val old = new org.apache.hadoop.fs.Path(snapshotDir + ".old")
+        val staging = new org.apache.hadoop.fs.Path(snapshotDir + ".staging")
+        // crash recovery: a death between stage-out and promote leaves
+        // the previous snapshot in .old — restore it BEFORE reading,
+        // or the replayed batch would rebuild from empty and silently
+        // drop every previously upserted key
+        if (!fs.exists(dir) && fs.exists(old) && !fs.rename(old, dir))
+          throw new java.io.IOException(s"cannot restore $old")
+        // the persisted snapshot RETAINS tombstone versions: without
+        // them, a late out-of-order upsert arriving after a delete
+        // would resurrect the key with pre-delete data
         val base =
-          if (dir.exists()) spark.read.parquet(snapshotDir)
-            .select(batch.columns.map(col): _*)
-          else batch.limit(0)
-        val next = graft.ops.Upsert.applyChangelog(
+          if (fs.exists(dir)) spark.read.parquet(snapshotDir)
+            .select((batch.columns :+ "__deleted").map(col): _*)
+          else batch.limit(0).withColumn("__deleted", lit(false))
+        val next = graft.ops.Upsert.applyChangelogRetain(
           base, batch, keyCols, versionCols, isDelete)
-        val staging = snapshotDir + ".staging"
-        next.write.mode("overwrite").parquet(staging)
-        // atomic-enough swap for a file-layout snapshot: readers see
-        // either the old or the new directory, never a partial write
-        val old = new java.io.File(snapshotDir + ".old")
-        if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
-        if (dir.exists() && !dir.renameTo(old))
+        next.write.mode("overwrite").parquet(staging.toString)
+        // swap: readers see the old or the new directory, never a
+        // partial write; every step below is idempotent under replay
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(dir) && !fs.rename(dir, old))
           throw new java.io.IOException(s"cannot stage out $snapshotDir")
-        if (!new java.io.File(staging).renameTo(dir))
+        if (!fs.rename(staging, dir))
           throw new java.io.IOException(s"cannot promote $staging")
-        if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+        fs.delete(old, true)
+        ()
       }
       .start()
+
+  /** Live rows of a CDC snapshot written by [[startCdcSnapshot]]
+    * (tombstones filtered).
+    */
+  def readCdcSnapshot(spark: SparkSession, snapshotDir: String): DataFrame =
+    spark.read.parquet(snapshotDir).where(!col("__deleted")).drop("__deleted")
 
   /** Incremental pipeline wiring: parquet source dir → windowed agg →
     * parquet sink with checkpoint. The streaming twin of the batch

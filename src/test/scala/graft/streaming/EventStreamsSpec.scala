@@ -248,11 +248,17 @@ class EventStreamsSpec extends SparkSpec {
       mem.addData((1L, 2L, "one-v2", "u"), (2L, 2L, "x", "d"),
         (3L, 1L, "three-v1", "u"))
       q.processAllAvailable()
-      val got = spark.read.parquet(snap)
+      // a LATE, out-of-order upsert older than key 2's delete (v=1 < 2)
+      // must NOT resurrect the deleted key — the snapshot retains the
+      // tombstone version to defend against exactly this
+      mem.addData((2L, 1L, "stale-resurrect", "u"))
+      q.processAllAvailable()
+      val got = EventStreams.readCdcSnapshot(spark, snap)
         .select($"key", $"payload").as[(Long, String)].collect().toSet
       // batch twin over the full concatenated changelog
       val full = Seq((1L, 1L, "one-v1", "u"), (2L, 1L, "two-v1", "u"),
-        (1L, 2L, "one-v2", "u"), (2L, 2L, "x", "d"), (3L, 1L, "three-v1", "u"))
+        (1L, 2L, "one-v2", "u"), (2L, 2L, "x", "d"), (3L, 1L, "three-v1", "u"),
+        (2L, 1L, "stale-resurrect", "u"))
         .toDF("key", "v", "payload", "op")
       val want = graft.ops.Upsert.applyChangelog(full.limit(0), full,
         Seq("key"), Seq("v"), col("op") === "d")
