@@ -39,6 +39,36 @@ class UpsertSpec extends SparkSpec {
     assert(out.head.getString(2) == "newer")
   }
 
+  test("changelog application is idempotent: re-applying changes nothing") {
+    val base = state(Seq((1L, 10L, "one", "u"), (2L, 10L, "two", "u")))
+    val delta = state(Seq((1L, 11L, "one-v11", "u"), (2L, 12L, "x", "d"),
+      (3L, 11L, "three", "u")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+    val once = Upsert.applyChangelog(base, delta, Seq("key"), Seq("v"),
+      col("op") === "d")
+    val twice = Upsert.applyChangelog(once, delta, Seq("key"), Seq("v"),
+      col("op") === "d")
+    assert(rows(once) == rows(twice))
+  }
+
+  test("retaining fold keeps the tombstone version for late-arrival defense") {
+    val base = state(Seq((1L, 1L, "live", "u")))
+      .withColumn("__deleted", org.apache.spark.sql.functions.lit(false))
+    val delta = state(Seq((1L, 5L, "x", "d")))
+    val snap = Upsert.applyChangelogRetain(base, delta, Seq("key"), Seq("v"),
+      col("op") === "d")
+    // the tombstone row survives with its version...
+    val r = snap.collect()
+    assert(r.length == 1 && r.head.getAs[Boolean]("__deleted")
+      && r.head.getLong(1) == 5L)
+    // ...so a stale pre-delete upsert cannot resurrect the key
+    val late = Upsert.applyChangelogRetain(snap, state(Seq((1L, 3L, "stale", "u"))),
+      Seq("key"), Seq("v"), col("op") === "d")
+    assert(late.collect().head.getAs[Boolean]("__deleted"))
+  }
+
   test("applying an empty changelog is the identity on live rows") {
     val base = state(Seq((1L, 1L, "a", "u"), (2L, 2L, "b", "u")))
     val out = Upsert.applyChangelog(base, base.limit(0), Seq("key"), Seq("v"),

@@ -66,6 +66,25 @@ class BpeSpec extends SparkSpec {
     assert(m.map(x => (x.lhs, x.rhs)) == Seq(("a", "a")))
   }
 
+  test("encode conserves the character stream: subwords partition each word") {
+    // for every doc: n_tokens <= n_subwords <= n_chars-without-spaces,
+    // and merges only ever shrink the subword count, never below one
+    // per token — the segmentation-partition invariant
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+      .select($"doc_id", $"text")
+    val m = Bpe.train(docs, "text", steps = 3)
+    val joined = Bpe.encode(docs, "doc_id", "text", m)
+      .join(docs, "doc_id")
+      .selectExpr("n_tokens", "n_subwords",
+        "length(regexp_replace(text, '\\\\s+', '')) AS n_chars")
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (nt, ns, nc) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      assert(nt <= ns && ns <= nc, s"violated: tokens=$nt sub=$ns chars=$nc")
+    }
+  }
+
   test("ties break lexicographically") {
     val docs = Seq((1L, "zx ba zx ba")).toDF("doc_id", "text")
     val m = Bpe.train(docs, "text", steps = 1)
