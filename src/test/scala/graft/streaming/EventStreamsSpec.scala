@@ -267,6 +267,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC snapshot restores the .old backup after a mid-swap crash") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-cdc-crash").toString
+    val snap = root + "/snap"
+    def feed(ckpt: String, rows: (Long, Long, String, String)*): Unit = {
+      val mem = MemoryStream[(Long, Long, String, String)]
+      val q = EventStreams.startCdcSnapshot(
+        mem.toDF().toDF("key", "v", "payload", "op"),
+        snap, ckpt, Seq("key"), Seq("v"), col("op") === "d")
+      try { mem.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    }
+    feed(root + "/ck1", (1L, 1L, "one", "u"), (2L, 1L, "two", "u"))
+    // simulate a crash between stage-out and promote: the snapshot dir
+    // is gone, the previous state sits in .old
+    val fs = new org.apache.hadoop.fs.Path(snap)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(snap),
+      new org.apache.hadoop.fs.Path(snap + ".old")))
+    // next batch (fresh query/checkpoint = the replay) must restore the
+    // backup first — NOT rebuild from empty and lose keys 1 and 2
+    feed(root + "/ck2", (3L, 1L, "three", "u"))
+    val got = EventStreams.readCdcSnapshot(spark, snap)
+      .select($"key", $"payload").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "one"), (2L, "two"), (3L, "three")))
+  }
+
   test("idempotent foreachBatch sink: replaying a batch does not duplicate") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-sink-out").toString
