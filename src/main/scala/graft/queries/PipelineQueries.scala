@@ -610,6 +610,40 @@ object PipelineQueries {
        |SELECT w.doc_id, w.source, w.quality
        |FROM w CROSS JOIN thr WHERE w.quality >= thr.est""".stripMargin
 
+  /** Per-SOURCE percentile gate: top 40% by quality WITHIN each source
+    * domain — the per-domain quality budget (a global cutoff lets one
+    * high-scoring domain crowd out every other). Grouped histogram
+    * sketch + per-group threshold join, no per-group sort.
+    */
+  def qGroupGate(s: SparkSession, d: String): DataFrame =
+    graft.sketch.QuantileHist.topFractionByGroup(
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality")),
+      Seq("source"), "quality", frac = 0.4, lo = 0.0, hi = 1.0, nBins = 256)
+
+  val qGroupGateSql: String =
+    s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+       |w AS (SELECT doc_id, source,
+       |        ${qualityExprSql("toks", "text")} AS quality FROM t),
+       |ctr AS (
+       |  SELECT source,
+       |    least(greatest(cast(floor((quality - 0.0) / (1.0 / 256)) as int),
+       |      0), 255) AS qh_bin, count(*) AS cnt
+       |  FROM w WHERE quality IS NOT NULL GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT source, qh_bin, cnt,
+       |    sum(cnt) OVER (PARTITION BY source ORDER BY qh_bin) AS cum,
+       |    sum(cnt) OVER (PARTITION BY source) AS total
+       |  FROM ctr),
+       |cand AS (SELECT * FROM cum WHERE cum >= 0.6 * total),
+       |pick AS (SELECT source, min(qh_bin) AS bin FROM cand GROUP BY source),
+       |thr AS (
+       |  SELECT c.source, 0.0 + (1.0 / 256) *
+       |    (c.qh_bin + (0.6 * c.total - (c.cum - c.cnt)) / c.cnt) AS est
+       |  FROM cand c JOIN pick p ON c.source = p.source AND c.qh_bin = p.bin)
+       |SELECT w.doc_id, w.source, w.quality
+       |FROM w JOIN thr ON w.source = thr.source WHERE w.quality >= thr.est""".stripMargin
+
   /** Winnowing fingerprints (MOSS local-minima selection, k=3-gram
     * hashes, w=4 windows): the position-robust per-document signature
     * whose guarantee — any shared ≥(w+k-1)-token run contributes one
@@ -1950,6 +1984,7 @@ object PipelineQueries {
     ("q_bigram_lm", qBigramLm _, Some(qBigramLmSql)),
     ("q_weighted_sample", qWeightedSample _, Some(qWeightedSampleSql)),
     ("q_quality_gate", qQualityGate _, Some(qQualityGateSql)),
+    ("q_group_gate", qGroupGate _, Some(qGroupGateSql)),
     ("q_seq_pack", qSeqPack _, Some(qSeqPackSql)),
     ("q_chunk_split", qChunkSplit _, Some(qChunkSplitSql)),
     ("q_epoch_mix", qEpochMix _, Some(qEpochMixSql)),

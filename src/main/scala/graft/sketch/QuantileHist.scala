@@ -82,6 +82,28 @@ object QuantileHist {
       (if (rounded) round(raw, 6) else raw).as("est")): _*)
   }
 
+  /** Per-GROUP percentile gate: within each group (e.g. source
+    * domain), keep rows whose `valueCol` lies in the top `frac` of
+    * that group's distribution — the per-domain quality budget of a
+    * curation pipeline (a global cutoff would let one high-scoring
+    * domain crowd out every other). Costs one grouped histogram
+    * aggregate (≤ nBins rows per group) plus an equi-join of the
+    * per-group thresholds back — broadcast when the group count is
+    * modest, never a per-group sort.
+    */
+  def topFractionByGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, frac: Double, lo: Double, hi: Double,
+      nBins: Int): DataFrame = {
+    require(groupCols.nonEmpty, "use topFraction for the global gate")
+    require(frac > 0.0 && frac <= 1.0, "frac must lie in (0, 1]")
+    val thr = quantilesAt(df, groupCols, valueCol, lo, hi, nBins,
+      Seq(1.0 - frac), rounded = false)
+      .select((groupCols.map(col) :+ col("est").as("__qh_thr")): _*)
+    df.join(broadcast(thr), groupCols)
+      .filter(col(valueCol) >= col("__qh_thr"))
+      .drop("__qh_thr")
+  }
+
   /** Percentile-threshold gate: keep rows whose `valueCol` lies in the
     * top `frac` of the column's distribution — "keep the best 25% by
     * quality score", the smooth-curation sibling of a fixed threshold

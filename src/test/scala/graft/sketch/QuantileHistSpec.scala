@@ -59,6 +59,32 @@ class QuantileHistSpec extends SparkSpec {
       .count() === 100L)
   }
 
+  test("topFractionByGroup budgets each group independently") {
+    // two groups with disjoint score ranges: a GLOBAL top-25% gate
+    // would keep only group b rows; the per-group gate must keep
+    // ~25% of EACH group
+    val vals = ((1 to 2000).map(i => ("a", i.toLong, (i % 500) / 2000.0)) ++
+      (1 to 2000).map(i => ("b", 10000L + i, 0.5 + (i % 500) / 2000.0)))
+      .toDF("grp", "id", "score")
+    val kept = QuantileHist.topFractionByGroup(vals, Seq("grp"), "score",
+      frac = 0.25, lo = 0.0, hi = 1.0, nBins = 256)
+    val byGrp = kept.groupBy("grp").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp.keySet === Set("a", "b"))
+    byGrp.foreach { case (g, n) =>
+      assert(math.abs(n - 500.0) / 500 < 0.06, s"group $g kept $n")
+    }
+    // within each group the kept set is a top segment
+    for (g <- Seq("a", "b")) {
+      val k = kept.filter(col("grp") === g)
+      val minKept = k.agg(min(col("score"))).head().getDouble(0)
+      val maxDropped = vals.filter(col("grp") === g)
+        .join(k.select(col("id")), Seq("id"), "left_anti")
+        .agg(max(col("score"))).head().getDouble(0)
+      assert(minKept > maxDropped, s"group $g not a top segment")
+    }
+  }
+
   test("estimates are monotone in q and within one bin of the exact quantile") {
     val est = QuantileHist.quantiles(docs, Seq("source"), "n_chars",
       lo, hi, nBins, Seq(0.5, 0.9, 0.99))
