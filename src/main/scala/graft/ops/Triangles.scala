@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle counting over an undirected edge list — the local
+  * clustering signal that complements [[ConnectedComponents]]
+  * (membership) and [[PageRank]] (centrality) in the graph family: a
+  * node's triangle count over its degree is its clustering
+  * coefficient, the standard community-density / spam-farm signal on
+  * co-occurrence graphs.
+  *
+  * Algorithm: compact-forward (degree-ordered node-iterator). Every
+  * edge is oriented from its lower-(degree, id) endpoint to the
+  * higher; wedges are pairs of out-edges of one node; a wedge closes
+  * into a triangle iff its far endpoints are themselves an oriented
+  * edge. Each triangle is found EXACTLY once (its lowest-ordered
+  * vertex owns it), so no final dedup or /3 fixup is needed.
+  *
+  * Scale shape: the degree ordering is the whole story — out-degree
+  * after orientation is bounded by O(√m) on any graph (a node of
+  * degree d only keeps out-edges to nodes of degree ≥ d, and there
+  * are at most 2m/d of those), so the wedge self-join fans out to
+  * O(m^1.5) candidates worst-case — the provably optimal bound —
+  * instead of Σdeg² of the naive node-iterator, which a single hub
+  * node makes quadratic. Three shuffles: degree agg, wedge
+  * self-join on the pivot, closure equi-join on (far, far) pairs.
+  *
+  * Reference semantics: standard triangle count; see e.g. Latapy,
+  * "Main-memory triangle computations for very large (sparse
+  * (power-law)) graphs", TCS 2008.
+  */
+object Triangles {
+
+  /** Per-node triangle participation counts: (id, n_tri), one row per
+    * node that closes at least one triangle. Input edges (src, dst)
+    * are canonicalized (undirected, self-loops dropped, duplicates
+    * collapsed) before counting.
+    */
+  def perNode(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("id"))
+      .unionAll(canon.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // total order: (deg, id) packed into one sortable struct column
+    val withOrd = canon
+      .join(deg.withColumnRenamed("id", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv"), "v")
+    val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val oriented = withOrd.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("a"),
+      when(uFirst, col("v")).otherwise(col("u")).as("b"),
+      // far endpoint's order key, for deterministic wedge orientation
+      // (b1 < b2 under the same (deg, id) total order)
+      when(uFirst, struct(col("dv").as("d"), col("v").as("i")))
+        .otherwise(struct(col("du").as("d"), col("u").as("i")))
+        .as("bord"))
+    val e1 = oriented.select(col("a"), col("b").as("b1"), col("bord").as("o1"))
+    val e2 = oriented.select(col("a"), col("b").as("b2"), col("bord").as("o2"))
+    val wedges = e1.join(e2, Seq("a")).filter(col("o1") < col("o2"))
+    val closure = oriented.select(col("a").as("b1"), col("b").as("b2"))
+    val tris = wedges.join(closure, Seq("b1", "b2"))
+      .select(col("a"), col("b1"), col("b2"))
+    tris.select(explode(array(col("a"), col("b1"), col("b2"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+  }
+}

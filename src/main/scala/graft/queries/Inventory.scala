@@ -607,6 +607,63 @@ object Inventory {
       |  count(*) AS n, cast(sum(cast(value as decimal(18,6))) as double) AS value_sum
       |FROM events GROUP BY 1,2""".stripMargin
 
+  /** SCD Type 2 over the event stream: each user's event_type runs
+    * become versioned validity intervals — the dimension-history
+    * maintenance operator (batch twin of the CDC upsert, which keeps
+    * only the latest image). Change detection, interval chaining and
+    * the version counter all replay exactly in the oracle's window
+    * SQL.
+    */
+  def qScd2(s: SparkSession, d: String): DataFrame =
+    graft.ops.Scd2.build(Tables.events(s, d),
+      keyCols = Seq("user_id"), tsCol = "ts",
+      attrCols = Seq("event_type"), tieCols = Seq("event_id"))
+
+  val qScd2Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, event_type, ts, event_id FROM o
+      |  WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type, ts AS valid_from,
+      |  lead(ts) OVER w AS valid_to,
+      |  row_number() OVER w AS version,
+      |  (lead(ts) OVER w IS NULL) AS is_current
+      |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  /** Time-series gap fill: each user's hourly activity densified onto
+    * the full hourly grid of their [first, last] span, missing hours
+    * forward-filled from the last observed hour (resample + LOCF).
+    * The per-key sequence/explode grid and the ignoreNulls running
+    * window replay as generate_series + IGNORE NULLS in the oracle.
+    */
+  def qGapFill(s: SparkSession, d: String): DataFrame =
+    graft.ops.GapFill.fill(Tables.events(s, d),
+      keyCols = Seq("user_id"), bucket = date_trunc("hour", col("ts")),
+      step = "interval 1 hour",
+      aggExprs = Seq("v_sum" -> dbl(sum(dec("value", 18, 6)))))
+
+  val qGapFillSql: String =
+    """WITH obs AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS bucket,
+      |    count(*) AS n_obs,
+      |    cast(sum(cast(value as decimal(18,6))) as double) AS v_sum
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+      |      FROM obs GROUP BY 1),
+      |grid AS (SELECT user_id,
+      |    unnest(generate_series(mn, mx, interval 1 hour)) AS bucket
+      |  FROM b)
+      |SELECT g.user_id, g.bucket, coalesce(o.n_obs, 0) AS n_obs, o.v_sum,
+      |  last_value(o.v_sum IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_sum_fill
+      |FROM grid g LEFT JOIN obs o
+      |  ON g.user_id = o.user_id AND g.bucket = o.bucket""".stripMargin
+
   // ------------------------------------------------- semi-structured cols
   /** Schema-on-read JSON extraction from a string column (the
     * column-level analog of the reference's jq-flattened API ingest,
@@ -636,6 +693,77 @@ object Inventory {
       |  min(cast(json_extract(props, '$.k') as bigint)) AS k_min,
       |  max(cast(json_extract(props, '$.k') as bigint)) AS k_max
       |FROM events GROUP BY 1""".stripMargin
+
+  /** Adversarial JSON extraction-path pin: a literal fixture of edge
+    * payloads (quoted numbers, floats, scientific notation, wrong
+    * types, overflow, invalid JSON, NULLs) run through BOTH extractors
+    * so their divergence is part of the gate — `q_json_extract`'s
+    * n_agree only proves agreement on the generated events, where
+    * every k is a plain integer. Semantics frozen here (verified
+    * empirically on Spark 4.1): typed `from_json` is STRICT — a
+    * long field yields NULL for quoted ints, floats, booleans,
+    * arrays, objects, and out-of-range values — while
+    * `get_json_object` + string cast COERCES: "5"→5, 5.5→5
+    * (truncating string→long cast), 1e3→"1000.0"→1000. Both agree
+    * on plain in-range integers and on every unparseable/missing
+    * case (NULL <=> NULL).
+    */
+  def qJsonEdge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fixture: Seq[(String, Option[String])] = Seq(
+      "int" -> Some("""{"k":5}"""),
+      "quoted_int" -> Some("""{"k":"5"}"""),
+      "float" -> Some("""{"k":5.5}"""),
+      "quoted_float" -> Some("""{"k":"5.5"}"""),
+      "nonnum_str" -> Some("""{"k":"abc"}"""),
+      "missing" -> Some("""{"j":1}"""),
+      "invalid" -> Some("not json"),
+      "null_props" -> None,
+      "explicit_null" -> Some("""{"k":null}"""),
+      "long_max" -> Some("""{"k":9223372036854775807}"""),
+      "arr" -> Some("""{"k":[1]}"""),
+      "obj" -> Some("""{"k":{"a":1}}"""),
+      "bool" -> Some("""{"k":true}"""),
+      "sci" -> Some("""{"k":1e3}"""),
+      "ws" -> Some("""{"k": 7 }"""),
+      "neg" -> Some("""{"k":-12}"""),
+      "overflow" -> Some("""{"k":99999999999999999999}"""))
+    val kSchema = StructType(Seq(StructField("k", LongType)))
+    fixture.toDF("case_id", "props").select(
+      col("case_id"),
+      from_json(col("props"), kSchema).getField("k").as("k1"),
+      get_json_object(col("props"), "$.k").cast(LongType).as("k2"))
+      .withColumn("agree", col("k1") <=> col("k2"))
+      .drop("props")
+  }
+
+  /** The oracle is the expected-value table itself: each case's
+    * (k1, k2, agree) is a documented semantic contract, so a Spark
+    * behavior change (or a typo in the extraction wiring) breaks the
+    * hash gate with a named case.
+    */
+  val qJsonEdgeSql: String =
+    """SELECT case_id, cast(k1 as bigint) AS k1, cast(k2 as bigint) AS k2,
+      |  agree
+      |FROM (VALUES
+      |  ('int', 5, 5, true),
+      |  ('quoted_int', NULL, 5, false),
+      |  ('float', NULL, 5, false),
+      |  ('quoted_float', NULL, 5, false),
+      |  ('nonnum_str', NULL, NULL, true),
+      |  ('missing', NULL, NULL, true),
+      |  ('invalid', NULL, NULL, true),
+      |  ('null_props', NULL, NULL, true),
+      |  ('explicit_null', NULL, NULL, true),
+      |  ('long_max', 9223372036854775807, 9223372036854775807, true),
+      |  ('arr', NULL, NULL, true),
+      |  ('obj', NULL, NULL, true),
+      |  ('bool', NULL, NULL, true),
+      |  ('sci', NULL, 1000, false),
+      |  ('ws', 7, 7, true),
+      |  ('neg', -12, -12, true),
+      |  ('overflow', NULL, NULL, true)
+      |) AS t(case_id, k1, k2, agree)""".stripMargin
 
   // -------------------------------------------------------- data layout
   /** Z-order (Morton) clustering key over two dimensions — the
@@ -1001,6 +1129,9 @@ object Inventory {
     ("q_session_window", qSessionWindow _, Some(qSessionWindowSql)),
     ("q_window_running", qWindowRunning _, Some(qWindowRunningSql)),
     ("q_window_lead", qWindowLead _, Some(qWindowLeadSql)),
-    ("q_time_funcs", qTimeFuncs _, Some(qTimeFuncsSql))) ++
+    ("q_time_funcs", qTimeFuncs _, Some(qTimeFuncsSql)),
+    ("q_scd2", qScd2 _, Some(qScd2Sql)),
+    ("q_gap_fill", qGapFill _, Some(qGapFillSql)),
+    ("q_json_edge", qJsonEdge _, Some(qJsonEdgeSql))) ++
     PipelineQueries.entries
 }

@@ -1538,6 +1538,94 @@ object PipelineQueries {
        |FROM asg4 k LEFT JOIN sd_drop d ON k.vec_id = d.vec_id""".stripMargin
   }
 
+  /** Triangle participation counts over the co-purchase graph (parts
+    * appearing in the same order) — the local clustering-density
+    * signal complementing components (membership) and PageRank
+    * (centrality). Spark runs degree-ordered compact-forward (each
+    * triangle found once at its lowest-ordered vertex, wedge fan-out
+    * bounded O(m^1.5)); the oracle brute-forces the same triangles
+    * with a three-way self-join, so the counts pin the orientation
+    * logic exactly.
+    */
+  def qTriangles(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val edges = l.alias("a").join(l.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    graft.ops.Triangles.perNode(edges)
+      .select(col("id").as("part"), col("n_tri"))
+  }
+
+  val qTrianglesSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |t AS (
+      |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |n AS (SELECT x AS id FROM t UNION ALL
+      |      SELECT y FROM t UNION ALL SELECT z FROM t)
+      |SELECT id AS part, count(*) AS n_tri FROM n GROUP BY 1""".stripMargin
+
+  /** Fuzzy self-join of part names within Levenshtein distance 2 via
+    * deletion-neighborhood blocking (FastSS/SymSpell) — candidates
+    * from an equi-join on shared ≤2-deletion variants, verified by
+    * exact edit distance. The oracle brute-forces the all-pairs
+    * distance, so any candidate the blocking missed would surface as
+    * a row-count mismatch — the completeness property under test.
+    */
+  def qFuzzyJoin(s: SparkSession, d: String): DataFrame =
+    graft.ops.FuzzyJoin.selfJoin(Tables.part(s, d), "p_name", maxEdits = 2)
+
+  val qFuzzyJoinSql: String =
+    """WITH p AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+      |SELECT a.p_name AS str_a, b.p_name AS str_b,
+      |  cast(levenshtein(a.p_name, b.p_name) as bigint) AS dist
+      |FROM p a JOIN p b ON a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin
+
+  /** Corpus snapshot diff: a synthetic "previous crawl" is derived
+    * deterministically from the current documents table (10%-sampled
+    * deletions → `added`, planted text edits → `changed`, ghost rows
+    * → `removed`), then every key is classified by content
+    * fingerprint. The incremental-ingest audit — its `added|changed`
+    * output is exactly the frame `Dedup.dropDuplicatesAgainst`
+    * expects as the incoming side. The oracle replays the same
+    * derivation and a FULL OUTER text compare, so the fingerprint
+    * classification is hash-pinned end to end.
+    */
+  def qSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val cur = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val old = cur.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [stale]")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(cur.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("ghost "), col("doc_id").cast(StringType)).as("text")))
+    graft.ops.SnapshotDiff.diff(old, cur, Seq("doc_id"), md5(col("text")))
+  }
+
+  val qSnapshotDiffSql: String =
+    """WITH cur AS (SELECT doc_id, text FROM documents),
+      |old AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' [stale]' ELSE text END
+      |      AS text
+      |  FROM cur WHERE doc_id % 10 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'ghost ' || cast(doc_id as varchar)
+      |  FROM cur WHERE doc_id % 13 = 0)
+      |SELECT coalesce(o.doc_id, c.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN c.doc_id IS NULL THEN 'removed'
+      |       WHEN o.text = c.text THEN 'unchanged'
+      |       ELSE 'changed' END AS status
+      |FROM old o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id""".stripMargin
+
   /** PageRank centrality over the customer↔supplier purchase graph
     * (both directions of every distinct trading pair): the
     * graph-centrality weight of a curation pipeline, with the FULL
@@ -2011,6 +2099,9 @@ object PipelineQueries {
     ("q_kmeans", qKmeans _, Some(qKmeansSql)),
     ("q_semdedup", qSemdedup _, Some(qSemdedupSql)),
     ("q_pagerank", qPagerank _, Some(qPagerankSql)),
+    ("q_triangles", qTriangles _, Some(qTrianglesSql)),
+    ("q_fuzzy_join", qFuzzyJoin _, Some(qFuzzyJoinSql)),
+    ("q_snapshot_diff", qSnapshotDiff _, Some(qSnapshotDiffSql)),
     ("q_cdc_upsert", qCdcUpsert _, Some(qCdcUpsertSql)),
     ("q_bpe", qBpe _, Some(qBpeSql)),
     ("q_bpe_encode", qBpeEncode _, Some(qBpeEncodeSql)),
