@@ -607,6 +607,89 @@ object Inventory {
       |  count(*) AS n, cast(sum(cast(value as decimal(18,6))) as double) AS value_sum
       |FROM events GROUP BY 1,2""".stripMargin
 
+  /** Ordered funnel analysis: how many users traverse
+    * signup → view → click → purchase IN ORDER (each stage's event
+    * strictly after the previous stage's earliest completion — the
+    * product-analytics sequence-match operator). Implemented as a
+    * chain of conditional min-aggregations: each stage is one
+    * groupBy(user) on the (already user-partitioned) filtered events
+    * joined to the previous stage's frontier timestamp. Every stage
+    * shuffles on the same key, so AQE plans the joins locally; the
+    * per-stage frames shrink monotonically (funnel property).
+    */
+  def qFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    def first(typ: String): DataFrame =
+      e.filter(col("event_type") === typ)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    def next(prev: DataFrame, typ: String): DataFrame =
+      e.filter(col("event_type") === typ)
+        .join(prev.select(col("user_id"), col("t").as("__pt")), Seq("user_id"))
+        .filter(col("ts") > col("__pt"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val stages = Seq("signup", "view", "click", "purchase")
+      .foldLeft(List.empty[(String, DataFrame)]) {
+        case (Nil, typ) => List(typ -> first(typ))
+        case (acc @ ((_, prev) :: _), typ) => (typ -> next(prev, typ)) :: acc
+      }.reverse
+    stages.zipWithIndex.map { case ((typ, df), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(s"${i + 1}_$typ").as("stage"), col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  val qFunnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+      |s4 AS (
+      |  SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s3 ON e.user_id = s3.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1)
+      |SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+      |UNION ALL SELECT '2_view', count(*) FROM s2
+      |UNION ALL SELECT '3_click', count(*) FROM s3
+      |UNION ALL SELECT '4_purchase', count(*) FROM s4""".stripMargin
+
+  /** Cohort retention grid: users bucketed by first-activity week,
+    * counted as retained in each later week they were active —
+    * (cohort_week, week_offset, n_users). The week offset is computed
+    * as exact integer division of the epoch-second difference of
+    * Monday-truncated weeks (both engines truncate weeks to Monday
+    * midnight), so the grid is hash-exact cross-engine.
+    */
+  def qRetention(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    val cohort = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    e.join(cohort, Seq("user_id"))
+      .withColumn("week_offset",
+        ((unix_timestamp(col("week")) - unix_timestamp(col("cohort_week"))) /
+          604800L).cast(LongType))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val qRetentionSql: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+      |c AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1)
+      |SELECT c.cohort_week,
+      |  cast((epoch(a.week) - epoch(c.cohort_week)) / 604800 as bigint)
+      |    AS week_offset,
+      |  count(distinct a.user_id) AS n_users
+      |FROM a JOIN c ON a.user_id = c.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   /** SCD Type 2 over the event stream: each user's event_type runs
     * become versioned validity intervals — the dimension-history
     * maintenance operator (batch twin of the CDC upsert, which keeps
@@ -1132,6 +1215,8 @@ object Inventory {
     ("q_time_funcs", qTimeFuncs _, Some(qTimeFuncsSql)),
     ("q_scd2", qScd2 _, Some(qScd2Sql)),
     ("q_gap_fill", qGapFill _, Some(qGapFillSql)),
-    ("q_json_edge", qJsonEdge _, Some(qJsonEdgeSql))) ++
+    ("q_json_edge", qJsonEdge _, Some(qJsonEdgeSql)),
+    ("q_funnel", qFunnel _, Some(qFunnelSql)),
+    ("q_retention", qRetention _, Some(qRetentionSql))) ++
     PipelineQueries.entries
 }

@@ -1026,6 +1026,36 @@ object PipelineQueries {
        |FROM m LEFT JOIN comp c ON c.id = m.rep""".stripMargin
   }
 
+  /** Leakage-safe train/val/test split: split membership is a hash of
+    * the near-duplicate CLUSTER id, not the document id — every
+    * transitive near-dup lands in the same split, so no eval document
+    * has a training-set twin (the contamination mode a per-document
+    * split cannot prevent: ~5% of pairs straddle any 80/10/10 doc-id
+    * split). Composes [[Dedup.duplicateClusters]] with
+    * [[graft.ops.Sampling.deterministicSplit]]; the oracle replays the
+    * full cluster closure and the same hash coordinate on cluster_id.
+    */
+  def qLeakSplit(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.deterministicSplit(
+      Dedup.duplicateClusters(Tables.documents(s, d), "doc_id", "text"),
+      "cluster_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+
+  val qLeakSplitSql: String = {
+    val u = graft.ops.Sampling.coordinateSql("cluster_id")
+    s"""SELECT split, count(*) AS n_docs,
+       |  count(distinct cluster_id) AS n_clusters
+       |FROM (
+       |  SELECT cluster_id,
+       |    CASE WHEN $u < 0.8 THEN 'train'
+       |         WHEN $u < ${0.8 + 0.1} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM ($qDupClustersSql) c)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Incremental dedup: the odd-id half of the corpus ingested AGAINST
     * the even-id half as the existing reference — survivors are
     * incoming docs with no exact or near duplicate in the reference
@@ -1548,7 +1578,14 @@ object PipelineQueries {
     * logic exactly.
     */
   def qTriangles(s: SparkSession, d: String): DataFrame = {
-    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    // demo graph bounded to 1/4 of orders: the co-purchase graph's
+    // wedge count grows ~quadratically in per-part order frequency
+    // (Σ outdeg² ≈ 50M at sf0.1 unbounded — 20s of pure wedge fan-out
+    // in EITHER engine); the filter keeps the bench query
+    // representative while exercising the identical operator
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
     val edges = l.alias("a").join(l.alias("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
@@ -1558,9 +1595,11 @@ object PipelineQueries {
   }
 
   val qTrianglesSql: String =
-    """WITH e AS (
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
+      |e AS (
       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      |  FROM lineitem a JOIN lineitem b
+      |  FROM li a JOIN li b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
       |t AS (
       |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
@@ -2102,6 +2141,7 @@ object PipelineQueries {
     ("q_triangles", qTriangles _, Some(qTrianglesSql)),
     ("q_fuzzy_join", qFuzzyJoin _, Some(qFuzzyJoinSql)),
     ("q_snapshot_diff", qSnapshotDiff _, Some(qSnapshotDiffSql)),
+    ("q_leak_split", qLeakSplit _, Some(qLeakSplitSql)),
     ("q_cdc_upsert", qCdcUpsert _, Some(qCdcUpsertSql)),
     ("q_bpe", qBpe _, Some(qBpeSql)),
     ("q_bpe_encode", qBpeEncode _, Some(qBpeEncodeSql)),

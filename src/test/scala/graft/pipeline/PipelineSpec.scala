@@ -423,4 +423,22 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) === "en")
     assert(out(5L) === "es")
   }
+
+  test("leakage-safe split: a near-dup cluster never straddles splits") {
+    // docs 1, 2, 4 are one near-dup cluster (see `docs`); a split keyed
+    // on doc_id could separate them — keyed on cluster_id it cannot
+    val clusters = Dedup.duplicateClusters(docs, "doc_id", "text")
+    val split = graft.ops.Sampling.deterministicSplit(
+      clusters, "cluster_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val straddlers = split.groupBy($"cluster_id")
+      .agg(countDistinct($"split").as("n_splits"))
+      .filter($"n_splits" > 1)
+    assert(straddlers.count() === 0)
+    // and the cluster structure is the expected one: {1,2,4} together
+    val byDoc = split.select($"doc_id", $"split").as[(Long, String)]
+      .collect().toMap
+    assert(byDoc(1L) === byDoc(2L) && byDoc(2L) === byDoc(4L))
+    assert(byDoc.size === 5)
+  }
 }
