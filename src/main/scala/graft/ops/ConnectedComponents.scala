@@ -31,8 +31,11 @@ import org.apache.spark.storage.StorageLevel
   * lineage truncation the logical plan doubles per round (observed: a 400 MB plan string by round 8 —
   * analysis cost, not data, becomes the bottleneck); with it, every
   * round analyzes a constant-size plan over the previous round's RDD.
-  * Superseded checkpoint storage is unpinned by the ContextCleaner once
-  * the frame reference is dropped. localCheckpoint trades off executor-
+  * Superseded rounds' checkpoint storage is unpersisted explicitly as
+  * soon as the next round materializes — waiting for the
+  * ContextCleaner means waiting for a JVM GC a long-lived session may
+  * not run, and the dead frames' blocks otherwise stack up across a
+  * whole query suite. localCheckpoint trades off executor-
   * loss recovery for speed — acceptable here because the loop re-runs
   * from the (persisted) edge list on failure, the same caveat the
   * NASS pipeline documents at its materialization points.
@@ -134,6 +137,14 @@ object ConnectedComponents {
       val s = labelSum(jumped)
       converged = s == prevSum
       prevSum = s
+      // the superseded round's checkpoint blocks are dead the moment
+      // `jumped` is materialized (nothing references them again) —
+      // free them NOW rather than waiting for ContextCleaner + a JVM
+      // GC that a long-lived session may not run for hours; without
+      // this, suite-length sessions accumulate one dead label frame
+      // per round per query in the block manager. The FINAL frame is
+      // never unpersisted here: the returned plan still reads it.
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(labels)
       labels = jumped
       round += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))

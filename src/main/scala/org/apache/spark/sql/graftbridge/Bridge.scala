@@ -23,4 +23,20 @@ object Bridge {
     */
   def toEagerExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** Drop the block-manager storage behind a `localCheckpoint`-ed
+    * frame. `Dataset.unpersist` only touches the SQL CacheManager;
+    * checkpoint blocks are RDD-level and otherwise linger until the
+    * ContextCleaner notices the dropped reference AFTER a JVM GC —
+    * which a long-lived session may not run for hours, so iterative
+    * operators that checkpoint per round (ConnectedComponents) slowly
+    * fill the block manager with superseded rounds. Callers must only
+    * pass frames no longer reachable from any live plan: the lineage
+    * is truncated, so a post-unpersist recompute is impossible.
+    */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
 }
