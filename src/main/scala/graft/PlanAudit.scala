@@ -35,7 +35,8 @@ object PlanAudit {
       "q_semdedup", "q_dsir", "q_pagerank", "q_cdc_upsert",
       "q_bpe_encode", "q_bm25", "q_ann_rp", "q_rrf", "q_phash",
       "q_scd2", "q_gap_fill", "q_triangles", "q_fuzzy_join",
-      "q_snapshot_diff", "q_leak_split", "q_group_gate")
+      "q_snapshot_diff", "q_leak_split", "q_group_gate",
+      "q_funnel", "q_retention")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

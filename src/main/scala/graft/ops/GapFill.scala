@@ -10,16 +10,15 @@ import org.apache.spark.sql.functions._
   * fixed-interval feature pipeline (a sensor/metrics table where
   * "no row" means "unchanged", not "unknown").
   *
-  * Scale shape: the grid is generated per key from that key's OWN
-  * [min, max] bucket span (`sequence` + `explode` — a narrow,
-  * codegen'd fan-out bounded by span/step per key, never a global
-  * calendar crossJoin), the observed aggregate joins back on
-  * (key, bucket) — one equi-join AQE plans locally since both sides
-  * share the groupBy partitioning — and the forward fill is one
-  * `last(ignoreNulls)` running window per key. Three shuffles total
-  * (obs agg, bounds agg, fill window), each keyed by the same
-  * columns. Skew bound: one key's grid must fit a task — span/step
-  * rows, independent of observation count.
+  * Scale shape: ONE scan, TWO shuffles, no join. The (key, bucket)
+  * aggregate shuffles once; a second per-key aggregate packs each
+  * key's observed cells into a map next to its [min, max] span; the
+  * grid is then a narrow `sequence` + `explode` fan-out (bounded by
+  * span/step per key, never a global calendar crossJoin) with an
+  * `element_at` lookup into the key's own map, and the forward fill
+  * window runs on the partitioning the second aggregate already
+  * established. Skew bound: one key's grid (and its cell map) must
+  * fit a task — span/step rows, independent of observation count.
   */
 object GapFill {
 
@@ -39,18 +38,36 @@ object GapFill {
       step: String, aggExprs: Seq[(String, Column)]): DataFrame = {
     require(keyCols.nonEmpty && aggExprs.nonEmpty, "need keys and aggs")
     val keys = keyCols.map(col)
+    val aggNames = aggExprs.map(_._1)
     val obs = df.groupBy(keys :+ bucket.as("bucket"): _*)
       .agg(count(lit(1)).as("n_obs"),
         aggExprs.map { case (n, c) => c.as(n) }: _*)
-    val grid = obs.groupBy(keys: _*)
-      .agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"))
-      .select(keys :+ explode(expr(s"sequence(__mn, __mx, $step)"))
-        .as("bucket"): _*)
+    // pack each key's observed cells into ONE map row alongside the
+    // span bounds — a single second-level aggregation instead of a
+    // separate bounds agg + grid-to-obs join (which costs either a
+    // second full scan+agg of the input or a cache of it; observed in
+    // the plan audit). Per-key map size is cells ≤ span/step — the
+    // same bound the grid contract already imposes.
+    val cell = struct(col("n_obs") +: aggNames.map(col): _*)
+    val packed = obs.groupBy(keys: _*)
+      .agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"),
+        map_from_entries(collect_list(struct(col("bucket"), cell)))
+          .as("__cells"))
+    // explode the grid and look each bucket up in the key's own map;
+    // the map is projected away before the fill window's sort sees
+    // the rows (Generate→Project pipelines row-at-a-time, so the
+    // carried map never materializes per grid row)
+    val grid = packed.select(
+      keys ++ Seq(explode(expr(s"sequence(__mn, __mx, $step)")).as("bucket"),
+        col("__cells")): _*)
+      .withColumn("__cell", element_at(col("__cells"), col("bucket")))
+    val lookedUp = grid.select(
+      keys ++ Seq(col("bucket"),
+        coalesce(col("__cell.n_obs"), lit(0L)).as("n_obs")) ++
+        aggNames.map(n => col(s"__cell.$n").as(n)): _*)
     val fillW = Window.partitionBy(keys: _*).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = grid.join(obs, keyCols :+ "bucket", "left")
-      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
-    aggExprs.foldLeft(joined) { case (acc, (n, _)) =>
+    aggNames.foldLeft(lookedUp) { case (acc, n) =>
       acc.withColumn(s"${n}_fill", last(col(n), ignoreNulls = true).over(fillW))
     }
   }

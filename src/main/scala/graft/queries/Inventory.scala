@@ -610,33 +610,46 @@ object Inventory {
   /** Ordered funnel analysis: how many users traverse
     * signup → view → click → purchase IN ORDER (each stage's event
     * strictly after the previous stage's earliest completion — the
-    * product-analytics sequence-match operator). Implemented as a
-    * chain of conditional min-aggregations: each stage is one
-    * groupBy(user) on the (already user-partitioned) filtered events
-    * joined to the previous stage's frontier timestamp. Every stage
-    * shuffles on the same key, so AQE plans the joins locally; the
-    * per-stage frames shrink monotonically (funnel property).
+    * product-analytics sequence-match operator). ONE scan and ONE
+    * shuffle: each user's per-stage timestamps are collected in a
+    * single groupBy, then the frontier chain t1 < t2 < t3 < t4 is
+    * folded with higher-order array functions (`filter` + `array_min`
+    * — all codegen'd; a NULL frontier propagates, so users drop out
+    * of later stages exactly as the relational chain would). The
+    * per-user state is that user's own event timestamps — the session
+    * -window bound every per-user operator here already carries. A
+    * join-chain formulation (one conditional min-agg per stage) costs
+    * either O(stages) scans of the fact table or per-stage caches.
     */
   def qFunnel(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d)
-    def first(typ: String): DataFrame =
-      e.filter(col("event_type") === typ)
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
-    def next(prev: DataFrame, typ: String): DataFrame =
-      e.filter(col("event_type") === typ)
-        .join(prev.select(col("user_id"), col("t").as("__pt")), Seq("user_id"))
-        .filter(col("ts") > col("__pt"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
     val stages = Seq("signup", "view", "click", "purchase")
-      .foldLeft(List.empty[(String, DataFrame)]) {
-        case (Nil, typ) => List(typ -> first(typ))
-        case (acc @ ((_, prev) :: _), typ) => (typ -> next(prev, typ)) :: acc
-      }.reverse
-    stages.zipWithIndex.map { case ((typ, df), i) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(s"${i + 1}_$typ").as("stage"), col("n_users"))
-    }.reduce(_.unionByName(_))
+    val e = Tables.events(s, d).filter(col("event_type").isin(stages: _*))
+    val perUser = e.groupBy(col("user_id")).agg(
+      collectFor(stages.head), stages.tail.map(collectFor): _*)
+    // fold the frontier: tN = earliest stage-N event after t(N-1)
+    val frontiers = stages.zipWithIndex.foldLeft(perUser) {
+      case (acc, (typ, 0)) =>
+        acc.withColumn(s"__t0", array_min(col(s"__arr_$typ")))
+      case (acc, (typ, i)) =>
+        acc.withColumn(s"__t$i",
+          array_min(filter(col(s"__arr_$typ"), x => x > col(s"__t${i - 1}"))))
+    }
+    val counts = frontiers.agg(
+      sum(when(col("__t0").isNotNull, 1L)).as("c0"),
+      (1 until stages.size).map(i =>
+        sum(when(col(s"__t$i").isNotNull, 1L)).as(s"c$i")): _*)
+    counts.select(explode(array(stages.zipWithIndex.map { case (typ, i) =>
+      struct(lit(s"${i + 1}_$typ").as("stage"),
+        coalesce(col(s"c$i"), lit(0L)).as("n_users"))
+    }: _*)).as("r")).select(col("r.stage"), col("r.n_users"))
   }
+
+  /** collect_list skips the NULLs `when` leaves on other types, so
+    * each array holds exactly the user's timestamps of one stage.
+    */
+  private def collectFor(typ: String) =
+    collect_list(when(col("event_type") === typ, col("ts")))
+      .as(s"__arr_$typ")
 
   val qFunnelSql: String =
     """WITH s1 AS (
