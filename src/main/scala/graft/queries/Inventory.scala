@@ -680,16 +680,23 @@ object Inventory {
     * midnight), so the grid is hash-exact cross-engine.
     */
   def qRetention(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d)
+    // one scan, no join: each user's distinct active weeks are
+    // collected once (bounded by weeks-in-history per user), the
+    // cohort is the set's minimum, and the exploded (cohort, offset)
+    // rows are already one-per-(user, week) — so a plain count is the
+    // distinct-user count the grid wants
+    val weeks = Tables.events(s, d)
       .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
       .distinct()
-    val cohort = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
-    e.join(cohort, Seq("user_id"))
+      .groupBy(col("user_id")).agg(collect_set(col("week")).as("__ws"))
+      .select(col("user_id"), array_min(col("__ws")).as("cohort_week"),
+        explode(col("__ws")).as("week"))
+    weeks
       .withColumn("week_offset",
         ((unix_timestamp(col("week")) - unix_timestamp(col("cohort_week"))) /
           604800L).cast(LongType))
       .groupBy(col("cohort_week"), col("week_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
   }
 
   val qRetentionSql: String =
@@ -702,6 +709,58 @@ object Inventory {
       |  count(distinct a.user_id) AS n_users
       |FROM a JOIN c ON a.user_id = c.user_id
       |GROUP BY 1, 2""".stripMargin
+
+  /** Trailing 7-day rolling aggregate via a RANGE window frame — the
+    * time-based frame (distinct from the ROWS frames elsewhere in the
+    * inventory: RANGE bounds select by ORDER-BY VALUE distance, so
+    * gaps in the day sequence shrink the frame instead of reaching
+    * further back). Sums stay DECIMAL through the window and surface
+    * as doubles — the frame's members are engine-identical, but
+    * double accumulation order inside a frame is not.
+    */
+  def qRollingRange(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(dec("value", 18, 6)).as("__v"))
+      .withColumn("__day_num",
+        (unix_timestamp(col("day")) / 86400L).cast(LongType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("__day_num"))
+      .rangeBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
+    daily.select(col("user_id"), col("day"),
+      dbl(col("__v")).as("v_day"),
+      dbl(sum(col("__v")).over(w)).as("v_7d"))
+  }
+
+  val qRollingRangeSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |    sum(cast(value as decimal(18,6))) AS v
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, day, cast(v as double) AS v_day,
+      |  cast(sum(v) OVER (
+      |    PARTITION BY user_id
+      |    ORDER BY cast(epoch(day) / 86400 as bigint)
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) as double) AS v_7d
+      |FROM daily""".stripMargin
+
+  /** ROLLUP hierarchy totals with grouping_id — the hierarchical
+    * grouping-sets surface (complementing `q_cube`'s full lattice):
+    * (status, priority) → (status) → () subtotals in one pass, the
+    * bitmask distinguishing genuine NULL keys from rolled-up rows.
+    */
+  def qRollupSets(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        dbl(sum(dec("o_totalprice"))).as("total"),
+        grouping_id().cast(LongType).as("gid"))
+
+  val qRollupSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total,
+      |  cast(grouping(o_orderstatus, o_orderpriority) as bigint) AS gid
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
 
   /** SCD Type 2 over the event stream: each user's event_type runs
     * become versioned validity intervals — the dimension-history
@@ -1230,6 +1289,8 @@ object Inventory {
     ("q_gap_fill", qGapFill _, Some(qGapFillSql)),
     ("q_json_edge", qJsonEdge _, Some(qJsonEdgeSql)),
     ("q_funnel", qFunnel _, Some(qFunnelSql)),
-    ("q_retention", qRetention _, Some(qRetentionSql))) ++
+    ("q_retention", qRetention _, Some(qRetentionSql)),
+    ("q_rolling_range", qRollingRange _, Some(qRollingRangeSql)),
+    ("q_rollup_sets", qRollupSets _, Some(qRollupSetsSql))) ++
     PipelineQueries.entries
 }
