@@ -1,0 +1,147 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Semantic laws for the dimension/time-series operators, generated
+  * under deterministic ScalaCheck seeds (cases drawn explicitly — the
+  * scalatest↔scalacheck bridge isn't available offline). Each law
+  * batches all generated rows into ONE Spark job.
+  */
+class OpsLawsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cases[A](g: Gen[A], n: Int, seed: Long = 7L): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(seed + i)))
+
+  // a random change stream over few keys/attrs so runs and ties occur
+  private val eventGen = for {
+    k <- Gen.oneOf("a", "b", "c")
+    ts <- Gen.chooseNum(1L, 40L)
+    attr <- Gen.oneOf("x", "y", "z")
+    seq <- Gen.chooseNum(1L, 1000000L) // tie-break for equal ts
+  } yield (k, ts, attr, seq)
+
+  /** One row per (k, ts, seq) so the (ts, seq) tie order is total. */
+  private def dedupOrder(rows: Seq[(String, Long, String, Long)]) =
+    rows.groupBy(t => (t._1, t._2, t._4)).map(_._2.head).toSeq
+
+  test("law: SCD2 as-of lookup reproduces every input row's attribute") {
+    val rows = dedupOrder(cases(eventGen, 300))
+    val df = rows.toDF("k", "ts", "attr", "seq")
+    val hist = Scd2.build(df, Seq("k"), "ts", Seq("attr"), tieCols = Seq("seq"))
+    // the version whose [valid_from, valid_to) half-open interval
+    // contains an input row's ts must carry that row's attribute —
+    // for the LAST row of each (k, ts) under the (ts, seq) order
+    // (earlier same-ts rows are transient within the interval bound)
+    val lastPerTs = df.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"k", $"ts")
+          .orderBy($"seq".desc)))
+      .filter($"__rn" === 1).drop("__rn")
+    val joined = lastPerTs.alias("i").join(hist.alias("h"),
+      $"i.k" === $"h.k" && $"i.ts" >= $"h.valid_from" &&
+        ($"h.valid_to".isNull || $"i.ts" < $"h.valid_to"))
+    // every input instant is covered by exactly one interval
+    assert(joined.count() === lastPerTs.count())
+    // and mismatching attributes can only arise from same-ts ties
+    // where a later seq overwrote within the instant — excluded above,
+    // so the covering version's attr must equal the row's attr OR the
+    // instant held several seqs and the interval carries the LAST one
+    val mismatch = joined.filter($"i.attr" =!= $"h.attr")
+      .join(df.groupBy($"k".as("mk"), $"ts".as("mts"))
+          .agg(countDistinct($"attr").as("na")),
+        $"i.k" === $"mk" && $"i.ts" === $"mts")
+      .filter($"na" === 1)
+    assert(mismatch.count() === 0)
+  }
+
+  test("law: SCD2 intervals chain without gaps or overlap per key") {
+    val rows = dedupOrder(cases(eventGen, 300))
+    val hist = Scd2.build(rows.toDF("k", "ts", "attr", "seq"),
+      Seq("k"), "ts", Seq("attr"), tieCols = Seq("seq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"version")
+    val chained = hist.withColumn("__next_from", lead($"valid_from", 1).over(w))
+    // valid_to equals the next version's valid_from (NULL only on last)
+    assert(chained.filter(
+      ($"__next_from".isNotNull && !($"valid_to" <=> $"__next_from")) ||
+        ($"__next_from".isNull && $"valid_to".isNotNull)).count() === 0)
+    // versions are dense from 1
+    val dense = hist.groupBy($"k")
+      .agg(count(lit(1)).as("n"), max($"version").as("mx"), min($"version").as("mn"))
+    assert(dense.filter($"mx" =!= $"n" || $"mn" =!= 1).count() === 0)
+  }
+
+  private val obsGen = for {
+    k <- Gen.oneOf("k1", "k2", "k3", "k4")
+    h <- Gen.chooseNum(0, 120)
+    v <- Gen.chooseNum(-1000, 1000)
+  } yield (k, h, v)
+
+  test("law: gap fill covers each key's span exactly, observed cells exact") {
+    val rows = cases(obsGen, 400)
+    val df = rows.map { case (k, h, v) =>
+      (k, java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime +
+        h * 3600000L, v)
+    }.toDF("k", "ms", "v")
+      .select($"k", ($"ms" / 1000).cast("timestamp").as("t"), $"v")
+    val out = GapFill.fill(df, Seq("k"), date_trunc("hour", $"t"),
+      "interval 1 hour", Seq("v_sum" -> sum($"v")))
+    // row count per key = span hours (dense grid, no extras)
+    val spans = df.groupBy($"k").agg(
+      ((max(unix_timestamp(date_trunc("hour", $"t"))) -
+        min(unix_timestamp(date_trunc("hour", $"t")))) / 3600 + 1).as("expect"))
+    val got = out.groupBy($"k").agg(count(lit(1)).as("got"))
+    assert(spans.join(got, "k").filter($"expect" =!= $"got").count() === 0)
+    // observed buckets keep their exact aggregate; empty ones are 0-count
+    val exact = df.groupBy($"k", date_trunc("hour", $"t").as("bucket"))
+      .agg(sum($"v").as("expect_sum"), count(lit(1)).as("expect_n"))
+    val cmp = out.join(exact, Seq("k", "bucket"), "left")
+    assert(cmp.filter($"expect_sum".isNotNull &&
+      ($"v_sum" =!= $"expect_sum" || $"n_obs" =!= $"expect_n")).count() === 0)
+    assert(cmp.filter($"expect_sum".isNull &&
+      ($"n_obs" =!= 0 || $"v_sum".isNotNull)).count() === 0)
+  }
+
+  test("law: forward-filled value equals the most recent observed aggregate") {
+    val rows = cases(obsGen, 200)
+    val df = rows.map { case (k, h, v) =>
+      (k, java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime +
+        h * 3600000L, v)
+    }.toDF("k", "ms", "v")
+      .select($"k", ($"ms" / 1000).cast("timestamp").as("t"), $"v")
+    val out = GapFill.fill(df, Seq("k"), date_trunc("hour", $"t"),
+      "interval 1 hour", Seq("v_sum" -> sum($"v")))
+    // reference: join each grid row to the latest observed bucket <= it
+    val obs = df.groupBy($"k".as("ok"), date_trunc("hour", $"t").as("ob"))
+      .agg(sum($"v").as("ov"))
+    val latest = out.alias("g").join(obs,
+        $"g.k" === $"ok" && $"ob" <= $"g.bucket")
+      .groupBy($"g.k", $"g.bucket", $"g.v_sum_fill")
+      .agg(max_by($"ov", $"ob").as("expect"))
+    assert(latest.filter(!($"v_sum_fill" <=> $"expect")).count() === 0)
+  }
+
+  test("law: snapshot diff statuses partition the key universe") {
+    val keyGen = Gen.chooseNum(1L, 400L)
+    val oldKeys = cases(keyGen, 250, seed = 11L).distinct
+    val curKeys = cases(keyGen, 250, seed = 99L).distinct
+    val old = oldKeys.map(k => (k, s"text-${k % 7}")).toDF("k", "text")
+    val cur = curKeys.map(k => (k, s"text-${k % 5}")).toDF("k", "text")
+    val out = SnapshotDiff.diff(old, cur, Seq("k"), md5($"text"))
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet === (oldKeys ++ curKeys).toSet)
+    val oldSet = oldKeys.toSet
+    val curSet = curKeys.toSet
+    out.foreach { case (k, st) =>
+      val expect =
+        if (!oldSet(k)) "added"
+        else if (!curSet(k)) "removed"
+        else if (k % 7 == k % 5) "unchanged" // same text both sides
+        else "changed"
+      assert(st === expect, s"key $k")
+    }
+  }
+}
