@@ -37,6 +37,7 @@ object Bench {
     // steady-state cost a resident engine delivers. Standard warm-run
     // benchmarking; N is reported in the JSON for transparency.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
+    var qIdx = 0
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -52,10 +53,18 @@ object Bench {
         // between-query hygiene, OUTSIDE the timed region: drop any
         // cached blocks a query left outside the registry so later
         // queries don't inherit eviction pressure. Deliberately NO
-        // System.gc() here — A/B at sf0.1 showed forced full GCs
-        // between queries cost ~12% of suite total (heap re-expansion
-        // + JIT state churn), more than the cleanup debt they reap.
+        // per-query System.gc() — A/B at sf0.1 showed forced full GCs
+        // between every query cost ~12% of suite total (heap
+        // re-expansion + JIT state churn), more than the cleanup debt
+        // they reap.
         spark.catalog.clearCache()
+        // …but a PERIODIC GC (amortized over ~25 queries) lets the
+        // ContextCleaner reclaim dead broadcast and checkpoint blocks
+        // that are only unpinned after a collection — a 100-query
+        // suite otherwise never runs one and slowly fills the block
+        // manager with unreferenced broadcasts.
+        qIdx += 1
+        if (qIdx % 25 == 0) System.gc()
         name -> times.min
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
