@@ -789,6 +789,58 @@ object Inventory {
       |  (lead(ts) OVER w IS NULL) AS is_current
       |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 
+  /** Point-in-time dimension lookup — the consumer side of SCD2:
+    * purchase facts joined to the versioned history of each user's
+    * NON-purchase activity ("what state was the user in when they
+    * bought"), composing [[graft.ops.Scd2]] with
+    * [[graft.ops.AsOfJoin]] (the covering interval of a chained
+    * history IS the most recent valid_from ≤ ts, so the as-of join
+    * needs no interval predicate). Users whose first event is the
+    * purchase itself surface with a NULL state — the as-of join keeps
+    * unmatched facts, mirrored by DuckDB's ASOF LEFT JOIN. Events
+    * carry no (user, ts) duplicates at any SF (checked), so the
+    * lookup is tie-free and hash-exact.
+    */
+  def qScd2Lookup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val hist = graft.ops.Scd2.build(
+      e.filter(col("event_type") =!= "purchase"),
+      keyCols = Seq("user_id"), tsCol = "ts",
+      attrCols = Seq("event_type"), tieCols = Seq("event_id"))
+      .select(col("user_id"), col("valid_from"),
+        col("event_type").as("state"), col("version"))
+    val facts = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    graft.ops.AsOfJoin.asof(facts, hist, Seq("user_id"), "ts", "valid_from",
+      Seq("state", "version"))
+      .groupBy(col("asof_state").as("state"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("asof_version")).as("version_sum"))
+  }
+
+  val qScd2LookupSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev
+      |  FROM events WHERE event_type <> 'purchase'),
+      |c AS (
+      |  SELECT user_id, event_type, ts, event_id FROM o
+      |  WHERE prev IS NULL OR prev <> event_type),
+      |h AS (
+      |  SELECT user_id, event_type AS state, ts AS valid_from,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS version
+      |  FROM c),
+      |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT h.state, count(*) AS n_purchases,
+      |  count(distinct p.user_id) AS n_users,
+      |  sum(h.version) AS version_sum
+      |FROM p ASOF LEFT JOIN h
+      |  ON p.user_id = h.user_id AND p.ts >= h.valid_from
+      |GROUP BY 1""".stripMargin
+
   /** Time-series gap fill: each user's hourly activity densified onto
     * the full hourly grid of their [first, last] span, missing hours
     * forward-filled from the last observed hour (resample + LOCF).
@@ -1286,6 +1338,7 @@ object Inventory {
     ("q_window_lead", qWindowLead _, Some(qWindowLeadSql)),
     ("q_time_funcs", qTimeFuncs _, Some(qTimeFuncsSql)),
     ("q_scd2", qScd2 _, Some(qScd2Sql)),
+    ("q_scd2_lookup", qScd2Lookup _, Some(qScd2LookupSql)),
     ("q_gap_fill", qGapFill _, Some(qGapFillSql)),
     ("q_json_edge", qJsonEdge _, Some(qJsonEdgeSql)),
     ("q_funnel", qFunnel _, Some(qFunnelSql)),
