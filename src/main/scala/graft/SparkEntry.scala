@@ -13,8 +13,13 @@ object SparkEntry {
     Inventory.qJoinMulti(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val names = Inventory.entries.map(_._1)
+    val dups = names.diff(names.distinct)
+    require(dups.isEmpty,
+      s"duplicate query names would silently shadow gate rows: $dups")
     Inventory.entries.map { case (name, fn, _) => name -> fn }.toMap
+  }
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops (driver

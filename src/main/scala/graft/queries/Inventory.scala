@@ -710,6 +710,34 @@ object Inventory {
       |FROM a JOIN c ON a.user_id = c.user_id
       |GROUP BY 1, 2""".stripMargin
 
+  /** Incremental aggregate maintenance: last-night's rollup (events
+    * before a cutoff) merged with today's delta batch through
+    * [[graft.ops.IncrementalAgg]] — and the oracle recomputes the SAME
+    * aggregate from the full history, so the gate IS the refresh
+    * correctness law (merge ≡ recompute), per key, hash-exact.
+    */
+  def qIncrAgg(s: SparkSession, d: String): DataFrame = {
+    val cutoff = "2024-01-20"
+    def agg(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec("value", 18, 6)).as("v_sum"),
+          min(col("value")).as("v_min"), max(col("value")).as("v_max"))
+    val e = Tables.events(s, d)
+    val merged = graft.ops.IncrementalAgg.merge(
+      agg(e.filter(col("ts") < lit(cutoff).cast(TimestampType))),
+      agg(e.filter(col("ts") >= lit(cutoff).cast(TimestampType))),
+      keyCols = Seq("event_type"), sumCols = Seq("n", "v_sum"),
+      minCols = Seq("v_min"), maxCols = Seq("v_max"))
+    merged.select(col("event_type"), col("n"), dbl(col("v_sum")).as("v_sum"),
+      col("v_min"), col("v_max"))
+  }
+
+  val qIncrAggSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  cast(sum(cast(value as decimal(18,6))) as double) AS v_sum,
+      |  min(value) AS v_min, max(value) AS v_max
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Trailing 7-day rolling aggregate via a RANGE window frame — the
     * time-based frame (distinct from the ROWS frames elsewhere in the
     * inventory: RANGE bounds select by ORDER-BY VALUE distance, so
@@ -1344,6 +1372,7 @@ object Inventory {
     ("q_funnel", qFunnel _, Some(qFunnelSql)),
     ("q_retention", qRetention _, Some(qRetentionSql)),
     ("q_rolling_range", qRollingRange _, Some(qRollingRangeSql)),
-    ("q_rollup_sets", qRollupSets _, Some(qRollupSetsSql))) ++
+    ("q_rollup_sets", qRollupSets _, Some(qRollupSetsSql)),
+    ("q_incr_agg", qIncrAgg _, Some(qIncrAggSql))) ++
     PipelineQueries.entries
 }

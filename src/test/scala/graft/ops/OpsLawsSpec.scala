@@ -124,6 +124,39 @@ class OpsLawsSpec extends SparkSpec {
     assert(latest.filter(!($"v_sum_fill" <=> $"expect")).count() === 0)
   }
 
+  private val factGen = for {
+    k <- Gen.oneOf("a", "b", "c", "d")
+    v <- Gen.chooseNum(-500L, 500L)
+    part <- Gen.chooseNum(0, 3) // which delta batch the row lands in
+  } yield (k, v, part)
+
+  test("law: incremental merge over any split equals the full recompute") {
+    val rows = cases(factGen, 400)
+    val df = rows.toDF("k", "v", "part")
+    def agg(d: org.apache.spark.sql.DataFrame) = d.groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"),
+        min($"v").as("mn"), max($"v").as("mx"))
+    val full = agg(df.drop("part")).as[(String, Long, Long, Long, Long)]
+      .collect().toSet
+    // fold the four delta batches through merge in sequence
+    // (associativity: (((b0 + b1) + b2) + b3) must equal the onepass)
+    val batches = (0 to 3).map(p => agg(df.filter($"part" === p).drop("part")))
+    val merged = batches.reduce((a, b) => IncrementalAgg.merge(
+      a, b, Seq("k"), Seq("n", "s"), Seq("mn"), Seq("mx")))
+    assert(merged.as[(String, Long, Long, Long, Long)].collect().toSet === full)
+  }
+
+  test("law: merging an empty delta is the identity") {
+    val df = Seq(("a", 1L), ("b", 5L)).toDF("k", "v")
+    def agg(d: org.apache.spark.sql.DataFrame) = d.groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    val base = agg(df)
+    val merged = IncrementalAgg.merge(base, agg(df.limit(0)),
+      Seq("k"), Seq("n", "s"))
+    assert(merged.as[(String, Long, Long)].collect().toSet ===
+      base.as[(String, Long, Long)].collect().toSet)
+  }
+
   test("law: snapshot diff statuses partition the key universe") {
     val keyGen = Gen.chooseNum(1L, 400L)
     val oldKeys = cases(keyGen, 250, seed = 11L).distinct
