@@ -36,7 +36,8 @@ object PlanAudit {
       "q_bpe_encode", "q_bm25", "q_ann_rp", "q_rrf", "q_phash",
       "q_scd2", "q_gap_fill", "q_triangles", "q_fuzzy_join",
       "q_snapshot_diff", "q_leak_split", "q_group_gate",
-      "q_funnel", "q_retention", "q_rolling_range", "q_rollup_sets")
+      "q_funnel", "q_retention", "q_rolling_range", "q_rollup_sets",
+      "q_scd2_lookup", "q_incr_agg")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
