@@ -153,7 +153,51 @@ object Sampling {
       .drop("__n")
   }
 
+  /** Deterministic negative sampling for contrastive training: pair
+    * every row with `k` pseudo-random partners drawn from a
+    * hash-selected POOL — the in-batch/pool-negatives pattern of
+    * contrastive pipelines (dense-index the whole corpus and you need
+    * a global zipWithIndex; index only a bounded pool and the pick is
+    * a hash + an equi-join against a small frame AQE broadcasts).
+    * The pool is itself a [[sampleFraction]] of the corpus, so
+    * membership and every pick are pure functions of the data — the
+    * same re-run/backfill/cross-engine stability contract as the
+    * split family. Self-pairs are dropped (a row can appear in its
+    * own pool slice).
+    *
+    * Scale shape: the pool's dense index is a single-partition
+    * window over ~poolFrac·N rows — the bounded-model-state contract
+    * ([[graft.sim.KMeans]] centroids, IVF cells); everything
+    * corpus-sized stays narrow: explode(k) + hash + broadcast join.
+    *
+    * @return (keyCol, neg_idx ∈ 1..k, neg_<keyCol> — the partner key)
+    */
+  def negativeSample(df: DataFrame, keyCol: String, k: Int,
+      poolFrac: Double): DataFrame = {
+    require(k >= 1 && poolFrac > 0 && poolFrac <= 1, "need k>=1, 0<frac<=1")
+    val pool = sampleFraction(df.select(col(keyCol)).distinct(), keyCol, poolFrac)
+      .withColumn("__slot", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(keyCol)))
+        .cast(LongType))
+    val m = pool.agg(max(col("__slot")).as("__m"))
+    df.select(col(keyCol))
+      .crossJoin(broadcast(m))
+      .select(col(keyCol), col("__m"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("neg_idx"))
+      .withColumn("__slot",
+        TextAnalysis.hash60(concat(col(keyCol).cast(StringType), lit(":"),
+          col("neg_idx").cast(StringType))) % col("__m") + 1L)
+      .join(pool.select(col("__slot"), col(keyCol).as(s"neg_$keyCol")),
+        Seq("__slot"))
+      .filter(col(keyCol) =!= col(s"neg_$keyCol"))
+      .select(col(keyCol), col("neg_idx"), col(s"neg_$keyCol"))
+  }
+
   /** DuckDB mirror of [[coordinate]] for oracle generation. */
   def coordinateSql(keyExpr: String): String =
     s"cast(cast(('0x' || substr(md5(cast($keyExpr as varchar)), 1, 15)) as bigint) as double) / ${math.pow(2.0, 60)}"
+
+  /** DuckDB mirror of [[graft.text.TextAnalysis.hash60]]. */
+  def hash60Sql(keyExpr: String): String =
+    s"cast(('0x' || substr(md5($keyExpr), 1, 15)) as bigint)"
 }

@@ -1056,6 +1056,35 @@ object PipelineQueries {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Contrastive negative sampling: every document paired with k=2
+    * deterministic pseudo-random partners from a hash-selected pool
+    * (see [[graft.ops.Sampling.negativeSample]]) — membership and
+    * picks are pure functions of the data, so the oracle replays slot
+    * assignment bit-for-bit from the shared md5-hash formulas.
+    */
+  def qNegSample(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.negativeSample(
+      Tables.documents(s, d), "doc_id", k = 2, poolFrac = 0.15)
+
+  val qNegSampleSql: String = {
+    val u = graft.ops.Sampling.coordinateSql("doc_id")
+    val h = graft.ops.Sampling.hash60Sql(
+      "cast(doc_id as varchar) || ':' || cast(neg_idx as varchar)")
+    s"""WITH ids AS (SELECT DISTINCT doc_id FROM documents),
+       |pool AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS slot
+       |  FROM ids WHERE $u < 0.15),
+       |m AS (SELECT max(slot) AS mx FROM pool),
+       |c AS (
+       |  SELECT d.doc_id, i.neg_idx, $h % m.mx + 1 AS slot
+       |  FROM ids d CROSS JOIN m
+       |  CROSS JOIN (VALUES (1), (2)) AS i(neg_idx))
+       |SELECT c.doc_id, cast(c.neg_idx as bigint) AS neg_idx,
+       |  p.doc_id AS neg_doc_id
+       |FROM c JOIN pool p USING (slot)
+       |WHERE c.doc_id <> p.doc_id""".stripMargin
+  }
+
   /** Incremental dedup: the odd-id half of the corpus ingested AGAINST
     * the even-id half as the existing reference — survivors are
     * incoming docs with no exact or near duplicate in the reference
@@ -2142,6 +2171,7 @@ object PipelineQueries {
     ("q_fuzzy_join", qFuzzyJoin _, Some(qFuzzyJoinSql)),
     ("q_snapshot_diff", qSnapshotDiff _, Some(qSnapshotDiffSql)),
     ("q_leak_split", qLeakSplit _, Some(qLeakSplitSql)),
+    ("q_neg_sample", qNegSample _, Some(qNegSampleSql)),
     ("q_cdc_upsert", qCdcUpsert _, Some(qCdcUpsertSql)),
     ("q_bpe", qBpe _, Some(qBpeSql)),
     ("q_bpe_encode", qBpeEncode _, Some(qBpeEncodeSql)),

@@ -157,6 +157,23 @@ class OpsLawsSpec extends SparkSpec {
       base.as[(String, Long, Long)].collect().toSet)
   }
 
+  test("law: negative sampling is deterministic, pool-bounded, self-free") {
+    val df = (1L to 200L).map(k => (k, s"doc$k")).toDF("id", "payload")
+    val a = Sampling.negativeSample(df, "id", k = 3, poolFrac = 0.2)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Sampling.negativeSample(df, "id", k = 3, poolFrac = 0.2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a === b) // pure function of the data
+    val pool = Sampling.sampleFraction(df.select($"id"), "id", 0.2)
+      .as[Long].collect().toSet
+    assert(a.map(_._3).subsetOf(pool)) // partners come from the pool
+    assert(a.forall(t => t._1 != t._3)) // no self pairs
+    // every key yields k picks minus its (rare) self-collisions
+    val perKey = a.groupBy(_._1).view.mapValues(_.size)
+    assert(perKey.values.forall(n => n >= 1 && n <= 3))
+    assert(a.map(t => (t._1, t._2)).size === a.size) // (key, idx) unique
+  }
+
   test("law: snapshot diff statuses partition the key universe") {
     val keyGen = Gen.chooseNum(1L, 400L)
     val oldKeys = cases(keyGen, 250, seed = 11L).distinct
