@@ -51,6 +51,12 @@ object Triangles {
       .join(deg.withColumnRenamed("id", "u").withColumnRenamed("deg", "du"), "u")
       .join(deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv"), "v")
     val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    // NOT persisted although consumed three times (both wedge sides +
+    // the closure probe): the three consumers sit downstream of the
+    // same Exchanges, so ReusedExchange already shares the shuffle
+    // files — an A/B at sf0.1 showed a MEMORY_AND_DISK cache of this
+    // frame 25% SLOWER than the reuse (cache write + columnar encode
+    // cost, zero recompute saved)
     val oriented = withOrd.select(
       when(uFirst, col("u")).otherwise(col("v")).as("a"),
       when(uFirst, col("v")).otherwise(col("u")).as("b"),
