@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality report — count violations of row-level
+  * constraints (null checks, range checks, format checks) and key-
+  * uniqueness constraints over a frame: the pre-ingest gate every
+  * production pipeline runs before promoting a batch (Deequ-style
+  * "unit tests for data", reduced to its deterministic core).
+  *
+  * Scale shape: ALL row-level constraints ride ONE aggregate pass
+  * over the scan (a `sum(when(violated, 1))` per check — no shuffle
+  * beyond the single global aggregation); each uniqueness constraint
+  * adds one groupBy on its key columns counting surplus rows. The
+  * report is rows of (check, n_violations) — constant-size output
+  * however wide the input.
+  */
+object QualityChecks {
+
+  /** @param rowChecks  (name, violation predicate) — predicate TRUE
+    *                   means the row violates the constraint; a NULL
+    *                   predicate result counts as a violation (SQL
+    *                   three-valued logic would otherwise silently
+    *                   pass NULL rows through range checks)
+    * @param uniqueKeys (name, key columns) — violations = rows beyond
+    *                   the first per duplicated key tuple
+    */
+  def report(df: DataFrame, rowChecks: Seq[(String, Column)],
+      uniqueKeys: Seq[(String, Seq[String])] = Nil): DataFrame = {
+    require(rowChecks.nonEmpty || uniqueKeys.nonEmpty, "need checks")
+    val rowPart = if (rowChecks.isEmpty) Nil else {
+      // positional internal aliases: user-facing check names may hold
+      // any characters (dots would parse as field access in col())
+      val aggs = rowChecks.zipWithIndex.map { case ((_, pred), i) =>
+        sum(when(coalesce(pred, lit(true)), 1L).otherwise(0L)).as(s"__c$i")
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      Seq(one.select(explode(array(rowChecks.zipWithIndex.map { case ((n, _), i) =>
+        struct(lit(n).as("check"),
+          coalesce(col(s"__c$i"), lit(0L)).as("n_violations"))
+      }: _*)).as("r")).select(col("r.check"), col("r.n_violations")))
+    }
+    val uniqPart = uniqueKeys.map { case (n, keys) =>
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+        .agg(coalesce(sum(col("__n") - 1L), lit(0L)).as("n_violations"))
+        .select(lit(n).as("check"), col("n_violations"))
+    }
+    (rowPart ++ uniqPart).reduce(_.unionByName(_))
+  }
+}

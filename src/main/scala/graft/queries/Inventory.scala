@@ -738,6 +738,43 @@ object Inventory {
       |  min(value) AS v_min, max(value) AS v_max
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Data-quality gate report over lineitem: four row-level
+    * constraints in one aggregate pass + a primary-key uniqueness
+    * check — see [[graft.ops.QualityChecks]]. NULL predicate results
+    * count as violations (three-valued logic would silently pass NULL
+    * rows through range checks); the oracle mirrors with explicit
+    * `IS NOT TRUE` guards.
+    */
+  def qDqReport(s: SparkSession, d: String): DataFrame =
+    graft.ops.QualityChecks.report(Tables.lineitem(s, d),
+      rowChecks = Seq(
+        "qty_in_1_50" -> !col("l_quantity").between(1, 50),
+        "orderkey_not_null" -> col("l_orderkey").isNull,
+        "discount_in_range" -> !col("l_discount").between(0.0, 0.1),
+        "shipdate_not_null" -> col("l_shipdate").isNull),
+      uniqueKeys = Seq(
+        "pk_order_line_unique" -> Seq("l_orderkey", "l_linenumber")))
+
+  val qDqReportSql: String =
+    """SELECT 'qty_in_1_50' AS check, cast(sum(CASE WHEN
+      |    (l_quantity BETWEEN 1 AND 50) IS NOT TRUE THEN 1 ELSE 0 END)
+      |    as bigint) AS n_violations FROM lineitem
+      |UNION ALL
+      |SELECT 'orderkey_not_null', cast(sum(CASE WHEN l_orderkey IS NULL
+      |    THEN 1 ELSE 0 END) as bigint) FROM lineitem
+      |UNION ALL
+      |SELECT 'discount_in_range', cast(sum(CASE WHEN
+      |    (l_discount BETWEEN 0.0 AND 0.1) IS NOT TRUE THEN 1 ELSE 0 END)
+      |    as bigint) FROM lineitem
+      |UNION ALL
+      |SELECT 'shipdate_not_null', cast(sum(CASE WHEN l_shipdate IS NULL
+      |    THEN 1 ELSE 0 END) as bigint) FROM lineitem
+      |UNION ALL
+      |SELECT 'pk_order_line_unique', cast(coalesce(sum(n - 1), 0) as bigint)
+      |FROM (
+      |  SELECT count(*) AS n FROM lineitem
+      |  GROUP BY l_orderkey, l_linenumber)""".stripMargin
+
   /** Trailing 7-day rolling aggregate via a RANGE window frame — the
     * time-based frame (distinct from the ROWS frames elsewhere in the
     * inventory: RANGE bounds select by ORDER-BY VALUE distance, so
@@ -1373,6 +1410,7 @@ object Inventory {
     ("q_retention", qRetention _, Some(qRetentionSql)),
     ("q_rolling_range", qRollingRange _, Some(qRollingRangeSql)),
     ("q_rollup_sets", qRollupSets _, Some(qRollupSetsSql)),
-    ("q_incr_agg", qIncrAgg _, Some(qIncrAggSql))) ++
+    ("q_incr_agg", qIncrAgg _, Some(qIncrAggSql)),
+    ("q_dq_report", qDqReport _, Some(qDqReportSql))) ++
     PipelineQueries.entries
 }
