@@ -775,6 +775,51 @@ object Inventory {
       |  SELECT count(*) AS n FROM lineitem
       |  GROUP BY l_orderkey, l_linenumber)""".stripMargin
 
+  /** Robust outlier profile per event type: exact median, MAD (median
+    * absolute deviation), and the count of |modified z| > 3.5 rows —
+    * the Iglewicz–Hoban robust outlier rule, immune to the outliers
+    * it hunts (mean/stddev gates move with the contamination). Both
+    * engines compute the same interpolated median (Spark `percentile`
+    * ≡ DuckDB `quantile_cont`); the z-threshold compares ROUNDED
+    * deviations so float representation can't flip a boundary row.
+    */
+  def qOutlierMad(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).filter(col("value").isNotNull)
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("median"))
+    val withDev = e.join(med, Seq("event_type"))
+      .withColumn("__dev", abs(col("value") - col("median")))
+    val mad = withDev.groupBy(col("event_type"))
+      .agg(first(col("median")).as("median"),
+        expr("percentile(__dev, 0.5)").as("mad"),
+        count(lit(1)).as("n"))
+    withDev.join(mad.select(col("event_type"), col("mad")), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(round(first(col("median")), 6).as("median"),
+        round(first(col("mad")), 6).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(round(lit(0.6745) * col("__dev") / col("mad"), 6) > 3.5,
+          1L).otherwise(0L)).as("n_outliers"))
+  }
+
+  val qOutlierMadSql: String =
+    """WITH e AS (SELECT event_type, value FROM events
+      |           WHERE value IS NOT NULL),
+      |med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS median
+      |  FROM e GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_type, abs(e.value - m.median) AS d, m.median
+      |  FROM e JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1)
+      |SELECT dev.event_type, round(any_value(dev.median), 6) AS median,
+      |  round(any_value(mad.mad), 6) AS mad, count(*) AS n,
+      |  cast(sum(CASE WHEN round(0.6745 * dev.d / mad.mad, 6) > 3.5
+      |    THEN 1 ELSE 0 END) as bigint) AS n_outliers
+      |FROM dev JOIN mad USING (event_type)
+      |GROUP BY 1""".stripMargin
+
   /** Trailing 7-day rolling aggregate via a RANGE window frame — the
     * time-based frame (distinct from the ROWS frames elsewhere in the
     * inventory: RANGE bounds select by ORDER-BY VALUE distance, so
@@ -1411,6 +1456,7 @@ object Inventory {
     ("q_rolling_range", qRollingRange _, Some(qRollingRangeSql)),
     ("q_rollup_sets", qRollupSets _, Some(qRollupSetsSql)),
     ("q_incr_agg", qIncrAgg _, Some(qIncrAggSql)),
-    ("q_dq_report", qDqReport _, Some(qDqReportSql))) ++
+    ("q_dq_report", qDqReport _, Some(qDqReportSql)),
+    ("q_outlier_mad", qOutlierMad _, Some(qOutlierMadSql))) ++
     PipelineQueries.entries
 }
