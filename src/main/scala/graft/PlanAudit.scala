@@ -37,7 +37,8 @@ object PlanAudit {
       "q_scd2", "q_gap_fill", "q_triangles", "q_fuzzy_join",
       "q_snapshot_diff", "q_leak_split", "q_group_gate",
       "q_funnel", "q_retention", "q_rolling_range", "q_rollup_sets",
-      "q_scd2_lookup", "q_incr_agg")
+      "q_scd2_lookup", "q_incr_agg", "q_neg_sample", "q_dq_report",
+      "q_outlier_mad")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
