@@ -39,9 +39,10 @@ object PlanAudit {
       "q_funnel", "q_retention", "q_rolling_range", "q_rollup_sets",
       "q_scd2_lookup", "q_incr_agg", "q_neg_sample", "q_dq_report",
       "q_outlier_mad")
+    val qs = SparkEntry.queries // built (and dup-checked) once
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
-      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      qs(name)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

@@ -37,6 +37,11 @@ object GapFill {
   def fill(df: DataFrame, keyCols: Seq[String], bucket: Column,
       step: String, aggExprs: Seq[(String, Column)]): DataFrame = {
     require(keyCols.nonEmpty && aggExprs.nonEmpty, "need keys and aggs")
+    val reserved = Set("bucket", "n_obs", "__mn", "__mx", "__cells", "__cell")
+    val clash = (keyCols ++ aggExprs.map(_._1))
+      .filter(n => reserved(n) || n.endsWith("_fill"))
+    require(clash.isEmpty,
+      s"key/agg names collide with generated columns: ${clash.mkString(",")}")
     val keys = keyCols.map(col)
     val aggNames = aggExprs.map(_._1)
     val obs = df.groupBy(keys :+ bucket.as("bucket"): _*)

@@ -50,13 +50,13 @@ object Scd2 {
       // first row of a key (prev NULL-struct) and any attr change open
       // a version; <=> makes NULL attr values compare stably
       .filter(col("__prev").isNull || !(col("__prev") <=> attrs))
-    val verW = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(ord: _*)
+    // the SAME window spec as change detection — one partitioning,
+    // one Exchange (and no way for the two passes to desynchronize)
     changed.select(
       (keyCols ++ attrCols).map(col) ++ Seq(
         col(tsCol).as("valid_from"),
-        lead(col(tsCol), 1).over(verW).as("valid_to"),
-        row_number().over(verW).cast("long").as("version"),
-        lead(col(tsCol), 1).over(verW).isNull.as("is_current")): _*)
+        lead(col(tsCol), 1).over(rowW).as("valid_to"),
+        row_number().over(rowW).cast("long").as("version"),
+        lead(col(tsCol), 1).over(rowW).isNull.as("is_current")): _*)
   }
 }

@@ -30,14 +30,20 @@ object SnapshotDiff {
   def diff(oldDf: DataFrame, curDf: DataFrame, keyCols: Seq[String],
       fingerprint: Column): DataFrame = {
     require(keyCols.nonEmpty, "need key columns")
-    val o = oldDf.select(keyCols.map(col) :+ fingerprint.as("__fp_old"): _*)
-    val c = curDf.select(keyCols.map(col) :+ fingerprint.as("__fp_cur"): _*)
+    // explicit presence flags: a NULL FINGERPRINT (e.g. md5 of a NULL
+    // content column) must not masquerade as key absence — presence is
+    // decided by the row existing, fingerprints only decide
+    // changed-vs-unchanged (null-safely: NULL <=> NULL is unchanged)
+    val o = oldDf.select(keyCols.map(col) ++
+      Seq(fingerprint.as("__fp_old"), lit(true).as("__in_old")): _*)
+    val c = curDf.select(keyCols.map(col) ++
+      Seq(fingerprint.as("__fp_cur"), lit(true).as("__in_cur")): _*)
     o.join(c, keyCols, "full_outer")
       .withColumn("status",
-        when(col("__fp_old").isNull, lit("added"))
-          .when(col("__fp_cur").isNull, lit("removed"))
-          .when(col("__fp_old") === col("__fp_cur"), lit("unchanged"))
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_cur").isNull, lit("removed"))
+          .when(col("__fp_old") <=> col("__fp_cur"), lit("unchanged"))
           .otherwise(lit("changed")))
-      .drop("__fp_old", "__fp_cur")
+      .drop("__fp_old", "__fp_cur", "__in_old", "__in_cur")
   }
 }

@@ -723,8 +723,12 @@ object Inventory {
         .agg(count(lit(1)).as("n"), sum(dec("value", 18, 6)).as("v_sum"),
           min(col("value")).as("v_min"), max(col("value")).as("v_max"))
     val e = Tables.events(s, d)
+    // the split must EXHAUST the table for merge ≡ recompute to hold:
+    // a NULL ts satisfies neither inequality, so it is pinned to the
+    // base side explicitly rather than silently dropped from both
     val merged = graft.ops.IncrementalAgg.merge(
-      agg(e.filter(col("ts") < lit(cutoff).cast(TimestampType))),
+      agg(e.filter(col("ts") < lit(cutoff).cast(TimestampType) ||
+        col("ts").isNull)),
       agg(e.filter(col("ts") >= lit(cutoff).cast(TimestampType))),
       keyCols = Seq("event_type"), sumCols = Seq("n", "v_sum"),
       minCols = Seq("v_min"), maxCols = Seq("v_max"))
@@ -790,10 +794,8 @@ object Inventory {
     val withDev = e.join(med, Seq("event_type"))
       .withColumn("__dev", abs(col("value") - col("median")))
     val mad = withDev.groupBy(col("event_type"))
-      .agg(first(col("median")).as("median"),
-        expr("percentile(__dev, 0.5)").as("mad"),
-        count(lit(1)).as("n"))
-    withDev.join(mad.select(col("event_type"), col("mad")), Seq("event_type"))
+      .agg(expr("percentile(__dev, 0.5)").as("mad"))
+    withDev.join(mad, Seq("event_type"))
       .groupBy(col("event_type"))
       .agg(round(first(col("median")), 6).as("median"),
         round(first(col("mad")), 6).as("mad"),

@@ -33,10 +33,18 @@ object Bridge {
     * fill the block manager with superseded rounds. Callers must only
     * pass frames no longer reachable from any live plan: the lineage
     * is truncated, so a post-unpersist recompute is impossible.
+    *
+    * Deliberately narrow: only a frame whose plan ROOT is the
+    * checkpoint relation is unpersisted (a no-op otherwise). A
+    * deep-collect over the whole plan would also free OTHER
+    * checkpointed frames joined in downstream — freeing a
+    * still-live frame whose lineage is gone fails the next read.
     */
   def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-      .queryExecution.analyzed.collect {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }.foreach(_.unpersist(blocking = false))
+      .queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -33,6 +33,18 @@ class SnapshotDiffSpec extends SparkSpec {
       .select($"status").as[String].collect().toList === List("removed"))
   }
 
+  test("NULL fingerprints are content, not absence") {
+    val old = Seq[(Long, String)]((1L, null), (2L, null), (3L, "x"))
+      .toDF("k", "text")
+    val cur = Seq[(Long, String)]((1L, "x"), (2L, null), (3L, null))
+      .toDF("k", "text")
+    val out = SnapshotDiff.diff(old, cur, Seq("k"), md5($"text"))
+      .as[(Long, String)].collect().toMap
+    // a key present on both sides is NEVER added/removed, whatever its
+    // fingerprint; NULL <=> NULL is unchanged, NULL vs value is changed
+    assert(out === Map(1L -> "changed", 2L -> "unchanged", 3L -> "changed"))
+  }
+
   test("output carries keys + status only; wide columns never cross the join") {
     val old = Seq((1L, "a", "huge")).toDF("k", "text", "blob")
     val cur = Seq((1L, "b", "huge")).toDF("k", "text", "blob")
