@@ -44,16 +44,20 @@ object GapFill {
       s"key/agg names collide with generated columns: ${clash.mkString(",")}")
     val keys = keyCols.map(col)
     val aggNames = aggExprs.map(_._1)
+    // user-facing agg names appear ONLY as final aliases; the pipeline
+    // carries positional __a<i> internals, so names with dots (which
+    // col() would parse as nested-field access) survive
+    val internal = aggNames.indices.map(i => s"__a$i")
     val obs = df.groupBy(keys :+ bucket.as("bucket"): _*)
       .agg(count(lit(1)).as("n_obs"),
-        aggExprs.map { case (n, c) => c.as(n) }: _*)
+        aggExprs.zip(internal).map { case ((_, c), a) => c.as(a) }: _*)
     // pack each key's observed cells into ONE map row alongside the
     // span bounds — a single second-level aggregation instead of a
     // separate bounds agg + grid-to-obs join (which costs either a
     // second full scan+agg of the input or a cache of it; observed in
     // the plan audit). Per-key map size is cells ≤ span/step — the
     // same bound the grid contract already imposes.
-    val cell = struct(col("n_obs") +: aggNames.map(col): _*)
+    val cell = struct(col("n_obs") +: internal.map(col): _*)
     val packed = obs.groupBy(keys: _*)
       .agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"),
         map_from_entries(collect_list(struct(col("bucket"), cell)))
@@ -68,12 +72,17 @@ object GapFill {
       .withColumn("__cell", element_at(col("__cells"), col("bucket")))
     val lookedUp = grid.select(
       keys ++ Seq(col("bucket"),
-        coalesce(col("__cell.n_obs"), lit(0L)).as("n_obs")) ++
-        aggNames.map(n => col(s"__cell.$n").as(n)): _*)
+        coalesce(col("__cell").getField("n_obs"), lit(0L)).as("n_obs")) ++
+        internal.map(a => col("__cell").getField(a).as(a)): _*)
     val fillW = Window.partitionBy(keys: _*).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    aggNames.foldLeft(lookedUp) { case (acc, n) =>
-      acc.withColumn(s"${n}_fill", last(col(n), ignoreNulls = true).over(fillW))
+    val filled = internal.foldLeft(lookedUp) { case (acc, a) =>
+      acc.withColumn(s"${a}_fill", last(col(a), ignoreNulls = true).over(fillW))
     }
+    filled.select(
+      keys ++ Seq(col("bucket"), col("n_obs")) ++
+        aggNames.zip(internal).flatMap { case (n, a) =>
+          Seq(col(a).as(n), col(s"${a}_fill").as(s"${n}_fill"))
+        }: _*)
   }
 }

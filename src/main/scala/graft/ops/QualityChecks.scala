@@ -42,8 +42,12 @@ object QualityChecks {
       }: _*)).as("r")).select(col("r.check"), col("r.n_violations")))
     }
     val uniqPart = uniqueKeys.map { case (n, keys) =>
-      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
-        .agg(coalesce(sum(col("__n") - 1L), lit(0L)).as("n_violations"))
+      // count alias chosen to dodge the user's key names (same
+      // discipline as the positional row-check aliases above)
+      val cnt = Iterator.from(0).map(i => s"__n$i")
+        .find(c => !keys.contains(c)).get
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as(cnt))
+        .agg(coalesce(sum(col(cnt) - 1L), lit(0L)).as("n_violations"))
         .select(lit(n).as("check"), col("n_violations"))
     }
     (rowPart ++ uniqPart).reduce(_.unionByName(_))

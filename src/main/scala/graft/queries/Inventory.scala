@@ -800,7 +800,12 @@ object Inventory {
       .agg(round(first(col("median")), 6).as("median"),
         round(first(col("mad")), 6).as("mad"),
         count(lit(1)).as("n"),
-        sum(when(round(lit(0.6745) * col("__dev") / col("mad"), 6) > 3.5,
+        // MAD = 0 (a majority-constant group) leaves the modified z
+        // undefined — count zero outliers rather than dividing by zero
+        // (Spark's NaN>x is TRUE, so an unguarded divide flags every
+        // row; DuckDB's x/0 additionally varies by IEEE mode)
+        sum(when(col("mad") > 0 &&
+          round(lit(0.6745) * col("__dev") / col("mad"), 6) > 3.5,
           1L).otherwise(0L)).as("n_outliers"))
   }
 
@@ -817,7 +822,8 @@ object Inventory {
       |  SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1)
       |SELECT dev.event_type, round(any_value(dev.median), 6) AS median,
       |  round(any_value(mad.mad), 6) AS mad, count(*) AS n,
-      |  cast(sum(CASE WHEN round(0.6745 * dev.d / mad.mad, 6) > 3.5
+      |  cast(sum(CASE WHEN mad.mad > 0
+      |      AND round(0.6745 * dev.d / mad.mad, 6) > 3.5
       |    THEN 1 ELSE 0 END) as bigint) AS n_outliers
       |FROM dev JOIN mad USING (event_type)
       |GROUP BY 1""".stripMargin

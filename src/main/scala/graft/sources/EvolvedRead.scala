@@ -34,8 +34,10 @@ object EvolvedRead {
   /** Union-compatible read of many parquet paths with schema merging
     * (added columns become NULL for files that predate them).
     */
-  def readMerged(spark: SparkSession, paths: Seq[String]): DataFrame =
+  def readMerged(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "need at least one input path")
     spark.read.option("mergeSchema", "true").parquet(paths: _*)
+  }
 
   /** Read each path with its own physical schema, then project every
     * file onto `target`: missing columns become typed NULLs, present
@@ -43,13 +45,20 @@ object EvolvedRead {
     * drift mergeSchema rejects (e.g. int → long widening).
     */
   def readAs(spark: SparkSession, paths: Seq[String],
-      target: StructType): DataFrame =
+      target: StructType): DataFrame = {
+    require(paths.nonEmpty, "need at least one input path")
     paths.map { p =>
       val df = spark.read.parquet(p)
-      val have = df.columns.toSet
+      // case-insensitive match (Spark's default resolution): a file
+      // column "Lang" must satisfy a target field "lang", not be
+      // silently NULL-ed out
+      val have = df.columns.map(c => c.toLowerCase -> c).toMap
       df.select(target.fields.map { f =>
-        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+        have.get(f.name.toLowerCase) match {
+          case Some(actual) => col(actual).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
       }.toIndexedSeq: _*)
     }.reduce(_.unionByName(_))
+  }
 }

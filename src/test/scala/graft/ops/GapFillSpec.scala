@@ -39,6 +39,21 @@ class GapFillSpec extends SparkSpec {
     assert(out === List((2L, 3.0)))
   }
 
+  test("dotted aggregate names resolve (getField, not dotted-path col)") {
+    val out = GapFill.fill(obs(("a", 1, 2.0), ("a", 3, 4.0)), Seq("k"),
+      date_trunc("hour", $"t"), "interval 1 hour",
+      Seq("p50.v" -> sum($"v")))
+    assert(out.columns.contains("p50.v") && out.columns.contains("p50.v_fill"))
+    assert(out.count() === 3)
+  }
+
+  test("reserved generated names are rejected up front") {
+    intercept[IllegalArgumentException] {
+      GapFill.fill(obs(("a", 1, 2.0)), Seq("k"), date_trunc("hour", $"t"),
+        "interval 1 hour", Seq("n_obs" -> sum($"v")))
+    }
+  }
+
   test("fill restarts per key and never reads a future value") {
     val out = fill(obs(("a", 1, 5.0), ("b", 1, 7.0), ("b", 3, 8.0)))
       .filter($"k" === "b").orderBy($"bucket")

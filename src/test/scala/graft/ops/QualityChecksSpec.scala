@@ -46,6 +46,15 @@ class QualityChecksSpec extends SparkSpec {
     assert(out("k.not.null") === 1L)
   }
 
+  test("uniqueness keys named like internal aliases still work") {
+    val odd = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("__n0", "tag")
+    val out = QualityChecks.report(odd,
+        rowChecks = Seq("never" -> lit(false)),
+        uniqueKeys = Seq("uq" -> Seq("__n0")))
+      .as[(String, Long)].collect().toMap
+    assert(out("uq") === 1L)
+  }
+
   test("empty input reports zeros, not NULL sums") {
     val out = QualityChecks.report(df.limit(0),
         rowChecks = Seq("k_not_null" -> $"k".isNull),

@@ -36,6 +36,26 @@ class EvolvedReadSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("schema"), e.getMessage)
   }
 
+  test("readAs matches file columns case-insensitively (Spark's default)") {
+    val d = tmp()
+    Seq((1L, "en")).toDF("id", "Lang").write.mode("overwrite").parquet(d)
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("lang", StringType)))
+    val out = EvolvedRead.readAs(spark, Seq(d), target)
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L) === Some("en")) // not silently NULL-ed
+  }
+
+  test("empty path lists are rejected with a contract error") {
+    intercept[IllegalArgumentException] {
+      EvolvedRead.readAs(spark, Nil,
+        StructType(Seq(StructField("id", LongType))))
+    }
+    intercept[IllegalArgumentException] {
+      EvolvedRead.readMerged(spark, Nil)
+    }
+  }
+
   test("readAs projects each epoch onto the declared schema with widening") {
     val d1 = tmp(); val d2 = tmp()
     // epoch 1: v is INT, no score column; epoch 2: v is LONG + score
