@@ -21,23 +21,34 @@ object Parallelism {
     * query stage (an eager full execution of the plan's shuffle DAG)
     * just to read a partition count.
     *
-    * Known imprecision, accepted deliberately: a logical Join that the
-    * planner turns into a broadcast join never shuffles, and AQE may
-    * coalesce a small post-shuffle output to few partitions — both
-    * cases now skip the widen. That is the right trade: the frames
-    * matching those shapes here are post-aggregation rep/vector frames
-    * whose row counts are small exactly when AQE coalesces them (and
-    * huge — hence already wide — at production scale), while the old
-    * probe paid a full eager execution on EVERY call. Callers that do
-    * need to force width onto a shuffled-but-coalesced plan can
-    * `repartition` explicitly.
+    * A Join counts as width-setting only when NEITHER side fits under
+    * `autoBroadcastJoinThreshold` by logical size stats — a join the
+    * planner will broadcast never shuffles, so treating it as wide
+    * would silently turn widen() into a no-op for the expression-heavy
+    * broadcast-join callers this helper exists for. The size probe is
+    * `plan.stats.sizeInBytes` (pure plan arithmetic, no execution).
+    *
+    * Known imprecision, accepted deliberately: AQE may coalesce a
+    * small post-shuffle output to few partitions, which skips the
+    * widen. That is the right trade: the frames matching that shape
+    * here are post-aggregation rep/vector frames whose row counts are
+    * small exactly when AQE coalesces them (and huge — hence already
+    * wide — at production scale), while an rdd-partition probe pays a
+    * full eager execution on EVERY call. Callers that do need to force
+    * width onto a shuffled-but-coalesced plan can `repartition`
+    * explicitly.
     */
-  private def postShuffle(plan: LogicalPlan): Boolean = plan.exists {
-    case _: Aggregate | _: Join | _: Window | _: Sort |
-         _: Distinct | _: Deduplicate | _: RepartitionOperation |
-         _: SetOperation => true
-    case _ => false
-  }
+  private def postShuffle(plan: LogicalPlan, bcThreshold: Long): Boolean =
+    plan.exists {
+      case j: Join =>
+        bcThreshold < 0 ||
+          !Seq(j.left, j.right)
+            .exists(_.stats.sizeInBytes <= BigInt(bcThreshold))
+      case _: Aggregate | _: Window | _: Sort |
+           _: Distinct | _: Deduplicate | _: RepartitionOperation |
+           _: SetOperation => true
+      case _ => false
+    }
 
   /** Round-robin repartition up to the session's default parallelism,
     * only when the plan currently has fewer partitions. The shuffle
@@ -50,7 +61,8 @@ object Parallelism {
     val t =
       if (target > 0) target
       else df.sparkSession.sparkContext.defaultParallelism
-    if (postShuffle(df.queryExecution.analyzed)) df
+    val bc = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (postShuffle(df.queryExecution.analyzed, bc)) df
     else if (df.rdd.getNumPartitions < t) df.repartition(t) else df
   }
 }

@@ -180,7 +180,9 @@ object Sampling {
         org.apache.spark.sql.expressions.Window.orderBy(col(keyCol)))
         .cast(LongType))
     val m = pool.agg(max(col("__slot")).as("__m"))
-    df.select(col(keyCol))
+    // probe side dedupes like the pool side (and the oracle's DISTINCT
+    // CTE): duplicate-key inputs otherwise fan the output out per copy
+    df.select(col(keyCol)).distinct()
       .crossJoin(broadcast(m))
       .select(col(keyCol), col("__m"),
         explode(sequence(lit(1L), lit(k.toLong))).as("neg_idx"))

@@ -48,10 +48,15 @@ object Upsert {
       "retaining base must carry the __deleted marker")
     val cols = base.columns.toSeq
     val u = base.unionByName(changelog.withColumn("__deleted", isDelete))
-    u.groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct(cols.filterNot(keyCols.contains).map(col): _*),
-        struct(versionCols.map(col): _*)).as("__v"))
-      .select((keyCols.map(col) ++
-        cols.filterNot(keyCols.contains).map(c => col(s"__v.$c"))): _*)
+    // resolve by EXACT name (backtick-quoted col / getField), never the
+    // dotted-path parse: a value column named "pay.load" must ride the
+    // struct as one field, not as a nested lookup that fails analysis
+    def qc(c: String): Column = col("`" + c.replace("`", "``") + "`")
+    val valueCols = cols.filterNot(keyCols.contains)
+    u.groupBy(keyCols.map(qc): _*)
+      .agg(max_by(struct(valueCols.map(qc): _*),
+        struct(versionCols.map(qc): _*)).as("__v"))
+      .select((keyCols.map(qc) ++
+        valueCols.map(c => col("__v").getField(c).as(c))): _*)
   }
 }

@@ -443,6 +443,58 @@ object PipelineQueries {
        |FROM documents GROUP BY 1, 2""".stripMargin
   }
 
+  /** Stratified deterministic sampling: per-source keep rates (throttle
+    * src0 to 5%, keep src2 at 75%, everything else at the 50% default)
+    * — the training-mixture control knob, hash-stable row-for-row
+    * across engines and re-runs. A pure narrow filter: no shuffle.
+    */
+  def qStratSample(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.stratifiedSample(
+      Tables.documents(s, d).select(col("doc_id"), col("source")),
+      "doc_id", "source",
+      Map("src0" -> 0.05, "src1" -> 0.25, "src2" -> 0.75),
+      defaultRate = 0.5)
+
+  val qStratSampleSql: String = {
+    val u = graft.ops.Sampling.coordinateSql("doc_id")
+    s"""SELECT doc_id, source FROM documents
+       |WHERE $u < CASE WHEN source = 'src0' THEN 0.05
+       |                WHEN source = 'src1' THEN 0.25
+       |                WHEN source = 'src2' THEN 0.75
+       |                ELSE 0.5 END""".stripMargin
+  }
+
+  /** Per-domain token-budget fill: within each source, documents are
+    * taken quality-best-first until a 700-token budget is exhausted —
+    * how a training mixture is actually cut (a document-count cut
+    * over/under-shoots by orders of magnitude because document length
+    * varies). The first document that would overflow the budget is
+    * dropped along with everything ranked below it; `cum_cost` is the
+    * running token total including the row. The oracle replays the
+    * same running-sum window, so the prefix semantics (ties broken by
+    * doc_id, ≤ boundary inclusive) are hash-pinned.
+    */
+  def qTokenBudget(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    graft.ops.BudgetFill.fill(scored, Seq("source"), "n_tokens",
+      Seq(col("quality").desc, col("doc_id").asc), budget = 700.0)
+  }
+
+  val qTokenBudgetSql: String =
+    s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+       |w AS (SELECT doc_id, source, cast(len(toks) as bigint) AS n_tokens,
+       |        ${qualityExprSql("toks", "text")} AS quality FROM t),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens, quality,
+       |    cast(sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY quality DESC, doc_id) as bigint) AS cum_cost
+       |  FROM w)
+       |SELECT doc_id, source, n_tokens, quality, cum_cost
+       |FROM c WHERE cum_cost <= 700""".stripMargin
+
   /** Intra-document repetition ratio (1 − distinct/total 3-shingles) —
     * the Gopher-style repeated-phrase quality signal.
     */
@@ -1671,8 +1723,12 @@ object PipelineQueries {
       .select(col("doc_id"),
         when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [stale]")))
           .otherwise(col("text")).as("text"))
+      // ghost ids live OUTSIDE the doc_id domain (negative), so they
+      // can never collide with a real key at any corpus size — a
+      // collision would violate SnapshotDiff's unique-key-per-side
+      // precondition and fan the full outer join out many-to-many
       .unionByName(cur.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((-col("doc_id") - 1L).as("doc_id"),
           concat(lit("ghost "), col("doc_id").cast(StringType)).as("text")))
     graft.ops.SnapshotDiff.diff(old, cur, Seq("doc_id"), md5(col("text")))
   }
@@ -1685,7 +1741,7 @@ object PipelineQueries {
       |      AS text
       |  FROM cur WHERE doc_id % 10 <> 0
       |  UNION ALL
-      |  SELECT doc_id + 1000000, 'ghost ' || cast(doc_id as varchar)
+      |  SELECT -doc_id - 1, 'ghost ' || cast(doc_id as varchar)
       |  FROM cur WHERE doc_id % 13 = 0)
       |SELECT coalesce(o.doc_id, c.doc_id) AS doc_id,
       |  CASE WHEN o.doc_id IS NULL THEN 'added'
@@ -2131,6 +2187,8 @@ object PipelineQueries {
     ("q_cms_tokens", qCmsTokens _, Some(qCmsTokensSql)),
     ("q_cms_grouped", qCmsGrouped _, Some(qCmsGroupedSql)),
     ("q_split_assign", qSplitAssign _, Some(qSplitAssignSql)),
+    ("q_strat_sample", qStratSample _, Some(qStratSampleSql)),
+    ("q_token_budget", qTokenBudget _, Some(qTokenBudgetSql)),
     ("q_repetition", qRepetition _, Some(qRepetitionSql)),
     ("q_span_dedup", qSpanDedup _, Some(qSpanDedupSql)),
     ("q_winnow", qWinnow _, Some(qWinnowSql)),

@@ -88,8 +88,11 @@ object QuantileHist {
     * curation pipeline (a global cutoff would let one high-scoring
     * domain crowd out every other). Costs one grouped histogram
     * aggregate (≤ nBins rows per group) plus an equi-join of the
-    * per-group thresholds back — broadcast when the group count is
-    * modest, never a per-group sort.
+    * per-group thresholds back — never a per-group sort. The join is
+    * deliberately UNHINTED: the threshold frame is one row per group,
+    * so AQE broadcasts it whenever the group count is modest, while a
+    * forced broadcast hint would bypass the size check and could OOM
+    * the driver on a pathological high-cardinality group column.
     */
   def topFractionByGroup(df: DataFrame, groupCols: Seq[String],
       valueCol: String, frac: Double, lo: Double, hi: Double,
@@ -99,7 +102,7 @@ object QuantileHist {
     val thr = quantilesAt(df, groupCols, valueCol, lo, hi, nBins,
       Seq(1.0 - frac), rounded = false)
       .select((groupCols.map(col) :+ col("est").as("__qh_thr")): _*)
-    df.join(broadcast(thr), groupCols)
+    df.join(thr, groupCols)
       .filter(col(valueCol) >= col("__qh_thr"))
       .drop("__qh_thr")
   }

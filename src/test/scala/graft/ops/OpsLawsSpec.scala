@@ -174,6 +174,16 @@ class OpsLawsSpec extends SparkSpec {
     assert(a.map(t => (t._1, t._2)).size === a.size) // (key, idx) unique
   }
 
+  test("law: negative sampling dedupes a duplicate-key probe side") {
+    val unique = (1L to 100L).map(k => (k, s"doc$k")).toDF("id", "payload")
+    val dup = unique.unionAll(unique.filter($"id" % 3 === 0))
+    val a = Sampling.negativeSample(unique, "id", k = 2, poolFrac = 0.2)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val b = Sampling.negativeSample(dup, "id", k = 2, poolFrac = 0.2)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(a === b) // no fan-out per input copy — matches the oracle's DISTINCT
+  }
+
   test("law: snapshot diff statuses partition the key universe") {
     val keyGen = Gen.chooseNum(1L, 400L)
     val oldKeys = cases(keyGen, 250, seed = 11L).distinct

@@ -69,6 +69,15 @@ class UpsertSpec extends SparkSpec {
     assert(late.collect().head.getAs[Boolean]("__deleted"))
   }
 
+  test("value column names containing a dot survive the struct roundtrip") {
+    val base = Seq((1L, 10L, "a")).toDF("key", "v", "pay.load")
+    val delta = Seq((1L, 11L, "b")).toDF("key", "v", "pay.load")
+    val out = Upsert.applyChangelog(base, delta, Seq("key"), Seq("v"),
+      org.apache.spark.sql.functions.lit(false))
+    assert(out.columns.toSeq == Seq("key", "v", "pay.load"))
+    assert(out.collect().map(_.getString(2)).toSeq == Seq("b"))
+  }
+
   test("applying an empty changelog is the identity on live rows") {
     val base = state(Seq((1L, 1L, "a", "u"), (2L, 2L, "b", "u")))
     val out = Upsert.applyChangelog(base, base.limit(0), Seq("key"), Seq("v"),
