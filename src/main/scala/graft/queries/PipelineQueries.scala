@@ -1589,6 +1589,88 @@ object PipelineQueries {
        |SELECT vec_id, cluster, round(greatest(dist2, 0.0), 6) AS dist2
        |FROM asg4""".stripMargin
 
+  /** One SUBSPACE's unrolled-Lloyd CTE chain for the PQ oracle —
+    * [[kmeansCtes]] generalized to a `[start, start+w)` slice of the
+    * embedding and `p`-prefixed CTE names so m independent chains can
+    * share one WITH list. Returns the chain WITHOUT the leading WITH;
+    * the final assignment CTE is `${p}asg${iters + 1}`.
+    */
+  private def pqSubspaceCtes(p: String, start: Int, w: Int, k: Int,
+      iters: Int): String = {
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(cast(0 as double),
+         |      list_transform(range(1, ${w + 1}),
+         |        i -> cast($a[i] as double) * cast($b[i] as double))),
+         |      (acc, v) -> acc + v)""".stripMargin
+    def asg(n: Int, cent: String) =
+      s"""${p}asg$n AS (
+         |  SELECT vec_id, x, cluster, dist2 FROM (
+         |    SELECT vec_id, x, cluster, dist2,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY dist2 ASC, cluster ASC) AS r
+         |    FROM (SELECT b.vec_id, b.x, c.cluster,
+         |            b.xx - 2 * ${dot("b.x", "c.cv")} + ${dot("c.cv", "c.cv")} AS dist2
+         |          FROM ${p}b b CROSS JOIN $cent c))
+         |  WHERE r = 1)""".stripMargin
+    def upd(n: Int) =
+      s"""${p}upd$n AS (
+         |  SELECT cluster, d.i AS dim,
+         |    sum(cast(round(cast(x[d.i] as double) * ${graft.sim.KMeans.Scale}) as bigint)) AS sq,
+         |    count(*) AS cnt
+         |  FROM ${p}asg$n, unnest(range(1, ${w + 1})) AS d(i)
+         |  GROUP BY cluster, d.i),
+         |${p}cent$n AS (
+         |  SELECT c.cluster,
+         |    CASE WHEN min(u.dim) IS NULL THEN c.cv
+         |         ELSE list(cast(u.sq as double) / u.cnt / ${graft.sim.KMeans.Scale}.0
+         |                   ORDER BY u.dim) END AS cv
+         |  FROM ${p}cent${n - 1} c LEFT JOIN ${p}upd$n u USING (cluster)
+         |  GROUP BY c.cluster, c.cv)""".stripMargin
+    val rounds = (1 to iters).map(n => s"${asg(n, s"${p}cent${n - 1}")},\n${upd(n)}")
+      .mkString(",\n")
+    s"""${p}b AS (
+       |  SELECT vec_id, x, ${dot("x", "x")} AS xx
+       |  FROM (SELECT vec_id,
+       |          list_transform(range($start, ${start + w}),
+       |            i -> cast(embedding[i] as double)) AS x
+       |        FROM embeddings)),
+       |${p}cent0 AS (
+       |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cluster, x AS cv
+       |  FROM (SELECT vec_id, x,
+       |          cast(('0x' || substr(md5(cast(vec_id as varchar)), 1, 15)) as bigint) AS h
+       |        FROM ${p}b ORDER BY h, vec_id LIMIT $k)),
+       |$rounds,
+       |${asg(iters + 1, s"${p}cent$iters")}""".stripMargin
+  }
+
+  /** Product-quantization encoding: each 64-dim embedding compressed
+    * to 4 centroid codes (4 subspaces × 16 dims, k=4 codebooks trained
+    * by 2 deterministic Lloyd rounds each) plus the summed
+    * quantization error — the vector-compression layer of an IVF-PQ
+    * ANN index. The oracle replays all four subspace trainings AND the
+    * encode bit-for-bit, so codebook init, integer-quantized updates,
+    * and tie-breaking are hash-pinned end to end.
+    */
+  def qPqEncode(s: SparkSession, d: String): DataFrame =
+    graft.sim.ProductQuantizer.fitEncode(Tables.embeddings(s, d),
+      "vec_id", "embedding", dims = 64, m = 4, k = 4, iters = 2)
+
+  val qPqEncodeSql: String = {
+    val m = 4
+    val chains = (0 until m)
+      .map(j => pqSubspaceCtes(s"s${j}_", j * 16 + 1, 16, 4, 2))
+      .mkString(",\n")
+    val code = (0 until m).map(j => s"cast(a$j.cluster as varchar)")
+      .mkString(" || '-' || ")
+    val err = (0 until m).map(j => s"greatest(a$j.dist2, 0.0)")
+      .mkString(" + ")
+    val joins = (1 until m).map(j => s"JOIN s${j}_asg3 a$j USING (vec_id)")
+      .mkString(" ")
+    s"""WITH $chains
+       |SELECT a0.vec_id, $code AS code, round($err, 6) AS err
+       |FROM s0_asg3 a0 $joins""".stripMargin
+  }
+
   /** SemDeDup (cluster-then-pairwise semantic dedup): deterministic
     * k-means, then within each cluster drop every vector with a
     * lower-id neighbor at cosine ≥ τ. The full pipeline — three Lloyd
@@ -2223,6 +2305,7 @@ object PipelineQueries {
     ("q_ann_ivf", qAnnIvf _, Some(qAnnIvfSql)),
     ("q_embed_dup", qEmbedDup _, Some(qEmbedDupSql)),
     ("q_kmeans", qKmeans _, Some(qKmeansSql)),
+    ("q_pq_encode", qPqEncode _, Some(qPqEncodeSql)),
     ("q_semdedup", qSemdedup _, Some(qSemdedupSql)),
     ("q_pagerank", qPagerank _, Some(qPagerankSql)),
     ("q_triangles", qTriangles _, Some(qTrianglesSql)),

@@ -59,21 +59,29 @@ object KMeans {
         col(vecCol).cast(ArrayType(DoubleType)).as("x"))
       .withColumn("xx", dot(col("x"), col("x")))
 
-  /** Nearest-centroid assignment: (vec_id, x, cluster, dist2). Pure
-    * narrow expression — an array_min over k literal (dist2, cluster)
-    * structs; struct ordering breaks dist ties to the lower cluster id.
+  /** `(dist2, cluster)` argmin struct of vector expression `x` (with
+    * its self-dot `xx` staged by the caller) over the model's literal
+    * centroids — the narrow codegen'd kernel shared by [[assign]] and
+    * [[ProductQuantizer]]'s per-subspace encoder. Struct ordering
+    * breaks dist ties to the lower cluster id.
     */
-  private def assign(b: DataFrame, m: Model): DataFrame = {
+  private[sim] def bestOf(x: Column, xx: Column, m: Model): Column = {
     val cands = m.centroids.map { case (cl, cv) =>
       struct(
-        (col("xx") - lit(2.0) * dot(col("x"), typedLit(cv)) + lit(selfDot(cv)))
+        (xx - lit(2.0) * dot(x, typedLit(cv)) + lit(selfDot(cv)))
           .as("dist2"),
         lit(cl).as("cluster"))
     }
-    b.withColumn("best", array_min(array(cands: _*)))
+    array_min(array(cands: _*))
+  }
+
+  /** Nearest-centroid assignment: (vec_id, x, cluster, dist2). Pure
+    * narrow expression — see [[bestOf]].
+    */
+  private def assign(b: DataFrame, m: Model): DataFrame =
+    b.withColumn("best", bestOf(col("x"), col("xx"), m))
       .select(col("vec_id"), col("x"),
         col("best.cluster").as("cluster"), col("best.dist2").as("dist2"))
-  }
 
   /** Train k centroids with `iters` Lloyd iterations. Each iteration
     * collects k·dim quantized sums to the driver (bounded model state,
@@ -81,14 +89,27 @@ object KMeans {
     * clusters that attract no rows keep their previous centroid.
     */
   def fit(vectors: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): Model = {
+      k: Int, iters: Int): Model =
+    fitFrom(vectors, idCol, vecCol, k, iters, init0 = None)
+
+  /** [[fit]] with the init draw optionally precomputed by the caller —
+    * [[ProductQuantizer]] draws ONE hash-ordered sample of full
+    * vectors and slices it per subspace, instead of paying the same
+    * corpus sort m times (the draw depends only on ids, so the m
+    * per-subspace draws select identical rows).
+    */
+  private[sim] def fitFrom(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, init0: Option[Seq[(Int, Seq[Double])]]): Model = {
     val b = base(vectors, idCol, vecCol).cache()
     try {
-      val h = graft.text.TextAnalysis.hash60(col("vec_id").cast(StringType))
-      val init = b.orderBy(h.asc, col("vec_id").asc).limit(k)
-        .select(col("x")).collect()
-        .zipWithIndex
-        .map { case (r, i) => (i, r.getSeq[Double](0)) }
+      val init = init0.getOrElse {
+        val h = graft.text.TextAnalysis.hash60(col("vec_id").cast(StringType))
+        b.orderBy(h.asc, col("vec_id").asc).limit(k)
+          .select(col("x")).collect()
+          .zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Double](0)) }
+          .toSeq
+      }
       require(init.nonEmpty, "k-means needs a non-empty vector input")
       var model = Model(init.toIndexedSeq)
       for (_ <- 0 until iters) {

@@ -1,0 +1,112 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Product quantization (PQ) — the vector-compression layer of
+  * IVF-PQ-style ANN indexes: split each d-dim embedding into `m`
+  * equal-width subvectors and quantize each subspace independently to
+  * one of `k` learned centroids, so a vector stores as m small codes
+  * (m·log2 k bits) instead of d floats. At 100 TB of embeddings the
+  * raw vectors don't fit anywhere hot; the PQ codes do, and
+  * asymmetric distance (query vs per-subspace codebooks) ranks
+  * candidates without touching the raw vectors.
+  *
+  * Built on [[KMeans]]'s deterministic Lloyd machinery, so codebooks
+  * and codes are reproducible across runs, partitionings, and engines
+  * (the DuckDB oracle replays training bit-for-bit): per-subspace
+  * init is the same hash-ordered draw, updates are exact quantized
+  * integer sums, assignment ties break to the lower centroid id.
+  *
+  * Scale shape: training runs m independent bounded-state fits
+  * (driver holds m·k·(d/m) doubles — the classic codebook, independent
+  * of N); encoding is ONE narrow projection — every subspace argmin is
+  * an array_min over k literal-centroid structs on a slice of the
+  * vector, no join, no shuffle, whole-stage-codegen friendly.
+  */
+object ProductQuantizer {
+
+  /** Trained per-subspace codebooks; `width` = dims / m. */
+  final case class Model(width: Int, codebooks: Seq[KMeans.Model]) {
+    def m: Int = codebooks.size
+  }
+
+  /** Train m codebooks of k centroids each over `dims`-dim vectors.
+    * `dims` must split into m equal subspaces. Each subspace fit scans
+    * the corpus `iters + 1` times with k·(dims/m)-row shuffles — the
+    * same bounded-iteration contract as [[KMeans.fit]].
+    */
+  def fit(vectors: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, k: Int, iters: Int): Model = {
+    require(m >= 1 && dims % m == 0, "dims must split into m equal subspaces")
+    val w = dims / m
+    // persist the casted frame ACROSS the m subspace fits: each fit
+    // caches its own slice projection, and without this parent cache
+    // every one of those m cache populations rescans the source
+    val x = vectors.select(col(idCol),
+      col(vecCol).cast(ArrayType(DoubleType)).as("__pq_x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ONE init draw of full vectors, sliced per subspace: the
+      // hash-ordered sample depends only on ids, so m separate
+      // per-subspace draws would sort the corpus m times to select
+      // the same rows
+      val h = graft.text.TextAnalysis.hash60(col(idCol).cast(StringType))
+      val init = x.orderBy(h.asc, col(idCol).asc).limit(k)
+        .select(col("__pq_x")).collect()
+        .zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](0)) }
+        .toSeq
+      Model(w, (0 until m).map { j =>
+        KMeans.fitFrom(x.select(col(idCol),
+          slice(col("__pq_x"), j * w + 1, w).as("__pq_sub")),
+          idCol, "__pq_sub", k, iters,
+          init0 = Some(init.map { case (cl, v) =>
+            (cl, v.slice(j * w, j * w + w))
+          }))
+      })
+    } finally x.unpersist()
+  }
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.TextHashes.dot_fold(a, b)
+
+  /** Encode every vector: (idCol, code, err) where `code` is the m
+    * centroid ids joined as "c0-c1-…" (a string, not an array — array
+    * cells don't survive every downstream tabulator) and `err` the
+    * summed per-subspace quantization error (clamped ≥ 0 before the
+    * 6-dp round; near-centroid cancellation can go epsilon-negative).
+    * One narrow projection over the corpus; the model rides as
+    * literals.
+    */
+  def encode(vectors: DataFrame, idCol: String, vecCol: String,
+      model: Model): DataFrame = {
+    val staged = graft.ops.Parallelism.widen(vectors)
+      .select(col(idCol),
+        col(vecCol).cast(ArrayType(DoubleType)).as("__pq_x"))
+      .select((col(idCol) +: model.codebooks.indices.map(j =>
+        slice(col("__pq_x"), j * model.width + 1, model.width)
+          .as(s"__s$j"))): _*)
+    val bested = staged.select((col(idCol) +:
+      model.codebooks.indices.map { j =>
+        val s = col(s"__s$j")
+        KMeans.bestOf(s, dot(s, s), model.codebooks(j)).as(s"__b$j")
+      }): _*)
+    val errSum = model.codebooks.indices
+      .map(j => greatest(col(s"__b$j.dist2"), lit(0.0)))
+      .reduceLeft(_ + _)
+    bested.select(col(idCol),
+      concat_ws("-", model.codebooks.indices.map(j =>
+        col(s"__b$j.cluster")): _*).as("code"),
+      round(errSum, 6).as("err"))
+  }
+
+  /** Train-then-encode convenience with the single-pass output shape
+    * the correctness gate checks.
+    */
+  def fitEncode(vectors: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, k: Int, iters: Int): DataFrame =
+    encode(vectors, idCol, vecCol,
+      fit(vectors, idCol, vecCol, dims, m, k, iters))
+}

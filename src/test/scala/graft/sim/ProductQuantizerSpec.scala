@@ -1,0 +1,55 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProductQuantizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(n: Int, d: Int) =
+    (1L to n.toLong).map(i =>
+      (i, (0 until d).map(j => math.sin(i * 31 + j).abs).toArray))
+      .toDF("vec_id", "embedding")
+
+  test("codes have m parts in [0, k) and err is non-negative") {
+    val out = ProductQuantizer
+      .fitEncode(vecs(40, 8), "vec_id", "embedding",
+        dims = 8, m = 4, k = 3, iters = 2)
+      .as[(Long, String, Double)].collect()
+    assert(out.length == 40)
+    out.foreach { case (_, code, err) =>
+      val parts = code.split("-")
+      assert(parts.length == 4)
+      assert(parts.forall(p => p.toInt >= 0 && p.toInt < 3))
+      assert(err >= 0.0)
+    }
+  }
+
+  test("encoding is deterministic across runs") {
+    def run() = ProductQuantizer
+      .fitEncode(vecs(30, 8), "vec_id", "embedding",
+        dims = 8, m = 2, k = 4, iters = 2)
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(run() == run())
+  }
+
+  test("m = 1 degenerates to plain k-means: same cluster, same error") {
+    val v = vecs(25, 8)
+    val pq = ProductQuantizer
+      .fitEncode(v, "vec_id", "embedding", dims = 8, m = 1, k = 4, iters = 2)
+      .select($"vec_id", $"code", $"err")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    val km = KMeans.fitAssign(v, "vec_id", "embedding", k = 4, iters = 2)
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(pq.map(t => (t._1, t._2)) == km.map(t => (t._1, t._2.toString)))
+    assert(pq.map(_._3) == km.map(_._3))
+  }
+
+  test("with every vector a centroid (k = n, iters = 0), err is ~0") {
+    val v = vecs(6, 4)
+    val out = ProductQuantizer
+      .fitEncode(v, "vec_id", "embedding", dims = 4, m = 2, k = 6, iters = 0)
+      .as[(Long, String, Double)].collect()
+    assert(out.forall(_._3 <= 1e-9))
+  }
+}
