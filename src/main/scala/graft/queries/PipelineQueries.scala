@@ -1671,6 +1671,61 @@ object PipelineQueries {
        |FROM s0_asg3 a0 $joins""".stripMargin
   }
 
+  /** PQ asymmetric-distance top-10 (the query side of IVF-PQ): the
+    * corpus ranked by summed per-subspace lookup-table distances to
+    * the lowest-id embedding. Codebook training, the driver-computed
+    * ADC tables, AND the top-10 ordering all replay exactly in the
+    * oracle — the distance-table arithmetic is the same left-fold
+    * formula in both engines, so even the rank boundary is hash-pinned.
+    */
+  def qPqAdc(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.orderBy(col("vec_id").asc).limit(1)
+      .select(col("embedding").cast(ArrayType(DoubleType)))
+      .collect().head.getSeq[Double](0)
+    val model = graft.sim.ProductQuantizer.fit(emb, "vec_id", "embedding",
+      dims = 64, m = 4, k = 4, iters = 2)
+    graft.sim.ProductQuantizer.adcTopK(emb, "vec_id", "embedding",
+      model, q, n = 10)
+  }
+
+  val qPqAdcSql: String = {
+    val m = 4
+    val chains = (0 until m)
+      .map(j => pqSubspaceCtes(s"s${j}_", j * 16 + 1, 16, 4, 2))
+      .mkString(",\n")
+    // per-subspace ADC table: distance from the query slice to every
+    // trained centroid (cent2 = the post-training codebook)
+    val dTables = (0 until m).map { j =>
+      val sl = s"list_transform(range(${j * 16 + 1}, ${j * 16 + 17}), i -> cast(embedding[i] as double))"
+      s"""d$j AS (
+         |  SELECT c.cluster,
+         |    q.qq - 2 * ${dotSql("q.x", "c.cv")} + ${dotSql("c.cv", "c.cv")} AS dval
+         |  FROM s${j}_cent2 c CROSS JOIN (
+         |    SELECT x, ${dotSql("x", "x")} AS qq
+         |    FROM (SELECT $sl AS x FROM embeddings
+         |          WHERE vec_id = (SELECT min(vec_id) FROM embeddings))) q)""".stripMargin
+    }.mkString(",\n")
+    val code = (0 until m).map(j => s"cast(a$j.cluster as varchar)")
+      .mkString(" || '-' || ")
+    val adist = (0 until m).map(j => s"d$j.dval").mkString(" + ")
+    val joins = (1 until m).map(j => s"JOIN s${j}_asg3 a$j USING (vec_id)")
+      .mkString(" ") + " " +
+      (0 until m).map(j => s"JOIN d$j ON a$j.cluster = d$j.cluster")
+        .mkString(" ")
+    // top-10 cut on the UNROUNDED distance (inner ORDER BY + LIMIT),
+    // mirroring adcTopK; the outer projection only formats — an outer
+    // ORDER BY would bind to the rounded alias and could flip the
+    // rank boundary
+    s"""WITH $chains,
+       |$dTables
+       |SELECT vec_id, code, round(greatest(adist, 0.0), 6) AS adist
+       |FROM (
+       |  SELECT a0.vec_id, $code AS code, $adist AS adist
+       |  FROM s0_asg3 a0 $joins
+       |  ORDER BY adist, vec_id LIMIT 10)""".stripMargin
+  }
+
   /** SemDeDup (cluster-then-pairwise semantic dedup): deterministic
     * k-means, then within each cluster drop every vector with a
     * lower-id neighbor at cosine ≥ τ. The full pipeline — three Lloyd
@@ -2306,6 +2361,7 @@ object PipelineQueries {
     ("q_embed_dup", qEmbedDup _, Some(qEmbedDupSql)),
     ("q_kmeans", qKmeans _, Some(qKmeansSql)),
     ("q_pq_encode", qPqEncode _, Some(qPqEncodeSql)),
+    ("q_pq_adc", qPqAdc _, Some(qPqAdcSql)),
     ("q_semdedup", qSemdedup _, Some(qSemdedupSql)),
     ("q_pagerank", qPagerank _, Some(qPagerankSql)),
     ("q_triangles", qTriangles _, Some(qTrianglesSql)),

@@ -109,4 +109,61 @@ object ProductQuantizer {
       dims: Int, m: Int, k: Int, iters: Int): DataFrame =
     encode(vectors, idCol, vecCol,
       fit(vectors, idCol, vecCol, dims, m, k, iters))
+
+  /** Left-fold dot matching the engines' list_reduce order — the
+    * driver-side twin of [[graft.functions.TextHashes.dot_fold]], used
+    * so the ADC distance tables computed here agree bit-for-bit with
+    * an engine recomputing them.
+    */
+  private def dotFold(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+
+  /** Asymmetric-distance top-n search (the query side of IVF-PQ): rank
+    * the corpus by the PQ approximation of squared-L2 to `query` —
+    * each subspace's distance from the query slice to every centroid
+    * is precomputed driver-side (an m×k table, the classic ADC lookup
+    * table), and a corpus row's score is the sum of its m table
+    * entries. ONE narrow projection (slices → literal-codebook argmin
+    * → literal-table lookup) followed by a TakeOrdered top-n — no
+    * join, no shuffle, no touching raw vector arithmetic per row
+    * beyond the m argmins. Ties break to the lower id. Output:
+    * (idCol, code, adist) for the n nearest.
+    */
+  def adcTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      model: Model, query: Seq[Double], n: Int): DataFrame = {
+    require(query.length == model.m * model.width,
+      "query dims must match the model")
+    val tables: Seq[Seq[Double]] = model.codebooks.zipWithIndex.map {
+      case (cb, j) =>
+        val q = query.slice(j * model.width, (j + 1) * model.width)
+        val qq = q.foldLeft(0.0)((acc, x) => acc + x * x)
+        val byId = cb.centroids.toMap
+        cb.centroids.indices.map { c =>
+          val cv = byId(c)
+          qq - 2.0 * dotFold(q, cv) + cv.foldLeft(0.0)((a, x) => a + x * x)
+        }
+    }
+    val staged = graft.ops.Parallelism.widen(vectors)
+      .select(col(idCol),
+        col(vecCol).cast(ArrayType(DoubleType)).as("__pq_x"))
+      .select((col(idCol) +: model.codebooks.indices.map(j =>
+        slice(col("__pq_x"), j * model.width + 1, model.width)
+          .as(s"__s$j"))): _*)
+    val bested = staged.select((col(idCol) +:
+      model.codebooks.indices.map { j =>
+        val s = col(s"__s$j")
+        KMeans.bestOf(s, dot(s, s), model.codebooks(j)).as(s"__b$j")
+      }): _*)
+    val adist = model.codebooks.indices
+      .map(j => element_at(typedLit(tables(j)), col(s"__b$j.cluster") + 1))
+      .reduceLeft(_ + _)
+    bested.select(col(idCol),
+      concat_ws("-", model.codebooks.indices.map(j =>
+        col(s"__b$j.cluster")): _*).as("code"),
+      adist.as("__adist"))
+      .orderBy(col("__adist").asc, col(idCol).asc)
+      .limit(n)
+      .select(col(idCol), col("code"),
+        round(greatest(col("__adist"), lit(0.0)), 6).as("adist"))
+  }
 }

@@ -52,4 +52,18 @@ class ProductQuantizerSpec extends SparkSpec {
       .as[(Long, String, Double)].collect()
     assert(out.forall(_._3 <= 1e-9))
   }
+
+  test("adcTopK ranks the query's own row first under exact quantization") {
+    val v = vecs(6, 4)
+    val model = ProductQuantizer.fit(v, "vec_id", "embedding",
+      dims = 4, m = 2, k = 6, iters = 0)
+    val q = (0 until 4).map(j => math.sin(3 * 31 + j).abs)
+    val out = ProductQuantizer.adcTopK(v, "vec_id", "embedding", model, q, 3)
+      .as[(Long, String, Double)].collect()
+    assert(out.length == 3)
+    // every vector is its own centroid, so the query's row quantizes
+    // to itself with table distance 0 — the unambiguous top-1
+    assert(out.head._1 == 3L && out.head._3 == 0.0)
+    assert(out.forall(_._3 >= 0.0))
+  }
 }
