@@ -38,7 +38,8 @@ object PlanAudit {
       "q_snapshot_diff", "q_leak_split", "q_group_gate",
       "q_funnel", "q_retention", "q_rolling_range", "q_rollup_sets",
       "q_scd2_lookup", "q_incr_agg", "q_neg_sample", "q_dq_report",
-      "q_outlier_mad")
+      "q_outlier_mad", "q_token_budget", "q_strat_sample",
+      "q_pq_encode", "q_pq_adc")
     val qs = SparkEntry.queries // built (and dup-checked) once
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
