@@ -38,7 +38,13 @@ object Bench {
     // benchmarking; N is reported in the JSON for transparency.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
     var qIdx = 0
-    val results = SparkEntry.queries
+    // iterate in DECLARED inventory order, not SparkEntry.queries' Map
+    // hash order: adding any query to a hash map reshuffles the whole
+    // suite's execution order, which shifts JVM heap/GC state under
+    // every other query and makes round-over-round per-query diffs
+    // noisy for no reason
+    val results = graft.queries.Inventory.entries
+      .map { case (name, fn, _) => name -> fn }
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val times = (1 to runs).map { _ =>
@@ -69,7 +75,7 @@ object Bench {
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""runs_per_query":$runs,"sf":"$sfDir"}"""
     println(json)

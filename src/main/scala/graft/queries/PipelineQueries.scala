@@ -1689,42 +1689,100 @@ object PipelineQueries {
       model, q, n = 10)
   }
 
-  val qPqAdcSql: String = {
-    val m = 4
-    val chains = (0 until m)
-      .map(j => pqSubspaceCtes(s"s${j}_", j * 16 + 1, 16, 4, 2))
-      .mkString(",\n")
-    // per-subspace ADC table: distance from the query slice to every
-    // trained centroid (cent2 = the post-training codebook)
-    val dTables = (0 until m).map { j =>
-      val sl = s"list_transform(range(${j * 16 + 1}, ${j * 16 + 17}), i -> cast(embedding[i] as double))"
-      s"""d$j AS (
-         |  SELECT c.cluster,
-         |    q.qq - 2 * ${dotSql("q.x", "c.cv")} + ${dotSql("c.cv", "c.cv")} AS dval
-         |  FROM s${j}_cent2 c CROSS JOIN (
-         |    SELECT x, ${dotSql("x", "x")} AS qq
-         |    FROM (SELECT $sl AS x FROM embeddings
-         |          WHERE vec_id = (SELECT min(vec_id) FROM embeddings))) q)""".stripMargin
-    }.mkString(",\n")
-    val code = (0 until m).map(j => s"cast(a$j.cluster as varchar)")
-      .mkString(" || '-' || ")
-    val adist = (0 until m).map(j => s"d$j.dval").mkString(" + ")
-    val joins = (1 until m).map(j => s"JOIN s${j}_asg3 a$j USING (vec_id)")
+  /** Shared fragments of the PQ ADC oracles (4 subspaces × 16 dims):
+    * the 4 unrolled subspace-training chains, the per-subspace ADC
+    * distance-table CTEs (query slice vs every cent2 centroid), and
+    * the code/distance/join expressions over the final assignments.
+    */
+  private def pqChains: String = (0 until 4)
+    .map(j => pqSubspaceCtes(s"s${j}_", j * 16 + 1, 16, 4, 2))
+    .mkString(",\n")
+
+  private def pqDTables: String = (0 until 4).map { j =>
+    val sl = s"list_transform(range(${j * 16 + 1}, ${j * 16 + 17}), i -> cast(embedding[i] as double))"
+    s"""d$j AS (
+       |  SELECT c.cluster,
+       |    q.qq - 2 * ${dotSql("q.x", "c.cv")} + ${dotSql("c.cv", "c.cv")} AS dval
+       |  FROM s${j}_cent2 c CROSS JOIN (
+       |    SELECT x, ${dotSql("x", "x")} AS qq
+       |    FROM (SELECT $sl AS x FROM embeddings
+       |          WHERE vec_id = (SELECT min(vec_id) FROM embeddings))) q)""".stripMargin
+  }.mkString(",\n")
+
+  private def pqCodeExpr: String = (0 until 4)
+    .map(j => s"cast(a$j.cluster as varchar)").mkString(" || '-' || ")
+
+  private def pqAdistExpr: String =
+    (0 until 4).map(j => s"d$j.dval").mkString(" + ")
+
+  private def pqJoins: String =
+    (1 until 4).map(j => s"JOIN s${j}_asg3 a$j USING (vec_id)")
       .mkString(" ") + " " +
-      (0 until m).map(j => s"JOIN d$j ON a$j.cluster = d$j.cluster")
+      (0 until 4).map(j => s"JOIN d$j ON a$j.cluster = d$j.cluster")
         .mkString(" ")
+
+  val qPqAdcSql: String =
     // top-10 cut on the UNROUNDED distance (inner ORDER BY + LIMIT),
     // mirroring adcTopK; the outer projection only formats — an outer
     // ORDER BY would bind to the rounded alias and could flip the
     // rank boundary
-    s"""WITH $chains,
-       |$dTables
+    s"""WITH $pqChains,
+       |$pqDTables
        |SELECT vec_id, code, round(greatest(adist, 0.0), 6) AS adist
        |FROM (
-       |  SELECT a0.vec_id, $code AS code, $adist AS adist
-       |  FROM s0_asg3 a0 $joins
+       |  SELECT a0.vec_id, $pqCodeExpr AS code, $pqAdistExpr AS adist
+       |  FROM s0_asg3 a0 $pqJoins
        |  ORDER BY adist, vec_id LIMIT 10)""".stripMargin
+
+  /** IVF-ADC search (the composed IVF-PQ query path): a coarse k=8
+    * k-means partitions the corpus into cells, the query probes its
+    * nprobe=3 nearest cells, and only vectors in those cells are
+    * ADC-ranked — at production scale the cell filter is partition
+    * pruning that skips (1 − nprobe/nlist) of the corpus before any
+    * per-row work. Simplification vs textbook IVF-PQ, documented:
+    * codes quantize the raw vectors, not the cell residuals, so one
+    * global codebook serves every cell (the residual variant would
+    * need per-cell oracle training chains). Coarse training, cell
+    * probing, PQ training, and the rank boundary all replay exactly.
+    */
+  def qPqIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.orderBy(col("vec_id").asc).limit(1)
+      .select(col("embedding").cast(ArrayType(DoubleType)))
+      .collect().head.getSeq[Double](0)
+    val coarse = graft.sim.KMeans.fit(emb, "vec_id", "embedding",
+      k = 8, iters = 3)
+    val model = graft.sim.ProductQuantizer.fit(emb, "vec_id", "embedding",
+      dims = 64, m = 4, k = 4, iters = 2)
+    graft.sim.ProductQuantizer.ivfAdcTopK(emb, "vec_id", "embedding",
+      coarse, model, q, nprobe = 3, n = 10)
   }
+
+  val qPqIvfSql: String =
+    s"""${kmeansCtes(8, 3)},
+       |$pqChains,
+       |$pqDTables,
+       |qv AS (
+       |  SELECT x, ${dotSql("x", "x")} AS qq
+       |  FROM (SELECT list_transform(range(1, 65),
+       |          i -> cast(embedding[i] as double)) AS x
+       |        FROM embeddings
+       |        WHERE vec_id = (SELECT min(vec_id) FROM embeddings))),
+       |probe AS (
+       |  SELECT c.cluster
+       |  FROM cent3 c CROSS JOIN qv q
+       |  ORDER BY q.qq - 2 * ${dotSql("q.x", "c.cv")} + ${dotSql("c.cv", "c.cv")} ASC,
+       |    c.cluster ASC
+       |  LIMIT 3),
+       |cand AS (
+       |  SELECT vec_id FROM asg4
+       |  WHERE cluster IN (SELECT cluster FROM probe))
+       |SELECT vec_id, code, round(greatest(adist, 0.0), 6) AS adist
+       |FROM (
+       |  SELECT a0.vec_id, $pqCodeExpr AS code, $pqAdistExpr AS adist
+       |  FROM s0_asg3 a0 $pqJoins
+       |  WHERE a0.vec_id IN (SELECT vec_id FROM cand)
+       |  ORDER BY adist, vec_id LIMIT 10)""".stripMargin
 
   /** SemDeDup (cluster-then-pairwise semantic dedup): deterministic
     * k-means, then within each cluster drop every vector with a
@@ -2362,6 +2420,7 @@ object PipelineQueries {
     ("q_kmeans", qKmeans _, Some(qKmeansSql)),
     ("q_pq_encode", qPqEncode _, Some(qPqEncodeSql)),
     ("q_pq_adc", qPqAdc _, Some(qPqAdcSql)),
+    ("q_pq_ivf", qPqIvf _, Some(qPqIvfSql)),
     ("q_semdedup", qSemdedup _, Some(qSemdedupSql)),
     ("q_pagerank", qPagerank _, Some(qPagerankSql)),
     ("q_triangles", qTriangles _, Some(qTrianglesSql)),

@@ -166,4 +166,39 @@ object ProductQuantizer {
       .select(col(idCol), col("code"),
         round(greatest(col("__adist"), lit(0.0)), 6).as("adist"))
   }
+
+  private def selfDot(v: Seq[Double]): Double =
+    v.foldLeft(0.0)((acc, x) => acc + x * x)
+
+  /** IVF-ADC search — the composed IVF-PQ query path: assign the
+    * corpus to `coarse` k-means cells (narrow literal argmin), keep
+    * only the query's `nprobe` nearest cells, ADC-rank the survivors.
+    * The cell pick happens driver-side against the bounded coarse
+    * codebook; at production scale, with the corpus laid out
+    * partitioned by cell, the `isin` filter is partition pruning that
+    * skips (1 − nprobe/nlist) of the data before any per-row work.
+    *
+    * Simplification vs textbook IVF-PQ, deliberate: `model` quantizes
+    * RAW vectors, not per-cell residuals, so one global codebook
+    * serves every cell and encode stays a single narrow pass. The
+    * residual variant costs a per-cell codebook train (k_coarse
+    * bounded fits) and subtracting the cell centroid before encode —
+    * same plan shapes, more model state.
+    */
+  def ivfAdcTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      coarse: KMeans.Model, model: Model, query: Seq[Double],
+      nprobe: Int, n: Int): DataFrame = {
+    require(nprobe >= 1, "need at least one probed cell")
+    val qq = selfDot(query)
+    val probed = coarse.centroids
+      .map { case (cl, cv) =>
+        (qq - 2.0 * dotFold(query, cv) + selfDot(cv), cl)
+      }
+      .sortBy { case (dist, cl) => (dist, cl) }
+      .take(nprobe).map(_._2)
+    val cells = KMeans.assignWith(vectors, idCol, vecCol, coarse)
+      .filter(col("cluster").isin(probed: _*))
+      .select(col("vec_id").as(idCol), col("x").as(vecCol))
+    adcTopK(cells, idCol, vecCol, model, query, n)
+  }
 }

@@ -38,6 +38,20 @@ class BudgetFillSpec extends SparkSpec {
     assert(fill(1e9).count() == docs.count())
   }
 
+  test("law: a smaller budget's kept set is a prefix of a larger one's") {
+    val data = (1L to 60L).map(i =>
+      (i, s"g${i % 3}", (i * 7 % 13) + 1, (i * 31 % 97) / 97.0))
+      .toDF("id", "grp", "cost", "score")
+    def kept(b: Double) = BudgetFill.fill(data, Seq("grp"), "cost",
+      Seq($"score".desc, $"id".asc), b)
+      .select($"id").as[Long].collect().toSet
+    val budgets = Seq(0.0, 10.0, 25.0, 60.0, 200.0, 1e6)
+    budgets.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(kept(lo).subsetOf(kept(hi)),
+        s"budget $lo kept rows that budget $hi dropped")
+    }
+  }
+
   test("ordering ties are broken by the explicit tiebreak column") {
     val tied = Seq((1L, "g", 60L, 0.5), (2L, "g", 60L, 0.5))
       .toDF("id", "grp", "cost", "score")

@@ -53,6 +53,34 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(out.forall(_._3 <= 1e-9))
   }
 
+  test("ivfAdcTopK with every cell probed recovers plain ADC top-k") {
+    val v = vecs(40, 8)
+    val coarse = KMeans.fit(v, "vec_id", "embedding", k = 4, iters = 2)
+    val model = ProductQuantizer.fit(v, "vec_id", "embedding",
+      dims = 8, m = 2, k = 3, iters = 2)
+    val q = (0 until 8).map(j => math.sin(5 * 31 + j).abs)
+    val full = ProductQuantizer.adcTopK(v, "vec_id", "embedding", model, q, 10)
+      .as[(Long, String, Double)].collect().toSeq
+    val ivf = ProductQuantizer.ivfAdcTopK(v, "vec_id", "embedding",
+      coarse, model, q, nprobe = 4, n = 10)
+      .as[(Long, String, Double)].collect().toSeq
+    assert(ivf == full) // all cells probed → the filter keeps everything
+  }
+
+  test("ivfAdcTopK results come only from probed cells") {
+    val v = vecs(40, 8)
+    val coarse = KMeans.fit(v, "vec_id", "embedding", k = 4, iters = 2)
+    val model = ProductQuantizer.fit(v, "vec_id", "embedding",
+      dims = 8, m = 2, k = 3, iters = 2)
+    val q = (0 until 8).map(j => math.sin(5 * 31 + j).abs)
+    val hits = ProductQuantizer.ivfAdcTopK(v, "vec_id", "embedding",
+      coarse, model, q, nprobe = 1, n = 40)
+      .as[(Long, String, Double)].collect().map(_._1).toSet
+    val cellOf = KMeans.assignWith(v, "vec_id", "embedding", coarse)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(hits.nonEmpty && hits.map(cellOf).size == 1)
+  }
+
   test("adcTopK ranks the query's own row first under exact quantization") {
     val v = vecs(6, 4)
     val model = ProductQuantizer.fit(v, "vec_id", "embedding",
