@@ -78,12 +78,32 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""runs_per_query":$runs,"sf":"$sfDir"}"""
-    println(json)
-    // also persist the COMPLETE per-query JSON to a file: the driver's
-    // captured stdout tail has truncated long lines in past rounds,
-    // losing per-query timings needed to diff regressions round-over-round.
-    // SUBSET runs default to a different file so a profiling run cannot
-    // silently clobber the committed full-inventory artifact.
+    // The COMPLETE per-query JSON goes to a file; stdout gets a
+    // SIZE-CAPPED line. The harness that captures bench output keeps
+    // only the last 2000 chars of stdout — rounds 4-6 printed a
+    // >2000-char line (the inventory grew past ~90 queries) and the
+    // captured tail lost the line's head, so nothing parsed and the
+    // per-query numbers silently vanished from the round artifacts.
+    // Cap the line at 1800 chars (leaving room for sbt's trailing
+    // "[success]" line inside the same window): emit queries
+    // slowest-first at 4-decimal precision and elide the fast tail
+    // into {elided_n, elided_sec}; "value" stays the FULL total.
+    // SUBSET runs default to a different file so a profiling run
+    // cannot silently clobber the committed full-inventory artifact.
+    def fmt(v: Double): String = f"$v%.4f"
+    val slowestFirst = results.sortBy { case (_, v) => -v }
+    val entries = slowestFirst.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""runs_per_query":$runs,"n_queries":${results.size},""" +
+      s""""sf":"$sfDir","queries":{"""
+    var used = prefix.length + 64 // room for the closing + elided fields
+    var cut = 0
+    while (cut < entries.length && used + entries(cut).length + 1 <= 1800) {
+      used += entries(cut).length + 1; cut += 1
+    }
+    val elidedSec = slowestFirst.drop(cut).map(_._2).sum
+    println(prefix + entries.take(cut).mkString(",") +
+      s"""},"elided_n":${entries.length - cut},"elided_sec":${fmt(elidedSec)}}""")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isDefined) "bench_subset.json" else "bench_full.json")
     try {

@@ -1,0 +1,99 @@
+package graft.dedup
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Prefix-filtering all-pairs similarity join (the AllPairs / PPJoin
+  * family): EXACT set-Jaccard pairs above a threshold, with candidate
+  * generation bounded by the prefix-filtering principle — two sets
+  * with Jaccard ≥ t must share at least one element among each set's
+  * `|s| - ceil(t·|s|) + 1` RAREST elements under a global frequency
+  * ordering. Unlike MinHash LSH ([[Dedup.minhashCandidates]]) this has
+  * NO false negatives: every qualifying pair is emitted, which is the
+  * contract benchmark-decontamination and eval-dedup need (a missed
+  * near-dup there is a leaked eval answer, reference: the staging
+  * dedup's exactness bar, src/nass.mk:30-33).
+  *
+  * Scale shape (why this survives 100 TB where a naive token join
+  * dies): the inverted index is built ONLY over prefix tokens, and the
+  * frequency ordering puts the RAREST tokens in prefixes — so posting
+  * lists are short by construction (a stop word never lands in a
+  * prefix unless a document is almost entirely stop words). Join
+  * stages: one token-count aggregate (map-side partial), one per-doc
+  * sort of a bounded token array, one equi-join of prefix postings
+  * with the length filter `min(len) ≥ ceil(t·max(len))` pruning
+  * mismatched sizes before the pair materializes, then exact
+  * verification by intersecting the two full (already sorted) arrays.
+  * Everything is codegen'd builtins; no UDFs, no cross join, no
+  * global rank window (ordering is by the (count, token) struct
+  * itself, so no single-partition row_number over the vocabulary).
+  *
+  * Tokens are hashed to 60-bit ints ([[TextAnalysis.hash60]] % P) so
+  * the shuffles move longs, not strings, and the DuckDB oracle can
+  * reproduce every value bit-for-bit.
+  */
+object AllPairs {
+
+  /** Exact Jaccard ≥ `threshold` pairs of `idCol` under distinct
+    * hashed whitespace tokens: (id_a, id_b, jaccard) with id_a < id_b,
+    * jaccard rounded to 6 digits.
+    */
+  def pairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0, "need 0 < t < 1")
+    val toks = df
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextAnalysis.tokensHashed(col(textCol))))
+          .as("h"))
+    // global document frequency per token — the prefix ordering key.
+    // Rarest-first ordering is what makes posting lists short; ties
+    // break on the hash value so the order is total and engine-stable.
+    val freq = toks.groupBy(col("h")).agg(count(lit(1)).as("dfc"))
+    // per-doc token array sorted by (df, hash): array_sort on the
+    // struct gives the global ordering without any global rank window
+    val docs = toks.join(freq, Seq("h"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("dfc"), col("h"))))
+        .as("arr"))
+      .select(col("id"),
+        transform(col("arr"), e => e.getField("h")).as("arr"),
+        size(col("arr")).as("len"))
+    val cached = graft.CacheRegistry.register(
+      docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // prefix postings: the first len - ceil(t·len) + 1 (rarest) tokens,
+    // with their 1-based position for the PPJoin positional filter
+    val prefix = cached.select(col("id"), col("len"),
+      posexplode(slice(col("arr"), lit(1),
+        (col("len") - ceil(lit(threshold) * col("len")) + 1)
+          .cast("int"))))
+      .select(col("id"), col("len"), (col("pos") + 1).as("pos"),
+        col("col").as("h"))
+    // candidate pairs under three sound prunes: equi-match on a prefix
+    // token, the length filter, and the PPJoin positional filter —
+    // overlap from the matched positions onward can reach at most
+    // 1 + min(lenA-posA, lenB-posB), which must cover the required
+    // overlap α = ceil(t/(1+t)·(lenA+lenB)) (Jaccard≥t ⟺ overlap≥α);
+    // the FIRST common token of any qualifying pair satisfies all
+    // three, so no qualifying pair is lost before verification.
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          least(col("a.len"), col("b.len")) >=
+            ceil(lit(threshold) * greatest(col("a.len"), col("b.len"))) &&
+          lit(1) + least(col("a.len") - col("a.pos"),
+              col("b.len") - col("b.pos")) >=
+            ceil(lit(threshold / (1 + threshold)) *
+              (col("a.len") + col("b.len"))))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val j = size(array_intersect(col("da.arr"), col("db.arr")))
+      .cast("double") /
+      (col("da.len") + col("db.len") -
+        size(array_intersect(col("da.arr"), col("db.arr"))))
+    cand
+      .join(cached.as("da"), col("id_a") === col("da.id"))
+      .join(cached.as("db"), col("id_b") === col("db.id"))
+      .filter(j >= threshold)
+      .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
+  }
+}

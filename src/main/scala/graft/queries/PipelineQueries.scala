@@ -1255,6 +1255,35 @@ object PipelineQueries {
        |        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
        |        6) >= 0.2""".stripMargin
 
+  /** Exact all-pairs Jaccard ≥ 0.9 over distinct hashed whitespace
+    * tokens via prefix filtering ([[graft.dedup.AllPairs]]) — the
+    * no-false-negative dedup pass (vs q_minhash_pairs' probabilistic
+    * recall). The oracle brute-forces candidates from the full token
+    * postings; the engine's prefix filter must reproduce it exactly.
+    * 0.9 is the production near-dup bar; on this synthetic corpus it
+    * also keeps output quadratics at bay (the generator's shared
+    * vocabulary puts >70% of ALL pairs above jaccard 0.5).
+    */
+  def qAllPairs(s: SparkSession, d: String): DataFrame =
+    graft.dedup.AllPairs.pairs(Tables.documents(s, d), "doc_id", "text",
+      threshold = 0.9)
+
+  val qAllPairsSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  list_distinct(list_transform($toksSql,
+       |    tk -> ${hash60Sql("tk")} % 2147483647)) AS hs FROM documents),
+       |e AS (SELECT doc_id, u.h FROM t, unnest(hs) AS u(h)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |j AS (SELECT id_a, id_b,
+       |    len(list_intersect(ta.hs, tb.hs)) * 1.0 /
+       |      (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs)))
+       |      AS jac
+       |  FROM cand JOIN t ta ON id_a = ta.doc_id
+       |    JOIN t tb ON id_b = tb.doc_id)
+       |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
+       |WHERE jac >= 0.9""".stripMargin
+
   /** Count-min token-frequency estimates for the 20 most frequent
     * tokens (exact counts alongside; est ≥ exact by construction).
     * Deterministic cross-engine like the other sketches.
@@ -2412,6 +2441,7 @@ object PipelineQueries {
     ("q_simhash", qSimhash _, Some(qSimhashSql)),
     ("q_simhash_pairs", qSimhashPairs _, Some(qSimhashPairsSql)),
     ("q_ngram_jaccard", qNgramJaccard _, Some(qNgramJaccardSql)),
+    ("q_allpairs", qAllPairs _, Some(qAllPairsSql)),
     ("q_tfidf_pairs", qTfidfPairs _, Some(qTfidfPairsSql)),
     ("q_ann_topk", qAnnTopK _, Some(qAnnTopKSql)),
     ("q_ann_lsh", qAnnLsh _, Some(qAnnLshSql)),

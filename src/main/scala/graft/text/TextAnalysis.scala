@@ -37,6 +37,13 @@ object TextAnalysis {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
+  /** Whitespace tokens hashed to 60-bit ints mod 2^31-1 — set-dedup
+    * operators ([[graft.dedup.AllPairs]]) shuffle these longs instead
+    * of the token strings. DuckDB mirror: hash60Sql(tok) % 2147483647.
+    */
+  def tokensHashed(text: Column): Column =
+    transform(tokens(text), t => hash60(t) % 2147483647L)
+
   /** Canonical text normalization for fingerprint/dedup: lowercase,
     * collapse whitespace runs, trim.
     */
