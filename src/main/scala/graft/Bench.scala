@@ -29,6 +29,9 @@ object Bench {
       warm.join(warm.selectExpr("k", "v AS v2"), "k").count()
       Tables.region(spark, sfDir).count()
     }
+    // data-shape smoke probe: loud diff if the driver regenerated
+    // testdata with a different layout (see DataProbe scaladoc)
+    DataProbe.check(spark, sfDir)
     // optional comma-separated subset filter for profiling single queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // best-of-N timing (default 2): the first execution of a plan pays

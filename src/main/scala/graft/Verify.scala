@@ -18,6 +18,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // data-shape smoke probe: loud diff if the driver regenerated
+    // testdata with a different layout (see DataProbe scaladoc)
+    DataProbe.check(spark, sfDir)
     // optional comma-separated subset filter (same knob as Bench) so a
     // single query's oracle check doesn't require dumping all 81
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -1625,7 +1625,7 @@ object PipelineQueries {
     * the final assignment CTE is `${p}asg${iters + 1}`.
     */
   private def pqSubspaceCtes(p: String, start: Int, w: Int, k: Int,
-      iters: Int): String = {
+      iters: Int, src: String = "embeddings", vec: String = "embedding"): String = {
     def dot(a: String, b: String) =
       s"""list_reduce(list_prepend(cast(0 as double),
          |      list_transform(range(1, ${w + 1}),
@@ -1661,8 +1661,8 @@ object PipelineQueries {
        |  SELECT vec_id, x, ${dot("x", "x")} AS xx
        |  FROM (SELECT vec_id,
        |          list_transform(range($start, ${start + w}),
-       |            i -> cast(embedding[i] as double)) AS x
-       |        FROM embeddings)),
+       |            i -> cast($vec[i] as double)) AS x
+       |        FROM $src)),
        |${p}cent0 AS (
        |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cluster, x AS cv
        |  FROM (SELECT vec_id, x,
@@ -1812,6 +1812,87 @@ object PipelineQueries {
        |  FROM s0_asg3 a0 $pqJoins
        |  WHERE a0.vec_id IN (SELECT vec_id FROM cand)
        |  ORDER BY adist, vec_id LIMIT 10)""".stripMargin
+
+  /** Residual IVF-ADC search — textbook IVF-PQ (Jégou et al., PAMI
+    * 2011): the PQ codebooks are trained on coarse-cell residuals
+    * r = x − q1(x) instead of raw vectors, and the ADC tables are
+    * built per probed cell from the query's own cell residual. Same
+    * coarse/PQ hyperparameters as `q_pq_ivf`, so the two rankings
+    * differ only by the residual refinement. The oracle replays the
+    * ENTIRE pipeline — coarse training, residual computation, all
+    * four residual-subspace trainings, the per-cell distance tables,
+    * and the rank boundary — bit-for-bit.
+    */
+  def qPqResidual(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.orderBy(col("vec_id").asc).limit(1)
+      .select(col("embedding").cast(ArrayType(DoubleType)))
+      .collect().head.getSeq[Double](0)
+    val coarse = graft.sim.KMeans.fit(emb, "vec_id", "embedding",
+      k = 8, iters = 3)
+    val model = graft.sim.ProductQuantizer.fitResidual(emb, "vec_id",
+      "embedding", coarse, dims = 64, m = 4, k = 4, iters = 2)
+    graft.sim.ProductQuantizer.ivfAdcResidualTopK(emb, "vec_id", "embedding",
+      coarse, model, q, nprobe = 3, n = 10)
+  }
+
+  val qPqResidualSql: String = {
+    // residual-trained subspace chains, sourced from the `res` CTE
+    val rChains = (0 until 4)
+      .map(j => pqSubspaceCtes(s"r${j}_", j * 16 + 1, 16, 4, 2,
+        src = "res", vec = "rx"))
+      .mkString(",\n")
+    // per-probed-cell ADC tables: query's cell residual vs every
+    // residual-codebook centroid
+    val rTables = (0 until 4).map { j =>
+      s"""rd$j AS (
+         |  SELECT s.cell, c.cluster,
+         |    ${dotSql("s.x", "s.x")} - 2 * ${dotSql("s.x", "c.cv")} + ${dotSql("c.cv", "c.cv")} AS dval
+         |  FROM r${j}_cent2 c CROSS JOIN (
+         |    SELECT cell, list_transform(range(${j * 16 + 1}, ${j * 16 + 17}),
+         |      i -> rx[i]) AS x
+         |    FROM qres) s)""".stripMargin
+    }.mkString(",\n")
+    val code = (0 until 4).map(j => s"cast(a$j.cluster as varchar)")
+      .mkString(" || '-' || ")
+    val adist = (0 until 4).map(j => s"rd$j.dval").mkString(" + ")
+    val joins = (1 until 4).map(j => s"JOIN r${j}_asg3 a$j USING (vec_id)")
+      .mkString(" ") + " JOIN res ON a0.vec_id = res.vec_id " +
+      (0 until 4).map(j =>
+        s"JOIN rd$j ON res.cell = rd$j.cell AND a$j.cluster = rd$j.cluster")
+        .mkString(" ")
+    s"""${kmeansCtes(8, 3)},
+       |res AS (
+       |  SELECT a.vec_id,
+       |    list_transform(range(1, 65), i -> cast(a.x[i] as double) - c.cv[i]) AS rx,
+       |    a.cluster AS cell
+       |  FROM asg4 a JOIN cent3 c USING (cluster)),
+       |$rChains,
+       |qv AS (
+       |  SELECT x, ${dotSql("x", "x")} AS qq
+       |  FROM (SELECT list_transform(range(1, 65),
+       |          i -> cast(embedding[i] as double)) AS x
+       |        FROM embeddings
+       |        WHERE vec_id = (SELECT min(vec_id) FROM embeddings))),
+       |probe AS (
+       |  SELECT c.cluster
+       |  FROM cent3 c CROSS JOIN qv q
+       |  ORDER BY q.qq - 2 * ${dotSql("q.x", "c.cv")} + ${dotSql("c.cv", "c.cv")} ASC,
+       |    c.cluster ASC
+       |  LIMIT 3),
+       |qres AS (
+       |  SELECT c.cluster AS cell,
+       |    list_transform(range(1, 65), i -> q.x[i] - c.cv[i]) AS rx
+       |  FROM cent3 c CROSS JOIN qv q
+       |  WHERE c.cluster IN (SELECT cluster FROM probe)),
+       |$rTables
+       |SELECT vec_id, code, round(greatest(adist, 0.0), 6) AS adist
+       |FROM (
+       |  SELECT a0.vec_id, $code AS code, $adist AS adist
+       |  FROM r0_asg3 a0 $joins
+       |  WHERE res.cell IN (SELECT cluster FROM probe)
+       |  ORDER BY adist, vec_id LIMIT 10)""".stripMargin
+  }
 
   /** SemDeDup (cluster-then-pairwise semantic dedup): deterministic
     * k-means, then within each cluster drop every vector with a
@@ -2451,6 +2532,7 @@ object PipelineQueries {
     ("q_pq_encode", qPqEncode _, Some(qPqEncodeSql)),
     ("q_pq_adc", qPqAdc _, Some(qPqAdcSql)),
     ("q_pq_ivf", qPqIvf _, Some(qPqIvfSql)),
+    ("q_pq_residual", qPqResidual _, Some(qPqResidualSql)),
     ("q_semdedup", qSemdedup _, Some(qSemdedupSql)),
     ("q_pagerank", qPagerank _, Some(qPagerankSql)),
     ("q_triangles", qTriangles _, Some(qTrianglesSql)),

@@ -189,16 +189,119 @@ object ProductQuantizer {
       coarse: KMeans.Model, model: Model, query: Seq[Double],
       nprobe: Int, n: Int): DataFrame = {
     require(nprobe >= 1, "need at least one probed cell")
+    val probed = probeCells(coarse, query, nprobe)
+    val cells = KMeans.assignWith(vectors, idCol, vecCol, coarse)
+      .filter(col("cluster").isin(probed: _*))
+      .select(col("vec_id").as(idCol), col("x").as(vecCol))
+    adcTopK(cells, idCol, vecCol, model, query, n)
+  }
+
+  /** The query's `nprobe` nearest coarse cells, driver-side against the
+    * bounded codebook — distance formula and tie-break match the
+    * engines' assignment kernel exactly.
+    */
+  private def probeCells(coarse: KMeans.Model, query: Seq[Double],
+      nprobe: Int): Seq[Int] = {
     val qq = selfDot(query)
-    val probed = coarse.centroids
+    coarse.centroids
       .map { case (cl, cv) =>
         (qq - 2.0 * dotFold(query, cv) + selfDot(cv), cl)
       }
       .sortBy { case (dist, cl) => (dist, cl) }
       .take(nprobe).map(_._2)
-    val cells = KMeans.assignWith(vectors, idCol, vecCol, coarse)
-      .filter(col("cluster").isin(probed: _*))
-      .select(col("vec_id").as(idCol), col("x").as(vecCol))
-    adcTopK(cells, idCol, vecCol, model, query, n)
+  }
+
+  /** Residual frame: (idCol, vecCol, __cell) where vecCol holds
+    * x − centroid(cell(x)). One narrow stage — the assignment argmin
+    * and the zip_with subtraction are both literal-centroid
+    * expressions, no join. The subtraction is bit-exact across engines
+    * (float operands promote to double exactly), so residual-trained
+    * codebooks replay in the oracle like raw-vector ones.
+    */
+  def residuals(vectors: DataFrame, idCol: String, vecCol: String,
+      coarse: KMeans.Model): DataFrame = {
+    val cents = typedLit(coarse.centroids.sortBy(_._1).map(_._2))
+    KMeans.assignWith(vectors, idCol, vecCol, coarse)
+      .select(col("vec_id").as(idCol),
+        zip_with(col("x"), element_at(cents, col("cluster") + 1),
+          (a, b) => a - b).as(vecCol),
+        col("cluster").as("__cell"))
+  }
+
+  /** Train the PQ codebooks on coarse-cell RESIDUALS r = x − q1(x) —
+    * textbook IVF-ADC (Jégou, Douze, Schmid, "Product Quantization for
+    * Nearest Neighbor Search", PAMI 2011): residuals concentrate the
+    * energy the codes must span from the corpus-wide spread down to
+    * within-cell offsets, so the same m·log2(k) bits buy finer
+    * resolution than quantizing raw vectors.
+    *
+    * ONE codebook shared by every cell, as in the paper — the per-cell
+    * ("local codebook") variant multiplies driver model state by nlist,
+    * which is ≈√N at production scale (untenable: 100 TB of embeddings
+    * → nlist ~10⁵ → 10⁵·m·k·width doubles), for a marginal recall gain.
+    * The cell identity still enters the distance: the ADC tables are
+    * built per probed cell from the QUERY's cell residual.
+    */
+  def fitResidual(vectors: DataFrame, idCol: String, vecCol: String,
+      coarse: KMeans.Model, dims: Int, m: Int, k: Int, iters: Int): Model =
+    fit(residuals(vectors, idCol, vecCol, coarse).select(col(idCol), col(vecCol)),
+      idCol, vecCol, dims, m, k, iters)
+
+  /** Residual IVF-ADC search: probe the query's `nprobe` nearest
+    * coarse cells, encode each surviving row's RESIDUAL with the
+    * shared residual codebook, and rank by per-cell ADC tables built
+    * from the query's own cell residual (q − c_cell) — so both sides
+    * of the asymmetric distance live in the same residual space.
+    * Driver state: nprobe·m·k lookup doubles (vs m·k for the raw
+    * variant); the corpus side stays ONE narrow pass — cell filter
+    * (partition pruning at scale), zip_with subtract, m literal-
+    * codebook argmins, a two-level literal map lookup — then
+    * TakeOrdered. Output: (idCol, code, adist), same shape as
+    * [[ivfAdcTopK]].
+    */
+  def ivfAdcResidualTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      coarse: KMeans.Model, model: Model, query: Seq[Double],
+      nprobe: Int, n: Int): DataFrame = {
+    require(nprobe >= 1, "need at least one probed cell")
+    require(query.length == model.m * model.width,
+      "query dims must match the model")
+    val probed = probeCells(coarse, query, nprobe)
+    val byCell = coarse.centroids.toMap
+    // per-probed-cell ADC tables over the QUERY's cell residual
+    val tables: Map[Int, Seq[Seq[Double]]] = probed.map { cell =>
+      val qr = query.zip(byCell(cell)).map { case (a, b) => a - b }
+      cell -> model.codebooks.zipWithIndex.map { case (cb, j) =>
+        val qs = qr.slice(j * model.width, (j + 1) * model.width)
+        val qq = dotFold(qs, qs)
+        val byId = cb.centroids.toMap
+        cb.centroids.indices.map { c =>
+          val cv = byId(c)
+          qq - 2.0 * dotFold(qs, cv) + dotFold(cv, cv)
+        }
+      }
+    }.toMap
+    val res = residuals(vectors, idCol, vecCol, coarse)
+      .filter(col("__cell").isin(probed: _*))
+    val staged = res.select((col(idCol) +: col("__cell") +:
+      model.codebooks.indices.map(j =>
+        slice(col(vecCol), j * model.width + 1, model.width)
+          .as(s"__s$j"))): _*)
+    val bested = staged.select((col(idCol) +: col("__cell") +:
+      model.codebooks.indices.map { j =>
+        val s = col(s"__s$j")
+        KMeans.bestOf(s, dot(s, s), model.codebooks(j)).as(s"__b$j")
+      }): _*)
+    val adist = model.codebooks.indices.map { j =>
+      val tbl = typedLit(tables.map { case (cell, t) => cell -> t(j) })
+      element_at(element_at(tbl, col("__cell")), col(s"__b$j.cluster") + 1)
+    }.reduceLeft(_ + _)
+    bested.select(col(idCol),
+      concat_ws("-", model.codebooks.indices.map(j =>
+        col(s"__b$j.cluster")): _*).as("code"),
+      adist.as("__adist"))
+      .orderBy(col("__adist").asc, col(idCol).asc)
+      .limit(n)
+      .select(col(idCol), col("code"),
+        round(greatest(col("__adist"), lit(0.0)), 6).as("adist"))
   }
 }

@@ -81,6 +81,102 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(hits.nonEmpty && hits.map(cellOf).size == 1)
   }
 
+  /** Clustered fixture for the residual tests: `cPerCluster` points
+    * around each of four well-separated centers in R^8, offsets
+    * deterministic and small relative to the center spread. This is
+    * the regime residual PQ exists for — raw-vector codebooks must
+    * span the corpus-wide spread, residual codebooks only the
+    * within-cell offsets.
+    */
+  private def clustered(cPerCluster: Int) = {
+    val centers = Seq(
+      (0 until 8).map(j => if (j < 4) 10.0 else 0.0),
+      (0 until 8).map(j => if (j >= 4) 10.0 else 0.0),
+      (0 until 8).map(j => if (j % 2 == 0) -10.0 else 0.0),
+      (0 until 8).map(j => if (j % 2 == 1) -10.0 else 0.0))
+    val rows = for {
+      c <- centers.indices
+      i <- 0 until cPerCluster
+    } yield {
+      val id = (c * cPerCluster + i + 1).toLong
+      (id, (0 until 8).map(j =>
+        centers(c)(j) + 0.7 * math.sin(id * 13 + j * 7)).toArray)
+    }
+    (rows.toDF("vec_id", "embedding"), rows)
+  }
+
+  test("residuals subtract the assigned cell centroid exactly") {
+    val (v, rows) = clustered(10)
+    val coarse = KMeans.fit(v, "vec_id", "embedding", k = 4, iters = 3)
+    val cellOf = KMeans.assignWith(v, "vec_id", "embedding", coarse)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    val cents = coarse.centroids.toMap
+    val res = ProductQuantizer.residuals(v, "vec_id", "embedding", coarse)
+      .select($"vec_id", $"embedding", $"__cell")
+      .as[(Long, Seq[Double], Int)].collect()
+    assert(res.length == rows.length)
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    res.foreach { case (id, rx, cell) =>
+      assert(cell == cellOf(id))
+      val expected = byId(id).toSeq.zip(cents(cell)).map { case (a, b) => a - b }
+      // float x promotes to double exactly; centroid arithmetic is the
+      // engines' shared quantized path — equality must be bit-exact
+      assert(rx == expected, s"residual mismatch for vec $id")
+    }
+  }
+
+  test("residual IVF-ADC recall beats or matches the raw-vector variant " +
+      "on a planted-cluster fixture") {
+    val (v, rows) = clustered(15)
+    val coarse = KMeans.fit(v, "vec_id", "embedding", k = 4, iters = 3)
+    val raw = ProductQuantizer.fit(v, "vec_id", "embedding",
+      dims = 8, m = 4, k = 4, iters = 2)
+    val resModel = ProductQuantizer.fitResidual(v, "vec_id", "embedding",
+      coarse, dims = 8, m = 4, k = 4, iters = 2)
+    // three probe queries, each a perturbed corpus point (the planted
+    // neighborhood is its cluster); recall@10 vs exact L2 ground truth
+    val byId = rows.map(r => r._1 -> r._2.toSeq).toMap
+    val recalls = Seq(3L, 22L, 41L).map { pid =>
+      val q = byId(pid).zipWithIndex.map { case (x, j) =>
+        x + 0.05 * math.cos(pid * 3 + j)
+      }
+      val truth = rows.map { case (id, x) =>
+        val d = x.toSeq.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+        (d, id)
+      }.sorted.take(10).map(_._2).toSet
+      def recallOf(hits: Seq[Long]) = hits.count(truth).toDouble / truth.size
+      val rawHits = ProductQuantizer.ivfAdcTopK(v, "vec_id", "embedding",
+        coarse, raw, q, nprobe = 2, n = 10)
+        .as[(Long, String, Double)].collect().map(_._1).toSeq
+      val resHits = ProductQuantizer.ivfAdcResidualTopK(v, "vec_id",
+        "embedding", coarse, resModel, q, nprobe = 2, n = 10)
+        .as[(Long, String, Double)].collect().map(_._1).toSeq
+      (recallOf(rawHits), recallOf(resHits))
+    }
+    val rawAvg = recalls.map(_._1).sum / recalls.size
+    val resAvg = recalls.map(_._2).sum / recalls.size
+    info(f"recall@10 raw=$rawAvg%.3f residual=$resAvg%.3f")
+    assert(resAvg >= rawAvg,
+      f"residual recall $resAvg%.3f below raw $rawAvg%.3f")
+    assert(resAvg >= 0.7, f"residual recall $resAvg%.3f below floor")
+  }
+
+  test("residual search is deterministic and emits the adcTopK shape") {
+    val (v, _) = clustered(8)
+    val coarse = KMeans.fit(v, "vec_id", "embedding", k = 4, iters = 2)
+    val model = ProductQuantizer.fitResidual(v, "vec_id", "embedding",
+      coarse, dims = 8, m = 2, k = 3, iters = 2)
+    val q = (0 until 8).map(j => 10.0 * math.sin(j))
+    def run() = ProductQuantizer.ivfAdcResidualTopK(v, "vec_id", "embedding",
+      coarse, model, q, nprobe = 2, n = 5)
+      .as[(Long, String, Double)].collect().toSeq
+    val out = run()
+    assert(out == run())
+    assert(out.nonEmpty && out.forall { case (_, code, adist) =>
+      code.split("-").length == 2 && adist >= 0.0
+    })
+  }
+
   test("adcTopK ranks the query's own row first under exact quantization") {
     val v = vecs(6, 4)
     val model = ProductQuantizer.fit(v, "vec_id", "embedding",
