@@ -54,9 +54,10 @@ object Triangles {
     // NOT persisted although consumed three times (both wedge sides +
     // the closure probe): the three consumers sit downstream of the
     // same Exchanges, so ReusedExchange already shares the shuffle
-    // files — an A/B at sf0.1 showed a MEMORY_AND_DISK cache of this
-    // frame 25% SLOWER than the reuse (cache write + columnar encode
-    // cost, zero recompute saved)
+    // files. A/B'd twice at sf0.1 — 25% slower with a MEMORY_AND_DISK
+    // cache on the round-6 files, parity (±1%) on the regenerated
+    // single-row-group round-8 files — so the cache never wins and
+    // costs suite-wide memory pressure.
     val oriented = withOrd.select(
       when(uFirst, col("u")).otherwise(col("v")).as("a"),
       when(uFirst, col("v")).otherwise(col("u")).as("b"),
