@@ -1565,7 +1565,14 @@ object PipelineQueries {
     * final (vec_id, x, cluster, dist2) assignment. Callers append
     * either a bare `SELECT` or further `,`-separated CTEs.
     */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  /** `trainWhere`: optional vec_id predicate restricting the TRAINING
+    * rows (init draw + every Lloyd round) to a deterministic
+    * hash-sample, while the final assignment CTE still covers the full
+    * corpus — the bounded-sample training contract quantizer training
+    * uses at scale (see the q_pq_* scaladocs).
+    */
+  private def kmeansCtes(k: Int, iters: Int,
+      trainWhere: Option[String] = None): String = {
     // left-fold dot of two 64-dim lists, matching graft.functions.DotFold
     def dot(a: String, b: String) =
       s"""list_reduce(list_prepend(cast(0 as double),
@@ -1575,7 +1582,8 @@ object PipelineQueries {
     // one Lloyd round: nearest-centroid assignment (ties to the lower
     // cluster id), then per-(cluster, dim) exact integer mean update;
     // clusters that attract no rows keep their previous centroid
-    def asg(n: Int, cent: String) =
+    val tBase = if (trainWhere.isDefined) "tb" else "b"
+    def asg(n: Int, cent: String, base: String) =
       s"""asg$n AS (
          |  SELECT vec_id, x, cluster, dist2 FROM (
          |    SELECT vec_id, x, cluster, dist2,
@@ -1583,7 +1591,7 @@ object PipelineQueries {
          |        ORDER BY dist2 ASC, cluster ASC) AS r
          |    FROM (SELECT b.vec_id, b.x, c.cluster,
          |            b.xx - 2 * ${dot("b.x", "c.cv")} + ${dot("c.cv", "c.cv")} AS dist2
-         |          FROM b CROSS JOIN $cent c))
+         |          FROM $base b CROSS JOIN $cent c))
          |  WHERE r = 1)""".stripMargin
     def upd(n: Int) =
       s"""upd$n AS (
@@ -1599,18 +1607,20 @@ object PipelineQueries {
          |                   ORDER BY u.dim) END AS cv
          |  FROM cent${n - 1} c LEFT JOIN upd$n u USING (cluster)
          |  GROUP BY c.cluster, c.cv)""".stripMargin
-    val rounds = (1 to iters).map(n => s"${asg(n, s"cent${n - 1}")},\n${upd(n)}")
+    val rounds = (1 to iters).map(n => s"${asg(n, s"cent${n - 1}", tBase)},\n${upd(n)}")
       .mkString(",\n")
+    val tb = trainWhere
+      .map(w => s"\ntb AS (SELECT * FROM b WHERE $w),").getOrElse("")
     s"""WITH b AS (
        |  SELECT vec_id, embedding AS x, ${dot("embedding", "embedding")} AS xx
-       |  FROM embeddings),
+       |  FROM embeddings),$tb
        |cent0 AS (
        |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cluster, x AS cv
        |  FROM (SELECT vec_id, x,
        |          cast(('0x' || substr(md5(cast(vec_id as varchar)), 1, 15)) as bigint) AS h
-       |        FROM b ORDER BY h, vec_id LIMIT $k)),
+       |        FROM $tBase ORDER BY h, vec_id LIMIT $k)),
        |$rounds,
-       |${asg(iters + 1, s"cent$iters")}""".stripMargin
+       |${asg(iters + 1, s"cent$iters", "b")}""".stripMargin
   }
 
   val qKmeansSql: String =
@@ -1625,13 +1635,15 @@ object PipelineQueries {
     * the final assignment CTE is `${p}asg${iters + 1}`.
     */
   private def pqSubspaceCtes(p: String, start: Int, w: Int, k: Int,
-      iters: Int, src: String = "embeddings", vec: String = "embedding"): String = {
+      iters: Int, src: String = "embeddings", vec: String = "embedding",
+      trainWhere: Option[String] = None): String = {
     def dot(a: String, b: String) =
       s"""list_reduce(list_prepend(cast(0 as double),
          |      list_transform(range(1, ${w + 1}),
          |        i -> cast($a[i] as double) * cast($b[i] as double))),
          |      (acc, v) -> acc + v)""".stripMargin
-    def asg(n: Int, cent: String) =
+    val tBase = if (trainWhere.isDefined) s"${p}tb" else s"${p}b"
+    def asg(n: Int, cent: String, base: String) =
       s"""${p}asg$n AS (
          |  SELECT vec_id, x, cluster, dist2 FROM (
          |    SELECT vec_id, x, cluster, dist2,
@@ -1639,7 +1651,7 @@ object PipelineQueries {
          |        ORDER BY dist2 ASC, cluster ASC) AS r
          |    FROM (SELECT b.vec_id, b.x, c.cluster,
          |            b.xx - 2 * ${dot("b.x", "c.cv")} + ${dot("c.cv", "c.cv")} AS dist2
-         |          FROM ${p}b b CROSS JOIN $cent c))
+         |          FROM $base b CROSS JOIN $cent c))
          |  WHERE r = 1)""".stripMargin
     def upd(n: Int) =
       s"""${p}upd$n AS (
@@ -1655,39 +1667,65 @@ object PipelineQueries {
          |                   ORDER BY u.dim) END AS cv
          |  FROM ${p}cent${n - 1} c LEFT JOIN ${p}upd$n u USING (cluster)
          |  GROUP BY c.cluster, c.cv)""".stripMargin
-    val rounds = (1 to iters).map(n => s"${asg(n, s"${p}cent${n - 1}")},\n${upd(n)}")
+    val rounds = (1 to iters)
+      .map(n => s"${asg(n, s"${p}cent${n - 1}", tBase)},\n${upd(n)}")
       .mkString(",\n")
+    val tb = trainWhere
+      .map(w => s"\n${p}tb AS (SELECT * FROM ${p}b WHERE $w),").getOrElse("")
     s"""${p}b AS (
        |  SELECT vec_id, x, ${dot("x", "x")} AS xx
        |  FROM (SELECT vec_id,
        |          list_transform(range($start, ${start + w}),
        |            i -> cast($vec[i] as double)) AS x
-       |        FROM $src)),
+       |        FROM $src)),$tb
        |${p}cent0 AS (
        |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cluster, x AS cv
        |  FROM (SELECT vec_id, x,
        |          cast(('0x' || substr(md5(cast(vec_id as varchar)), 1, 15)) as bigint) AS h
-       |        FROM ${p}b ORDER BY h, vec_id LIMIT $k)),
+       |        FROM $tBase ORDER BY h, vec_id LIMIT $k)),
        |$rounds,
-       |${asg(iters + 1, s"${p}cent$iters")}""".stripMargin
+       |${asg(iters + 1, s"${p}cent$iters", s"${p}b")}""".stripMargin
   }
+
+  /** Deterministic 1-in-4 hash-sample of embedding rows, used as the
+    * TRAINING set by every quantizer query (coarse k-means and PQ
+    * codebooks) while encode/search always cover the full corpus.
+    * This is the contract quantizer training has at scale: Lloyd
+    * iterations over 100 TB of embeddings per index build is the wrong
+    * shape — production systems fit codebooks on a bounded sample and
+    * only ASSIGN the full corpus (one narrow literal-centroid pass
+    * here). The sample is the same subset-invariant hash-coordinate
+    * draw as [[graft.ops.Sampling]], so it replays in the oracle.
+    */
+  private val pqTrainWhereSql: String =
+    s"${graft.ops.Sampling.hash60Sql("cast(vec_id as varchar)")} % 4 < 1"
+
+  private def pqTrainSample(df: DataFrame): DataFrame =
+    df.filter(
+      graft.text.TextAnalysis.hash60(col("vec_id").cast(StringType)) % 4 < 1)
 
   /** Product-quantization encoding: each 64-dim embedding compressed
     * to 4 centroid codes (4 subspaces × 16 dims, k=4 codebooks trained
     * by 2 deterministic Lloyd rounds each) plus the summed
     * quantization error — the vector-compression layer of an IVF-PQ
-    * ANN index. The oracle replays all four subspace trainings AND the
-    * encode bit-for-bit, so codebook init, integer-quantized updates,
-    * and tie-breaking are hash-pinned end to end.
+    * ANN index. Codebooks train on the deterministic 1-in-4 sample
+    * ([[pqTrainWhereSql]]); the encode covers every row. The oracle
+    * replays all four subspace trainings AND the encode bit-for-bit,
+    * so codebook init, integer-quantized updates, and tie-breaking are
+    * hash-pinned end to end.
     */
-  def qPqEncode(s: SparkSession, d: String): DataFrame =
-    graft.sim.ProductQuantizer.fitEncode(Tables.embeddings(s, d),
+  def qPqEncode(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val model = graft.sim.ProductQuantizer.fit(pqTrainSample(emb),
       "vec_id", "embedding", dims = 64, m = 4, k = 4, iters = 2)
+    graft.sim.ProductQuantizer.encode(emb, "vec_id", "embedding", model)
+  }
 
   val qPqEncodeSql: String = {
     val m = 4
     val chains = (0 until m)
-      .map(j => pqSubspaceCtes(s"s${j}_", j * 16 + 1, 16, 4, 2))
+      .map(j => pqSubspaceCtes(s"s${j}_", j * 16 + 1, 16, 4, 2,
+        trainWhere = Some(pqTrainWhereSql)))
       .mkString(",\n")
     val code = (0 until m).map(j => s"cast(a$j.cluster as varchar)")
       .mkString(" || '-' || ")
@@ -1712,8 +1750,8 @@ object PipelineQueries {
     val q = emb.orderBy(col("vec_id").asc).limit(1)
       .select(col("embedding").cast(ArrayType(DoubleType)))
       .collect().head.getSeq[Double](0)
-    val model = graft.sim.ProductQuantizer.fit(emb, "vec_id", "embedding",
-      dims = 64, m = 4, k = 4, iters = 2)
+    val model = graft.sim.ProductQuantizer.fit(pqTrainSample(emb),
+      "vec_id", "embedding", dims = 64, m = 4, k = 4, iters = 2)
     graft.sim.ProductQuantizer.adcTopK(emb, "vec_id", "embedding",
       model, q, n = 10)
   }
@@ -1724,7 +1762,8 @@ object PipelineQueries {
     * the code/distance/join expressions over the final assignments.
     */
   private def pqChains: String = (0 until 4)
-    .map(j => pqSubspaceCtes(s"s${j}_", j * 16 + 1, 16, 4, 2))
+    .map(j => pqSubspaceCtes(s"s${j}_", j * 16 + 1, 16, 4, 2,
+      trainWhere = Some(pqTrainWhereSql)))
     .mkString(",\n")
 
   private def pqDTables: String = (0 until 4).map { j =>
@@ -1779,16 +1818,16 @@ object PipelineQueries {
     val q = emb.orderBy(col("vec_id").asc).limit(1)
       .select(col("embedding").cast(ArrayType(DoubleType)))
       .collect().head.getSeq[Double](0)
-    val coarse = graft.sim.KMeans.fit(emb, "vec_id", "embedding",
-      k = 8, iters = 3)
-    val model = graft.sim.ProductQuantizer.fit(emb, "vec_id", "embedding",
-      dims = 64, m = 4, k = 4, iters = 2)
+    val coarse = graft.sim.KMeans.fit(pqTrainSample(emb), "vec_id",
+      "embedding", k = 8, iters = 3)
+    val model = graft.sim.ProductQuantizer.fit(pqTrainSample(emb),
+      "vec_id", "embedding", dims = 64, m = 4, k = 4, iters = 2)
     graft.sim.ProductQuantizer.ivfAdcTopK(emb, "vec_id", "embedding",
       coarse, model, q, nprobe = 3, n = 10)
   }
 
   val qPqIvfSql: String =
-    s"""${kmeansCtes(8, 3)},
+    s"""${kmeansCtes(8, 3, Some(pqTrainWhereSql))},
        |$pqChains,
        |$pqDTables,
        |qv AS (
@@ -1828,10 +1867,10 @@ object PipelineQueries {
     val q = emb.orderBy(col("vec_id").asc).limit(1)
       .select(col("embedding").cast(ArrayType(DoubleType)))
       .collect().head.getSeq[Double](0)
-    val coarse = graft.sim.KMeans.fit(emb, "vec_id", "embedding",
-      k = 8, iters = 3)
-    val model = graft.sim.ProductQuantizer.fitResidual(emb, "vec_id",
-      "embedding", coarse, dims = 64, m = 4, k = 4, iters = 2)
+    val coarse = graft.sim.KMeans.fit(pqTrainSample(emb), "vec_id",
+      "embedding", k = 8, iters = 3)
+    val model = graft.sim.ProductQuantizer.fitResidual(pqTrainSample(emb),
+      "vec_id", "embedding", coarse, dims = 64, m = 4, k = 4, iters = 2)
     graft.sim.ProductQuantizer.ivfAdcResidualTopK(emb, "vec_id", "embedding",
       coarse, model, q, nprobe = 3, n = 10)
   }
@@ -1840,7 +1879,7 @@ object PipelineQueries {
     // residual-trained subspace chains, sourced from the `res` CTE
     val rChains = (0 until 4)
       .map(j => pqSubspaceCtes(s"r${j}_", j * 16 + 1, 16, 4, 2,
-        src = "res", vec = "rx"))
+        src = "res", vec = "rx", trainWhere = Some(pqTrainWhereSql)))
       .mkString(",\n")
     // per-probed-cell ADC tables: query's cell residual vs every
     // residual-codebook centroid
@@ -1861,7 +1900,7 @@ object PipelineQueries {
       (0 until 4).map(j =>
         s"JOIN rd$j ON res.cell = rd$j.cell AND a$j.cluster = rd$j.cluster")
         .mkString(" ")
-    s"""${kmeansCtes(8, 3)},
+    s"""${kmeansCtes(8, 3, Some(pqTrainWhereSql))},
        |res AS (
        |  SELECT a.vec_id,
        |    list_transform(range(1, 65), i -> cast(a.x[i] as double) - c.cv[i]) AS rx,
