@@ -551,6 +551,61 @@ object Dedup {
           .otherwise(0.0), 6).as("dup_frac"))
   }
 
+  /** Duplicated-span SCRUB — the rewrite complement of [[spanProfile]]:
+    * remove every token covered by a w-token span that occurs in at
+    * least `minDocs` documents (boilerplate removal à la C4/RefinedWeb
+    * line-dedup, over spans since the corpus carries no line
+    * structure), and reconstruct the cleaned text from the surviving
+    * tokens in order. Output: (idCol, text_clean, n_kept, n_dropped).
+    *
+    * Span document-frequency uses the same per-doc-distinct definition
+    * as [[spanProfile]], so the two operators agree on what counts as
+    * duplicated. Scale shape: positional w-gram hashes are a narrow
+    * projection; document frequency is one partial-aggregated shuffle
+    * on the hash; covered positions fan out ≤ w rows per duplicated
+    * span occurrence; the rebuild is one groupBy(id) with an in-group
+    * sort — nothing quadratic, no driver-side data. Documents whose
+    * every token is covered survive with empty text (left join back).
+    */
+  def scrubDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 6, minDocs: Int = 2): DataFrame = {
+    import graft.text.TextAnalysis
+    val base = graft.CacheRegistry.register(
+      graft.ops.Parallelism.widen(df)
+        .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // positional span hashes: entry at 0-based pos i covers toks[i, i+w)
+    val gramArr = when(size(col("toks")) >= w,
+      transform(sequence(lit(0), size(col("toks")) - w),
+        i => TextAnalysis.hash60(
+          concat_ws(" ", slice(col("toks"), i + 1, lit(w)))) % P))
+      .otherwise(array().cast(ArrayType(LongType)))
+    val spans = base.select(col("id"), posexplode(gramArr).as(Seq("pos", "h")))
+    val dup = spans.select(col("id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    val covered = spans.join(dup, Seq("h"))
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + (w - 1))).as("p"))
+      .distinct()
+    val kept = base
+      .select(col("id"), posexplode(col("toks")).as(Seq("p", "tok")))
+      .join(covered, Seq("id", "p"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            s => s.getField("tok")),
+          " ").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    base.select(col("id"), size(col("toks")).cast(LongType).as("__n"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** n-gram Jaccard near-dup pairs within blocking buckets (never a
     * global cross join — the blocking key bounds pair count at scale).
     */

@@ -730,6 +730,44 @@ object PipelineQueries {
        |FROM g""".stripMargin
   }
 
+  /** Duplicated-span scrub (w=6 spans in ≥2 docs removed, text
+    * reconstructed from surviving tokens) — the rewrite complement of
+    * `q_span_dedup`'s analysis. The oracle replays tokenization, span
+    * hashing, the document-frequency gate, position coverage, and the
+    * ordered text rebuild exactly.
+    */
+  def qSpanScrub(s: SparkSession, d: String): DataFrame =
+    Dedup.scrubDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
+      w = 6, minDocs = 2)
+
+  val qSpanScrubSql: String = {
+    val gram = hash60Sql((0 until 6).map(o => s"toks[i+$o]").mkString(" || ' ' || "))
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |        list_transform(range(1, greatest(len(toks) - 5, 0) + 1),
+       |          i -> $gram % ${Dedup.P}) AS hs
+       |      FROM t),
+       |ps AS (SELECT doc_id, s.i AS pos, s.h AS h
+       |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(hs) + 1),
+       |               i -> {'i': i, 'h': hs[i]})) AS s FROM g)),
+       |f AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM ps)
+       |      GROUP BY h HAVING count(*) >= 2),
+       |cov AS (SELECT DISTINCT ps.doc_id, ps.pos + o.k AS p
+       |        FROM ps JOIN f USING (h), unnest(range(0, 6)) AS o(k)),
+       |tp AS (SELECT doc_id, s.p AS p, s.tok AS tok
+       |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+       |               i -> {'p': i, 'tok': toks[i]})) AS s FROM t)),
+       |kept AS (SELECT tp.doc_id, tp.p, tp.tok
+       |         FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+       |         WHERE cov.p IS NULL),
+       |k AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_clean,
+       |        count(*) AS n_kept FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(k.text_clean, '') AS text_clean,
+       |  cast(coalesce(k.n_kept, 0) as bigint) AS n_kept,
+       |  cast(len(t.toks) - coalesce(k.n_kept, 0) as bigint) AS n_dropped
+       |FROM t LEFT JOIN k USING (doc_id)""".stripMargin
+  }
+
   /** Winnowed partial-overlap candidate pairs: documents sharing ≥2
     * selected prints (boilerplate prints df-capped at 100) with the
     * shared-print count.
@@ -1933,6 +1971,71 @@ object PipelineQueries {
        |  ORDER BY adist, vec_id LIMIT 10)""".stripMargin
   }
 
+  /** Shared DuckDB staging for the SQ8 queries: casted vectors, the
+    * per-vector scale (zero-vector guarded), and the half-up-rounded
+    * int8 component list — the exact arithmetic of
+    * [[graft.sim.ScalarQuantizer]].
+    */
+  private val sq8StageSql: String =
+    s"""b AS (SELECT vec_id, list_transform(range(1, 65),
+       |        i -> cast(embedding[i] as double)) AS x
+       |      FROM embeddings),
+       |e AS (SELECT vec_id, x,
+       |        list_max(list_transform(x, v -> abs(v))) AS ma FROM b),
+       |sc AS (SELECT vec_id, x,
+       |         CASE WHEN ma = 0 THEN 1.0 ELSE ma / 127.0 END AS scale FROM e),
+       |qz AS (SELECT vec_id, x, scale,
+       |         list_transform(x, v -> cast(floor(v / scale + 0.5) as int)) AS qv
+       |       FROM sc)""".stripMargin
+
+  /** Int8 scalar quantization of every embedding (per-vector symmetric
+    * scale, the FAISS-SQ8 shape): (vec_id, scale, code, err). One
+    * narrow projection in Spark; the oracle replays scale, half-up
+    * rounding, and the reconstruction error bit-for-bit.
+    */
+  def qSq8Encode(s: SparkSession, d: String): DataFrame =
+    graft.sim.ScalarQuantizer.encode(Tables.embeddings(s, d),
+      "vec_id", "embedding")
+
+  val qSq8EncodeSql: String =
+    s"""WITH $sq8StageSql,
+       |d AS (SELECT vec_id, scale, qv,
+       |        list_transform(range(1, 65), i -> x[i] - qv[i] * scale) AS diff
+       |      FROM qz)
+       |SELECT vec_id, scale,
+       |  array_to_string(qv, ',') AS code,
+       |  round(greatest(${dotSql("diff", "diff")}, 0.0), 6) AS err
+       |FROM d""".stripMargin
+
+  /** SQ8 re-rank search: top-10 by squared-L2 between the DEQUANTIZED
+    * corpus vectors and the lowest-id query embedding — the precise
+    * second stage a PQ candidate sweep hands off to. Encode + distance
+    * fuse into one narrow pass; the rank boundary is hash-pinned in
+    * the oracle.
+    */
+  def qSq8TopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.orderBy(col("vec_id").asc).limit(1)
+      .select(col("embedding").cast(ArrayType(DoubleType)))
+      .collect().head.getSeq[Double](0)
+    graft.sim.ScalarQuantizer.topK(emb, "vec_id", "embedding", q, n = 10)
+  }
+
+  val qSq8TopKSql: String =
+    s"""WITH $sq8StageSql,
+       |qv0 AS (SELECT list_transform(range(1, 65),
+       |          i -> cast(embedding[i] as double)) AS qx
+       |        FROM embeddings
+       |        WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+       |d AS (SELECT vec_id,
+       |        list_transform(range(1, 65), i -> qv[i] * scale - qx[i]) AS diff
+       |      FROM qz CROSS JOIN qv0)
+       |SELECT vec_id, round(greatest(dist, 0.0), 6) AS dist
+       |FROM (
+       |  SELECT vec_id, ${dotSql("diff", "diff")} AS dist
+       |  FROM d
+       |  ORDER BY dist, vec_id LIMIT 10)""".stripMargin
+
   /** SemDeDup (cluster-then-pairwise semantic dedup): deterministic
     * k-means, then within each cluster drop every vector with a
     * lower-id neighbor at cosine ≥ τ. The full pipeline — three Lloyd
@@ -2535,6 +2638,7 @@ object PipelineQueries {
     ("q_token_budget", qTokenBudget _, Some(qTokenBudgetSql)),
     ("q_repetition", qRepetition _, Some(qRepetitionSql)),
     ("q_span_dedup", qSpanDedup _, Some(qSpanDedupSql)),
+    ("q_span_scrub", qSpanScrub _, Some(qSpanScrubSql)),
     ("q_winnow", qWinnow _, Some(qWinnowSql)),
     ("q_winnow_pairs", qWinnowPairs _, Some(qWinnowPairsSql)),
     ("q_unigram_lm", qUnigramLm _, Some(qUnigramLmSql)),
@@ -2572,6 +2676,8 @@ object PipelineQueries {
     ("q_pq_adc", qPqAdc _, Some(qPqAdcSql)),
     ("q_pq_ivf", qPqIvf _, Some(qPqIvfSql)),
     ("q_pq_residual", qPqResidual _, Some(qPqResidualSql)),
+    ("q_sq8_encode", qSq8Encode _, Some(qSq8EncodeSql)),
+    ("q_sq8_topk", qSq8TopK _, Some(qSq8TopKSql)),
     ("q_semdedup", qSemdedup _, Some(qSemdedupSql)),
     ("q_pagerank", qPagerank _, Some(qPagerankSql)),
     ("q_triangles", qTriangles _, Some(qTrianglesSql)),
