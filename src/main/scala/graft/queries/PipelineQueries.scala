@@ -2036,6 +2036,65 @@ object PipelineQueries {
        |  FROM d
        |  ORDER BY dist, vec_id LIMIT 10)""".stripMargin
 
+  /** MMR diverse top-10 (λ=0.7, pool=32) against the lowest-id query
+    * embedding. The oracle replays the WHOLE selection in a recursive
+    * CTE — relevance pass, pool boundary, pairwise sims, and all ten
+    * greedy picks with their scores — so the diversity trade-off
+    * itself is hash-pinned, not just the final id set. λ and 1−λ are
+    * interpolated from the same Scala doubles the driver greedy uses,
+    * keeping float literals bit-identical across engines.
+    */
+  def qMmr(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.orderBy(col("vec_id").asc).limit(1)
+      .select(col("embedding").cast(ArrayType(DoubleType)))
+      .collect().head.getSeq[Double](0)
+    graft.sim.Mmr.selectDiverse(emb, "vec_id", "embedding", q,
+      k = 10, poolSize = 32, lambda = MmrLambda)
+  }
+
+  private val MmrLambda = 0.7
+
+  val qMmrSql: String = {
+    val lam = MmrLambda.toString
+    val oneMinus = (1 - MmrLambda).toString
+    s"""WITH RECURSIVE b AS (
+       |  SELECT vec_id, list_transform(range(1, 65),
+       |    i -> cast(embedding[i] as double)) AS x
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, x, sqrt(${dotSql("x", "x")}) AS nrm FROM b),
+       |qv AS (SELECT x AS qx, sqrt(${dotSql("x", "x")}) AS qn
+       |       FROM b WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+       |r AS (SELECT vec_id, x, nrm,
+       |        CASE WHEN nrm * qn > 0 THEN ${dotSql("x", "qx")} / (nrm * qn)
+       |             ELSE 0.0 END AS rel
+       |      FROM n CROSS JOIN qv),
+       |pool AS (SELECT * FROM r ORDER BY rel DESC, vec_id LIMIT 32),
+       |sims AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+       |           CASE WHEN a.nrm * b.nrm > 0
+       |                THEN ${dotSql("a.x", "b.x")} / (a.nrm * b.nrm)
+       |                ELSE 0.0 END AS sim
+       |         FROM pool a JOIN pool b ON a.vec_id != b.vec_id),
+       |sel AS (
+       |  (SELECT 1 AS step, [p.vec_id] AS ids, p.vec_id AS picked,
+       |          $lam * p.rel AS score
+       |   FROM pool p ORDER BY p.rel DESC, p.vec_id LIMIT 1)
+       |  UNION ALL
+       |  SELECT sel.step + 1, list_append(sel.ids, w.vec_id), w.vec_id, w.sc
+       |  FROM sel, LATERAL (
+       |    SELECT c.vec_id,
+       |      $lam * c.rel - $oneMinus * coalesce((SELECT max(s.sim) FROM sims s
+       |        WHERE s.ai = c.vec_id AND list_contains(sel.ids, s.bi)), 0.0) AS sc
+       |    FROM pool c
+       |    WHERE NOT list_contains(sel.ids, c.vec_id)
+       |    ORDER BY sc DESC, c.vec_id
+       |    LIMIT 1) w
+       |  WHERE sel.step < 10)
+       |SELECT cast(step as bigint) AS sel_rank, picked AS vec_id,
+       |  round(score, 6) AS score
+       |FROM sel""".stripMargin
+  }
+
   /** SemDeDup (cluster-then-pairwise semantic dedup): deterministic
     * k-means, then within each cluster drop every vector with a
     * lower-id neighbor at cosine ≥ τ. The full pipeline — three Lloyd
@@ -2678,6 +2737,7 @@ object PipelineQueries {
     ("q_pq_residual", qPqResidual _, Some(qPqResidualSql)),
     ("q_sq8_encode", qSq8Encode _, Some(qSq8EncodeSql)),
     ("q_sq8_topk", qSq8TopK _, Some(qSq8TopKSql)),
+    ("q_mmr", qMmr _, Some(qMmrSql)),
     ("q_semdedup", qSemdedup _, Some(qSemdedupSql)),
     ("q_pagerank", qPagerank _, Some(qPagerankSql)),
     ("q_triangles", qTriangles _, Some(qTrianglesSql)),
