@@ -39,7 +39,9 @@ object PlanAudit {
       "q_funnel", "q_retention", "q_rolling_range", "q_rollup_sets",
       "q_scd2_lookup", "q_incr_agg", "q_neg_sample", "q_dq_report",
       "q_outlier_mad", "q_token_budget", "q_strat_sample",
-      "q_pq_encode", "q_pq_adc")
+      "q_pq_encode", "q_pq_adc", "q_pq_ivf", "q_pq_residual",
+      "q_allpairs", "q_sq8_encode", "q_sq8_topk", "q_mmr",
+      "q_span_scrub")
     val qs = SparkEntry.queries // built (and dup-checked) once
     interesting.foreach { name =>
       println(s"\n========== $name ==========")

@@ -1116,6 +1116,39 @@ object PipelineQueries {
        |FROM m LEFT JOIN comp c ON c.id = m.rep""".stripMargin
   }
 
+  /** Quality-aware dedup representative: within each near-duplicate
+    * cluster keep the HIGHEST-quality copy (ties to the lower id) —
+    * the curation-grade refinement of `q_dedup_apply`'s keep-lowest-id
+    * rule, which discards good rewrites in favor of whatever copy
+    * happened to be ingested first. Composes
+    * [[graft.dedup.Dedup.duplicateClusters]] with
+    * [[graft.text.TextAnalysis.qualityScore]]; one extra window rank
+    * over the cluster frame (tiny: one row per document, keyed by
+    * cluster), nothing quadratic.
+    */
+  def qDedupBest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val clusters = Dedup.duplicateClusters(docs, "doc_id", "text")
+    val scored = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    clusters.join(scored, Seq("doc_id"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("cluster_id"), col("doc_id"), col("quality"))
+  }
+
+  val qDedupBestSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks, text FROM documents),
+       |w AS (SELECT doc_id, ${qualityExprSql("toks", "text")} AS quality FROM t),
+       |j AS (SELECT c.cluster_id, c.doc_id, w.quality,
+       |        row_number() OVER (PARTITION BY c.cluster_id
+       |          ORDER BY w.quality DESC, c.doc_id ASC) AS rk
+       |      FROM ($qDupClustersSql) c JOIN w USING (doc_id))
+       |SELECT cluster_id, doc_id, quality FROM j WHERE rk = 1""".stripMargin
+
   /** Leakage-safe train/val/test split: split membership is a hash of
     * the near-duplicate CLUSTER id, not the document id — every
     * transitive near-dup lands in the same split, so no eval document
@@ -2720,6 +2753,7 @@ object PipelineQueries {
     ("q_minhash_pairs", qMinhashPairs _, Some(qMinhashPairsSql)),
     ("q_dedup_apply", qDedupApply _, Some(qDedupApplySql)),
     ("q_dup_clusters", qDupClusters _, Some(qDupClustersSql)),
+    ("q_dedup_best", qDedupBest _, Some(qDedupBestSql)),
     ("q_dedup_incr", qDedupIncr _, Some(qDedupIncrSql)),
     ("q_simhash", qSimhash _, Some(qSimhashSql)),
     ("q_simhash_pairs", qSimhashPairs _, Some(qSimhashPairsSql)),
