@@ -387,6 +387,35 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars"))
   }
 
+  /** Curation v3 — the REWRITE-first stack: scrub cross-document
+    * duplicated spans (boilerplate removal, `q_span_scrub`'s operator),
+    * drop documents left with < 10 tokens, re-score quality on the
+    * CLEANED text (scoring the original would credit boilerplate
+    * length), and gate at ≥ 0.65. Keeps 337/500 at sf0.01. Composes
+    * round-8's scrub with the quality kernel; the oracle replays
+    * scrub → re-tokenize → re-score → gate end to end.
+    */
+  def qCurationV3(s: SparkSession, d: String): DataFrame =
+    Dedup.scrubDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
+      w = 6, minDocs = 2)
+      .filter(col("n_kept") >= 10)
+      .withColumn("quality",
+        graft.text.TextAnalysis.qualityScore(col("text_clean")))
+      .filter(col("quality") >= 0.65)
+      .select(col("doc_id"), col("n_kept"), col("n_dropped"), col("quality"))
+
+  // lazy: qSpanScrubSql is declared later in the object, so an eager
+  // val here would capture null at initialization
+  lazy val qCurationV3Sql: String =
+    s"""WITH s AS ($qSpanScrubSql),
+       |t AS (SELECT doc_id, text_clean AS text, $toksSql AS toks,
+       |        n_kept, n_dropped
+       |      FROM s WHERE n_kept >= 10),
+       |w AS (SELECT doc_id, n_kept, n_dropped,
+       |        ${qualityExprSql("toks", "text")} AS quality FROM t)
+       |SELECT doc_id, n_kept, n_dropped, quality
+       |FROM w WHERE quality >= 0.65""".stripMargin
+
   val qCurationV2Sql: String = {
     val sc = graft.text.UnigramLm.Scale
     s"""WITH t AS (SELECT doc_id, source, n_chars, text, $toksSql AS toks
@@ -2748,6 +2777,7 @@ object PipelineQueries {
     ("q_corpus_profile", qCorpusProfile _, Some(qCorpusProfileSql)),
     ("q_corpus_pipeline", qCorpusPipeline _, Some(qCorpusPipelineSql)),
     ("q_curation_v2", qCurationV2 _, Some(qCurationV2Sql)),
+    ("q_curation_v3", qCurationV3 _, Some(qCurationV3Sql)),
     ("q_dedup_exact", qDedupExact _, Some(qDedupExactSql)),
     ("q_minhash_sig", qMinhashSig _, Some(qMinhashSigSql)),
     ("q_minhash_pairs", qMinhashPairs _, Some(qMinhashPairsSql)),
