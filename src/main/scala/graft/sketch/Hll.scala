@@ -82,9 +82,18 @@ object Hll {
     * the exact integer-scaled harmonic sum `harmonic_scaled`.
     */
   def estimate(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      b: Int = defaultB): DataFrame =
+    estimateFromRegisters(registers(df, groupCols, valueCol, b), groupCols, b)
+
+  /** Finalize estimates from a (group, reg_idx, reg_rank) register
+    * table — the merge/read-back path for sketches persisted by a
+    * stream ([[graft.streaming.EventStreams.hllRegistersStream]]) or
+    * unioned across partitions/days (re-aggregate with max first when
+    * merging). Arithmetic identical to [[estimate]]'s tail.
+    */
+  def estimateFromRegisters(regs: DataFrame, groupCols: Seq[String],
       b: Int = defaultB): DataFrame = {
     val m = 1 << b
-    val regs = registers(df, groupCols, valueCol, b)
     // functions.shiftleft only takes a literal shift; the catalyst
     // ShiftLeft expression itself accepts a column — go through SQL
     val term = expr(s"shiftleft(CAST(1 AS BIGINT), ${rankMax(b)} - reg_rank)")

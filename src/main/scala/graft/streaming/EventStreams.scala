@@ -31,6 +31,32 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Per-window HLL registers over a streaming (or batch) event frame
+    * — approximate distinct users per tumbling window at unbounded
+    * cardinality. The insight that makes this stream-native: HLL
+    * sketch state IS a per-(window, register) MAX, so Structured
+    * Streaming maintains it as an ordinary watermarked windowed
+    * aggregation — bounded state (≤ 2^b rows per open window), no
+    * custom stateful operator, no UDAF, append-mode emission once the
+    * watermark closes the window. Register semantics are EXACTLY
+    * [[graft.sketch.Hll.registers]] (same portable hash, same
+    * string-exact rank), so finalized streaming registers equal the
+    * batch sketch bit-for-bit and estimates follow from
+    * [[graft.sketch.Hll.estimateFromRegisters]]-style finalization
+    * downstream.
+    *
+    * Output: (window_start, reg_idx, reg_rank).
+    */
+  def hllRegistersStream(events: DataFrame, valueCol: String = "user_id",
+      window_ : String = "1 hour", watermark: String = "2 hours",
+      b: Int = graft.sketch.Hll.defaultB): DataFrame =
+    graft.sketch.Hll.registers(
+      events.withWatermark("ts", watermark)
+        .select(window(col("ts"), window_).as("w"), col(valueCol)),
+      Seq("w"), valueCol, b)
+      .select(col("w.start").as("window_start"), col("reg_idx"),
+        col("reg_rank"))
+
   /** Tumbling-window per-type counts/sums with a lateness watermark —
     * works on both batch and streaming DataFrames.
     */

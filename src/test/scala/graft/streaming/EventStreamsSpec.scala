@@ -40,6 +40,84 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n")).sum === 4)
   }
 
+  test("streaming HLL registers equal the batch sketch bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    // 40 events, 17 distinct users across two 10-minute windows, plus
+    // a late sentinel that pushes the watermark past both windows so
+    // append mode finalizes them
+    val data = (0 until 40).map { i =>
+      Event(i.toLong, ts(i % 18), (i % 17 + 1).toLong, "click", 1.0)
+    }
+    val sentinel = Event(99, ts(120), 999, "click", 1.0)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.hllRegistersStream(mem.toDF(),
+      window_ = "10 minutes", watermark = "5 minutes", b = 6)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hll_out").start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    mem.addData(sentinel)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hll_out")
+      .collect().map(r => (r.getAs[java.sql.Timestamp](0).getTime,
+        r.getLong(1), r.getInt(2))).toSet
+    // batch twin over the SAME rows (sentinel's window never closed →
+    // absent from the append-mode stream output by design)
+    val batch = graft.sketch.Hll.registers(
+      data.toDF().select(window($"ts", "10 minutes").as("w"), $"user_id"),
+      Seq("w"), "user_id", b = 6)
+      .select($"w.start", $"reg_idx", $"reg_rank")
+      .collect().map(r => (r.getAs[java.sql.Timestamp](0).getTime,
+        r.getLong(1), r.getInt(2))).toSet
+    assert(streamed == batch)
+    // every closed window present, the sentinel's open window absent
+    // (batch ran WITHOUT the sentinel, so equality already proves it;
+    // pin the count of epoch-aligned 10-min windows over minutes 0-17)
+    assert(streamed.map(_._1).size == 3)
+  }
+
+  test("streaming HLL estimates finalize to the batch estimate") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = (0 until 60).map { i =>
+      Event(i.toLong, ts(i % 9), (i % 23 + 1).toLong, "view", 1.0)
+    }
+    val mem = MemoryStream[Event]
+    val q = EventStreams.hllRegistersStream(mem.toDF(),
+      window_ = "10 minutes", watermark = "5 minutes", b = 6)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hll_est_out").start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    mem.addData(Event(99, ts(120), 999, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val est = graft.sketch.Hll.estimateFromRegisters(
+      spark.table("hll_est_out").withColumnRenamed("window_start", "w"),
+      Seq("w"), b = 6)
+      .select($"w".cast("long"), $"n_est", $"zero_regs")
+      .as[(Long, Double, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val batchEst = graft.sketch.Hll.estimate(
+      data.toDF().select(window($"ts", "10 minutes").as("w"), $"user_id"),
+      Seq("w"), "user_id", b = 6)
+      .select($"w.start".cast("long"), $"n_est")
+      .as[(Long, Double)].collect().toMap
+    // identical registers → identical per-window estimates
+    assert(est.view.mapValues(_._1).toMap == batchEst)
+    // and each corrected estimate lands near the true per-window
+    // distinct count (b=6 → σ ≈ 13%)
+    // keys in epoch SECONDS: cast(timestamp as long) yields seconds
+    val truth = data.groupBy(e => Math.floorDiv(e.ts.getTime, 600000L) * 600L)
+      .view.mapValues(_.map(_.user_id).distinct.size).toMap
+    est.foreach { case (w, (nEst, zeroRegs)) =>
+      val corrected = graft.sketch.Hll.corrected(nEst, zeroRegs, b = 6)
+      val t = truth(w).toDouble
+      assert(math.abs(corrected - t) / t < 0.35,
+        s"window $w: estimate $corrected too far from $t")
+    }
+  }
+
   test("batch sessionization splits on the inactivity gap") {
     val sess = sessionizeBatch(events.toDF())
       .filter($"user_id" === 10).orderBy($"session_start").collect()
