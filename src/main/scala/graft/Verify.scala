@@ -22,7 +22,8 @@ object Verify {
     // testdata with a different layout (see DataProbe scaladoc)
     DataProbe.check(spark, sfDir)
     // optional comma-separated subset filter (same knob as Bench) so a
-    // single query's oracle check doesn't require dumping all 81
+    // single query's oracle check doesn't require dumping the full
+    // inventory
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -57,6 +57,29 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("reg_idx"),
         col("reg_rank"))
 
+  /** Per-window count-min counters over a streaming (or batch) event
+    * frame — approximate per-window frequency tables at unbounded key
+    * cardinality, the companion of [[hllRegistersStream]] for the
+    * "how often" question. CMS state IS a per-(window, row, bucket)
+    * COUNT, so the stream maintains it as one watermarked windowed
+    * aggregation with ≤ depth·w rows of state per open window; rows
+    * emit in append mode once the watermark closes the window, and the
+    * counters equal [[graft.sketch.CountMin.counters]] on the same
+    * rows bit-for-bit (shared hash coefficients). Point-estimate
+    * downstream by joining probes per [[graft.sketch.CountMin.estimate]].
+    *
+    * Output: (window_start, cm_row, cm_bucket, cnt).
+    */
+  def cmsCountersStream(events: DataFrame, valueCol: String = "event_type",
+      window_ : String = "1 hour", watermark: String = "2 hours",
+      w: Int = 1024): DataFrame =
+    graft.sketch.CountMin.counters(
+      events.withWatermark("ts", watermark)
+        .select(window(col("ts"), window_).as("w"), col(valueCol)),
+      Seq("w"), valueCol, w)
+      .select(col("w.start").as("window_start"), col("cm_row"),
+        col("cm_bucket"), col("cnt"))
+
   /** Tumbling-window per-type counts/sums with a lateness watermark —
     * works on both batch and streaming DataFrames.
     */

@@ -118,6 +118,48 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming CMS counters equal the batch sketch and bound true counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val types = Seq("click", "view", "purchase", "refund")
+    val data = (0 until 50).map { i =>
+      Event(i.toLong, ts(i % 12), (i % 7).toLong, types(i % types.size), 1.0)
+    }
+    val mem = MemoryStream[Event]
+    val q = EventStreams.cmsCountersStream(mem.toDF(),
+      window_ = "10 minutes", watermark = "5 minutes", w = 64)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cms_out").start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    mem.addData(Event(99, ts(120), 999, "click", 1.0)) // watermark push
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_out").collect()
+      .map(r => (r.getAs[java.sql.Timestamp](0).getTime, r.getInt(1),
+        r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.sketch.CountMin.counters(
+      data.toDF().select(window($"ts", "10 minutes").as("w"), $"event_type"),
+      Seq("w"), "event_type", w = 64)
+      .select($"w.start", $"cm_row", $"cm_bucket", $"cnt")
+      .collect().map(r => (r.getAs[java.sql.Timestamp](0).getTime,
+        r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    // point estimates from the STREAMED counters: one-sided ≥ truth,
+    // and exact here (4 keys into w=64 buckets — no collisions)
+    val probed = graft.sketch.CountMin.estimate(
+      data.toDF().select(window($"ts", "10 minutes").as("w"), $"event_type"),
+      types.toDF("event_type"), Seq("w"), "event_type", w = 64)
+      .select($"event_type", $"w.start".cast("long"), $"est_count")
+      .as[(String, Long, Long)].collect()
+    val truth = data.groupBy(e =>
+        (e.event_type, Math.floorDiv(e.ts.getTime, 600000L) * 600L))
+      .view.mapValues(_.size.toLong).toMap
+    probed.foreach { case (tpe, w0, est) =>
+      assert(est == truth.getOrElse((tpe, w0), 0L),
+        s"($tpe, $w0): est $est vs truth ${truth.get((tpe, w0))}")
+    }
+  }
+
   test("batch sessionization splits on the inactivity gap") {
     val sess = sessionizeBatch(events.toDF())
       .filter($"user_id" === 10).orderBy($"session_start").collect()
