@@ -2157,6 +2157,75 @@ object PipelineQueries {
        |FROM sel""".stripMargin
   }
 
+  /** The composed two-tier ANN stack — coarse IVF cell pruning, a
+    * PQ-ADC candidate sweep (top-50 by compressed distance), then an
+    * SQ8 dequantized re-rank of the survivors (top-10) — the retrieval
+    * architecture every production vector index converges on: cheap
+    * codes shrink the candidate set, precise codes order what's left.
+    * Training reuses the 1-in-4 sample; every stage boundary (cell
+    * probe, candidate rank cut, re-rank order) replays exactly in the
+    * oracle.
+    */
+  def qAnnRerank(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.orderBy(col("vec_id").asc).limit(1)
+      .select(col("embedding").cast(ArrayType(DoubleType)))
+      .collect().head.getSeq[Double](0)
+    val coarse = graft.sim.KMeans.fit(pqTrainSample(emb), "vec_id",
+      "embedding", k = 8, iters = 3)
+    val model = graft.sim.ProductQuantizer.fit(pqTrainSample(emb),
+      "vec_id", "embedding", dims = 64, m = 4, k = 4, iters = 2)
+    val cands = graft.sim.ProductQuantizer.ivfAdcTopK(emb, "vec_id",
+      "embedding", coarse, model, q, nprobe = 3, n = 50)
+      .select(col("vec_id"))
+    graft.sim.ScalarQuantizer.topK(emb.join(cands, Seq("vec_id")),
+      "vec_id", "embedding", q, n = 10)
+  }
+
+  val qAnnRerankSql: String =
+    s"""${kmeansCtes(8, 3, Some(pqTrainWhereSql))},
+       |$pqChains,
+       |$pqDTables,
+       |qv AS (
+       |  SELECT x, ${dotSql("x", "x")} AS qq
+       |  FROM (SELECT list_transform(range(1, 65),
+       |          i -> cast(embedding[i] as double)) AS x
+       |        FROM embeddings
+       |        WHERE vec_id = (SELECT min(vec_id) FROM embeddings))),
+       |probe AS (
+       |  SELECT c.cluster
+       |  FROM cent3 c CROSS JOIN qv q
+       |  ORDER BY q.qq - 2 * ${dotSql("q.x", "c.cv")} + ${dotSql("c.cv", "c.cv")} ASC,
+       |    c.cluster ASC
+       |  LIMIT 3),
+       |cand AS (
+       |  SELECT vec_id FROM asg4
+       |  WHERE cluster IN (SELECT cluster FROM probe)),
+       |c50 AS (
+       |  SELECT vec_id FROM (
+       |    SELECT a0.vec_id, $pqAdistExpr AS adist
+       |    FROM s0_asg3 a0 $pqJoins
+       |    WHERE a0.vec_id IN (SELECT vec_id FROM cand)
+       |    ORDER BY adist, a0.vec_id LIMIT 50)),
+       |sb AS (SELECT vec_id, list_transform(range(1, 65),
+       |         i -> cast(embedding[i] as double)) AS x
+       |       FROM embeddings WHERE vec_id IN (SELECT vec_id FROM c50)),
+       |se AS (SELECT vec_id, x,
+       |         list_max(list_transform(x, v -> abs(v))) AS ma FROM sb),
+       |ssc AS (SELECT vec_id, x,
+       |          CASE WHEN ma = 0 THEN 1.0 ELSE ma / 127.0 END AS scale FROM se),
+       |sqz AS (SELECT vec_id, x, scale,
+       |          list_transform(x, v -> cast(floor(v / scale + 0.5) as int)) AS qv
+       |        FROM ssc),
+       |sd AS (SELECT vec_id,
+       |         list_transform(range(1, 65), i -> qv[i] * scale - qx.x[i]) AS diff
+       |       FROM sqz CROSS JOIN qv qx)
+       |SELECT vec_id, round(greatest(dist, 0.0), 6) AS dist
+       |FROM (
+       |  SELECT vec_id, ${dotSql("diff", "diff")} AS dist
+       |  FROM sd
+       |  ORDER BY dist, vec_id LIMIT 10)""".stripMargin
+
   /** SemDeDup (cluster-then-pairwise semantic dedup): deterministic
     * k-means, then within each cluster drop every vector with a
     * lower-id neighbor at cosine ≥ τ. The full pipeline — three Lloyd
@@ -2802,6 +2871,7 @@ object PipelineQueries {
     ("q_sq8_encode", qSq8Encode _, Some(qSq8EncodeSql)),
     ("q_sq8_topk", qSq8TopK _, Some(qSq8TopKSql)),
     ("q_mmr", qMmr _, Some(qMmrSql)),
+    ("q_ann_rerank", qAnnRerank _, Some(qAnnRerankSql)),
     ("q_semdedup", qSemdedup _, Some(qSemdedupSql)),
     ("q_pagerank", qPagerank _, Some(qPagerankSql)),
     ("q_triangles", qTriangles _, Some(qTrianglesSql)),
