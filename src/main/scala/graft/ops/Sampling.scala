@@ -121,6 +121,28 @@ object Sampling {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Temperature-flattened mixture at α = 0.5: target shares ∝ √n_src
+    * — the standard flattening for multi-domain/multilingual corpora
+    * (scarce sources upweighted relative to natural sampling, dominant
+    * ones capped, uniform in the α→0 limit). Derives the per-source
+    * targets from ONE bounded count aggregate (#sources values to the
+    * driver — model-state class, like k-means centroids) and delegates
+    * to [[domainMix]], sharing its rate arithmetic and determinism
+    * contract. α is pinned to 0.5 because √ is IEEE-exact in every
+    * engine, so the derived targets replay bit-for-bit in the oracle;
+    * a general `pow(n, α)` has no such cross-libm guarantee.
+    */
+  def temperatureMix(df: DataFrame, keyCol: String, sourceCol: String,
+      sources: Seq[String]): DataFrame = {
+    require(sources.nonEmpty, "need at least one source")
+    val counts = df.filter(col(sourceCol).isin(sources: _*))
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val targets = sources.filter(counts.contains)
+      .map(s0 => s0 -> math.sqrt(counts(s0).toDouble))
+    domainMix(df, keyCol, sourceCol, targets)
+  }
+
   /** Epoch-weighted replication — the UPSAMPLING dual of [[domainMix]]:
     * training mixtures often repeat scarce high-quality sources for
     * fractional epochs (books ×3.25) while passing bulk web through

@@ -985,6 +985,33 @@ object PipelineQueries {
        |SELECT source, count(*) AS n_kept FROM kept GROUP BY 1""".stripMargin
   }
 
+  /** Temperature-flattened mixture (α = 0.5, shares ∝ √n per source):
+    * per-source kept counts after the flattening. The oracle derives
+    * the √-targets in-plan (IEEE-exact sqrt) and replays the shared
+    * domainMix rate arithmetic.
+    */
+  def qTempMix(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.temperatureMix(
+      Tables.documents(s, d), "doc_id", "source", mixTargets.map(_._1))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+
+  val qTempMixSql: String = {
+    val inSet = inList(mixTargets.map(_._1))
+    val u = graft.ops.Sampling.coordinateSql("doc_id")
+    s"""WITH counts AS (
+       |  SELECT source, count(*) AS n_src FROM documents
+       |  WHERE source IN $inSet GROUP BY 1),
+       |sc AS (SELECT min(cast(n_src as double) /
+       |         sqrt(cast(n_src as double))) AS scale FROM counts),
+       |kept AS (
+       |  SELECT d.source FROM documents d
+       |  JOIN counts USING (source) CROSS JOIN sc
+       |  WHERE $u < least(1.0,
+       |    sqrt(cast(n_src as double)) * scale / cast(n_src as double)))
+       |SELECT source, count(*) AS n_kept FROM kept GROUP BY 1""".stripMargin
+  }
+
   /** Per-source corpus profile — the curation dashboard aggregation:
     * doc/token volume, mean quality and repetition (exact DECIMAL sums
     * of the 6-dp-rounded scores, divided once at the end — no
@@ -2843,6 +2870,7 @@ object PipelineQueries {
     ("q_quantile_hist", qQuantileHist _, Some(qQuantileHistSql)),
     ("q_contam", qContam _, Some(qContamSql)),
     ("q_domain_mix", qDomainMix _, Some(qDomainMixSql)),
+    ("q_temp_mix", qTempMix _, Some(qTempMixSql)),
     ("q_corpus_profile", qCorpusProfile _, Some(qCorpusProfileSql)),
     ("q_corpus_pipeline", qCorpusPipeline _, Some(qCorpusPipelineSql)),
     ("q_curation_v2", qCurationV2 _, Some(qCurationV2Sql)),

@@ -140,6 +140,33 @@ class PropertySpec extends SparkSpec {
     assert(again === kept)
   }
 
+  test("law: temperatureMix flattens toward uniform and keeps the smallest source whole") {
+    import graft.ops.Sampling
+    // skewed corpus: 400 / 100 / 25 rows across three sources
+    val rows = ((0 until 400).map(i => (i.toLong, "big")) ++
+      (400 until 500).map(i => (i.toLong, "mid")) ++
+      (500 until 525).map(i => (i.toLong, "rare")))
+    val df = rows.toDF("id", "src")
+    val kept = Sampling.temperatureMix(df, "id", "src",
+      Seq("big", "mid", "rare"))
+      .as[(Long, String)].collect()
+    val by = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // the scale-constraining (smallest-√n-feasibility) source is kept
+    // at rate 1 — here that is every source's sqrt ratio vs rare's:
+    // rate_i = √25/√n_i · √n_i/√n_i… concretely rate_rare = 1
+    assert(by("rare") == 25)
+    // flattening: kept shares are ∝ √n, so big/rare ratio compresses
+    // from 16× to ~4× (hash-sampling noise allowed)
+    val ratio = by("big").toDouble / by("rare")
+    assert(ratio > 2.0 && ratio < 6.0, s"big/rare kept ratio $ratio")
+    // kept counts never exceed originals and subset holds
+    assert(kept.toSet.subsetOf(rows.toSet))
+    // determinism
+    val again = Sampling.temperatureMix(df, "id", "src",
+      Seq("big", "mid", "rare")).as[(Long, String)].collect()
+    assert(again.toSet == kept.toSet)
+  }
+
   test("law: zValue is a bijection on the 8-bit grid and quadrant-monotone") {
     import graft.ops.ZOrder
     val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))
