@@ -33,17 +33,23 @@ object ProductQuantizer {
   }
 
   /** Train m codebooks of k centroids each over `dims`-dim vectors.
-    * `dims` must split into m equal subspaces. Each subspace fit scans
-    * the corpus `iters + 1` times with k·(dims/m)-row shuffles — the
-    * same bounded-iteration contract as [[KMeans.fit]].
+    * `dims` must split into m equal subspaces.
+    *
+    * The m subspace trainings run FUSED: every Lloyd round is ONE
+    * corpus pass computing all m argmin assignments per row (narrow
+    * literal-centroid expressions) and one partial-aggregated shuffle
+    * of (subspace, cluster, dim) exact integer sums — instead of m
+    * independent [[KMeans.fitFrom]] loops each scanning the cached
+    * corpus per round. Total passes: iters + 1 (init draw), down from
+    * m·iters + 1; the per-round arithmetic (assignment formula,
+    * tie-break, round(x·Scale) integer update) is IDENTICAL to the
+    * per-subspace fits, so the trained model is bit-equal and the
+    * unrolled oracle replay is unaffected.
     */
   def fit(vectors: DataFrame, idCol: String, vecCol: String,
       dims: Int, m: Int, k: Int, iters: Int): Model = {
     require(m >= 1 && dims % m == 0, "dims must split into m equal subspaces")
     val w = dims / m
-    // persist the casted frame ACROSS the m subspace fits: each fit
-    // caches its own slice projection, and without this parent cache
-    // every one of those m cache populations rescans the source
     val x = vectors.select(col(idCol),
       col(vecCol).cast(ArrayType(DoubleType)).as("__pq_x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -58,14 +64,44 @@ object ProductQuantizer {
         .zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](0)) }
         .toSeq
-      Model(w, (0 until m).map { j =>
-        KMeans.fitFrom(x.select(col(idCol),
-          slice(col("__pq_x"), j * w + 1, w).as("__pq_sub")),
-          idCol, "__pq_sub", k, iters,
-          init0 = Some(init.map { case (cl, v) =>
-            (cl, v.slice(j * w, j * w + w))
-          }))
-      })
+      require(init.nonEmpty, "PQ training needs a non-empty vector input")
+      var books: IndexedSeq[KMeans.Model] = (0 until m).map { j =>
+        KMeans.Model(init.map { case (cl, v) =>
+          (cl, v.slice(j * w, j * w + w))
+        }.toIndexedSeq)
+      }.toIndexedSeq
+      val slices = (0 until m).map(j => slice(col("__pq_x"), j * w + 1, w))
+      for (_ <- 0 until iters) {
+        // one fused job: (subspace, cluster, dim) → exact integer sums
+        val entries = flatten(array((0 until m).map { j =>
+          val s = slices(j)
+          val cl = KMeans.bestOf(s, dot(s, s), books(j)).getField("cluster")
+          transform(sequence(lit(0), lit(w - 1)), d =>
+            struct(lit(j).as("sub"), cl.as("cluster"), d.as("dim"),
+              round(element_at(s, d + 1) * KMeans.Scale)
+                .cast(LongType).as("q")))
+        }: _*))
+        val sums = x.select(explode(entries).as("e"))
+          .groupBy(col("e.sub"), col("e.cluster"), col("e.dim"))
+          .agg(sum(col("e.q")).as("sq"), count(lit(1)).as("cnt"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+        books = books.zipWithIndex.map { case (book, j) =>
+          KMeans.Model(book.centroids.map { case (cl, old) =>
+            sums.get((j, cl)) match {
+              case Some(rows) =>
+                val byDim = rows
+                  .map(r => r.getInt(2) -> (r.getLong(3), r.getLong(4))).toMap
+                (cl, old.indices.map { d =>
+                  val (sq, cnt) = byDim(d)
+                  sq.toDouble / cnt / KMeans.Scale
+                })
+              case None => (cl, old) // empty cluster: keep previous centroid
+            }
+          })
+        }
+      }
+      Model(w, books)
     } finally x.unpersist()
   }
 
