@@ -52,6 +52,27 @@ object DataProbe {
     "embeddings" -> Seq("vec_id" -> "bigint",
       "embedding" -> "array<float>", "label" -> "int"))
 
+  /** Per-scale-factor row-count LOWER bounds (half the driver's
+    * documented generation counts, so ordinary regeneration noise
+    * passes but a truncated or partially regenerated table — which
+    * would sail through the schema probe silently — trips a loud
+    * warning). Keyed by the sf directory's basename; an unknown
+    * basename skips the count check (schema probe still runs).
+    */
+  val minRows: Map[String, Map[String, Long]] = Map(
+    "sf0.001" -> Map("region" -> 3L, "nation" -> 12L, "customer" -> 75L,
+      "supplier" -> 5L, "part" -> 100L, "orders" -> 750L,
+      "lineitem" -> 3000L, "events" -> 500L, "documents" -> 250L,
+      "embeddings" -> 250L),
+    "sf0.01" -> Map("region" -> 3L, "nation" -> 12L, "customer" -> 750L,
+      "supplier" -> 50L, "part" -> 1000L, "orders" -> 7500L,
+      "lineitem" -> 30000L, "events" -> 5000L, "documents" -> 250L,
+      "embeddings" -> 250L),
+    "sf0.1" -> Map("region" -> 3L, "nation" -> 12L, "customer" -> 7500L,
+      "supplier" -> 500L, "part" -> 10000L, "orders" -> 75000L,
+      "lineitem" -> 300000L, "events" -> 50000L, "documents" -> 2500L,
+      "embeddings" -> 1000L))
+
   /** Load a table through its normalizing loader (events needs one). */
   private def loadNormalized(s: SparkSession, d: String, name: String): DataFrame =
     name match {
@@ -67,6 +88,9 @@ object DataProbe {
     * marker on stdout so the bench log's tail capture shows the verdict.
     */
   def check(spark: SparkSession, sfDir: String): Boolean = {
+    val sfName = new java.io.File(sfDir).getName
+    val bounds = minRows.getOrElse(sfName, Map.empty)
+    val counts = scala.collection.mutable.ListBuffer.empty[String]
     val bad = Tables.all.flatMap { t =>
       try {
         val df = loadNormalized(spark, sfDir, t)
@@ -78,16 +102,25 @@ object DataProbe {
           System.err.println(s"[probe]   expected: ${fmt(exp)}")
           System.err.println(s"[probe]   actual:   ${fmt(actual)}")
           Some(t)
-        } else if (df.take(1).isEmpty) {
-          System.err.println(s"[probe] EMPTY TABLE table=$t ($sfDir)")
-          Some(t)
-        } else None
+        } else {
+          // row-count floor: a truncated/partially regenerated table
+          // passes the schema probe but fails here, loudly
+          val n = df.count()
+          counts += s"$t=$n"
+          val floor = bounds.getOrElse(t, 1L)
+          if (n < floor) {
+            System.err.println(
+              s"[probe] ROW COUNT LOW table=$t rows=$n expected>=$floor ($sfDir)")
+            Some(t)
+          } else None
+        }
       } catch {
         case e: Throwable =>
           System.err.println(s"[probe] LOAD FAILED table=$t: ${e.getMessage}")
           Some(t)
       }
     }
+    System.err.println(s"[probe] row counts: ${counts.mkString(", ")}")
     if (bad.isEmpty) {
       System.err.println(s"[probe] data-shape OK: ${Tables.all.size} tables match expected schemas ($sfDir)")
       true

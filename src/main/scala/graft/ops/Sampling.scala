@@ -85,62 +85,101 @@ object Sampling {
     df.filter(u < rate)
   }
 
+  /** Per-source row counts collected to the driver: #sources values —
+    * the bounded-model-state class ([[graft.sim.KMeans]] centroids),
+    * never corpus-sized. ONE scan of the corpus; every mixture op
+    * derives its rates from this single aggregate.
+    */
+  private def sourceCounts(df: DataFrame, sourceCol: String,
+      sources: Seq[String]): Map[String, Long] =
+    df.filter(col(sourceCol).isin(sources: _*))
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Shared rate arithmetic of the mixture family: scale = min over
+    * targeted sources of n_s/target_s (the largest corpus size at
+    * which the mixture is feasible without upsampling), rate_s =
+    * min(1, target_s·scale / n_s) — the binding source keeps
+    * everything, the rest downsample. Pure IEEE double ops in the
+    * exact order the DuckDB oracle evaluates them (`n/t`, `min`,
+    * `t*scale/n`), so driver-computed rates replay bit-for-bit
+    * cross-engine.
+    */
+  private def ratesFromCounts(counts: Map[String, Long],
+      targets: Seq[(String, Double)]): Seq[(String, Double)] = {
+    val present = targets.filter(t => counts.getOrElse(t._1, 0L) > 0L)
+    if (present.isEmpty) Nil
+    else {
+      val scale = present.map { case (s, t) => counts(s).toDouble / t }.min
+      present.map { case (s, t) =>
+        s -> math.min(1.0, t * scale / counts(s).toDouble)
+      }
+    }
+  }
+
+  /** Keep-rate filter over precomputed per-source rates: one narrow
+    * per-row expression — no join, no second scan; sources without a
+    * rate drop (NULL rate ⇒ NULL comparison ⇒ filtered).
+    */
+  private def mixByRates(df: DataFrame, keyCol: String, sourceCol: String,
+      rates: Seq[(String, Double)]): DataFrame =
+    if (rates.isEmpty) df.filter(lit(false))
+    else df.filter(coordinate(col(keyCol)) <
+      caseLookup(col(sourceCol), rates, lit(null).cast(DoubleType)))
+
   /** Domain mixing: downsample each source to hit a TARGET mixture —
     * the knob that turns "we have 80% web, 5% books" into "train on
-    * 50% web, 20% books". Per-source keep rates are computed from the
-    * actual counts: scale = min over targeted sources of n_s/target_s
-    * (the largest corpus size at which the mixture is feasible without
-    * upsampling), rate_s = target_s·scale / n_s — the binding source
-    * keeps everything, the rest downsample deterministically via the
-    * same hash coordinate as [[sampleFraction]]. Sources absent from
-    * `targets` are dropped (rate 0). Caveat: a TARGETED source with
-    * zero rows cannot constrain the scale (no count row exists), so
-    * the mixture silently proceeds without it — callers needing
-    * strict feasibility should validate per-source counts first.
+    * 50% web, 20% books". Rates follow [[ratesFromCounts]]: the
+    * binding source keeps everything, the rest downsample
+    * deterministically via the same hash coordinate as
+    * [[sampleFraction]]. Sources absent from `targets` are dropped
+    * (rate 0). Caveat: a TARGETED source with zero rows cannot
+    * constrain the scale (no count row exists), so the mixture
+    * silently proceeds without it — callers needing strict
+    * feasibility should validate per-source counts first.
     *
-    * Scale shape: one tiny count aggregate, broadcast-joined back; the
-    * filter is a pure per-row expression. Deterministic end to end.
-    * Output schema = input schema (internal rate/count columns are
-    * projected away).
+    * Scale shape: ONE tiny count aggregate (#sources values to the
+    * driver — bounded model state), then a pure per-row filter: no
+    * join back, no second scan of the corpus. Deterministic end to
+    * end ([[ratesFromCounts]]'s IEEE-order contract). Output schema =
+    * input schema.
     */
   def domainMix(df: DataFrame, keyCol: String, sourceCol: String,
       targets: Seq[(String, Double)]): DataFrame = {
     require(targets.nonEmpty && targets.forall(_._2 > 0),
       "targets must be positive shares")
-    val counts = df.filter(col(sourceCol).isin(targets.map(_._1): _*))
-      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n_src"))
-    val tgt = caseLookup(col(sourceCol), targets, lit(null).cast(DoubleType))
-    val withScale = counts
-      .withColumn("feasible", col("n_src").cast(DoubleType) / tgt)
-      .agg(min(col("feasible")).as("scale"))
-    val rate =
-      least(lit(1.0), tgt * col("scale") / col("n_src").cast(DoubleType))
-    df.join(broadcast(counts), Seq(sourceCol), "inner")
-      .crossJoin(broadcast(withScale))
-      .filter(coordinate(col(keyCol)) < rate)
-      .select(df.columns.map(col).toIndexedSeq: _*)
+    val counts = sourceCounts(df, sourceCol, targets.map(_._1))
+    mixByRates(df, keyCol, sourceCol, ratesFromCounts(counts, targets))
   }
 
-  /** Temperature-flattened mixture at α = 0.5: target shares ∝ √n_src
-    * — the standard flattening for multi-domain/multilingual corpora
-    * (scarce sources upweighted relative to natural sampling, dominant
-    * ones capped, uniform in the α→0 limit). Derives the per-source
-    * targets from ONE bounded count aggregate (#sources values to the
-    * driver — model-state class, like k-means centroids) and delegates
-    * to [[domainMix]], sharing its rate arithmetic and determinism
-    * contract. α is pinned to 0.5 because √ is IEEE-exact in every
-    * engine, so the derived targets replay bit-for-bit in the oracle;
-    * a general `pow(n, α)` has no such cross-libm guarantee.
+  /** Temperature-flattened mixture: target shares ∝ n_src^α — the
+    * standard flattening for multi-domain/multilingual corpora
+    * (scarce sources upweighted relative to natural sampling,
+    * dominant ones capped; α=1 is natural sampling, the α→0 limit is
+    * uniform). Derives the per-source targets from ONE bounded count
+    * aggregate and shares [[ratesFromCounts]]'s rate arithmetic and
+    * determinism contract — a single corpus scan total (the count),
+    * plus the narrow output filter.
+    *
+    * Cross-ENGINE exactness holds at α = 0.5, computed via `sqrt`
+    * (IEEE-754 requires correctly-rounded sqrt, so every engine's
+    * targets agree bit-for-bit — the DuckDB oracle replays it); a
+    * general `pow(n, α)` is only correctly-rounded WITHIN one libm,
+    * so other α values are deterministic across re-runs and
+    * backfills on the JVM but are not oracle-exact against another
+    * engine's pow — validated by fixture replay instead
+    * (PropertySpec).
     */
   def temperatureMix(df: DataFrame, keyCol: String, sourceCol: String,
-      sources: Seq[String]): DataFrame = {
+      sources: Seq[String], alpha: Double = 0.5): DataFrame = {
     require(sources.nonEmpty, "need at least one source")
-    val counts = df.filter(col(sourceCol).isin(sources: _*))
-      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val targets = sources.filter(counts.contains)
-      .map(s0 => s0 -> math.sqrt(counts(s0).toDouble))
-    domainMix(df, keyCol, sourceCol, targets)
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val counts = sourceCounts(df, sourceCol, sources)
+    val flat: Double => Double =
+      if (alpha == 0.5) math.sqrt else math.pow(_, alpha)
+    val targets = sources.filter(counts.getOrElse(_, 0L) > 0L)
+      .map(s0 => s0 -> flat(counts(s0).toDouble))
+    mixByRates(df, keyCol, sourceCol, ratesFromCounts(counts, targets))
   }
 
   /** Epoch-weighted replication — the UPSAMPLING dual of [[domainMix]]:
@@ -180,39 +219,52 @@ object Sampling {
     * hash-selected POOL — the in-batch/pool-negatives pattern of
     * contrastive pipelines (dense-index the whole corpus and you need
     * a global zipWithIndex; index only a bounded pool and the pick is
-    * a hash + an equi-join against a small frame AQE broadcasts).
-    * The pool is itself a [[sampleFraction]] of the corpus, so
-    * membership and every pick are pure functions of the data — the
-    * same re-run/backfill/cross-engine stability contract as the
-    * split family. Self-pairs are dropped (a row can appear in its
-    * own pool slice).
+    * a hash + an equi-join against a small broadcast frame). The pool
+    * is the `poolSize` keys with the SMALLEST hash coordinates (ties
+    * by key), so membership and every pick remain pure functions of
+    * the data — the same re-run/backfill/cross-engine stability
+    * contract as the split family — while the pool is bounded by
+    * COUNT, not by a fraction of the corpus: at 100× the data the
+    * pool (and its driver footprint) is the same size. Self-pairs are
+    * dropped (a row can land on its own pool slot).
     *
-    * Scale shape: the pool's dense index is a single-partition
-    * window over ~poolFrac·N rows — the bounded-model-state contract
-    * ([[graft.sim.KMeans]] centroids, IVF cells); everything
-    * corpus-sized stays narrow: explode(k) + hash + broadcast join.
+    * Scale shape: the pool selection is a TakeOrdered (top-poolSize
+    * by coordinate — per-partition heaps + a driver merge, NO global
+    * sort and NO single-partition window anywhere in the plan); slot
+    * numbering happens on the driver over poolSize rows — the
+    * bounded-model-state class ([[graft.sim.KMeans]] centroids, IVF
+    * cells). Everything corpus-sized stays narrow: explode(k) + hash
+    * + broadcast join.
     *
     * @return (keyCol, neg_idx ∈ 1..k, neg_<keyCol> — the partner key)
     */
   def negativeSample(df: DataFrame, keyCol: String, k: Int,
-      poolFrac: Double): DataFrame = {
-    require(k >= 1 && poolFrac > 0 && poolFrac <= 1, "need k>=1, 0<frac<=1")
-    val pool = sampleFraction(df.select(col(keyCol)).distinct(), keyCol, poolFrac)
-      .withColumn("__slot", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col(keyCol)))
-        .cast(LongType))
-    val m = pool.agg(max(col("__slot")).as("__m"))
+      poolSize: Int): DataFrame = {
+    require(k >= 1 && poolSize >= 2, "need k>=1, poolSize>=2")
+    val ids = df.select(col(keyCol)).distinct()
+    val poolKeys = ids
+      .orderBy(coordinate(col(keyCol)).asc, col(keyCol).asc)
+      .limit(poolSize)
+      .collect()
+    val m = poolKeys.length.toLong
+    require(m >= 2, s"distinct key count $m too small for a negative pool")
+    val poolSchema = StructType(Seq(
+      StructField("__slot", LongType, nullable = false),
+      StructField(s"neg_$keyCol", df.schema(keyCol).dataType)))
+    val poolRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(poolKeys.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i + 1L, r.get(0))
+      }: _*)
+    val pool = df.sparkSession.createDataFrame(poolRows, poolSchema)
     // probe side dedupes like the pool side (and the oracle's DISTINCT
     // CTE): duplicate-key inputs otherwise fan the output out per copy
-    df.select(col(keyCol)).distinct()
-      .crossJoin(broadcast(m))
-      .select(col(keyCol), col("__m"),
+    ids
+      .select(col(keyCol),
         explode(sequence(lit(1L), lit(k.toLong))).as("neg_idx"))
       .withColumn("__slot",
         TextAnalysis.hash60(concat(col(keyCol).cast(StringType), lit(":"),
-          col("neg_idx").cast(StringType))) % col("__m") + 1L)
-      .join(pool.select(col("__slot"), col(keyCol).as(s"neg_$keyCol")),
-        Seq("__slot"))
+          col("neg_idx").cast(StringType))) % lit(m) + 1L)
+      .join(broadcast(pool), Seq("__slot"))
       .filter(col(keyCol) =!= col(s"neg_$keyCol"))
       .select(col(keyCol), col("neg_idx"), col(s"neg_$keyCol"))
   }

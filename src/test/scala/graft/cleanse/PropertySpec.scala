@@ -167,6 +167,45 @@ class PropertySpec extends SparkSpec {
     assert(again.toSet == kept.toSet)
   }
 
+  test("law: temperatureMix at general α replays the fixture rate arithmetic") {
+    import graft.ops.Sampling
+    // same skewed corpus; α = 0.3 flattens harder than √ (α = 0.5)
+    val rows = ((0 until 400).map(i => (i.toLong, "big")) ++
+      (400 until 500).map(i => (i.toLong, "mid")) ++
+      (500 until 525).map(i => (i.toLong, "rare")))
+    val df = rows.toDF("id", "src")
+    val srcs = Seq("big", "mid", "rare")
+    val kept = Sampling.temperatureMix(df, "id", "src", srcs, alpha = 0.3)
+      .as[(Long, String)].collect().toSet
+    // fixture replay: derive the α=0.3 rates independently (the same
+    // IEEE op order the operator documents) and apply them through the
+    // public coordinate filter — the two paths must agree row-for-row
+    val counts = Map("big" -> 400L, "mid" -> 100L, "rare" -> 25L)
+    val t = srcs.map(s => s -> math.pow(counts(s).toDouble, 0.3))
+    val scale = t.map { case (s, ti) => counts(s).toDouble / ti }.min
+    val rates = t.map { case (s, ti) =>
+      s -> math.min(1.0, ti * scale / counts(s).toDouble) }.toMap
+    val expected = srcs.flatMap { s =>
+      val rate = rates(s)
+      df.filter($"src" === s)
+        .filter(Sampling.coordinate($"id") < rate)
+        .as[(Long, String)].collect()
+    }.toSet
+    assert(kept === expected)
+    // harder flattening than α=0.5: big/rare kept ratio compresses more
+    val by = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(by("rare") == 25) // binding source still kept whole
+    val r03 = by("big").toDouble / by("rare")
+    val r05 = Sampling.temperatureMix(df, "id", "src", srcs)
+      .as[(Long, String)].collect().groupBy(_._2).view.mapValues(_.length)
+      .toMap match { case m => m("big").toDouble / m("rare") }
+    assert(r03 < r05, s"alpha=0.3 ratio $r03 should flatten below alpha=0.5's $r05")
+    // determinism across re-runs (within-JVM pow contract)
+    val again = Sampling.temperatureMix(df, "id", "src", srcs, alpha = 0.3)
+      .as[(Long, String)].collect().toSet
+    assert(again === kept)
+  }
+
   test("law: zValue is a bijection on the 8-bit grid and quadrant-monotone") {
     import graft.ops.ZOrder
     val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))

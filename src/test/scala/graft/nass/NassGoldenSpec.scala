@@ -61,21 +61,52 @@ class NassGoldenSpec extends SparkSpec {
     assert(got.count() === 244)
   }
 
-  test("commodity_harvest matches the golden subset for 2012 Idaho/Montana") {
+  /** Harvest-chain golden coverage, pinned exactly (round-8 advice
+    * item 7). The golden commodity_harvest.csv (69,667 rows) was
+    * dumped from the reference's FULL database; the committed inputs
+    * cover only part of it, and the boundary is now measured, not
+    * estimated:
+    *  - within 2012 Idaho/Montana (the census-pull slice), the
+    *    pipeline reproduces 4,572 golden rows VALUE-EXACT — every
+    *    row of every commodity the snapshot has input rows for. The
+    *    311 remaining slice rows are fruit commodities (APPLES,
+    *    PEARS, CHERRIES, NON-CITRUS TOTALS, …) with ZERO rows in
+    *    c_pro_idmt_2012.csv — the reference DB held fruit census
+    *    data the committed snapshot does not;
+    *  - outside the slice the pipeline emits 6,658 rows whose keys
+    *    all exist in the golden but whose aggregates run over the
+    *    committed production_yield.csv extract (TOTAL-domain rows
+    *    only for some commodities), so 5,872 differ from the full-DB
+    *    golden numerically — input coverage, not logic;
+    *  - the remaining golden-only keys need input data never
+    *    committed to the reference repo at all.
+    */
+  test("commodity_harvest: input-covered slice exact, produced keys ⊆ golden") {
     val num = Seq("irrigated_acres", "total_acres", "total_production")
-    // golden scoped to head-commodities with TOTAL-domain input coverage
-    val heads = pipe.stats_location
+    val got = norm2(pipe.commodity_harvest, num, Seq("reported"))
+    val exp = norm2(golden("commodity_harvest"), num, Seq("reported"))
+    def idmt(df: DataFrame) = df
       .filter(col("year") === 2012 && substring(col("location"), 1, 2).isin("16", "30"))
-      .select(col("commodity")).distinct()
-    def sub(df: DataFrame) = df
-      .filter(col("year") === 2012 && substring(col("location"), 1, 2).isin("16", "30"))
-      .join(heads,
-        split(df("commodity"), ", ").getItem(0) === heads("commodity"), "left_semi")
-    val got = sub(norm2(pipe.commodity_harvest, num, Seq("reported")))
-    val exp = sub(norm2(golden("commodity_harvest"), num, Seq("reported")))
-    val (onlyGot, onlyExp) = diffCount(got, exp)
-    assert(onlyGot === 0, "rows produced that are not in the golden")
-    assert(onlyExp === 0, "golden rows not reproduced")
-    assert(got.count() > 4000)
+    // slice golden restricted to commodities the snapshot has inputs
+    // for (= commodities the pipeline emits at all in the slice): the
+    // replay must be EXACT there — every row, not just head-commodities
+    val gotSlice = idmt(got)
+    val inputCovered = gotSlice.select(col("commodity")).distinct()
+    val expCovered = idmt(exp).join(inputCovered, Seq("commodity"), "left_semi")
+    val (onlyGot, onlyExp) = diffCount(gotSlice, expCovered)
+    assert(onlyGot === 0, "2012 ID/MT rows produced that are not in the golden")
+    assert(onlyExp === 0, "input-covered 2012 ID/MT golden rows not reproduced")
+    assert(gotSlice.count() === 4572)
+    // the pinned absent-input remainder: 311 fruit-commodity rows
+    val absent = idmt(exp).join(inputCovered, Seq("commodity"), "left_anti")
+    assert(absent.count() === 311,
+      "absent-input slice rows moved — re-measure the coverage boundary")
+    // globally: no spurious keys — everything the pipeline derives
+    // from partial inputs is a key the full-DB golden also has
+    val keyCols = Seq("commodity", "location", "year", "unit")
+    val spurious = got.select(keyCols.map(col): _*)
+      .except(exp.select(keyCols.map(col): _*)).count()
+    assert(spurious === 0, "keys produced that the golden does not have")
+    assert(got.count() === 11230) // pins the measured coverage boundary
   }
 }

@@ -157,15 +157,18 @@ class OpsLawsSpec extends SparkSpec {
       base.as[(String, Long, Long)].collect().toSet)
   }
 
-  test("law: negative sampling is deterministic, pool-bounded, self-free") {
+  test("law: negative sampling is deterministic, count-bounded, self-free") {
     val df = (1L to 200L).map(k => (k, s"doc$k")).toDF("id", "payload")
-    val a = Sampling.negativeSample(df, "id", k = 3, poolFrac = 0.2)
+    val a = Sampling.negativeSample(df, "id", k = 3, poolSize = 40)
       .as[(Long, Long, Long)].collect().toSet
-    val b = Sampling.negativeSample(df, "id", k = 3, poolFrac = 0.2)
+    val b = Sampling.negativeSample(df, "id", k = 3, poolSize = 40)
       .as[(Long, Long, Long)].collect().toSet
     assert(a === b) // pure function of the data
-    val pool = Sampling.sampleFraction(df.select($"id"), "id", 0.2)
+    // the pool is the poolSize keys with the smallest hash coordinates
+    val pool = df.select($"id")
+      .orderBy(Sampling.coordinate($"id"), $"id").limit(40)
       .as[Long].collect().toSet
+    assert(pool.size === 40) // capped by COUNT, not a corpus fraction
     assert(a.map(_._3).subsetOf(pool)) // partners come from the pool
     assert(a.forall(t => t._1 != t._3)) // no self pairs
     // every key yields k picks minus its (rare) self-collisions
@@ -174,12 +177,20 @@ class OpsLawsSpec extends SparkSpec {
     assert(a.map(t => (t._1, t._2)).size === a.size) // (key, idx) unique
   }
 
+  test("law: negative sampling has no Window node in its plan") {
+    val df = (1L to 200L).map(k => (k, s"doc$k")).toDF("id", "payload")
+    val plan = Sampling.negativeSample(df, "id", k = 2, poolSize = 40)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"negative sampling must not build a global window index:\n$plan")
+  }
+
   test("law: negative sampling dedupes a duplicate-key probe side") {
     val unique = (1L to 100L).map(k => (k, s"doc$k")).toDF("id", "payload")
     val dup = unique.unionAll(unique.filter($"id" % 3 === 0))
-    val a = Sampling.negativeSample(unique, "id", k = 2, poolFrac = 0.2)
+    val a = Sampling.negativeSample(unique, "id", k = 2, poolSize = 20)
       .as[(Long, Long, Long)].collect().sorted.toSeq
-    val b = Sampling.negativeSample(dup, "id", k = 2, poolFrac = 0.2)
+    val b = Sampling.negativeSample(dup, "id", k = 2, poolSize = 20)
       .as[(Long, Long, Long)].collect().sorted.toSeq
     assert(a === b) // no fan-out per input copy — matches the oracle's DISTINCT
   }
