@@ -1758,6 +1758,29 @@ object PipelineQueries {
        |SELECT vec_id, cluster, round(greatest(dist2, 0.0), 6) AS dist2
        |FROM asg4""".stripMargin
 
+  /** IVF index APPEND — the index-maintenance primitive a 100 TB
+    * embedding store lives on: new vectors (the odd-vec_id delta) are
+    * assigned into an index whose coarse centroids were trained on
+    * the EXISTING corpus (the even-vec_id half) WITHOUT retraining —
+    * training cost is paid once per index epoch, and a delta batch is
+    * one narrow literal-centroid argmin pass over the delta alone (no
+    * shuffle, no join, no touch of the existing corpus). The oracle
+    * replays the even-half training and the odd-half assignment
+    * bit-for-bit.
+    */
+  def qIvfAppend(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val m = graft.sim.KMeans.fit(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", k = 8, iters = 3)
+    graft.sim.KMeans.assignDist(emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", m)
+  }
+
+  val qIvfAppendSql: String =
+    s"""${kmeansCtes(8, 3, Some("vec_id % 2 = 0"))}
+       |SELECT vec_id, cluster, round(greatest(dist2, 0.0), 6) AS dist2
+       |FROM asg4 WHERE vec_id % 2 = 1""".stripMargin
+
   /** One SUBSPACE's unrolled-Lloyd CTE chain for the PQ oracle —
     * [[kmeansCtes]] generalized to a `[start, start+w)` slice of the
     * embedding and `p`-prefixed CTE names so m independent chains can
@@ -2910,6 +2933,7 @@ object PipelineQueries {
     ("q_ann_ivf", qAnnIvf _, Some(qAnnIvfSql)),
     ("q_embed_dup", qEmbedDup _, Some(qEmbedDupSql)),
     ("q_kmeans", qKmeans _, Some(qKmeansSql)),
+    ("q_ivf_append", qIvfAppend _, Some(qIvfAppendSql)),
     ("q_pq_encode", qPqEncode _, Some(qPqEncodeSql)),
     ("q_pq_adc", qPqAdc _, Some(qPqAdcSql)),
     ("q_pq_ivf", qPqIvf _, Some(qPqIvfSql)),

@@ -149,12 +149,14 @@ object KMeans {
     assign(base(vectors, idCol, vecCol), m)
       .select(col("vec_id"), col("x"), col("cluster"))
 
-  /** Train then assign: (vec_id, cluster, dist2). The returned plan is
-    * one narrow stage over the corpus (trained centroids are literals).
+  /** Assign an arbitrary frame against an EXISTING model: (vec_id,
+    * cluster, dist2) — the index-APPEND primitive: a delta batch
+    * enters a live IVF index through one narrow literal-centroid pass,
+    * no retraining and no shuffle. Same clamp-then-round discipline as
+    * [[fitAssign]] (see its comment).
     */
-  def fitAssign(vectors: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
-    val m = fit(vectors, idCol, vecCol, k, iters)
+  def assignDist(vectors: DataFrame, idCol: String, vecCol: String,
+      m: Model): DataFrame =
     // clamp before rounding: xx − 2·dot + cc cancels to a TINY NEGATIVE
     // for vectors nearly coinciding with their centroid, and
     // round(-1e-10, 6) is -0.0 in some engines but +0.0 in others —
@@ -162,5 +164,11 @@ object KMeans {
     assign(base(vectors, idCol, vecCol), m)
       .select(col("vec_id"), col("cluster"),
         round(greatest(col("dist2"), lit(0.0)), 6).as("dist2"))
-  }
+
+  /** Train then assign: (vec_id, cluster, dist2). The returned plan is
+    * one narrow stage over the corpus (trained centroids are literals).
+    */
+  def fitAssign(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame =
+    assignDist(vectors, idCol, vecCol, fit(vectors, idCol, vecCol, k, iters))
 }

@@ -41,6 +41,26 @@ class KMeansSpec extends SparkSpec {
     assert(asg.forall(r => r.getInt(1) == 0 && r.getDouble(2) == 0.0))
   }
 
+  test("index append: delta assignment ≡ full assignment under the same model") {
+    // train on the even half only (the "existing index"), then append
+    // the odd half: each appended vector must land exactly where a
+    // full-corpus assignment with the SAME model would put it, and the
+    // existing half's assignments are untouched by the append
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val existing = emb.filter($"vec_id" % 2 === 0)
+    val delta = emb.filter($"vec_id" % 2 === 1)
+    val m = KMeans.fit(existing, "vec_id", "embedding", k = 4, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map { case Row(id: Long, cl: Int, d: Double) => (id, cl, d) }.toSet
+    val appended = rows(KMeans.assignDist(delta, "vec_id", "embedding", m))
+    val full = rows(KMeans.assignDist(emb, "vec_id", "embedding", m))
+    assert(appended == full.filter(_._1 % 2 == 1))
+    assert(appended.nonEmpty && appended.map(_._1).forall(_ % 2 == 1))
+    // fitAssign delegates: same-frame fit+assign matches the two-step
+    val oneShot = rows(KMeans.fitAssign(existing, "vec_id", "embedding", 4, 2))
+    assert(oneShot == rows(KMeans.assignDist(existing, "vec_id", "embedding", m)))
+  }
+
   test("centroid update is the exact quantized mean") {
     // one cluster, comps chosen so the mean is exactly representable:
     // mean of 1.0 and 2.0 is 1.5
