@@ -269,6 +269,39 @@ object Sampling {
       .select(col(keyCol), col("neg_idx"), col(s"neg_$keyCol"))
   }
 
+  /** Deterministic corpus shuffle for TRAINING ORDER: every row gets a
+    * (shard, shard_pos) coordinate — shard by one keyed hash, position
+    * within the shard by an INDEPENDENT second hash (domain-separated
+    * prefixes, so shard membership and within-shard order are
+    * uncorrelated) — the seekable pseudo-random permutation a training
+    * dataloader consumes instead of `ORDER BY rand()` (which is
+    * neither stable nor resumable). Shard membership is a pure
+    * function of the key (stable under re-runs and backfills, like the
+    * split family); within-shard POSITIONS are dense 1..n_shard and
+    * therefore shift when the corpus changes — positions are an
+    * epoch-scoped artifact, not a durable id (document vs
+    * [[deterministicSplit]], whose labels never move).
+    *
+    * Scale shape: ONE shuffle keyed by shard + a per-shard sort — the
+    * exact physical work of writing a shuffled training set, with
+    * `numShards` the parallelism/spill knob (100 TB / 10k shards =
+    * 10 GB sorts). The window partitions on shard, never on the whole
+    * corpus; there is no global ordering anywhere.
+    */
+  def shuffleShards(df: DataFrame, keyCol: String, numShards: Int): DataFrame = {
+    require(numShards >= 1, "need numShards >= 1")
+    val shard = TextAnalysis.hash60(
+      concat(lit("shard:"), col(keyCol).cast(StringType))) % numShards
+    val ord = TextAnalysis.hash60(
+      concat(lit("ord:"), col(keyCol).cast(StringType)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__ord"), col(keyCol))
+    df.withColumn("shard", shard.cast(IntegerType))
+      .withColumn("__ord", ord)
+      .withColumn("shard_pos", row_number().over(w).cast(LongType))
+      .drop("__ord")
+  }
+
   /** DuckDB mirror of [[coordinate]] for oracle generation. */
   def coordinateSql(keyExpr: String): String =
     s"cast(cast(('0x' || substr(md5(cast($keyExpr as varchar)), 1, 15)) as bigint) as double) / ${math.pow(2.0, 60)}"

@@ -1267,6 +1267,26 @@ object PipelineQueries {
        |WHERE c.doc_id <> p.doc_id""".stripMargin
   }
 
+  /** Deterministic training-order shuffle: every document mapped to a
+    * (shard, shard_pos) coordinate by two independent keyed hashes
+    * (see [[graft.ops.Sampling.shuffleShards]]) — the seekable
+    * pseudo-random permutation a dataloader consumes. The oracle
+    * replays both hashes and the per-shard dense numbering.
+    */
+  def qShuffleShards(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.shuffleShards(
+      Tables.documents(s, d).select(col("doc_id")), "doc_id", numShards = 8)
+
+  val qShuffleShardsSql: String = {
+    val hs = graft.ops.Sampling.hash60Sql("'shard:' || cast(doc_id as varchar)")
+    val ho = graft.ops.Sampling.hash60Sql("'ord:' || cast(doc_id as varchar)")
+    s"""WITH t AS (
+       |  SELECT doc_id, $hs % 8 AS shard, $ho AS ord FROM documents)
+       |SELECT doc_id, cast(shard as int) AS shard,
+       |  row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS shard_pos
+       |FROM t""".stripMargin
+  }
+
   /** Incremental dedup: the odd-id half of the corpus ingested AGAINST
     * the even-id half as the existing reference — survivors are
     * incoming docs with no exact or near duplicate in the reference
@@ -2949,6 +2969,7 @@ object PipelineQueries {
     ("q_snapshot_diff", qSnapshotDiff _, Some(qSnapshotDiffSql)),
     ("q_leak_split", qLeakSplit _, Some(qLeakSplitSql)),
     ("q_neg_sample", qNegSample _, Some(qNegSampleSql)),
+    ("q_shuffle_shards", qShuffleShards _, Some(qShuffleShardsSql)),
     ("q_cdc_upsert", qCdcUpsert _, Some(qCdcUpsertSql)),
     ("q_bpe", qBpe _, Some(qBpeSql)),
     ("q_bpe_encode", qBpeEncode _, Some(qBpeEncodeSql)),

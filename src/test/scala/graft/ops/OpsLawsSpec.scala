@@ -185,6 +185,34 @@ class OpsLawsSpec extends SparkSpec {
       s"negative sampling must not build a global window index:\n$plan")
   }
 
+  test("law: shuffle shards is a deterministic permutation with stable membership") {
+    val df = (1L to 300L).map(k => (k, s"doc$k")).toDF("id", "payload")
+    val a = Sampling.shuffleShards(df, "id", numShards = 8)
+      .select($"id", $"shard", $"shard_pos")
+      .as[(Long, Int, Long)].collect()
+    // permutation: every row kept, (shard, pos) unique, positions dense 1..n
+    assert(a.length === 300)
+    assert(a.map(t => (t._2, t._3)).distinct.length === 300)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // both hashes actually spread: >1 shard, and within a shard the
+    // id order differs from the position order (it IS shuffled)
+    assert(a.map(_._2).distinct.length > 1)
+    val someShard = a.groupBy(_._2).values.maxBy(_.length)
+    assert(someShard.sortBy(_._3).map(_._1).toSeq !=
+      someShard.map(_._1).sorted.toSeq)
+    // determinism + shard membership stable under corpus growth
+    // (positions may shift — membership must not)
+    val b = Sampling.shuffleShards(df, "id", numShards = 8)
+      .select($"id", $"shard", $"shard_pos").as[(Long, Int, Long)].collect()
+    assert(a.toSet === b.toSet)
+    val grown = (1L to 400L).map(k => (k, s"doc$k")).toDF("id", "payload")
+    val g = Sampling.shuffleShards(grown, "id", numShards = 8)
+      .select($"id", $"shard").as[(Long, Int)].collect().toMap
+    assert(a.forall(t => g(t._1) == t._2))
+  }
+
   test("law: negative sampling dedupes a duplicate-key probe side") {
     val unique = (1L to 100L).map(k => (k, s"doc$k")).toDF("id", "payload")
     val dup = unique.unionAll(unique.filter($"id" % 3 === 0))
