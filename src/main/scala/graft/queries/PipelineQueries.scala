@@ -2475,6 +2475,61 @@ object PipelineQueries {
       |       ELSE 'changed' END AS status
       |FROM old o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id""".stripMargin
 
+  /** Corpus drift monitor: per-source total-variation distance of the
+    * quality-score distribution between an "old" snapshot and a "new"
+    * one over a 16-bin histogram — see
+    * [[graft.ops.Drift.histogramDrift]]. The demo snapshots split the
+    * corpus by the HASH coordinate (not id parity: the synthetic
+    * source column is a function of doc_id mod, so parity would hand
+    * each snapshot a disjoint source set and the both-sides join an
+    * empty result). The oracle replays the split, the binning, both
+    * histograms, and the decimal-summed TV exactly.
+    */
+  def qDrift(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+    val u = graft.ops.Sampling.coordinate(col("doc_id"))
+    graft.ops.Drift.histogramDrift(
+      scored.filter(u < 0.5),
+      scored.filter(u >= 0.5),
+      "source", "q", lo = 0.0, hi = 1.0, bins = 16)
+  }
+
+  val qDriftSql: String = {
+    val u = graft.ops.Sampling.coordinateSql("doc_id")
+    def hist(cond: String, cName: String) =
+      s"""SELECT source,
+         |  least(greatest(cast(floor((q - 0.0) / 0.0625) as int), 0), 15) AS bin,
+         |  count(*) AS $cName
+         |FROM sc WHERE $cond AND q IS NOT NULL GROUP BY 1, 2"""
+        .stripMargin
+    s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+       |sc AS (SELECT doc_id, source,
+       |         ${qualityExprSql("toks", "text")} AS q FROM t),
+       |ho AS (${hist(s"$u < 0.5", "c_old")}),
+       |hn AS (${hist(s"$u >= 0.5", "c_new")}),
+       |no AS (SELECT source, cast(sum(c_old) as bigint) AS n_old FROM ho GROUP BY 1),
+       |nn AS (SELECT source, cast(sum(c_new) as bigint) AS n_new FROM hn GROUP BY 1),
+       |j AS (
+       |  -- explicit coalesce of the join keys: a bare `source` after
+       |  -- FULL OUTER ... USING binds to the LEFT side (NULL on
+       |  -- right-only rows) and silently drops them at the next join
+       |  SELECT coalesce(o.source, n.source) AS source,
+       |    coalesce(o.bin, n.bin) AS bin,
+       |    coalesce(o.c_old, 0) AS c_old, coalesce(n.c_new, 0) AS c_new
+       |  FROM ho o FULL OUTER JOIN hn n
+       |    ON o.source = n.source AND o.bin = n.bin),
+       |terms AS (
+       |  SELECT source, n_old, n_new,
+       |    cast(round(abs(cast(c_old as double) / cast(n_old as double) -
+       |      cast(c_new as double) / cast(n_new as double)), 9)
+       |      as decimal(20,9)) AS term
+       |  FROM j JOIN no USING (source) JOIN nn USING (source))
+       |SELECT source, n_old, n_new,
+       |  round(cast(sum(term) as double) / 2.0, 6) AS tv
+       |FROM terms GROUP BY 1, 2, 3""".stripMargin
+  }
+
   /** PageRank centrality over the customer↔supplier purchase graph
     * (both directions of every distinct trading pair): the
     * graph-centrality weight of a curation pipeline, with the FULL
@@ -2967,6 +3022,7 @@ object PipelineQueries {
     ("q_triangles", qTriangles _, Some(qTrianglesSql)),
     ("q_fuzzy_join", qFuzzyJoin _, Some(qFuzzyJoinSql)),
     ("q_snapshot_diff", qSnapshotDiff _, Some(qSnapshotDiffSql)),
+    ("q_drift", qDrift _, Some(qDriftSql)),
     ("q_leak_split", qLeakSplit _, Some(qLeakSplitSql)),
     ("q_neg_sample", qNegSample _, Some(qNegSampleSql)),
     ("q_shuffle_shards", qShuffleShards _, Some(qShuffleShardsSql)),
