@@ -42,7 +42,8 @@ object PlanAudit {
       "q_pq_encode", "q_pq_adc", "q_pq_ivf", "q_pq_residual",
       "q_allpairs", "q_sq8_encode", "q_sq8_topk", "q_mmr",
       "q_span_scrub", "q_dedup_best", "q_curation_v3",
-      "q_ivf_append", "q_temp_mix", "q_ann_rerank")
+      "q_ivf_append", "q_temp_mix", "q_ann_rerank",
+      "q_shuffle_shards", "q_drift")
     val qs = SparkEntry.queries // built (and dup-checked) once
     interesting.foreach { name =>
       println(s"\n========== $name ==========")

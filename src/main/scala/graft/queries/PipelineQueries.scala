@@ -2475,6 +2475,68 @@ object PipelineQueries {
       |       ELSE 'changed' END AS status
       |FROM old o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id""".stripMargin
 
+  /** Salted skew join, correctness-gated: lineitem (big, salted 8
+    * ways by the order key) joined to supplier (small, replicated) —
+    * see [[graft.ops.SkewJoin.saltedJoin]] — then revenue per
+    * supplier in exact integer cents. The oracle runs the PLAIN join:
+    * passing the gate proves salting is a pure dataflow rewrite (the
+    * operator previously had only a spec; this pins it cross-engine).
+    */
+  def qSaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      col("l_suppkey"), col("l_orderkey"),
+      round(col("l_extendedprice") * 100).cast(LongType).as("cents"))
+    val supp = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    graft.ops.SkewJoin.saltedJoin(li, supp, Seq("l_suppkey"),
+      saltBy = col("l_orderkey"), salts = 8)
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("revenue_cents"))
+  }
+
+  val qSaltedJoinSql: String =
+    """SELECT s_name, count(*) AS n_items,
+      |  cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint)
+      |    AS revenue_cents
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1""".stripMargin
+
+  /** Bounded per-group top-k WITHOUT a window: top-3 orders by price
+    * within each order priority via the [[graft.functions.TopKAgg]]
+    * native aggregate — O(k) state per group, map-side partials, no
+    * per-group sort of the full table (the `row_number() <= k` window
+    * this replaces moves every row of a group through one reducer;
+    * the aggregate moves at most k per partition). Prices quantized
+    * to integer cents so cross-engine ordering is exact; the oracle
+    * replays the same total order as a window, pinning rank
+    * boundaries and tie-breaks.
+    */
+  def qTopkGroup(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast(LongType)
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), cents.as("cents"), col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.TopKAgg.top_k_by(col("cents"), col("o_orderkey"), 3)
+        .as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("o_orderpriority"), (col("p") + 1).cast(LongType).as("rnk"),
+        col("t.ord").as("price_cents"), col("t.payload").as("o_orderkey"))
+  }
+
+  val qTopkGroupSql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority,
+      |    cast(round(o_totalprice * 100) as bigint) AS cents, o_orderkey
+      |  FROM orders),
+      |r AS (
+      |  SELECT o_orderpriority, cents, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY cents DESC, o_orderkey ASC) AS rnk
+      |  FROM o)
+      |SELECT o_orderpriority, cast(rnk as bigint) AS rnk,
+      |  cents AS price_cents, o_orderkey
+      |FROM r WHERE rnk <= 3""".stripMargin
+
   /** Corpus drift monitor: per-source total-variation distance of the
     * quality-score distribution between an "old" snapshot and a "new"
     * one over a 16-bin histogram — see
@@ -3023,6 +3085,8 @@ object PipelineQueries {
     ("q_fuzzy_join", qFuzzyJoin _, Some(qFuzzyJoinSql)),
     ("q_snapshot_diff", qSnapshotDiff _, Some(qSnapshotDiffSql)),
     ("q_drift", qDrift _, Some(qDriftSql)),
+    ("q_topk_group", qTopkGroup _, Some(qTopkGroupSql)),
+    ("q_salted_join", qSaltedJoin _, Some(qSaltedJoinSql)),
     ("q_leak_split", qLeakSplit _, Some(qLeakSplitSql)),
     ("q_neg_sample", qNegSample _, Some(qNegSampleSql)),
     ("q_shuffle_shards", qShuffleShards _, Some(qShuffleShardsSql)),
