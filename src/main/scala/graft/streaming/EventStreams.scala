@@ -80,6 +80,32 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("cm_row"),
         col("cm_bucket"), col("cnt"))
 
+  /** Per-window top-k events by value within each event type — the
+    * leaderboard query as an ordinary watermarked windowed
+    * aggregation: [[graft.functions.TopKAgg]]'s O(k) heap buffer IS
+    * the state Structured Streaming checkpoints (the same
+    * sketch-as-aggregate discipline as [[hllRegistersStream]]'s
+    * registers), so no custom stateful operator, no per-window full
+    * sort, bounded state per open (window, type) group, append-mode
+    * emission at watermark close. Values quantized to integer micros
+    * (the repo's cross-engine ordering discipline); ranks 1..k with
+    * event_id as the deterministic tie-break. Works identically on a
+    * batch frame — the spec's equivalence gate.
+    */
+  def topKStream(events: DataFrame, k: Int = 3, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .select(window(col("ts"), window_).as("w"), col("event_type"),
+        round(col("value") * 1e6).cast(LongType).as("micros"), col("event_id"))
+      .groupBy(col("w"), col("event_type"))
+      .agg(graft.functions.TopKAgg.top_k_by(col("micros"), col("event_id"), k)
+        .as("top"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("window_start"), col("event_type"),
+        (col("p") + 1).cast(LongType).as("rnk"),
+        col("t.ord").as("value_micros"), col("t.payload").as("event_id"))
+
   /** Tumbling-window per-type counts/sums with a lateness watermark —
     * works on both batch and streaming DataFrames.
     */

@@ -160,6 +160,42 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming windowed top-k equals the batch twin, ranks and ties pinned") {
+    implicit val sqlCtx = spark.sqlContext
+    // two event types across two 10-minute windows; values collide so
+    // the event_id tie-break is exercised; late sentinel closes both
+    val data = (0 until 36).map { i =>
+      Event(i.toLong, ts(i % 18), i.toLong % 5,
+        if (i % 2 == 0) "click" else "view", (i % 7).toDouble / 3.0)
+    }
+    val sentinel = Event(99, ts(120), 999, "click", 0.0)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.topKStream(mem.toDF(), k = 3,
+      window_ = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("topk_out").start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    mem.addData(sentinel)
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[java.sql.Timestamp](0).getTime, r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val streamed = canon(spark.table("topk_out"))
+    // batch twin: the SAME transform over the same rows (watermark is
+    // a no-op on batch; sentinel's window never closed → absent above)
+    val batch = canon(EventStreams.topKStream(data.toDF(), k = 3,
+      window_ = "10 minutes", watermark = "5 minutes"))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // every (window, type) emits at most 3 ranks, dense from 1
+    streamed.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      assert(rows.map(_._3).toSeq.sorted == (1L to rows.size).toSeq)
+      assert(rows.size <= 3)
+    }
+  }
+
   test("batch sessionization splits on the inactivity gap") {
     val sess = sessionizeBatch(events.toDF())
       .filter($"user_id" === 10).orderBy($"session_start").collect()
