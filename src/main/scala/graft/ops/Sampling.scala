@@ -302,6 +302,38 @@ object Sampling {
       .drop("__ord")
   }
 
+  /** Rendezvous (highest-random-weight) sharding: each key routes to
+    * the named shard with the LARGEST keyed hash of (shard, key) —
+    * the minimal-movement routing rule. When the shard set changes,
+    * the only keys that move are those whose winning weight involved
+    * the added/removed shard (expected 1/(S+1) of keys on add), while
+    * modulo routing ([[shuffleShards]]) reshuffles (S-1)/S of the
+    * corpus. Use it where shard identity is OPERATIONAL state —
+    * cache/index/worker routing that survives topology edits; use
+    * [[shuffleShards]] where shards are an epoch-scoped artifact
+    * (training-order output) and dense positions matter.
+    *
+    * Scale shape: a pure per-row expression — S hash evaluations and
+    * a running structwise max, no shuffle, no join; S is a bounded
+    * route table (tens to hundreds), not data. Deterministic: ties
+    * (60-bit hash collisions) break by shard name.
+    */
+  def rendezvousShard(df: DataFrame, keyCol: String,
+      shards: Seq[String]): DataFrame = {
+    require(shards.nonEmpty && shards.distinct.size == shards.size,
+      "need a non-empty, duplicate-free shard list")
+    val candidates = shards.map { s =>
+      struct(
+        TextAnalysis.hash60(concat(lit(s + ":"), col(keyCol).cast(StringType)))
+          .as("w"),
+        lit(s).as("s"))
+    }
+    val best =
+      if (candidates.size == 1) candidates.head
+      else greatest(candidates: _*)
+    df.withColumn("shard", best.getField("s"))
+  }
+
   /** DuckDB mirror of [[coordinate]] for oracle generation. */
   def coordinateSql(keyExpr: String): String =
     s"cast(cast(('0x' || substr(md5(cast($keyExpr as varchar)), 1, 15)) as bigint) as double) / ${math.pow(2.0, 60)}"

@@ -1287,6 +1287,31 @@ object PipelineQueries {
        |FROM t""".stripMargin
   }
 
+  /** Rendezvous routing: every document assigned to the named shard
+    * with the highest keyed weight (see
+    * [[graft.ops.Sampling.rendezvousShard]]); the oracle replays the
+    * per-(key, shard) weights and the (weight, shard)-max pick.
+    */
+  def qRendezvous(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.rendezvousShard(
+      Tables.documents(s, d).select(col("doc_id")), "doc_id",
+      Seq("ingest-a", "ingest-b", "ingest-c", "ingest-d"))
+
+  val qRendezvousSql: String = {
+    val w = graft.ops.Sampling.hash60Sql(
+      "s.shard || ':' || cast(doc_id as varchar)")
+    s"""WITH ks AS (SELECT doc_id FROM documents),
+       |w AS (
+       |  SELECT doc_id, s.shard, $w AS wt
+       |  FROM ks CROSS JOIN (VALUES ('ingest-a'), ('ingest-b'),
+       |    ('ingest-c'), ('ingest-d')) AS s(shard)),
+       |r AS (
+       |  SELECT doc_id, shard, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY wt DESC, shard DESC) AS rn
+       |  FROM w)
+       |SELECT doc_id, shard FROM r WHERE rn = 1""".stripMargin
+  }
+
   /** Incremental dedup: the odd-id half of the corpus ingested AGAINST
     * the even-id half as the existing reference — survivors are
     * incoming docs with no exact or near duplicate in the reference
@@ -3090,6 +3115,7 @@ object PipelineQueries {
     ("q_leak_split", qLeakSplit _, Some(qLeakSplitSql)),
     ("q_neg_sample", qNegSample _, Some(qNegSampleSql)),
     ("q_shuffle_shards", qShuffleShards _, Some(qShuffleShardsSql)),
+    ("q_rendezvous", qRendezvous _, Some(qRendezvousSql)),
     ("q_cdc_upsert", qCdcUpsert _, Some(qCdcUpsertSql)),
     ("q_bpe", qBpe _, Some(qBpeSql)),
     ("q_bpe_encode", qBpeEncode _, Some(qBpeEncodeSql)),

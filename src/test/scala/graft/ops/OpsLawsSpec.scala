@@ -213,6 +213,32 @@ class OpsLawsSpec extends SparkSpec {
     assert(a.forall(t => g(t._1) == t._2))
   }
 
+  test("law: rendezvous sharding moves ONLY keys won by a topology change") {
+    val df = (1L to 1000L).map(k => (k, s"doc$k")).toDF("id", "payload")
+    val s4 = Seq("a", "b", "c", "d")
+    def route(shards: Seq[String]) = Sampling.rendezvousShard(df, "id", shards)
+      .select($"id", $"shard").as[(Long, String)].collect().toMap
+    val before = route(s4)
+    assert(before.values.toSet.subsetOf(s4.toSet))
+    // every shard actually receives keys, and determinism holds
+    assert(before.values.toSet.size === 4)
+    assert(route(s4) === before)
+    // ADD a shard: the minimal-movement law — a key either keeps its
+    // assignment or moves to the NEW shard; nothing reshuffles between
+    // the surviving shards (modulo routing would move ~4/5 of keys)
+    val after = route(s4 :+ "e")
+    val moved = before.keys.filter(k => after(k) != before(k)).toSeq
+    assert(moved.nonEmpty && moved.forall(k => after(k) == "e"))
+    val frac = moved.size.toDouble / before.size
+    assert(frac > 0.1 && frac < 0.35, s"moved fraction $frac, expected ~1/5")
+    // REMOVE a shard: only its keys move, redistributed to survivors
+    val dropped = route(s4.init)
+    before.foreach { case (k, s0) =>
+      if (s0 != "d") assert(dropped(k) === s0, s"key $k moved without cause")
+      else assert(dropped(k) != "d")
+    }
+  }
+
   test("law: negative sampling dedupes a duplicate-key probe side") {
     val unique = (1L to 100L).map(k => (k, s"doc$k")).toDF("id", "payload")
     val dup = unique.unionAll(unique.filter($"id" % 3 === 0))
