@@ -204,6 +204,24 @@ object HashKernels {
     }
     acc
   }
+
+  /** Bloom membership: all probe bits of md5-hash60(s) set in the
+    * dense word array (word i = bits [63·i, 63·i+63), bit 63 unused) —
+    * the JVM twin of [[graft.sketch.Bloom]]'s SQL probe arithmetic,
+    * which passes its own coefficients in so the layouts can't drift.
+    */
+  def bloomContains(s: UTF8String, words: Array[Long], mBits: Int,
+      as: Array[Long], bs: Array[Long], p: Long): Boolean = {
+    val x = hash60(s.getBytes) % p
+    var i = 0
+    while (i < as.length) {
+      val pos = (x * as(i) + bs(i)) % p % mBits
+      if ((words((pos / 63).toInt) & (1L << (pos % 63).toInt)) == 0L)
+        return false
+      i += 1
+    }
+    true
+  }
 }
 
 /** array<long> of distinct hashed word w-shingles of a text column. */
@@ -246,6 +264,45 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Bloom membership probe of a STRING key against a bounded dense
+  * word array. The words travel as a codegen REFERENCE OBJECT, not as
+  * literal children — an mBits = 2^19 filter is ~8k longs, which as an
+  * `array(lit…)` membership projection costs thousands of analyzer
+  * nodes and megabytes of (truncated) plan string per probe; here the
+  * plan prints one compact node and the generated code indexes the
+  * shared array directly. Probe coefficients arrive from
+  * [[graft.sketch.Bloom]] so the SQL build / oracle layouts and this
+  * kernel cannot drift apart.
+  */
+case class BloomContainsExpr(child: Expression, words: Array[Long],
+    mBits: Int, as: Seq[Long], bs: Seq[Long], p: Long)
+    extends UnaryExpression {
+  require(words.length == (mBits - 1) / 63 + 1,
+    s"dense word array must cover mBits=$mBits exactly")
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val aArr = as.toArray
+  @transient private lazy val bArr = bs.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.bloomContains(input.asInstanceOf[UTF8String], words, mBits,
+      aArr, bArr, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("bloomWords", words, "long[]")
+    val aRef = ctx.addReferenceObj("bloomA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("bloomB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.bloomContains(" +
+        s"$c, $wRef, $mBits, $aRef, $bRef, ${p}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsExpr =
     copy(child = newChild)
 }
 

@@ -85,6 +85,41 @@ object Sampling {
     df.filter(u < rate)
   }
 
+  /** Exactly-n-per-group deterministic sample: the n rows with the
+    * HIGHEST hash coordinates in each group, via the bounded
+    * [[graft.functions.TopKAgg]] heap — the count-bounded companion to
+    * [[stratifiedSample]]'s rate-bounded draw (eval-set carving wants
+    * "8 docs per language", not "0.1% per language").
+    *
+    * Scale shape: ONE partial aggregate — each map partition
+    * contributes at most n (hash, key) pairs per group to the
+    * shuffle, so shuffle volume is O(partitions·groups·n) regardless
+    * of group skew; no per-group window sort anywhere (the
+    * row_number() formulation sorts every row of the hottest group
+    * through one reducer — the DuckDB oracle replays it that way
+    * because the oracle runs at test scale, the engine never does).
+    *
+    * Determinism: "n largest under (hash DESC, key ASC)" is a pure
+    * function of the group's key SET — arrival order, partitioning,
+    * and engines agree; as the corpus grows, a group's sample only
+    * changes when a new key hashes above its current floor, the same
+    * bounded-churn property as [[KMinDistinct]]'s sketch.
+    *
+    * @param keyCol integral unique row key (cast to LONG — the heap
+    *               payload); ties in the 60-bit hash break by key ASC
+    */
+  def groupSample(df: DataFrame, keyCol: String, groupCols: Seq[String],
+      n: Int): DataFrame = {
+    val ord = TextAnalysis.hash60(col(keyCol).cast(StringType))
+    val g = groupCols.map(col)
+    df.groupBy(g: _*)
+      .agg(graft.functions.TopKAgg.top_k_by(
+        ord, col(keyCol).cast(LongType), n).as("top"))
+      .select(g :+ posexplode(col("top")).as(Seq("p", "t")): _*)
+      .select(g ++ Seq((col("p") + 1).cast(LongType).as("rnk"),
+        col("t.payload").as(keyCol)): _*)
+  }
+
   /** Per-source row counts collected to the driver: #sources values —
     * the bounded-model-state class ([[graft.sim.KMeans]] centroids),
     * never corpus-sized. ONE scan of the corpus; every mixture op

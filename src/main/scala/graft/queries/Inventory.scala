@@ -1225,6 +1225,34 @@ object Inventory {
        |FROM member m""".stripMargin
   }
 
+  /** Bloom-PRUNED join ([[graft.ops.BloomJoin]]): lineitem joined to
+    * the selective P-status order slice, with the fact side pre-pruned
+    * by a literal bloom of the surviving order keys before the join's
+    * exchange. The oracle is the PLAIN join — the bloom is
+    * semantics-invisible (false positives die in the exact join, false
+    * negatives are impossible), so the exact hash gate proves the
+    * optimization changes cost, not results. BloomJoinSpec asserts the
+    * pruning actually bites and that no extra exchange appears.
+    */
+  def qBloomJoin(s: SparkSession, d: String): DataFrame = {
+    val pOrders = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "P")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    // sized for sf0.1's ~50k P-orders: m/n ≈ 10 bits/key → ~1% fp
+    graft.ops.BloomJoin.prunedJoin(fact, pOrders, "o_orderkey", mBits = 524288)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), dbl(sum(dec("l_quantity"))).as("sum_qty"))
+  }
+
+  val qBloomJoinSql: String =
+    """SELECT o.o_orderpriority, count(*) AS n_items,
+      |  cast(sum(cast(l.l_quantity as decimal(18,2))) as double) AS sum_qty
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderstatus = 'P'
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------- KMV distinct sketch
   /** KMV/theta sketch distinct estimate (graft.sketch.Kmv) — the
     * set-operation-capable companion to q_hll_distinct, equally
@@ -1450,6 +1478,7 @@ object Inventory {
     ("q_kmv_distinct", qKmvDistinct _, Some(qKmvDistinctSql)),
     ("q_kmv_registers", qKmvRegisters _, Some(qKmvRegistersSql)),
     ("q_bloom_filter", qBloomFilter _, Some(qBloomFilterSql)),
+    ("q_bloom_join", qBloomJoin _, Some(qBloomJoinSql)),
     ("q_sessionize", qSessionize _, Some(qSessionizeSql)),
     ("q_session_window", qSessionWindow _, Some(qSessionWindowSql)),
     ("q_window_running", qWindowRunning _, Some(qWindowRunningSql)),

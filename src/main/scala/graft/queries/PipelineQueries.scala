@@ -493,6 +493,28 @@ object PipelineQueries {
        |                ELSE 0.5 END""".stripMargin
   }
 
+  /** Exactly-8-docs-per-language deterministic sample
+    * ([[graft.ops.Sampling.groupSample]]): the count-bounded eval-set
+    * carve, computed with the bounded per-group heap aggregate — no
+    * per-group window sort in the Spark plan (the oracle replays it AS
+    * the row_number window because the oracle runs at test scale).
+    */
+  def qGroupSample(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.groupSample(
+      Tables.documents(s, d).select(col("doc_id"), col("lang")),
+      "doc_id", Seq("lang"), n = 8)
+
+  val qGroupSampleSql: String = {
+    val hv = graft.ops.Sampling.hash60Sql("cast(doc_id as varchar)")
+    s"""WITH r AS (
+       |  SELECT lang, doc_id, $hv AS hv,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY $hv DESC, doc_id ASC) AS rnk
+       |  FROM documents)
+       |SELECT lang, cast(rnk as bigint) AS rnk, doc_id
+       |FROM r WHERE rnk <= 8""".stripMargin
+  }
+
   /** Per-domain token-budget fill: within each source, documents are
     * taken quality-best-first until a 700-token budget is exhausted —
     * how a training mixture is actually cut (a document-count cut
@@ -795,6 +817,47 @@ object PipelineQueries {
        |  cast(coalesce(k.n_kept, 0) as bigint) AS n_kept,
        |  cast(len(t.toks) - coalesce(k.n_kept, 0) as bigint) AS n_dropped
        |FROM t LEFT JOIN k USING (doc_id)""".stripMargin
+  }
+
+  /** Exact duplicate-paragraph removal with reassembly
+    * ([[graft.dedup.ParagraphDedup]]) — first occurrence of each
+    * distinct cell wins corpus-wide, survivors re-joined in document
+    * order. The synthetic corpus is single-line, so the query splits
+    * at the literal " the " token as a stand-in structural boundary
+    * (production uses "\n\n" — ParagraphDedupSpec exercises that on
+    * multi-line fixtures); the oracle replays the split, the packed
+    * (doc, position) ownership order, and the reassembly exactly.
+    */
+  def qParaDedup(s: SparkSession, d: String): DataFrame =
+    graft.dedup.ParagraphDedup.dedupParagraphs(
+      Tables.documents(s, d), "doc_id", "text", " the ")
+
+  val qParaDedupSql: String = {
+    val pack = s"doc_id * ${1L << graft.dedup.ParagraphDedup.IdxBits} + idx"
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |cells AS (
+       |  SELECT doc_id, u.i - 1 AS idx, u.para
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(ps) + 1),
+       |            i -> {'i': i, 'para': ps[i]})) AS u
+       |        FROM (SELECT doc_id, string_split(text, ' the ') AS ps
+       |              FROM base))
+       |  WHERE trim(u.para) != ''),
+       |hashed AS (
+       |  SELECT doc_id, idx, para, ${hash60Sql("para")} AS h, $pack AS pk
+       |  FROM cells),
+       |owners AS (SELECT h, min(pk) AS owner FROM hashed GROUP BY 1),
+       |kept AS (SELECT hashed.* FROM hashed JOIN owners USING (h)
+       |         WHERE pk = owner),
+       |re AS (SELECT doc_id, string_agg(para, ' the ' ORDER BY idx)
+       |         AS text_dedup, count(*) AS n_kept
+       |       FROM kept GROUP BY 1),
+       |tot AS (SELECT doc_id, count(*) AS n_paras FROM cells GROUP BY 1)
+       |SELECT b.doc_id, coalesce(re.text_dedup, '') AS text_dedup,
+       |  cast(coalesce(tot.n_paras, 0) as bigint) AS n_paras,
+       |  cast(coalesce(re.n_kept, 0) as bigint) AS n_kept
+       |FROM base b LEFT JOIN tot USING (doc_id) LEFT JOIN re USING (doc_id)"""
+      .stripMargin
   }
 
   /** Winnowed partial-overlap candidate pairs: documents sharing ≥2
@@ -3055,10 +3118,12 @@ object PipelineQueries {
     ("q_cms_grouped", qCmsGrouped _, Some(qCmsGroupedSql)),
     ("q_split_assign", qSplitAssign _, Some(qSplitAssignSql)),
     ("q_strat_sample", qStratSample _, Some(qStratSampleSql)),
+    ("q_group_sample", qGroupSample _, Some(qGroupSampleSql)),
     ("q_token_budget", qTokenBudget _, Some(qTokenBudgetSql)),
     ("q_repetition", qRepetition _, Some(qRepetitionSql)),
     ("q_span_dedup", qSpanDedup _, Some(qSpanDedupSql)),
     ("q_span_scrub", qSpanScrub _, Some(qSpanScrubSql)),
+    ("q_para_dedup", qParaDedup _, Some(qParaDedupSql)),
     ("q_winnow", qWinnow _, Some(qWinnowSql)),
     ("q_winnow_pairs", qWinnowPairs _, Some(qWinnowPairsSql)),
     ("q_unigram_lm", qUnigramLm _, Some(qUnigramLmSql)),

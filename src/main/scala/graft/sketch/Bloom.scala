@@ -70,6 +70,23 @@ object Bloom {
       .agg(expr("bool_and((coalesce(word, CAST(0 AS BIGINT)) & mask) != 0)")
         .as("might_contain"))
 
+  /** Membership as a PURE PROJECTION against a dense word array
+    * (word i holds bits [63·i, 63·i+63)): all k probe bits set.
+    * Implemented as the native
+    * [[graft.functions.BloomContainsExpr]] — the words ride along as
+    * a codegen reference object (one compact plan node, ~8k longs for
+    * mBits = 2^19), one md5 per row, zero joins, zero shuffle. This is
+    * the runtime-filter shape [[graft.ops.BloomJoin]] uses to prune a
+    * fact scan BEFORE the join's exchange; the dense form caps mBits
+    * at [[build]]'s 2^20 contract (≤ ~16k words). The expression
+    * receives [[probeCoeffs]]/[[P]] from here, so the probe arithmetic
+    * is shared with [[build]]/[[oracleSql]] by construction.
+    */
+  def mightContainWords(value: Column, words: Array[Long], mBits: Int): Column =
+    Bridge.toColumn(graft.functions.BloomContainsExpr(
+      Bridge.toExpression(value.cast(StringType)), words, mBits,
+      probeCoeffs.map(_._1), probeCoeffs.map(_._2), P))
+
   /** DuckDB mirror: membership flags for every `probeExpr` of
     * `probeTable` against a bloom of `buildExpr` from `buildTable`.
     */

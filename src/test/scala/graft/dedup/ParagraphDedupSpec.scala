@@ -1,0 +1,58 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class ParagraphDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    // doc 1 owns both paragraphs
+    (1L, "alpha beta\n\nshared boilerplate"),
+    // doc 2 repeats doc 1's boilerplate, keeps its unique cell
+    (2L, "shared boilerplate\n\ngamma delta"),
+    // doc 3 is ENTIRELY duplicates (of doc 1 and of itself)
+    (3L, "shared boilerplate\n\nalpha beta\n\nshared boilerplate"),
+    // doc 4: internal duplicate cell + blank cells around it
+    (4L, "\n\nepsilon\n\n\n\nepsilon\n\nzeta")
+  ).toDF("doc_id", "text")
+
+  private def result = ParagraphDedup
+    .dedupParagraphs(docs, "doc_id", "text", "\n\n")
+    .as[(Long, String, Long, Long)].collect()
+    .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("first corpus-wide occurrence wins; survivors reassemble in order") {
+    val r = result
+    assert(r(1L) === (("alpha beta\n\nshared boilerplate", 2L, 2L)))
+    assert(r(2L) === (("gamma delta", 2L, 1L)))
+  }
+
+  test("fully-duplicate documents stay present with empty text") {
+    assert(result(3L) === (("", 3L, 0L)))
+  }
+
+  test("blank cells are ignored; within-doc duplicates collapse") {
+    // doc 4 has cells: "", "epsilon", "", "epsilon", "zeta" → 3 non-blank,
+    // 2 kept (first epsilon + zeta), rejoined without the blank cells
+    assert(result(4L) === (("epsilon\n\nzeta", 3L, 2L)))
+  }
+
+  test("output covers every input document exactly once") {
+    assert(result.keySet === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("subset stability: removing later docs never changes earlier winners") {
+    val sub = ParagraphDedup
+      .dedupParagraphs(docs.filter($"doc_id" <= 2L), "doc_id", "text", "\n\n")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(sub(1L) === result(1L) && sub(2L) === result(2L))
+  }
+
+  test("plan has no window and no single-partition exchange") {
+    val plan = ParagraphDedup.dedupParagraphs(docs, "doc_id", "text", "\n\n")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"single partition:\n$plan")
+  }
+}

@@ -185,6 +185,40 @@ class OpsLawsSpec extends SparkSpec {
       s"negative sampling must not build a global window index:\n$plan")
   }
 
+  test("law: group sample equals the window formulation at every n") {
+    val df = (1L to 500L).map(k => (k, s"g${k % 7}")).toDF("id", "grp")
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(1, 4, 16)) {
+      val agg = Sampling.groupSample(df.select($"id", $"grp"), "id",
+        Seq("grp"), n).as[(String, Long, Long)].collect().toSet
+      val win = df
+        .withColumn("hv", graft.text.TextAnalysis.hash60($"id".cast("string")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy($"grp").orderBy($"hv".desc, $"id".asc)))
+        .filter($"rnk" <= n)
+        .select($"grp", $"rnk".cast("long"), $"id")
+        .as[(String, Long, Long)].collect().toSet
+      assert(agg === win, s"aggregate ≠ window at n=$n")
+    }
+  }
+
+  test("law: group sample has bounded churn under corpus growth") {
+    val df = (1L to 500L).map(k => (k, s"g${k % 7}")).toDF("id", "grp")
+    val full = Sampling.groupSample(df, "id", Seq("grp"), 8)
+      .as[(String, Long, Long)].collect()
+    val sub = Sampling.groupSample(df.filter($"id" <= 250L), "id",
+      Seq("grp"), 8).as[(String, Long, Long)].collect()
+    // the subset's sample per group = full sample restricted to the
+    // subset's keys, topped up from the next-highest hashes — so every
+    // full-sample member whose key survives the cut stays sampled
+    val fullKept = full.filter(_._3 <= 250L).map(t => (t._1, t._3)).toSet
+    assert(fullKept.subsetOf(sub.map(t => (t._1, t._3)).toSet))
+    // and there is no Window/SinglePartition in the aggregate's plan
+    val plan = Sampling.groupSample(df, "id", Seq("grp"), 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("SinglePartition"))
+  }
+
   test("law: shuffle shards is a deterministic permutation with stable membership") {
     val df = (1L to 300L).map(k => (k, s"doc$k")).toDF("id", "payload")
     val a = Sampling.shuffleShards(df, "id", numShards = 8)
