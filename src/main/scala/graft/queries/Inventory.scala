@@ -1253,6 +1253,23 @@ object Inventory {
       |WHERE o.o_orderstatus = 'P'
       |GROUP BY 1""".stripMargin
 
+  /** Exact heavy hitters via the Misra-Gries candidate sketch + exact
+    * recount ([[graft.sketch.HeavyHitters]]): users with ≥ N/128 of
+    * all events. The oracle is the PLAIN group-by + HAVING — like
+    * `q_bloom_join`, the sketch only moves work off the shuffle
+    * (O(parts·k) counters instead of a domain-sized exchange), it
+    * never changes the answer.
+    */
+  def qHeavyHitters(s: SparkSession, d: String): DataFrame =
+    graft.sketch.HeavyHitters.exactHeavyHitters(
+      Tables.events(s, d), "user_id", k = 128, minFrac = 1.0 / 128)
+
+  val qHeavyHittersSql: String =
+    """SELECT user_id, count(*) AS n_occ
+      |FROM events GROUP BY 1
+      |HAVING count(*) >= (SELECT count(user_id) FROM events) / 128.0"""
+      .stripMargin
+
   // ------------------------------------------------- KMV distinct sketch
   /** KMV/theta sketch distinct estimate (graft.sketch.Kmv) — the
     * set-operation-capable companion to q_hll_distinct, equally
@@ -1479,6 +1496,7 @@ object Inventory {
     ("q_kmv_registers", qKmvRegisters _, Some(qKmvRegistersSql)),
     ("q_bloom_filter", qBloomFilter _, Some(qBloomFilterSql)),
     ("q_bloom_join", qBloomJoin _, Some(qBloomJoinSql)),
+    ("q_heavy_hitters", qHeavyHitters _, Some(qHeavyHittersSql)),
     ("q_sessionize", qSessionize _, Some(qSessionizeSql)),
     ("q_session_window", qSessionWindow _, Some(qSessionWindowSql)),
     ("q_window_running", qWindowRunning _, Some(qWindowRunningSql)),

@@ -1,0 +1,55 @@
+package graft.sketch
+
+import graft.functions.HeavyHittersAgg
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact heavy hitters over an open item domain, in two bounded
+  * passes — the sketch-for-candidates / exact-recount composition:
+  *
+  *  1. one [[graft.functions.MisraGries]] aggregate caps every map
+  *     partition's shuffle contribution at k counters (vs the exact
+  *     `groupBy(item)`'s partition×|domain| partial rows — the
+  *     difference between O(parts·k) and a vocabulary-sized shuffle
+  *     when items are urls / user ids / n-grams over 100 TB);
+  *  2. the ≤ k candidates broadcast back as an `isin` filter and only
+  *     THEY are counted exactly (one tiny hash aggregate).
+  *
+  * Exactness: Misra-Gries guarantees every item with true frequency
+  * > N/(k+1) survives any merge order, so with minFrac ≥ 1/(k+1) the
+  * recount-then-threshold result equals the full exact group-by —
+  * which is precisely what the `q_heavy_hitters` oracle replays (a
+  * plain GROUP BY ... HAVING; no sketch arithmetic in the gate).
+  *
+  * Choose minFrac an exact binary fraction (1/128, 1/64 …) so the
+  * threshold `N·minFrac` is the same IEEE double in every engine.
+  */
+object HeavyHitters {
+
+  /** ≤ k candidate items (superset of all with freq > N/(k+1)) plus
+    * the exact total row count, in ONE corpus pass.
+    */
+  def candidates(df: DataFrame, itemCol: String, k: Int): (Array[Long], Long) = {
+    val row = df.agg(
+      HeavyHittersAgg.misra_gries(col(itemCol).cast("long"), k).as("cands"),
+      count(col(itemCol)).as("n")).head()
+    val items = row.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(0)).toArray
+    (items, row.getLong(1))
+  }
+
+  /** All items with exact frequency ≥ N·minFrac, with their exact
+    * counts. Requires minFrac ≥ 1/(k+1) — asserted, because below the
+    * sketch's guarantee the candidate set may miss a qualifying item.
+    */
+  def exactHeavyHitters(df: DataFrame, itemCol: String, k: Int,
+      minFrac: Double): DataFrame = {
+    require(minFrac >= 1.0 / (k + 1),
+      s"minFrac=$minFrac below the k=$k sketch guarantee 1/${k + 1}")
+    val (items, n) = candidates(df, itemCol, k)
+    val threshold = n * minFrac
+    df.filter(col(itemCol).isin(items.map(Long.box): _*))
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= threshold)
+  }
+}
