@@ -106,6 +106,31 @@ object EventStreams {
         (col("p") + 1).cast(LongType).as("rnk"),
         col("t.ord").as("value_micros"), col("t.payload").as("event_id"))
 
+  /** Per-window fixed-bin value histograms — the streaming leg of the
+    * drift monitor ([[graft.ops.Drift]]): histogram state IS a
+    * per-(window, group, bin) COUNT, so the stream maintains it as one
+    * watermarked windowed aggregation with ≤ groups·bins rows per open
+    * window (the same sketch-as-aggregate discipline as
+    * [[hllRegistersStream]]), emitted append-mode at watermark close.
+    * Binning is [[graft.ops.Drift.binIndex]] — shared with the batch
+    * histogram, so closed windows equal the batch twin bit-for-bit and
+    * [[graft.ops.Drift.driftVsReference]] finalizes TV per window
+    * downstream (a monitoring job's alert surface).
+    *
+    * Output: (window_start, groupCol, bin, cnt).
+    */
+  def histogramStream(events: DataFrame, valueCol: String = "value",
+      groupCol: String = "event_type", lo: Double = 0.0, hi: Double = 100.0,
+      bins: Int = 16, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    graft.ops.Drift.histogram(
+      events.withWatermark("ts", watermark)
+        .select(window(col("ts"), window_).as("w"), col(groupCol),
+          col(valueCol)),
+      Seq("w", groupCol), valueCol, lo, hi, bins)
+      .select(col("w.start").as("window_start"), col(groupCol), col("bin"),
+        col("cnt"))
+
   /** Tumbling-window per-type counts/sums with a lateness watermark —
     * works on both batch and streaming DataFrames.
     */

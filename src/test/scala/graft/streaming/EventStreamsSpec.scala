@@ -40,6 +40,51 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n")).sum === 4)
   }
 
+  test("streaming histograms equal the batch twin; TV-vs-reference finalizes") {
+    implicit val sqlCtx = spark.sqlContext
+    // epoch-ALIGNED base so minutes 0-9 / 10-19 are exactly two windows
+    def tsA(min: Int) = new java.sql.Timestamp(1700000400000L + min * 60000L)
+    // two 10-min windows with DIFFERENT value distributions per type
+    val data = (0 until 80).map { i =>
+      val m = if (i < 40) i % 9 else 10 + i % 8 // windows [0,10) and [10,20)
+      val v = if (i < 40) (i % 10).toDouble else 5.0 + (i % 5) // shifted dist
+      Event(i.toLong, tsA(m), i.toLong, if (i % 2 == 0) "click" else "view", v)
+    }
+    val mem = MemoryStream[Event]
+    val q = EventStreams.histogramStream(mem.toDF(), lo = 0.0, hi = 10.0,
+      bins = 8, window_ = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hist_out").start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    mem.addData(Event(999, tsA(120), 999, "click", 1.0)) // close both windows
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hist_out")
+      .collect().map(r => (r.getAs[java.sql.Timestamp](0).getTime,
+        r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    val batch = graft.ops.Drift.histogram(
+      data.toDF().select(window($"ts", "10 minutes").as("w"), $"event_type",
+        $"value"),
+      Seq("w", "event_type"), "value", 0.0, 10.0, 8)
+      .select($"w.start", $"event_type", $"bin", $"cnt")
+      .collect().map(r => (r.getAs[java.sql.Timestamp](0).getTime,
+        r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    assert(streamed === batch)
+    // finalize: per-window TV against the first window as reference
+    val ref = graft.ops.Drift.histogram(
+      data.filter(_.ts.getTime < tsA(10).getTime).toDF(),
+      Seq("event_type"), "value", 0.0, 10.0, 8)
+    val tv = graft.ops.Drift.driftVsReference(
+      spark.table("hist_out"), ref, "event_type")
+      .collect().map(r => ((r.getAs[java.sql.Timestamp](0).getTime,
+        r.getString(1)), r.getDouble(4))).toMap
+    // window 0 vs itself → TV 0; shifted window 1 drifts
+    val w0 = tsA(0).getTime; val w1 = tsA(10).getTime
+    assert(tv((w0, "click")) === 0.0 && tv((w0, "view")) === 0.0)
+    assert(tv((w1, "click")) > 0.2 && tv((w1, "view")) > 0.2)
+  }
+
   test("streaming HLL registers equal the batch sketch bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
     // 40 events, 17 distinct users across two 10-minute windows, plus
