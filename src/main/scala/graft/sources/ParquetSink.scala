@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Idempotent partitioned parquet ingest — the Spark analog of the
   * reference's delete-then-reload API-pull idempotency (each pull
@@ -22,4 +23,106 @@ object ParquetSink {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Small-file compaction — the operational staple of any
+    * continuously-ingested layout: streaming micro-batches and
+    * per-pull idempotent writes each leave a few small files per
+    * partition, and a year of them turns every scan into a
+    * metadata/task-overhead bath (10⁶ × 1 MB files plan 10⁶ tasks for
+    * what 10⁴ × 100 MB files do in 10⁴). Rewrites the dataset so each
+    * partition holds ≈ ceil(bytes/targetBytes) files.
+    *
+    * How: one filesystem listing maps each partition directory to its
+    * current byte size (bounded driver state — one entry per
+    * partition); each row gets a salt in [0, nFiles_of_its_partition)
+    * from a hash of its content, and ONE shuffle on
+    * (partitionCols, salt) routes rows so every output slot is a task
+    * = a file. The compacted layout is written to a sibling temp
+    * directory and swapped in by two renames (Spark refuses to
+    * overwrite a path it is reading, and the swap makes the rewrite
+    * restartable: a crash leaves either the old layout or the temp
+    * dir, never a half-deleted table; plain parquet has no
+    * multi-directory transaction, which is documented rather than
+    * papered over). Row content is untouched: compaction is
+    * layout-only, verified by the spec's content-equality gate.
+    * Partition values must round-trip through their directory names
+    * (no URL-escaped specials) — true for the numeric/date/id
+    * partition keys this engine lays out.
+    *
+    * Returns (filesBefore, filesAfter) from the listings.
+    */
+  def compact(spark: SparkSession, path: String, partitionCols: Seq[String],
+      targetBytes: Long): (Long, Long) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    // qualify so URI relativization below sees one consistent scheme
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    // leaf data files, keyed by their partition-relative directory
+    val it = fs.listFiles(root, true)
+    val sizes = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        val rel = root.toUri.relativize(st.getPath.getParent.toUri).getPath
+        val (b, n) = sizes.getOrElse(rel, (0L, 0L))
+        sizes(rel) = (b + st.getLen, n + 1)
+      }
+    }
+    val filesBefore = sizes.valuesIterator.map(_._2).sum
+    val df = spark.read.parquet(path)
+    val salted =
+      if (partitionCols.isEmpty) {
+        val n = math.max(1L,
+          (sizes.valuesIterator.map(_._1).sum + targetBytes - 1) / targetBytes)
+        df.repartition(n.toInt)
+      } else {
+        // per-partition file budget, joined in via a tiny literal map
+        // (one row per partition — the bounded-model-state class)
+        val budgets = sizes.toSeq.map { case (rel, (bytes, _)) =>
+          val vals = rel.split("/").filter(_.nonEmpty).map(_.split("=", 2)(1))
+          val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+          org.apache.spark.sql.Row.fromSeq(vals.toSeq :+ n)
+        }
+        val schema = org.apache.spark.sql.types.StructType(
+          partitionCols.map(c =>
+            org.apache.spark.sql.types.StructField(c + "__s",
+              org.apache.spark.sql.types.StringType)) :+
+            org.apache.spark.sql.types.StructField("__nf",
+              org.apache.spark.sql.types.LongType))
+        val bdf = spark.createDataFrame(
+          java.util.Arrays.asList(budgets: _*), schema)
+        val joinCond = partitionCols.map(c =>
+          col(c).cast("string") === col(c + "__s")).reduce(_ && _)
+        val slots = sizes.valuesIterator.map { case (b, _) =>
+          math.max(1L, (b + targetBytes - 1) / targetBytes) }.sum
+        df.join(broadcast(bdf), joinCond)
+          .withColumn("__salt",
+            pmod(hash(struct(df.columns.map(col): _*)).cast("long"),
+              col("__nf")))
+          .repartition(math.max(1L, slots).toInt,
+            partitionCols.map(col) :+ col("__salt"): _*)
+          .drop((partitionCols.map(_ + "__s") ++ Seq("__nf", "__salt")): _*)
+      }
+    val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_old")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val writer = salted.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(tmp.toString)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    require(fs.rename(root, bak) && fs.rename(tmp, root),
+      s"compaction swap failed for $path — old data intact at $bak")
+    fs.delete(bak, true)
+    val it2 = fs.listFiles(root, true)
+    var filesAfter = 0L
+    while (it2.hasNext) {
+      val st = it2.next()
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+        filesAfter += 1
+    }
+    (filesBefore, filesAfter)
+  }
 }

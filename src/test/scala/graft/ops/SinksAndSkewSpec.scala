@@ -22,6 +22,39 @@ class SinksAndSkewSpec extends SparkSpec {
     assert(out === Set((2012, "16", 99L), (2012, "30", 2L), (2013, "16", 3L)))
   }
 
+  test("compaction shrinks file counts, preserves content and partitions") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val rows = (1 to 4000).map(i => (i % 2, i.toLong, s"payload-$i"))
+      .toDF("year", "id", "v")
+    // 32 writer tasks × 2 partition values → many small files
+    rows.repartition(32).write.mode("overwrite").partitionBy("year").parquet(dir)
+    val before = spark.read.parquet(dir).collect().toSet
+    val (nBefore, nAfter) = ParquetSink.compact(
+      spark, dir, Seq("year"), targetBytes = 8L * 1024 * 1024)
+    assert(nBefore > 8, s"fixture produced only $nBefore files")
+    assert(nAfter === 2, s"compaction left $nAfter files") // 1 per partition
+    val after = spark.read.parquet(dir)
+    assert(after.collect().toSet === before) // layout-only rewrite
+    // partition layout preserved on disk: one data file per year dir
+    def dataFiles(d: String) = new java.io.File(d).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(dataFiles(s"$dir/year=0") === 1 && dataFiles(s"$dir/year=1") === 1)
+    // idempotent: recompacting an already-compact table is a no-op shape
+    val (_, nAgain) = ParquetSink.compact(
+      spark, dir, Seq("year"), targetBytes = 8L * 1024 * 1024)
+    assert(nAgain === 2)
+    // unpartitioned path too
+    val dir2 = Files.createTempDirectory("graft-compact2").toString
+    rows.repartition(16).write.mode("overwrite").parquet(dir2)
+    val (b2, a2) = ParquetSink.compact(spark, dir2, Seq.empty,
+      8L * 1024 * 1024)
+    assert(b2 === 16 && a2 === 1)
+    // (partitioned reads order the partition column last — align)
+    assert(spark.read.parquet(dir2).select($"id", $"v", $"year")
+      .collect().toSet ===
+      spark.read.parquet(dir).select($"id", $"v", $"year").collect().toSet)
+  }
+
   test("deterministic split: stable membership, correct proportions") {
     val df = (1 to 10000).map(i => (s"doc-$i", i)).toDF("key", "v")
     val split = Sampling.deterministicSplit(df, "key",
