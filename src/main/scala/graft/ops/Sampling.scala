@@ -323,10 +323,14 @@ object Sampling {
     * 10 GB sorts). The window partitions on shard, never on the whole
     * corpus; there is no global ordering anywhere.
     */
+  /** Shared shard coordinate of [[shuffleShards]]/[[assignDenseIds]]. */
+  private def shardOf(keyCol: String, numShards: Int): Column =
+    TextAnalysis.hash60(
+      concat(lit("shard:"), col(keyCol).cast(StringType))) % numShards
+
   def shuffleShards(df: DataFrame, keyCol: String, numShards: Int): DataFrame = {
     require(numShards >= 1, "need numShards >= 1")
-    val shard = TextAnalysis.hash60(
-      concat(lit("shard:"), col(keyCol).cast(StringType))) % numShards
+    val shard = shardOf(keyCol, numShards)
     val ord = TextAnalysis.hash60(
       concat(lit("ord:"), col(keyCol).cast(StringType)))
     val w = org.apache.spark.sql.expressions.Window
@@ -335,6 +339,41 @@ object Sampling {
       .withColumn("__ord", ord)
       .withColumn("shard_pos", row_number().over(w).cast(LongType))
       .drop("__ord")
+  }
+
+  /** Global dense row ids 0..N-1 — the scalable zipWithIndex: the id
+    * is the row's rank under the deterministic total order
+    * (shard, within-shard hash order) of [[shuffleShards]], computed
+    * WITHOUT a global sort: per-shard counts collect to the driver
+    * (numShards values — bounded), prefix-sum into offsets, and each
+    * row's id = offset(its shard) + its per-shard dense position.
+    * One tiny count aggregate + one shard-partitioned window; the
+    * global-window/single-partition formulation never appears (that
+    * is the WindowExec one-reducer cliff at 100 TB). numShards is the
+    * parallelism knob: each shard's window sorts N/numShards rows.
+    *
+    * Deterministic: a pure function of the key set (the same contract
+    * as [[shuffleShards]]), so re-runs and engines agree — the oracle
+    * replays it as ONE global row_number over (shard, ord, key),
+    * correct at oracle scale, never run by the engine.
+    * Output: input columns + shard, shard_pos, dense_id.
+    */
+  def assignDenseIds(df: DataFrame, keyCol: String,
+      numShards: Int): DataFrame = {
+    // bounded: numShards rows — counted from the shard expression
+    // alone, so the positions window is never executed for the sizes
+    val counts = df
+      .groupBy(shardOf(keyCol, numShards).cast(IntegerType).as("shard"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sharded = shuffleShards(df, keyCol, numShards)
+    val offsets = new Array[Long](numShards)
+    var acc = 0L
+    (0 until numShards).foreach { s =>
+      offsets(s) = acc; acc += counts.getOrElse(s, 0L)
+    }
+    sharded.withColumn("dense_id",
+      element_at(lit(offsets), col("shard") + 1) + col("shard_pos") - 1L)
   }
 
   /** Rendezvous (highest-random-weight) sharding: each key routes to

@@ -1350,6 +1350,27 @@ object PipelineQueries {
        |FROM t""".stripMargin
   }
 
+  /** Global dense ids 0..N-1 without a global sort
+    * ([[graft.ops.Sampling.assignDenseIds]]): per-shard offsets +
+    * within-shard dense positions. The oracle replays it as the ONE
+    * global row_number the operator deliberately avoids.
+    */
+  def qDenseIds(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.assignDenseIds(
+      Tables.documents(s, d).select(col("doc_id")), "doc_id", numShards = 8)
+
+  val qDenseIdsSql: String = {
+    val hs = graft.ops.Sampling.hash60Sql("'shard:' || cast(doc_id as varchar)")
+    val ho = graft.ops.Sampling.hash60Sql("'ord:' || cast(doc_id as varchar)")
+    s"""WITH t AS (
+       |  SELECT doc_id, $hs % 8 AS shard, $ho AS ord FROM documents)
+       |SELECT doc_id, cast(shard as int) AS shard,
+       |  row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+       |    AS shard_pos,
+       |  row_number() OVER (ORDER BY shard, ord, doc_id) - 1 AS dense_id
+       |FROM t""".stripMargin
+  }
+
   /** Rendezvous routing: every document assigned to the named shard
     * with the highest keyed weight (see
     * [[graft.ops.Sampling.rendezvousShard]]); the oracle replays the
@@ -3180,6 +3201,7 @@ object PipelineQueries {
     ("q_leak_split", qLeakSplit _, Some(qLeakSplitSql)),
     ("q_neg_sample", qNegSample _, Some(qNegSampleSql)),
     ("q_shuffle_shards", qShuffleShards _, Some(qShuffleShardsSql)),
+    ("q_dense_ids", qDenseIds _, Some(qDenseIdsSql)),
     ("q_rendezvous", qRendezvous _, Some(qRendezvousSql)),
     ("q_cdc_upsert", qCdcUpsert _, Some(qCdcUpsertSql)),
     ("q_bpe", qBpe _, Some(qBpeSql)),

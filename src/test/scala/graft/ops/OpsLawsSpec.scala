@@ -247,6 +247,27 @@ class OpsLawsSpec extends SparkSpec {
     assert(a.forall(t => g(t._1) == t._2))
   }
 
+  test("law: dense ids are a 0..N-1 permutation ordered like the shards") {
+    val df = (1L to 700L).map(k => (k, s"doc$k")).toDF("id", "payload")
+    val out = Sampling.assignDenseIds(df, "id", numShards = 8)
+      .select($"id", $"shard", $"shard_pos", $"dense_id")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(out.length === 700)
+    assert(out.map(_._4).sorted.toSeq === (0L until 700L)) // exact 0..N-1
+    // id order refines (shard, shard_pos) order
+    val sorted = out.sortBy(_._4)
+    assert(sorted.map(t => (t._2, t._3)).toSeq ===
+      sorted.map(t => (t._2, t._3)).sortBy(identity).toSeq)
+    // deterministic across re-runs
+    val again = Sampling.assignDenseIds(df, "id", numShards = 8)
+      .select($"id", $"dense_id").as[(Long, Long)].collect().toMap
+    assert(out.forall(t => again(t._1) === t._4))
+    // no global window: every Window node in the plan is shard-keyed
+    val plan = Sampling.assignDenseIds(df, "id", 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"global exchange:\n$plan")
+  }
+
   test("law: rendezvous sharding moves ONLY keys won by a topology change") {
     val df = (1L to 1000L).map(k => (k, s"doc$k")).toDF("id", "payload")
     val s4 = Seq("a", "b", "c", "d")
