@@ -996,6 +996,34 @@ object PipelineQueries {
       "documents", "source", "n_chars",
       lo = 0.0, hi = 600.0, nBins = 64, qs = Seq(0.5, 0.9, 0.99))
 
+  /** Per-source winsorization: document lengths clamped into their
+    * source's [p05, p95] sketch-quantile band
+    * ([[graft.sketch.QuantileHist.winsorize]]) — the outlier-robust
+    * cleaning step ahead of any mean/variance feature. The oracle
+    * replays the histogram quantiles and the clip exactly.
+    */
+  def qWinsorize(s: SparkSession, d: String): DataFrame =
+    graft.sketch.QuantileHist.winsorize(
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+        col("n_chars")),
+      Seq("source"), "n_chars", lo = 0.0, hi = 600.0, nBins = 64,
+      pLo = 0.05, pHi = 0.95)
+
+  val qWinsorizeSql: String = {
+    val est = graft.sketch.QuantileHist.quantileOracleSql(
+      "documents", "source", "n_chars", 0.0, 600.0, 64, Seq(0.05, 0.95))
+    s"""WITH est AS (
+       |$est),
+       |b AS (SELECT source,
+       |        max(CASE WHEN q = 0.05 THEN est END) AS lo_w,
+       |        max(CASE WHEN q = 0.95 THEN est END) AS hi_w
+       |      FROM est GROUP BY 1)
+       |SELECT d.doc_id, d.source, d.n_chars,
+       |  least(greatest(cast(d.n_chars as double), b.lo_w), b.hi_w)
+       |    AS n_chars_w
+       |FROM documents d JOIN b USING (source)""".stripMargin
+  }
+
   /** Benchmark decontamination: corpus docs sharing ≥1 word 3-shingle
     * with the held-out benchmark slice (doc_id % 100 = 0), with the
     * distinct shared-shingle count — the eval-leakage report.
@@ -3157,6 +3185,7 @@ object PipelineQueries {
     ("q_chunk_split", qChunkSplit _, Some(qChunkSplitSql)),
     ("q_epoch_mix", qEpochMix _, Some(qEpochMixSql)),
     ("q_quantile_hist", qQuantileHist _, Some(qQuantileHistSql)),
+    ("q_winsorize", qWinsorize _, Some(qWinsorizeSql)),
     ("q_contam", qContam _, Some(qContamSql)),
     ("q_domain_mix", qDomainMix _, Some(qDomainMixSql)),
     ("q_temp_mix", qTempMix _, Some(qTempMixSql)),

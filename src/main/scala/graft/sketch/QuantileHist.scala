@@ -94,6 +94,32 @@ object QuantileHist {
     * forced broadcast hint would bypass the size check and could OOM
     * the driver on a pathological high-cardinality group column.
     */
+  /** Per-group winsorization — clamp `valueCol` into its group's
+    * [pLo, pHi] sketch-quantile band: the outlier-robust data-cleaning
+    * staple (a handful of 10⁸-char documents otherwise dominate any
+    * mean/variance feature downstream). Cost: one bounded grouped
+    * histogram + a (groups × 2)-row threshold frame joined back —
+    * never a per-group sort; same unhinted-join reasoning as
+    * [[topFractionByGroup]]. Clamp bounds are the rounded quantile
+    * estimates, so the oracle replays the clip exactly. Output: input
+    * columns + `<valueCol>_w` (clamped double).
+    */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Double, hi: Double, nBins: Int, pLo: Double,
+      pHi: Double): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(pLo >= 0.0 && pLo < pHi && pHi <= 1.0, "need 0 ≤ pLo < pHi ≤ 1")
+    val b = quantiles(df, groupCols, valueCol, lo, hi, nBins, Seq(pLo, pHi))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(when(col("q") === pLo, col("est"))).as("__w_lo"),
+        max(when(col("q") === pHi, col("est"))).as("__w_hi"))
+    df.join(b, groupCols)
+      .withColumn(valueCol + "_w",
+        least(greatest(col(valueCol).cast(DoubleType), col("__w_lo")),
+          col("__w_hi")))
+      .drop("__w_lo", "__w_hi")
+  }
+
   def topFractionByGroup(df: DataFrame, groupCols: Seq[String],
       valueCol: String, frac: Double, lo: Double, hi: Double,
       nBins: Int): DataFrame = {

@@ -85,6 +85,30 @@ class QuantileHistSpec extends SparkSpec {
     }
   }
 
+  test("winsorize clamps into the per-group quantile band, keeps every row") {
+    val out = QuantileHist.winsorize(
+      docs.select($"doc_id", $"source", $"n_chars"),
+      Seq("source"), "n_chars", lo, hi, nBins, pLo = 0.05, pHi = 0.95)
+    assert(out.count() === docs.count()) // layout-only: no row drops
+    // bands per source, recomputed independently
+    val bands = QuantileHist.quantiles(docs, Seq("source"), "n_chars",
+      lo, hi, nBins, Seq(0.05, 0.95))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    val rows = out.select($"source", $"n_chars", $"n_chars_w")
+      .as[(String, Long, Double)].collect()
+    rows.foreach { case (src, v, w) =>
+      val (bLo, bHi) = (bands((src, 0.05)), bands((src, 0.95)))
+      assert(w >= bLo - 1e-9 && w <= bHi + 1e-9, s"$src: $w outside band")
+      // interior values untouched, outliers clamped to the nearer bound
+      if (v >= bLo && v <= bHi) assert(w === v.toDouble)
+      else assert(w === (if (v < bLo) bLo else bHi))
+    }
+    // something was actually clamped on both sides at p05/p95
+    assert(rows.exists { case (_, v, w) => w > v }, "no low clamp happened")
+    assert(rows.exists { case (_, v, w) => w < v }, "no high clamp happened")
+  }
+
   test("estimates are monotone in q and within one bin of the exact quantile") {
     val est = QuantileHist.quantiles(docs, Seq("source"), "n_chars",
       lo, hi, nBins, Seq(0.5, 0.9, 0.99))
