@@ -1,7 +1,7 @@
 package graft
 
 import graft.dedup.Dedup
-import graft.functions.{DotFold, KMinDistinct, MinHashSig, ShingleHashes, SimHashExpr, ToNumber}
+import graft.functions.{BloomContainsExpr, DotFold, KMinDistinct, MinHashSig, MisraGries, ShingleHashes, SimHashExpr, ToNumber, TopKBy}
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -89,6 +89,34 @@ object GraftExtensions {
     ("k_min_distinct",
       info("k_min_distinct", "k_min_distinct(col, k) - aggregate: the k smallest distinct int64 values, ascending (KMV sketch registers)"),
       args => KMinDistinct(args.head, intArg(args(1), "k"))),
+    ("top_k_by",
+      info("top_k_by", "top_k_by(ord, payload, k) - aggregate: the k best (ord DESC, payload ASC) int64 pairs per group as array<struct<ord,payload>> (bounded heap, no window sort)"),
+      args => TopKBy(args(0), args(1), intArg(args(2), "k"))),
+    ("misra_gries",
+      info("misra_gries", "misra_gries(col, k) - aggregate: ≤k Misra-Gries heavy-hitter candidate counters as array<struct<item,weight>> (superset of items with freq > N/(k+1) under any merge order)"),
+      args => MisraGries(args.head, intArg(args(1), "k"))),
+    ("bloom_contains",
+      info("bloom_contains", "bloom_contains(key, words, mBits) - membership of key in a graft.sketch.Bloom dense word array (array<bigint> literal)"),
+      args => args match {
+        case Seq(c, w, m) =>
+          // the builder runs mid-analysis: array(1L, 2L, …) arrives as
+          // a resolved-but-unfolded CreateArray, so accept any foldable
+          // array expression and evaluate it once here
+          val words = w match {
+            case e if e.resolved && e.foldable &&
+                e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+              e.eval().asInstanceOf[
+                org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+            case other => throw new IllegalArgumentException(
+              s"words must be a foldable array<bigint>, got $other")
+          }
+          BloomContainsExpr(c, words, intArg(m, "mBits"),
+            graft.sketch.Bloom.probeCoeffs.map(_._1),
+            graft.sketch.Bloom.probeCoeffs.map(_._2),
+            graft.sketch.Bloom.P)
+        case _ => throw new IllegalArgumentException(
+          "bloom_contains(key, words, mBits)")
+      }),
     ("fingerprint_hex",
       info("fingerprint_hex", "fingerprint_hex(text) - md5 hex of normalized content"),
       lift1(TextAnalysis.fingerprintHex)),

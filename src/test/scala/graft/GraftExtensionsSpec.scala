@@ -69,6 +69,43 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sql.sorted === api.sorted && sql.length === 16)
   }
 
+  test("top_k_by and misra_gries aggregates in SQL equal the Column API") {
+    (1 to 300).map(i => (s"g${i % 3}", (i % 37).toLong, i.toLong))
+      .toDF("grp", "ord", "pay").createOrReplaceTempView("ext_topk")
+    val sql = spark.sql(
+      """SELECT grp, top_k_by(ord, pay, 4) AS top
+        |FROM ext_topk GROUP BY grp""".stripMargin)
+      .select($"grp", $"top".cast("string")).as[(String, String)]
+      .collect().toSet
+    val api = spark.table("ext_topk").groupBy($"grp")
+      .agg(functions.TopKAgg.top_k_by($"ord", $"pay", 4).as("top"))
+      .select($"grp", $"top".cast("string")).as[(String, String)]
+      .collect().toSet
+    assert(sql === api)
+    // misra_gries on a single partition: exact counters for ≤k items
+    val mg = spark.sql(
+      """SELECT misra_gries(x, 8) AS c FROM
+        |  (SELECT explode(array(5L, 5L, 7L, 5L, 7L, 9L)) AS x)"""
+        .stripMargin).select($"c".cast("string")).as[String].head()
+    assert(mg === "[{5, 3}, {7, 2}, {9, 1}]")
+  }
+
+  test("bloom_contains in SQL equals the literal-words probe") {
+    val keys = (0L until 200L by 3L).toDF("k")
+    val words = graft.ops.BloomJoin.bloomWords(keys, "k", mBits = 1024)
+    val wordsSql = words.mkString("array(", "L, ", "L)")
+    (0L until 200L).toDF("k").createOrReplaceTempView("ext_bloom")
+    val sql = spark.sql(
+      s"SELECT k, bloom_contains(cast(k as string), $wordsSql, 1024) AS m " +
+        "FROM ext_bloom").as[(Long, Boolean)].collect().toMap
+    val api = (0L until 200L).toDF("k")
+      .select($"k", graft.sketch.Bloom.mightContainWords($"k", words, 1024)
+        .as("m")).as[(Long, Boolean)].collect().toMap
+    assert(sql === api)
+    // no false negatives on the build set
+    assert((0L until 200L by 3L).forall(sql(_)))
+  }
+
   test("dot_fold in SQL equals the Scala fold") {
     val vecs = Seq((1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
       .toDF("id", "a", "b")
