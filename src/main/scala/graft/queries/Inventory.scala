@@ -1253,6 +1253,34 @@ object Inventory {
       |WHERE o.o_orderstatus = 'P'
       |GROUP BY 1""".stripMargin
 
+  /** Aggregate pushdown: COUNT/MIN/MAX answered from parquet footer
+    * statistics — zero row-group decompression, the scan-level dual of
+    * `q_scan_prune`'s predicate pushdown. At 100 TB a monitoring
+    * count-and-range probe over the whole table becomes a
+    * metadata-only operation. Needs the V2 parquet source, so the
+    * query runs in an isolated `newSession()` (same SparkContext,
+    * private conf — the session the driver handed us keeps its V1
+    * planner untouched). ScanPruneSpec asserts the plan carries
+    * `PushedAggregation` and reads no data columns.
+    */
+  def qAggPushdown(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s2.read.parquet(s"$d/lineitem.parquet")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+  }
+
+  val qAggPushdownSql: String =
+    """SELECT count(*) AS n_rows,
+      |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+      |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+      |FROM lineitem""".stripMargin
+
   /** Exact heavy hitters via the Misra-Gries candidate sketch + exact
     * recount ([[graft.sketch.HeavyHitters]]): users with ≥ N/128 of
     * all events. The oracle is the PLAIN group-by + HAVING — like
@@ -1497,6 +1525,7 @@ object Inventory {
     ("q_bloom_filter", qBloomFilter _, Some(qBloomFilterSql)),
     ("q_bloom_join", qBloomJoin _, Some(qBloomJoinSql)),
     ("q_heavy_hitters", qHeavyHitters _, Some(qHeavyHittersSql)),
+    ("q_agg_pushdown", qAggPushdown _, Some(qAggPushdownSql)),
     ("q_sessionize", qSessionize _, Some(qSessionizeSql)),
     ("q_session_window", qSessionWindow _, Some(qSessionWindowSql)),
     ("q_window_running", qWindowRunning _, Some(qWindowRunningSql)),

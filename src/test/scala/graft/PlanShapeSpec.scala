@@ -34,6 +34,24 @@ class PlanShapeSpec extends SparkSpec {
       "untouched columns must be pruned from ReadSchema")
   }
 
+  test("q_agg_pushdown answers COUNT/MIN/MAX from parquet footer stats") {
+    val df = Inventory.qAggPushdown(spark, sf)
+    val s = formatted(df)
+    assert(s.contains("PushedAggregation: [COUNT(*)"),
+      s"aggregates must push to the scan:\n$s")
+    // and the isolated newSession leaves THIS session's planner alone
+    assert(spark.conf.get("spark.sql.parquet.aggregatePushdown") === "false")
+    // values still exact vs a plain row-scan aggregate
+    val viaScan = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.min("l_orderkey"),
+        org.apache.spark.sql.functions.max("l_orderkey"),
+        org.apache.spark.sql.functions.min("l_quantity"),
+        org.apache.spark.sql.functions.max("l_quantity")).head()
+    assert(df.head() === viaScan)
+  }
+
   test("dimension joins broadcast the small side") {
     val s = formatted(Inventory.qJoinMulti(spark, sf))
     assert(s.contains("BroadcastHashJoin"),
