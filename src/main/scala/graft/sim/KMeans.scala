@@ -138,6 +138,18 @@ object KMeans {
     } finally b.unpersist()
   }
 
+  /** Nearest-centroid id of a raw vector COLUMN — the assignment as a
+    * standalone pure expression, for callers that must keep their own
+    * row shape (e.g. a watermarked stream carrying its event-time
+    * column, [[graft.streaming.EventStreams.ivfAssignStream]]): no
+    * projection to the (vec_id, x) frame, no join, same literal-
+    * centroid argmin and tie-break as [[assignWith]]/[[assignDist]].
+    */
+  def clusterOf(vec: Column, m: Model): Column = {
+    val x = vec.cast(ArrayType(DoubleType))
+    bestOf(x, dot(x, x), m).getField("cluster")
+  }
+
   /** Assignment that RETAINS the vector: (vec_id, x, cluster) with `x`
     * cast to array<double>. Same narrow literal-centroid argmin as
     * [[fitAssign]]; for consumers (e.g. [[SemDedup]]) that need the

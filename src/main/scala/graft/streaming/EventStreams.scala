@@ -131,6 +131,29 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col(groupCol), col("bin"),
         col("cnt"))
 
+  /** Per-window IVF cell occupancy for a STREAM of embeddings — the
+    * index-maintenance twin of [[graft.sim.KMeans.assignDist]]: cell
+    * assignment against a trained model is a pure literal-centroid
+    * projection (no join, no shuffle — exactly why it streams without
+    * custom state), and the per-(window, cell) count is one
+    * watermarked windowed aggregation with ≤ k rows of state per open
+    * window. An ops job reads the closed windows for index health:
+    * occupancy drifting across windows = the embedding distribution
+    * moved and the coarse quantizer needs retraining — the
+    * vector-space sibling of [[histogramStream]]'s score drift.
+    *
+    * Input needs (ts, vecCol). Output: (window_start, cluster, n).
+    */
+  def ivfAssignStream(vectors: DataFrame, vecCol: String,
+      model: graft.sim.KMeans.Model, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    vectors.withWatermark("ts", watermark)
+      .select(window(col("ts"), window_).as("w"),
+        graft.sim.KMeans.clusterOf(col(vecCol), model).as("cluster"))
+      .groupBy(col("w"), col("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("cluster"), col("n"))
+
   /** Tumbling-window per-type counts/sums with a lateness watermark —
     * works on both batch and streaming DataFrames.
     */

@@ -4,6 +4,8 @@ import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+case class Vec(vec_id: Long, ts: java.sql.Timestamp, v: Array[Double])
+
 class EventStreamsSpec extends SparkSpec {
   import spark.implicits._
   import EventStreams._
@@ -83,6 +85,51 @@ class EventStreamsSpec extends SparkSpec {
     val w0 = tsA(0).getTime; val w1 = tsA(10).getTime
     assert(tv((w0, "click")) === 0.0 && tv((w0, "view")) === 0.0)
     assert(tv((w1, "click")) > 0.2 && tv((w1, "view")) > 0.2)
+  }
+
+  test("streaming IVF cell occupancy equals the batch assignment") {
+    implicit val sqlCtx = spark.sqlContext
+    def tsA(min: Int) = new java.sql.Timestamp(1700000400000L + min * 60000L)
+    // 3 planted cluster centers; vectors alternate across two windows
+    val data = (0 until 90).map { i =>
+      val c = i % 3
+      Vec(i.toLong, tsA(if (i < 45) i % 9 else 10 + i % 8),
+        Array(c * 10.0 + (i % 5) * 0.1, c * -5.0 + (i % 7) * 0.1))
+    }
+    val model = graft.sim.KMeans.fit(
+      data.toDF(), "vec_id", "v", k = 3, iters = 5)
+    val mem = MemoryStream[Vec]
+    val q = EventStreams.ivfAssignStream(mem.toDF(), "v", model,
+      window_ = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ivf_out").start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    mem.addData(Vec(999, tsA(120), Array(0.0, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ivf_out")
+      .collect().map(r => (r.getAs[java.sql.Timestamp](0).getTime,
+        r.getInt(1), r.getLong(2))).toSet
+    val batch = data.toDF()
+      .select(window($"ts", "10 minutes").as("w"),
+        graft.sim.KMeans.clusterOf($"v", model).as("cluster"))
+      .groupBy($"w", $"cluster").agg(count(lit(1)).as("n"))
+      .select($"w.start", $"cluster", $"n")
+      .collect().map(r => (r.getAs[java.sql.Timestamp](0).getTime,
+        r.getInt(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    // clusterOf is the SAME assignment as the batch index path
+    val viaAssign = graft.sim.KMeans.assignDist(
+      data.toDF(), "vec_id", "v", model)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    val viaExpr = data.toDF()
+      .select($"vec_id", graft.sim.KMeans.clusterOf($"v", model))
+      .as[(Long, Int)].collect().toMap
+    assert(viaExpr === viaAssign)
+    // 3 planted centers → all 3 cells occupied in each closed window
+    assert(streamed.map(_._1).size === 2 &&
+      streamed.groupBy(_._1).forall(_._2.size === 3))
   }
 
   test("streaming HLL registers equal the batch sketch bit-for-bit") {
