@@ -416,6 +416,62 @@ object PipelineQueries {
        |SELECT doc_id, n_kept, n_dropped, quality
        |FROM w WHERE quality >= 0.65""".stripMargin
 
+  /** Curation v4 — the STRUCTURAL stack composed from this round's
+    * operators: exact duplicate-paragraph removal with reassembly
+    * (`q_para_dedup`'s operator — boilerplate cells vanish corpus-wide,
+    * each document keeps its unique content), token floor, quality
+    * re-scored on the DEDUPED text, then a per-source [p05, p95]
+    * sketch-quantile length band that TRIMS outliers (a row passes iff
+    * the winsorize clamp is the identity on it). Output: per-source
+    * kept-document and kept-character counts. The oracle replays
+    * paragraph dedup → re-tokenize → re-score → histogram band → trim
+    * end to end.
+    */
+  def qCurationV4(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pd = graft.dedup.ParagraphDedup.dedupParagraphs(
+      docs, "doc_id", "text", " the ")
+    val scored = pd
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .filter(TextAnalysis.tokenCount(col("text_dedup")) >= 5)
+      .withColumn("quality", TextAnalysis.qualityScore(col("text_dedup")))
+      .filter(col("quality") >= 0.55)
+      .withColumn("len_clean", length(col("text_dedup")))
+    graft.sketch.QuantileHist.winsorize(scored, Seq("source"), "len_clean",
+      lo = 0.0, hi = 600.0, nBins = 64, pLo = 0.05, pHi = 0.95)
+      .filter(col("len_clean").cast("double") === col("len_clean_w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("len_clean")).cast("long").as("chars"))
+  }
+
+  // lazy: composes qParaDedupSql, declared later in the object
+  lazy val qCurationV4Sql: String = {
+    val est = graft.sketch.QuantileHist.quantileOracleSql(
+      "(SELECT source, len_clean AS n_chars FROM sv) qsrc",
+      "source", "n_chars", 0.0, 600.0, 64, Seq(0.05, 0.95))
+    s"""WITH pd AS ($qParaDedupSql),
+       |j AS (SELECT p.doc_id, d.source, p.text_dedup AS text
+       |      FROM pd p JOIN documents d USING (doc_id)),
+       |t AS (SELECT doc_id, source, text, $toksSql AS toks FROM j),
+       |g AS (SELECT * FROM t WHERE len(toks) >= 5),
+       |q AS (SELECT doc_id, source, length(text) AS len_clean,
+       |        ${qualityExprSql("toks", "text")} AS quality FROM g),
+       |sv AS (SELECT doc_id, source, len_clean FROM q
+       |       WHERE quality >= 0.55),
+       |est AS ($est),
+       |b AS (SELECT source,
+       |        max(CASE WHEN q = 0.05 THEN est END) AS lo_w,
+       |        max(CASE WHEN q = 0.95 THEN est END) AS hi_w
+       |      FROM est GROUP BY 1)
+       |SELECT sv.source, count(*) AS n_kept,
+       |  cast(sum(sv.len_clean) as bigint) AS chars
+       |FROM sv JOIN b USING (source)
+       |WHERE least(greatest(cast(sv.len_clean as double), b.lo_w), b.hi_w)
+       |      = cast(sv.len_clean as double)
+       |GROUP BY 1""".stripMargin
+  }
+
   val qCurationV2Sql: String = {
     val sc = graft.text.UnigramLm.Scale
     s"""WITH t AS (SELECT doc_id, source, n_chars, text, $toksSql AS toks
@@ -3193,6 +3249,7 @@ object PipelineQueries {
     ("q_corpus_pipeline", qCorpusPipeline _, Some(qCorpusPipelineSql)),
     ("q_curation_v2", qCurationV2 _, Some(qCurationV2Sql)),
     ("q_curation_v3", qCurationV3 _, Some(qCurationV3Sql)),
+    ("q_curation_v4", qCurationV4 _, Some(qCurationV4Sql)),
     ("q_dedup_exact", qDedupExact _, Some(qDedupExactSql)),
     ("q_minhash_sig", qMinhashSig _, Some(qMinhashSigSql)),
     ("q_minhash_pairs", qMinhashPairs _, Some(qMinhashPairsSql)),
