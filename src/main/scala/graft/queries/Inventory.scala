@@ -1116,6 +1116,26 @@ object Inventory {
        |SELECT l_orderkey, l_linenumber, $terms AS z FROM m""".stripMargin
   }
 
+  /** Hilbert-curve clustering key ([[graft.ops.Hilbert]]) — the
+    * locality-superior layout sibling of `q_zorder`: consecutive keys
+    * are always Manhattan-adjacent, so per-file min/max envelopes are
+    * tighter on both dimensions. Native expression on the Spark side;
+    * the oracle transliterates the identical walk as a 16-step CTE
+    * chain.
+    */
+  def qHilbert(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.ops.Hilbert.hValue(col("l_partkey"), col("l_suppkey")).as("h"))
+
+  val qHilbertSql: String =
+    graft.ops.Hilbert.oracleSqlSteps(
+      """(SELECT l_orderkey, l_linenumber,
+        |   cast(l_partkey as bigint) AS x, cast(l_suppkey as bigint) AS y
+        | FROM lineitem WHERE l_returnflag = 'R') src""".stripMargin,
+      Seq("l_orderkey", "l_linenumber"))
+
   // ----------------------------------------------------------- §2.8 first
   /** Crosstab with PG first-value-per-cell semantics on unique cells
     * (reference crosstab takes the first value, src/swap.sql:216).
@@ -1516,6 +1536,7 @@ object Inventory {
     ("q_events_hourly", qEventsHourly _, Some(qEventsHourlySql)),
     ("q_json_extract", qJsonExtract _, Some(qJsonExtractSql)),
     ("q_zorder", qZorder _, Some(qZorderSql)),
+    ("q_hilbert", qHilbert _, Some(qHilbertSql)),
     ("q_topk_order", qTopkOrder _, Some(qTopkOrderSql)),
     ("q_pivot_first", qPivotFirst _, Some(qPivotFirstSql)),
     ("q_stats_summary", qStatsSummary _, Some(qStatsSummarySql)),
