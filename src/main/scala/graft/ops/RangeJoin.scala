@@ -34,4 +34,39 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__cell")
   }
+
+  /** INTERVAL-overlap join — both sides are interval tables and a pair
+    * matches when `[aLo, aHi) ∩ [bLo, bHi) ≠ ∅` (the session × campaign
+    * / observation × outage shape). Same grid discipline as
+    * [[pointInInterval]], with the extra subtlety that overlapping
+    * intervals co-occupy EVERY shared cell: emitting the pair only
+    * from its FIRST shared cell — `max(floor(aLo/g), floor(bLo/g))`,
+    * a pure per-pair expression — keeps the join emit-once with no
+    * distinct/dedup shuffle afterwards. Shuffle volume =
+    * Σ ceil(len/g) replicas of each side; pick `g` near the median
+    * interval length. The oracle is the plain overlap theta join —
+    * the grid never changes the answer, only the plan.
+    *
+    * Column name collisions between the two sides are the caller's to
+    * avoid (same contract as Spark's own join on a USING column).
+    */
+  /** @param keys extra equi-join columns shared by both sides (the
+    *              usual per-entity scoping, e.g. user_id) — they ride
+    *              the same shuffle as the cell id
+    */
+  def intervalOverlap(a: DataFrame, b: DataFrame,
+      aLo: String, aHi: String, bLo: String, bHi: String,
+      g: Double, keys: Seq[String] = Seq.empty): DataFrame = {
+    def cells(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__cell",
+        explode(sequence(
+          floor(col(lo) / g).cast(LongType),
+          ceil(col(hi) / g).cast(LongType) - 1)))
+    cells(a, aLo, aHi).join(cells(b, bLo, bHi), "__cell" +: keys)
+      .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
+      .filter(col("__cell") ===
+        greatest(floor(col(aLo) / g).cast(LongType),
+          floor(col(bLo) / g).cast(LongType)))
+      .drop("__cell")
+  }
 }

@@ -1090,6 +1090,32 @@ object Inventory {
       |  ('overflow', NULL, NULL, true)
       |) AS t(case_id, k1, k2, agree)""".stripMargin
 
+  /** Interval-OVERLAP join ([[graft.ops.RangeJoin.intervalOverlap]]):
+    * per-user click windows [v, v+5) × purchase windows [v, v+3) that
+    * intersect — the session × campaign shape. The grid emits each
+    * pair exactly once from its first shared cell; the oracle is the
+    * plain overlap theta join (the grid changes the plan, never the
+    * answer).
+    */
+  def qIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val a = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("a_id"),
+        col("value").as("a_lo"), (col("value") + 5.0).as("a_hi"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("b_id"),
+        col("value").as("b_lo"), (col("value") + 3.0).as("b_hi"))
+    graft.ops.RangeJoin.intervalOverlap(
+      a, b, "a_lo", "a_hi", "b_lo", "b_hi", g = 5.0, keys = Seq("user_id"))
+      .select(col("user_id"), col("a_id"), col("b_id"))
+  }
+
+  val qIntervalJoinSql: String =
+    """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+      |  AND a.value < b.value + 3 AND b.value < a.value + 5""".stripMargin
+
   // -------------------------------------------------------- data layout
   /** Z-order (Morton) clustering key over two dimensions — the
     * multi-dim data-layout technique for min/max scan pruning
@@ -1530,6 +1556,7 @@ object Inventory {
     ("q_theta_bands", qThetaBands _, Some(qThetaBandsSql)),
     ("q_asof_join", qAsofJoin _, Some(qAsofJoinSql)),
     ("q_range_join", qRangeJoin _, Some(qRangeJoinSql)),
+    ("q_interval_join", qIntervalJoin _, Some(qIntervalJoinSql)),
     ("q_window_agg", qWindowAgg _, Some(qWindowAggSql)),
     ("q_window_rank", qWindowRank _, Some(qWindowRankSql)),
     ("q_groupby_expr", qGroupByExpr _, Some(qGroupByExprSql)),

@@ -150,6 +150,36 @@ class SinksAndSkewSpec extends SparkSpec {
     // 51.0 (== hi, exclusive) and -1.0 (below all) match nothing
   }
 
+  test("interval-overlap join equals the theta join, emits each pair once") {
+    val rnd = new scala.util.Random(11)
+    val a = (1 to 300).map { i =>
+      val lo = rnd.nextDouble() * 100
+      (i % 5, i.toLong, lo, lo + rnd.nextDouble() * 30) // long intervals
+    }.toDF("k", "a_id", "a_lo", "a_hi")
+    val b = (1 to 300).map { i =>
+      val lo = rnd.nextDouble() * 100
+      (i % 5, i.toLong, lo, lo + rnd.nextDouble() * 3) // short intervals
+    }.toDF("k", "b_id", "b_lo", "b_hi")
+    val grid = RangeJoin.intervalOverlap(a, b,
+      "a_lo", "a_hi", "b_lo", "b_hi", g = 4.0, keys = Seq("k"))
+      .select($"k", $"a_id", $"b_id")
+    val pairs = grid.as[(Int, Long, Long)].collect()
+    // emit-once even though long intervals co-occupy many cells
+    assert(pairs.length === pairs.distinct.length)
+    val theta = a.join(b, Seq("k"))
+      .filter($"a_lo" < $"b_hi" && $"b_lo" < $"a_hi")
+      .select($"k", $"a_id", $"b_id").as[(Int, Long, Long)].collect()
+    assert(pairs.toSet === theta.toSet)
+    // boundary: touching intervals [0,1) and [1,2) do NOT overlap
+    val ta = Seq((1, 1L, 0.0, 1.0)).toDF("k", "a_id", "a_lo", "a_hi")
+    val tb = Seq((1, 2L, 1.0, 2.0), (1, 3L, 0.999, 2.0))
+      .toDF("k", "b_id", "b_lo", "b_hi")
+    val touch = RangeJoin.intervalOverlap(ta, tb,
+      "a_lo", "a_hi", "b_lo", "b_hi", g = 1.0, keys = Seq("k"))
+      .select($"b_id").as[Long].collect().toSet
+    assert(touch === Set(3L))
+  }
+
   test("ORC roundtrip preserves rows and pushes filters to the scan") {
     val dir = Files.createTempDirectory("graft-orc").toString
     val src = spark.read.parquet(s"$sf/nation.parquet")
