@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Time-weighted averaging over IRREGULAR samples — the telemetry
+  * aggregate a plain `avg` silently gets wrong: a gauge sampled every
+  * second while unhealthy and every hour while healthy is mostly
+  * healthy, but the row-mean says the opposite. Each sample holds its
+  * value until the next one (step interpolation, the standard gauge
+  * semantics), so
+  * `twa = Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_n − t_1)` per key.
+  *
+  * Determinism discipline: values quantize to integer MICROS and each
+  * contribution `micros · Δms` is summed as DECIMAL(38,0) — exact and
+  * partition-order-independent where a double Σ v·Δt is neither; the
+  * window orders by (ts, tie-break cols) so duplicate timestamps pair
+  * deterministically (their Δt = 0 contributions vanish, but the
+  * NEXT gap must attach to a determined row). Keys with one sample
+  * have an empty span → NULL twa (documented, not 0).
+  *
+  * Scale shape: ONE per-key window (partitioned — never global) plus
+  * the grouping aggregate; both shuffle on the key with AQE sizing.
+  * The oracle replays lead(), the quantization, and the decimal sum.
+  */
+object TimeWeighted {
+
+  /** @param ordCols tie-break columns making (tsCol, ordCols) a total
+    *                order within each key (e.g. the event id)
+    */
+  def timeWeightedAvg(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String, ordCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && ordCols.nonEmpty,
+      "need key columns and a tie-break order")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: ordCols).map(col): _*)
+    val stepped = df
+      .withColumn("__t", // integer ms (Column./ is double division)
+        (unix_micros(col(tsCol)) / 1000).cast(LongType))
+      .withColumn("__micros", round(col(valCol) * 1e6).cast(LongType))
+      .withColumn("__next", lead(col("__t"), 1).over(w))
+      .withColumn("__contrib",
+        (col("__micros") * (col("__next") - col("__t")))
+          .cast(DecimalType(38, 0)))
+    stepped.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_samples"),
+        (max(col("__t")) - min(col("__t"))).as("span_ms"),
+        sum(col("__contrib")).as("__sum"))
+      .withColumn("twa",
+        when(col("span_ms") > 0,
+          round(col("__sum").cast(DoubleType) /
+            (col("span_ms").cast(DoubleType) * 1e6), 6)))
+      .drop("__sum")
+  }
+}

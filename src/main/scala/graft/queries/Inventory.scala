@@ -1090,6 +1090,36 @@ object Inventory {
       |  ('overflow', NULL, NULL, true)
       |) AS t(case_id, k1, k2, agree)""".stripMargin
 
+  /** Time-weighted average ([[graft.ops.TimeWeighted]]): per-user TWA
+    * of the gauge `value` under step interpolation — what a plain avg
+    * gets wrong on irregular sampling. Decimal-exact contribution
+    * sums; the oracle replays lead(), the micros quantization, and
+    * the decimal sum.
+    */
+  def qTwa(s: SparkSession, d: String): DataFrame =
+    graft.ops.TimeWeighted.timeWeightedAvg(
+      Tables.events(s, d), Seq("user_id"), "ts", "value", Seq("event_id"))
+
+  val qTwaSql: String =
+    """WITH t AS (
+      |  SELECT user_id, ts, event_id, epoch_ms(ts) AS t,
+      |    cast(round(value * 1000000) as bigint) AS micros
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, t, micros,
+      |    lead(t) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      |  FROM t),
+      |g AS (
+      |  SELECT user_id, count(*) AS n_samples,
+      |    max(t) - min(t) AS span_ms,
+      |    sum(cast(micros * (nxt - t) as decimal(38,0))) AS sm
+      |  FROM s GROUP BY 1)
+      |SELECT user_id, n_samples, span_ms,
+      |  CASE WHEN span_ms > 0
+      |    THEN round(cast(sm as double) / (cast(span_ms as double) * 1000000), 6)
+      |  END AS twa
+      |FROM g""".stripMargin
+
   /** Interval-OVERLAP join ([[graft.ops.RangeJoin.intervalOverlap]]):
     * per-user click windows [v, v+5) × purchase windows [v, v+3) that
     * intersect — the session × campaign shape. The grid emits each
@@ -1557,6 +1587,7 @@ object Inventory {
     ("q_asof_join", qAsofJoin _, Some(qAsofJoinSql)),
     ("q_range_join", qRangeJoin _, Some(qRangeJoinSql)),
     ("q_interval_join", qIntervalJoin _, Some(qIntervalJoinSql)),
+    ("q_twa", qTwa _, Some(qTwaSql)),
     ("q_window_agg", qWindowAgg _, Some(qWindowAggSql)),
     ("q_window_rank", qWindowRank _, Some(qWindowRankSql)),
     ("q_groupby_expr", qGroupByExpr _, Some(qGroupByExprSql)),
