@@ -1704,6 +1704,34 @@ object PipelineQueries {
   // ---------------------------------------------------------- similarity
 
   /** Brute-force cosine top-3 for a small query set (vec_id < 8). */
+  /** Per-dimension embedding statistics ([[graft.sim.VecStats]]) —
+    * the quantizer-preprocessing pass: centering means, variances for
+    * subspace balance, SQ dynamic ranges. One pass, dim-bounded
+    * output; oracle replays the 6/9dp quantization + decimal sums.
+    */
+  def qDimStats(s: SparkSession, d: String): DataFrame =
+    graft.sim.VecStats.dimStats(Tables.embeddings(s, d), "embedding")
+
+  val qDimStatsSql: String =
+    """WITH c AS (
+      |  SELECT u.d AS dim, cast(u.x as double) AS x
+      |  FROM (SELECT unnest(list_transform(range(1, len(embedding) + 1),
+      |          i -> {'d': i - 1, 'x': embedding[i]})) AS u
+      |        FROM embeddings)
+      |  WHERE u.x IS NOT NULL),
+      |g AS (
+      |  SELECT dim, count(*) AS n,
+      |    sum(cast(round(x, 6) as decimal(18,6))) AS s1,
+      |    sum(cast(round(x * x, 9) as decimal(27,9))) AS s2,
+      |    min(x) AS lo, max(x) AS hi
+      |  FROM c GROUP BY 1),
+      |m AS (SELECT dim, n, round(cast(s1 as double) / n, 6) AS mean,
+      |        s2, lo, hi FROM g)
+      |SELECT dim, n, mean,
+      |  round(cast(s2 as double) / n - mean * mean, 6) AS variance,
+      |  lo, hi
+      |FROM m""".stripMargin
+
   def qAnnTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
@@ -3262,6 +3290,7 @@ object PipelineQueries {
     ("q_ngram_jaccard", qNgramJaccard _, Some(qNgramJaccardSql)),
     ("q_allpairs", qAllPairs _, Some(qAllPairsSql)),
     ("q_tfidf_pairs", qTfidfPairs _, Some(qTfidfPairsSql)),
+    ("q_dim_stats", qDimStats _, Some(qDimStatsSql)),
     ("q_ann_topk", qAnnTopK _, Some(qAnnTopKSql)),
     ("q_ann_lsh", qAnnLsh _, Some(qAnnLshSql)),
     ("q_ann_ivf", qAnnIvf _, Some(qAnnIvfSql)),
