@@ -132,6 +132,24 @@ object Pca {
       Bridge.toExpression(vec), mat, mu, k, dim))
   }
 
+  /** Whitening projection: [[transform]] with each basis row scaled by
+    * 1/√(λ+eps), so the projected corpus has ≈ identity covariance —
+    * the preprocessing that makes Euclidean quantizers treat every
+    * direction equally. Same narrow kernel; the scaling folds into the
+    * reference-object matrix at plan build.
+    */
+  def whiten(vec: Column, m: Model, k: Int, eps: Double = 1e-9): Column = {
+    require(k > 0 && k <= m.basis.length, s"k must lie in [1, ${m.basis.length}]")
+    val dim = m.mean.length
+    val mat = m.basis.take(k).zip(m.eigenvalues.take(k)).flatMap {
+      case (row, ev) =>
+        val s = 1.0 / math.sqrt(math.max(ev, 0.0) + eps)
+        row.map(_ * s)
+    }.toArray
+    Bridge.toColumn(RotateVec(
+      Bridge.toExpression(vec), mat, m.mean.toArray, k, dim))
+  }
+
   /** JVM kernel shared by eval and codegen. */
   def rotateKernel(vec: ArrayData, isFloat: Boolean, mat: Array[Double],
       mean: Array[Double], k: Int, dim: Int): ArrayData = {

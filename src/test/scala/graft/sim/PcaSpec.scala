@@ -64,6 +64,18 @@ class PcaSpec extends SparkSpec {
     assert(plan.contains("rotatevec"), s"missing native node:\n$plan")
   }
 
+  test("whitened projection has ~identity covariance on informative dims") {
+    val w = df.select(Pca.whiten($"v", model, k = 3).as("w"))
+      .as[Array[Double]].collect()
+    val n = w.length
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val mi = w.map(_(i)).sum / n; val mj = w.map(_(j)).sum / n
+      val cov = w.map(v => (v(i) - mi) * (v(j) - mj)).sum / n
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(cov - want) < 0.02, s"whitened cov($i,$j)=$cov")
+    }
+  }
+
   test("covariance moments are partitioning-invariant and match the driver") {
     val flat = (parts: Int) => df.repartition(parts)
       .select(org.apache.spark.sql.graftbridge.Bridge.toColumn(
