@@ -52,4 +52,37 @@ object QualityChecks {
     }
     (rowPart ++ uniqPart).reduce(_.unionByName(_))
   }
+
+  /** ZERO-pass variant of the row-level checks: the violation
+    * counters ride the caller's OWN next action via `Dataset.observe`
+    * — no second scan of the input at all, where [[report]] pays one.
+    * This is the in-flight telemetry shape for a 100 TB write job:
+    * attach the counters, run the write, read
+    * `observation.get` after it finishes (counts reflect exactly the
+    * rows the action processed). Uniqueness constraints need their
+    * own grouped aggregate and deliberately stay [[report]]-only.
+    *
+    * Returns the frame to USE IN PLACE of `df` (observation columns
+    * attach to it) and the handle to read after the action.
+    */
+  def observed(df: DataFrame, name: String,
+      rowChecks: Seq[(String, Column)]): (DataFrame, org.apache.spark.sql.Observation) = {
+    require(rowChecks.nonEmpty, "need at least one row check")
+    val obs = org.apache.spark.sql.Observation(name)
+    val aggs = rowChecks.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(coalesce(pred, lit(true)), 1L).otherwise(0L)).as(s"__c$i")
+    } :+ count(lit(1)).as("__rows")
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
+  /** Decode an [[observed]] result into (check, n_violations) pairs
+    * plus the processed-row count, after the action completed.
+    */
+  def observedCounts(obs: org.apache.spark.sql.Observation,
+      rowChecks: Seq[(String, Column)]): (Map[String, Long], Long) = {
+    val row = obs.get
+    (rowChecks.zipWithIndex.map { case ((n, _), i) =>
+      n -> row(s"__c$i").asInstanceOf[Long]
+    }.toMap, row("__rows").asInstanceOf[Long])
+  }
 }

@@ -19,6 +19,22 @@ class QualityChecksSpec extends SparkSpec {
     assert(out("k_not_null") === 1L)
   }
 
+  test("observed checks ride the caller's action, equal the report pass") {
+    val checks = Seq(
+      "v_in_0_100" -> !$"v".between(0, 100),
+      "k_not_null" -> $"k".isNull)
+    val (frame, obs) = QualityChecks.observed(df, "dq", checks)
+    // the caller's OWN action: a write — no separate metrics scan
+    val dir = java.nio.file.Files.createTempDirectory("graft-obs").toString
+    frame.write.mode("overwrite").parquet(dir)
+    val (counts, rows) = QualityChecks.observedCounts(obs, checks)
+    assert(rows === 5L)
+    assert(counts === QualityChecks.report(df, checks)
+      .as[(String, Long)].collect().toMap)
+    // and the written data is the input, untouched by the observation
+    assert(spark.read.parquet(dir).count() === 5L)
+  }
+
   test("uniqueness counts rows beyond the first per duplicated key") {
     val out = QualityChecks.report(df,
         rowChecks = Seq("k_not_null" -> $"k".isNull),

@@ -76,6 +76,33 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("OPQ-lite: rotated+balanced PQ beats PQ on raw correlated vectors") {
+    // 8-dim data = independent latents of very different scales mixed
+    // by a fixed rotation → strong cross-subspace correlation
+    val rnd = new scala.util.Random(9)
+    val scales = Array(12.0, 9.0, 6.0, 4.0, 2.0, 1.0, 0.5, 0.25)
+    val mix = Pca.jacobi(Array.tabulate(8, 8)((i, j) =>
+      math.sin(i * 3 + j * 7).abs + (if (i == j) 2.0 else 0.0)))._2
+    val rows = (1 to 3000).map { i =>
+      val z = scales.map(_ * rnd.nextGaussian())
+      val x = Array.tabulate(8)(r =>
+        (0 until 8).map(c => mix(r)(c) * z(c)).sum)
+      (i.toLong, x)
+    }
+    val raw = rows.toDF("vec_id", "v")
+    val pm = Pca.balancedForPq(Pca.fit(raw, "v", 8), m = 4)
+    val rotated = raw.select($"vec_id",
+      Pca.transform($"v", pm, k = 8).as("v"))
+    def avgErr(df: org.apache.spark.sql.DataFrame): Double =
+      ProductQuantizer
+        .fitEncode(df, "vec_id", "v", dims = 8, m = 4, k = 8, iters = 5)
+        .agg(avg($"err")).as[Double].head()
+    val eRaw = avgErr(raw)
+    val eRot = avgErr(rotated)
+    assert(eRot < eRaw * 0.9,
+      s"rotation should cut PQ quantization error: raw=$eRaw rot=$eRot")
+  }
+
   test("covariance moments are partitioning-invariant and match the driver") {
     val flat = (parts: Int) => df.repartition(parts)
       .select(org.apache.spark.sql.graftbridge.Bridge.toColumn(
