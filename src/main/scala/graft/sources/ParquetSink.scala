@@ -24,6 +24,30 @@ object ParquetSink {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Write parquet with ROW-GROUP BLOOM FILTERS on the named columns —
+    * the file-format-level sibling of [[graft.ops.BloomJoin]]'s
+    * runtime filter: a point-lookup (`key = x`) on a bloom-equipped
+    * column skips every row group whose filter rejects the value,
+    * WITHOUT relying on min/max stats (which are useless for
+    * high-cardinality unsorted keys, exactly where blooms shine). At
+    * 100 TB this turns needle-in-haystack audits (find one doc id,
+    * one user) from full-column scans into footer+filter probes.
+    *
+    * Costs are write-side and bounded: one filter of `ndv`-scaled
+    * size per (row group, column). The spec verifies the footer
+    * actually carries the filters (offset/length present) and that
+    * filtered reads stay correct.
+    */
+  def writeWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+      ndv: Long = 100000L): Unit = {
+    require(bloomCols.nonEmpty, "name at least one bloom column")
+    val w = bloomCols.foldLeft(df.write.mode("overwrite")) { (wr, c) =>
+      wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    w.parquet(path)
+  }
+
   /** Small-file compaction — the operational staple of any
     * continuously-ingested layout: streaming micro-batches and
     * per-pull idempotent writes each leave a few small files per

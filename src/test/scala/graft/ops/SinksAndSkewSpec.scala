@@ -150,6 +150,40 @@ class SinksAndSkewSpec extends SparkSpec {
     // 51.0 (== hi, exclusive) and -1.0 (below all) match nothing
   }
 
+  test("bloom-equipped parquet carries row-group filters; reads stay exact") {
+    import graft.sources.ParquetSink
+    val dir = Files.createTempDirectory("graft-bloomw").toString
+    val df = (1L to 50000L).map(i => (i * 2654435761L % 1000003L, s"p$i"))
+      .toDF("key", "payload")
+    ParquetSink.writeWithBloom(df, dir, Seq("key"), ndv = 60000L)
+    // footer metadata: the key column chunk really has a bloom filter
+    val conf = spark.sparkContext.hadoopConfiguration
+    val file = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath), conf))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      val byName = (0 until cols.size()).map(i => cols.get(i))
+        .map(c => c.getPath.toDotString -> c).toMap
+      assert(byName("key").getBloomFilterOffset > 0,
+        "key column must carry a bloom filter")
+      assert(byName("payload").getBloomFilterOffset <= 0,
+        "unnamed columns must not pay for one")
+      // and the filter actually answers membership for a key that is
+      // IN THIS file (multi-partition writes spread rows over files)
+      val bf = reader.getBloomFilterDataReader(
+        reader.getFooter.getBlocks.get(0)).readBloomFilter(byName("key"))
+      val probe = spark.read.parquet(file.getAbsolutePath)
+        .select($"key").as[Long].head()
+      assert(bf.findHash(bf.hash(java.lang.Long.valueOf(probe))))
+    } finally reader.close()
+    // reads with point predicates remain exact
+    val want = df.filter($"key" === 42L).count()
+    assert(spark.read.parquet(dir).filter($"key" === 42L).count() === want)
+  }
+
   test("interval-overlap join equals the theta join, emits each pair once") {
     val rnd = new scala.util.Random(11)
     val a = (1 to 300).map { i =>
