@@ -37,6 +37,38 @@ object HeavyHitters {
     (items, row.getLong(1))
   }
 
+  /** Candidate counters WITH their lower-bound weights — the
+    * persistable form for incremental tracking (write the ≤ k rows,
+    * merge tomorrow's batch in). Weights are merge-order-dependent
+    * pruning hints, never counts (same caveat as the aggregate).
+    */
+  def candidateWeights(df: DataFrame, itemCol: String,
+      k: Int): Seq[(Long, Long)] =
+    df.agg(HeavyHittersAgg.misra_gries(col(itemCol).cast("long"), k)
+        .as("cands")).head()
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+  /** Merge two candidate-counter sets under the Misra-Gries rule
+    * (add, then subtract the (k+1)-th largest and drop ≤ 0) — the
+    * DRIVER-side twin of the aggregate's own merge, for folding a new
+    * batch's candidates into yesterday's persisted state. The
+    * mergeable-summaries guarantee composes: after any sequence of
+    * such merges, every item with total frequency > N_total/(k+1)
+    * across ALL batches is still present (HeavyHittersSpec pins it).
+    * Both inputs are ≤ k entries, so this is bounded model state.
+    */
+  def mergeCandidateSets(a: Seq[(Long, Long)], b: Seq[(Long, Long)],
+      k: Int): Seq[(Long, Long)] = {
+    val m = scala.collection.mutable.Map.empty[Long, Long]
+    (a ++ b).foreach { case (item, w) => m(item) = m.getOrElse(item, 0L) + w }
+    val trimmed = if (m.size > k) {
+      val cut = m.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      m.toSeq.map { case (i, w) => (i, w - cut) }.filter(_._2 > 0)
+    } else m.toSeq
+    trimmed.sortBy { case (i, w) => (-w, i) }
+  }
+
   /** All items with exact frequency ≥ N·minFrac, with their exact
     * counts. Requires minFrac ≥ 1/(k+1) — asserted, because below the
     * sketch's guarantee the candidate set may miss a qualifying item.

@@ -47,12 +47,19 @@ object EventStreams {
     *
     * Output: (window_start, reg_idx, reg_rank).
     */
+  /** @param slide SLIDING-window stride (default = `window_`, i.e.
+    *               tumbling). An event lands in window/slide
+    *               overlapping windows, so open-window state scales by
+    *               that factor — still ≤ 2^b rows each, still bounded.
+    */
   def hllRegistersStream(events: DataFrame, valueCol: String = "user_id",
       window_ : String = "1 hour", watermark: String = "2 hours",
-      b: Int = graft.sketch.Hll.defaultB): DataFrame =
+      b: Int = graft.sketch.Hll.defaultB,
+      slide: Option[String] = None): DataFrame =
     graft.sketch.Hll.registers(
       events.withWatermark("ts", watermark)
-        .select(window(col("ts"), window_).as("w"), col(valueCol)),
+        .select(window(col("ts"), window_, slide.getOrElse(window_)).as("w"),
+          col(valueCol)),
       Seq("w"), valueCol, b)
       .select(col("w.start").as("window_start"), col("reg_idx"),
         col("reg_rank"))

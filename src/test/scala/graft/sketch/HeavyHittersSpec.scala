@@ -37,6 +37,36 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("incremental candidates across batches keep the superset guarantee") {
+    // three daily batches with different item mixes; item 1 is heavy
+    // overall but NOT within every single batch
+    val batches = Seq(
+      (1 to 3000).map(i => if (i % 4 == 0) 1L else (100 + i % 500).toLong),
+      (1 to 3000).map(i => if (i % 5 == 0) 1L else (700 + i % 500).toLong),
+      (1 to 3000).map(i => if (i % 3 == 0) 2L else (1300 + i % 500).toLong)
+    ).map(_.toDF("item"))
+    val k = 32
+    val state = batches.map(HeavyHitters.candidateWeights(_, "item", k))
+      .reduce(HeavyHitters.mergeCandidateSets(_, _, k))
+    assert(state.size <= k)
+    val union = batches.reduce(_ unionByName _)
+    val n = union.count()
+    val trueHeavies = union.groupBy($"item").count()
+      .filter($"count" > n / (k + 1.0)).as[(Long, Long)].collect().map(_._1)
+    assert(trueHeavies.nonEmpty && trueHeavies.toSet.subsetOf(
+      state.map(_._1).toSet),
+      s"missed ${trueHeavies.toSet -- state.map(_._1).toSet}")
+    // exact recount of the merged candidates equals the naive answer
+    val viaState = union
+      .filter($"item".isin(state.map(x => Long.box(x._1)): _*))
+      .groupBy($"item").agg(count(lit(1)).as("n_occ"))
+      .filter($"n_occ" >= n / k.toDouble)
+      .as[(Long, Long)].collect().toSet
+    val naive = union.groupBy($"item").agg(count(lit(1)).as("n_occ"))
+      .filter($"n_occ" >= n / k.toDouble).as[(Long, Long)].collect().toSet
+    assert(viaState === naive)
+  }
+
   test("sketch state stays bounded on a wide near-uniform domain") {
     val wide = (1L to 50000L).toDF("item") // every item distinct
     val (cands, total) = HeavyHitters.candidates(wide, "item", k = 64)

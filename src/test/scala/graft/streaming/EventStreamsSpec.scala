@@ -210,6 +210,38 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("SLIDING-window streaming HLL equals the batch sliding twin") {
+    implicit val sqlCtx = spark.sqlContext
+    def tsA(min: Int) = new java.sql.Timestamp(1700000400000L + min * 60000L)
+    val data = (0 until 60).map { i =>
+      Event(i.toLong, tsA(i % 18), (i % 13 + 1).toLong, "view", 1.0)
+    }
+    val mem = MemoryStream[Event]
+    val q = EventStreams.hllRegistersStream(mem.toDF(),
+      window_ = "10 minutes", watermark = "5 minutes", b = 6,
+      slide = Some("5 minutes"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hll_slide_out").start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    mem.addData(Event(99, tsA(120), 999, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hll_slide_out")
+      .collect().map(r => (r.getAs[java.sql.Timestamp](0).getTime,
+        r.getLong(1), r.getInt(2))).toSet
+    val batch = graft.sketch.Hll.registers(
+      data.toDF().select(
+        window($"ts", "10 minutes", "5 minutes").as("w"), $"user_id"),
+      Seq("w"), "user_id", b = 6)
+      .select($"w.start", $"reg_idx", $"reg_rank")
+      .collect().map(r => (r.getAs[java.sql.Timestamp](0).getTime,
+        r.getLong(1), r.getInt(2))).toSet
+    assert(streamed === batch)
+    // minutes 0-17 at a 5-min slide → 5 distinct 10-min windows
+    assert(streamed.map(_._1).size === 5)
+  }
+
   test("streaming CMS counters equal the batch sketch and bound true counts") {
     implicit val sqlCtx = spark.sqlContext
     val types = Seq("click", "view", "purchase", "refund")
