@@ -49,6 +49,33 @@ class ParagraphDedupSpec extends SparkSpec {
     assert(sub(1L) === result(1L) && sub(2L) === result(2L))
   }
 
+  test("generative law: engine matches a direct reference fold") {
+    // random docs over a TINY cell pool → heavy cross-document
+    // duplication, the regime the operator exists for
+    val rnd = new scala.util.Random(3)
+    val pool = Vector("alpha beta", "gamma", "delta eps", "zeta", " ", "")
+    val corpus = (1L to 200L).map { id =>
+      id -> Vector.fill(1 + rnd.nextInt(6))(pool(rnd.nextInt(pool.size)))
+    }
+    // reference: first-occurrence-wins on (doc, idx) over non-blank cells
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = corpus.map { case (id, cells) =>
+      val withIdx = cells.zipWithIndex.filter(_._1.trim.nonEmpty)
+      val kept = withIdx.filter { case (c, _) =>
+        if (seen.contains(c)) false else { seen += c; true }
+      }
+      id -> ((kept.map(_._1).mkString("\n\n"),
+        withIdx.size.toLong, kept.size.toLong))
+    }.toMap
+    val out = ParagraphDedup.dedupParagraphs(
+      corpus.map { case (id, cells) => (id, cells.mkString("\n\n")) }
+        .toDF("doc_id", "text"),
+      "doc_id", "text", "\n\n")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out === expected)
+  }
+
   test("plan has no window and no single-partition exchange") {
     val plan = ParagraphDedup.dedupParagraphs(docs, "doc_id", "text", "\n\n")
       .queryExecution.executedPlan.toString
