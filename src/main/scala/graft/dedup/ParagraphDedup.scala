@@ -24,8 +24,9 @@ import org.apache.spark.sql.types._
   *  - "first occurrence" is the minimum of (docKey, position) under
   *    the packed total order docKey·2^20 + position — deterministic,
   *    partitioning-independent, and replayed exactly by the oracle
-  *    (positions must fit 20 bits and doc keys 43: ~10^6 paragraphs
-  *    per document, ~8·10^12 documents);
+  *    (positions must fit 20 bits — ENFORCED with raise_error, since
+  *    an overflow would alias ownership keys across documents — and
+  *    doc keys 43: ~10^6 paragraphs per document, ~8·10^12 docs);
   *  - paragraph identity is the portable 60-bit md5 hash
   *    ([[TextAnalysis.hash60]]) of the cell — both engines group by
   *    the same hash, so results agree even in the (~n²/2^61)
@@ -33,7 +34,8 @@ import org.apache.spark.sql.types._
   *  - documents whose every paragraph is a duplicate stay in the
   *    output with empty text (a downstream length gate drops them).
   *
-  * Scale shape: one narrow posexplode, one hash-keyed partial
+  * Scale shape: one narrow posexplode (persisted once for its three
+  * consumers), one hash-keyed partial
   * aggregate (the owner min), one hash-keyed join of cells to owners,
   * and one docKey-keyed aggregate to reassemble — every shuffle is on
   * a high-cardinality hash key with map-side combine, no windows, no
@@ -58,10 +60,23 @@ object ParagraphDedup {
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
           .as(Seq("idx", "para")))
       .filter(trim(col("para")) =!= "")
-    val hashed = cells
-      .withColumn("h", TextAnalysis.hash60(col("para")))
-      .withColumn("pk",
-        col("doc_id") * lit(1L << IdxBits) + col("idx").cast(LongType))
+    // fail LOUDLY past the packing bound: an idx overflowing into the
+    // doc-key bits would alias ownership keys across documents and let
+    // duplicates survive silently (the oracle replays the same
+    // arithmetic, so the gate could not catch it either)
+    val pk = when(col("idx") < lit(1L << IdxBits),
+      col("doc_id") * lit(1L << IdxBits) + col("idx").cast(LongType))
+      .otherwise(raise_error(concat(
+        lit(s"ParagraphDedup: paragraph index ≥ 2^$IdxBits in doc "),
+        col("doc_id").cast("string"))).cast(LongType))
+    // the split+hash lineage feeds THREE consumers (owners, the join
+    // probe, totals) — persist it so the corpus text tokenizes once,
+    // the spanProfile discipline
+    val hashed = graft.CacheRegistry.register(
+      cells
+        .withColumn("h", TextAnalysis.hash60(col("para")))
+        .withColumn("pk", pk)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val owners = hashed.groupBy(col("h")).agg(min(col("pk")).as("owner"))
     val kept = hashed.join(owners, Seq("h")).filter(col("pk") === col("owner"))
     val reassembled = kept.groupBy(col("doc_id")).agg(
@@ -71,7 +86,7 @@ object ParagraphDedup {
           _.getField("para")),
         delim).as("text_dedup"),
       count(lit(1)).as("n_kept"))
-    val totals = cells.groupBy(col("doc_id")).agg(count(lit(1)).as("n_paras"))
+    val totals = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("n_paras"))
     df.select(col(idCol).cast(LongType).as("doc_id"))
       .join(totals, Seq("doc_id"), "left")
       .join(reassembled, Seq("doc_id"), "left")

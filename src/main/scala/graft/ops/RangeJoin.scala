@@ -25,7 +25,11 @@ object RangeJoin {
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pointCol: String, loCol: String, hiCol: String, g: Double): DataFrame = {
-    val cells = intervals.withColumn("__cell",
+    // empty/inverted intervals match nothing under [lo, hi) — filter
+    // BEFORE the explode: sequence(a, b) runs DESCENDING when a > b,
+    // so one dirty inverted row would otherwise explode into a huge
+    // spurious cell list
+    val cells = intervals.filter(col(loCol) < col(hiCol)).withColumn("__cell",
       explode(sequence(
         floor(col(loCol) / g).cast(LongType),
         ceil(col(hiCol) / g).cast(LongType) - 1)))
@@ -58,7 +62,8 @@ object RangeJoin {
       aLo: String, aHi: String, bLo: String, bHi: String,
       g: Double, keys: Seq[String] = Seq.empty): DataFrame = {
     def cells(df: DataFrame, lo: String, hi: String) =
-      df.withColumn("__cell",
+      // same inverted-interval guard as [[pointInInterval]]
+      df.filter(col(lo) < col(hi)).withColumn("__cell",
         explode(sequence(
           floor(col(lo) / g).cast(LongType),
           ceil(col(hi) / g).cast(LongType) - 1)))

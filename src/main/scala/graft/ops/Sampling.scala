@@ -330,6 +330,11 @@ object Sampling {
 
   def shuffleShards(df: DataFrame, keyCol: String, numShards: Int): DataFrame = {
     require(numShards >= 1, "need numShards >= 1")
+    // refuse to silently clobber caller columns (e.g. rendezvousShard
+    // also emits 'shard') — the Hilbert.sortByH convention
+    Seq("shard", "shard_pos", "__ord").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — rename it before shuffleShards"))
     val shard = shardOf(keyCol, numShards)
     val ord = TextAnalysis.hash60(
       concat(lit("ord:"), col(keyCol).cast(StringType)))
@@ -360,6 +365,8 @@ object Sampling {
     */
   def assignDenseIds(df: DataFrame, keyCol: String,
       numShards: Int): DataFrame = {
+    require(!df.columns.contains("dense_id"),
+      "input already has a 'dense_id' column — rename it first")
     // bounded: numShards rows — counted from the shard expression
     // alone, so the positions window is never executed for the sizes
     val counts = df

@@ -14,7 +14,9 @@ import org.apache.spark.sql.types._
   * `twa = Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_n − t_1)` per key.
   *
   * Determinism discipline: values quantize to integer MICROS and each
-  * contribution `micros · Δms` is summed as DECIMAL(38,0) — exact and
+  * contribution multiplies as DECIMAL(18,0)×DECIMAL(18,0) (exact
+  * 37-digit products — a Long×Long product would wrap silently) and
+  * sums as DECIMAL — exact and
   * partition-order-independent where a double Σ v·Δt is neither; the
   * window orders by (ts, tie-break cols) so duplicate timestamps pair
   * deterministically (their Δt = 0 contributions vanish, but the
@@ -41,9 +43,12 @@ object TimeWeighted {
         (unix_micros(col(tsCol)) / 1000).cast(LongType))
       .withColumn("__micros", round(col(valCol) * 1e6).cast(LongType))
       .withColumn("__next", lead(col("__t"), 1).over(w))
+      // multiply IN decimal: a Long×Long product of a 1e15-micros
+      // gauge and a multi-hour Δms overflows 2^63 silently; two
+      // 18-digit decimals multiply to 37 digits — exact, no wrap
       .withColumn("__contrib",
-        (col("__micros") * (col("__next") - col("__t")))
-          .cast(DecimalType(38, 0)))
+        col("__micros").cast(DecimalType(18, 0)) *
+          (col("__next") - col("__t")).cast(DecimalType(18, 0)))
     stepped.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_samples"),
         (max(col("__t")) - min(col("__t"))).as("span_ms"),

@@ -1112,7 +1112,8 @@ object Inventory {
       |g AS (
       |  SELECT user_id, count(*) AS n_samples,
       |    max(t) - min(t) AS span_ms,
-      |    sum(cast(micros * (nxt - t) as decimal(38,0))) AS sm
+      |    sum(cast(micros as decimal(18,0)) *
+      |        cast(nxt - t as decimal(18,0))) AS sm
       |  FROM s GROUP BY 1)
       |SELECT user_id, n_samples, span_ms,
       |  CASE WHEN span_ms > 0

@@ -1728,7 +1728,8 @@ object PipelineQueries {
       |m AS (SELECT dim, n, round(cast(s1 as double) / n, 6) AS mean,
       |        s2, lo, hi FROM g)
       |SELECT dim, n, mean,
-      |  round(cast(s2 as double) / n - mean * mean, 6) AS variance,
+      |  round(greatest(cast(s2 as double) / n - mean * mean, 0), 6)
+      |    AS variance,
       |  lo, hi
       |FROM m""".stripMargin
 

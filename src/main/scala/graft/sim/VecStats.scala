@@ -37,9 +37,11 @@ object VecStats {
         min(col("x")).as("lo"), max(col("x")).as("hi"))
       .withColumn("mean",
         round(col("__s1").cast(DoubleType) / col("n"), 6))
-      .withColumn("variance",
-        round(col("__s2").cast(DoubleType) / col("n") -
-          col("mean") * col("mean"), 6))
+      .withColumn("variance", // clamp: E[x²]−mean² of independently
+        // rounded sums can dip a few ulps negative on near-constant
+        // dims (→ NaN under a later sqrt, and -0.0 breaks hash gates)
+        round(greatest(col("__s2").cast(DoubleType) / col("n") -
+          col("mean") * col("mean"), lit(0.0)), 6))
       .select(col("dim"), col("n"), col("mean"), col("variance"),
         col("lo"), col("hi"))
   }

@@ -70,13 +70,16 @@ object HeavyHitters {
   }
 
   /** All items with exact frequency ≥ N·minFrac, with their exact
-    * counts. Requires minFrac ≥ 1/(k+1) — asserted, because below the
-    * sketch's guarantee the candidate set may miss a qualifying item.
+    * counts. Requires minFrac STRICTLY above 1/(k+1) — the sketch
+    * guarantee covers items with frequency > N/(k+1), so at equality
+    * a qualifying item can be decremented away (k=1 over [a,b,a,b]
+    * ends with an empty sketch while both items sit exactly at N/2).
     */
   def exactHeavyHitters(df: DataFrame, itemCol: String, k: Int,
       minFrac: Double): DataFrame = {
-    require(minFrac >= 1.0 / (k + 1),
-      s"minFrac=$minFrac below the k=$k sketch guarantee 1/${k + 1}")
+    require(minFrac > 1.0 / (k + 1),
+      s"minFrac=$minFrac not strictly above the k=$k sketch " +
+        s"guarantee bound 1/${k + 1}")
     val (items, n) = candidates(df, itemCol, k)
     val threshold = n * minFrac
     df.filter(col(itemCol).isin(items.map(Long.box): _*))

@@ -103,7 +103,16 @@ object ParquetSink {
         df.repartition(n.toInt)
       } else {
         // per-partition file budget, joined in via a tiny literal map
-        // (one row per partition — the bounded-model-state class)
+        // (one row per partition — the bounded-model-state class).
+        // Directory names carry the layout's OWN column order — verify
+        // it against the caller's list instead of trusting positions
+        // (a swapped partitionCols order would otherwise mis-key every
+        // budget row and the inner join below would drop the corpus).
+        val dirCols = sizes.keysIterator.next()
+          .split("/").filter(_.nonEmpty).map(_.split("=", 2)(0)).toSeq
+        require(dirCols == partitionCols,
+          s"partitionCols $partitionCols must match the on-disk layout " +
+            s"order $dirCols")
         val budgets = sizes.toSeq.map { case (rel, (bytes, _)) =>
           val vals = rel.split("/").filter(_.nonEmpty).map(_.split("=", 2)(1))
           val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
@@ -117,8 +126,13 @@ object ParquetSink {
               org.apache.spark.sql.types.LongType))
         val bdf = spark.createDataFrame(
           java.util.Arrays.asList(budgets: _*), schema)
+        // NULL partition values are laid out as the Hive default token;
+        // coalesce so those rows still find their budget row (a plain
+        // equality would silently drop them from the rewrite)
         val joinCond = partitionCols.map(c =>
-          col(c).cast("string") === col(c + "__s")).reduce(_ && _)
+          coalesce(col(c).cast("string"),
+            lit("__HIVE_DEFAULT_PARTITION__")) === col(c + "__s"))
+          .reduce(_ && _)
         val slots = sizes.valuesIterator.map { case (b, _) =>
           math.max(1L, (b + targetBytes - 1) / targetBytes) }.sum
         df.join(broadcast(bdf), joinCond)
@@ -135,6 +149,18 @@ object ParquetSink {
     val writer = salted.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(tmp.toString)
+    // HARD row-count gate before anything is deleted: compaction is
+    // layout-only by contract, and a count mismatch (whatever the
+    // cause) must abort with the original data untouched rather than
+    // swap in a truncated table
+    val nIn = df.count()
+    val nOut = spark.read.parquet(tmp.toString).count()
+    if (nIn != nOut) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compaction aborted for $path: rewrote $nOut of $nIn rows — " +
+          "original layout untouched")
+    }
     if (fs.exists(bak)) fs.delete(bak, true)
     require(fs.rename(root, bak) && fs.rename(tmp, root),
       s"compaction swap failed for $path — old data intact at $bak")

@@ -16,6 +16,21 @@ class DriftSpec extends SparkSpec {
       "src", "v", lo = 0.0, hi = 1.0, bins = 10)
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
 
+  test("drift binning is locked to the quantile-sketch binning") {
+    // the two families re-implement the clamped equal-width bin; this
+    // law pins them semantically identical on edges, outliers, NULLs
+    val df = Seq[(String, java.lang.Double)](
+      ("g", 0.0), ("g", 9.999), ("g", 10.0), ("g", -5.0), ("g", 42.0),
+      ("g", 1.25), ("g", null), ("h", 5.0))
+      .toDF("g", "v")
+    val viaDrift = Drift.histogram(df, Seq("g"), "v", 0.0, 10.0, 8)
+      .as[(String, Int, Long)].collect().toSet
+    val viaQh = graft.sketch.QuantileHist
+      .counters(df, Seq("g"), "v", 0.0, 10.0, 8)
+      .as[(String, Int, Long)].collect().toSet
+    assert(viaDrift === viaQh)
+  }
+
   test("identical distributions drift 0; disjoint supports drift 1") {
     val a = (0 until 100).map(i => ("s", (i % 10) / 10.0 + 0.05))
     assert(tv(a, a)("s") === 0.0)
