@@ -47,6 +47,18 @@ class BloomJoinSpec extends SparkSpec {
     assert(!optimized.contains("array("), s"words array not folded:\n$optimized")
   }
 
+  test("literal-words probe agrees with the join-form membership API") {
+    val words = BloomJoin.bloomWords(small, "key", mBits)
+    val viaWords = big.select($"key",
+        Bloom.mightContainWords(col("key"), words, mBits).as("m"))
+      .distinct().as[(Long, Boolean)].collect().toMap
+    val bloomTable = Bloom.build(small.select($"key"), "key", mBits)
+    val viaJoin = Bloom.mightContain(
+        big.select($"key").distinct(), bloomTable, "key", mBits)
+      .as[(Long, Boolean)].collect().toMap
+    assert(viaWords === viaJoin)
+  }
+
   test("dense word array layout matches the sparse build table") {
     val words = BloomJoin.bloomWords(small, "key", mBits)
     val sparse = Bloom.build(small.select($"key"), "key", mBits)

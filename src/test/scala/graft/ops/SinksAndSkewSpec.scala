@@ -214,6 +214,23 @@ class SinksAndSkewSpec extends SparkSpec {
     assert(touch === Set(3L))
   }
 
+  test("point-in-interval grid join equals the theta join on random data") {
+    val rnd = new scala.util.Random(17)
+    val pts = (1 to 500).map(i => (i.toLong, rnd.nextDouble() * 120 - 10))
+      .toDF("pid", "v")
+    val ivs = (1 to 200).map { i =>
+      val lo = rnd.nextDouble() * 100
+      (i.toLong, lo, lo + rnd.nextDouble() * 25)
+    } ++ Seq((900L, 50.0, 40.0), (901L, 30.0, 30.0)) // inverted + empty
+    val ivDf = ivs.toDF("iid", "lo", "hi")
+    val grid = RangeJoin.pointInInterval(pts, ivDf, "v", "lo", "hi", g = 7.0)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    val theta = pts.join(ivDf, $"v" >= $"lo" && $"v" < $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(grid === theta)
+    assert(!grid.exists(_._2 >= 900L)) // degenerate intervals match nothing
+  }
+
   test("ORC roundtrip preserves rows and pushes filters to the scan") {
     val dir = Files.createTempDirectory("graft-orc").toString
     val src = spark.read.parquet(s"$sf/nation.parquet")
