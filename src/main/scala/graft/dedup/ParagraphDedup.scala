@@ -60,12 +60,18 @@ object ParagraphDedup {
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
           .as(Seq("idx", "para")))
       .filter(trim(col("para")) =!= "")
-    // fail LOUDLY past the packing bound: an idx overflowing into the
-    // doc-key bits would alias ownership keys across documents and let
-    // duplicates survive silently (the oracle replays the same
-    // arithmetic, so the gate could not catch it either)
-    val pk = when(col("idx") < lit(1L << IdxBits),
-      col("doc_id") * lit(1L << IdxBits) + col("idx").cast(LongType))
+    // fail LOUDLY past the packing bounds: an idx overflowing into the
+    // doc-key bits — or a doc_id whose shifted product wraps 2^63 —
+    // would alias ownership keys across documents and let duplicates
+    // survive silently (the oracle replays the same arithmetic, so
+    // the gate could not catch it either). Both ends guard.
+    val pk = when(
+      col("doc_id") < lit(0L) || col("doc_id") >= lit(1L << (63 - IdxBits)),
+      raise_error(concat(
+        lit(s"ParagraphDedup: doc key outside [0, 2^${63 - IdxBits}): "),
+        col("doc_id").cast("string"))).cast(LongType))
+      .when(col("idx") < lit(1L << IdxBits),
+        col("doc_id") * lit(1L << IdxBits) + col("idx").cast(LongType))
       .otherwise(raise_error(concat(
         lit(s"ParagraphDedup: paragraph index ≥ 2^$IdxBits in doc "),
         col("doc_id").cast("string"))).cast(LongType))

@@ -32,6 +32,12 @@ object TimeWeighted {
   /** @param ordCols tie-break columns making (tsCol, ordCols) a total
     *                order within each key (e.g. the event id)
     */
+  /** Largest magnitude a DECIMAL(18,0) holds — inputs past this must
+    * abort loudly: under non-ANSI mode the cast returns NULL and
+    * `sum` SKIPS it, silently dropping the contribution from the TWA.
+    */
+  private val MaxDec18 = 999999999999999999L
+
   def timeWeightedAvg(df: DataFrame, keyCols: Seq[String], tsCol: String,
       valCol: String, ordCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && ordCols.nonEmpty,
@@ -41,14 +47,28 @@ object TimeWeighted {
     val stepped = df
       .withColumn("__t", // integer ms (Column./ is double division)
         (unix_micros(col(tsCol)) / 1000).cast(LongType))
-      .withColumn("__micros", round(col(valCol) * 1e6).cast(LongType))
+      // out-of-range gauge → raise_error, not a NULL the sum skips
+      .withColumn("__micros",
+        when(abs(col(valCol) * 1e6) > lit(MaxDec18.toDouble),
+          raise_error(concat(
+            lit("TimeWeighted: |value|*1e6 exceeds DECIMAL(18,0) for "),
+            col(valCol).cast("string"))).cast(LongType))
+          .otherwise(round(col(valCol) * 1e6).cast(LongType)))
       .withColumn("__next", lead(col("__t"), 1).over(w))
+      // Δt is ms between consecutive samples of one key; an 18-digit
+      // ms span (~31 Myr) means corrupt timestamps — abort, don't skew
+      .withColumn("__dt",
+        when(col("__next") - col("__t") > lit(MaxDec18),
+          raise_error(concat(
+            lit("TimeWeighted: inter-sample gap exceeds DECIMAL(18,0) ms at t="),
+            col("__t").cast("string"))).cast(LongType))
+          .otherwise(col("__next") - col("__t")))
       // multiply IN decimal: a Long×Long product of a 1e15-micros
       // gauge and a multi-hour Δms overflows 2^63 silently; two
       // 18-digit decimals multiply to 37 digits — exact, no wrap
       .withColumn("__contrib",
         col("__micros").cast(DecimalType(18, 0)) *
-          (col("__next") - col("__t")).cast(DecimalType(18, 0)))
+          col("__dt").cast(DecimalType(18, 0)))
     stepped.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_samples"),
         (max(col("__t")) - min(col("__t"))).as("span_ms"),

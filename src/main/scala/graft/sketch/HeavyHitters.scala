@@ -80,6 +80,20 @@ object HeavyHitters {
     require(minFrac > 1.0 / (k + 1),
       s"minFrac=$minFrac not strictly above the k=$k sketch " +
         s"guarantee bound 1/${k + 1}")
+    // the candidate pass sketches over cast('long'); a non-integral
+    // item column would alias distinct raw values under the cast and
+    // break the superset guarantee the recount relies on — and the
+    // isin(Long) probe below could then drop qualifying raw items.
+    // Misuse fails loudly instead of returning a silently-partial set.
+    df.schema(itemCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"exactHeavyHitters needs an integral item column; '$itemCol' " +
+          s"is $other — hash or dictionary-encode it first")
+    }
     val (items, n) = candidates(df, itemCol, k)
     val threshold = n * minFrac
     df.filter(col(itemCol).isin(items.map(Long.box): _*))

@@ -74,9 +74,18 @@ object ParquetSink {
     * partition keys this engine lays out.
     *
     * Returns (filesBefore, filesAfter) from the listings.
+    *
+    * Safety gates: the rewrite read disables partition-column type
+    * inference in a cloned session (so a string partition value can
+    * never be silently retyped and re-laid-out), a row-count AND
+    * (name, type, order) schema gate must pass before the swap, the
+    * two swap renames report failure separately (each message names
+    * where the data actually lives), and the backup copy is retained
+    * until the swapped-in layout re-validates — or indefinitely with
+    * `keepBackup = true`.
     */
   def compact(spark: SparkSession, path: String, partitionCols: Seq[String],
-      targetBytes: Long): (Long, Long) = {
+      targetBytes: Long, keepBackup: Boolean = false): (Long, Long) = {
     require(targetBytes > 0, "targetBytes must be positive")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -95,7 +104,23 @@ object ParquetSink {
       }
     }
     val filesBefore = sizes.valuesIterator.map(_._2).sum
-    val df = spark.read.parquet(path)
+    // Rewrite read runs in a CLONED session with partition-column type
+    // inference OFF: with inference on, a string partition value '1'
+    // reads back as int and is WRITTEN BACK as int ('01' would even
+    // change directory names) — a value-preserving schema drift the
+    // row-count gate cannot see. Inference-off keeps partition values
+    // as the literal directory strings, so the rewritten layout's
+    // directory names are byte-identical and downstream readers (with
+    // or without inference) see exactly the pre-compaction schema.
+    // newSession() shares the SparkContext but owns its conf — the
+    // caller's session conf is untouched.
+    val rs = spark.newSession()
+    rs.conf.set(
+      "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val df = rs.read.parquet(path)
+    // (name, type, order) of the layout being replaced — the schema
+    // gate below holds the rewrite to this
+    val wantSchema = df.schema.map(f => (f.name, f.dataType))
     val salted =
       if (partitionCols.isEmpty) {
         val n = math.max(1L,
@@ -124,7 +149,7 @@ object ParquetSink {
               org.apache.spark.sql.types.StringType)) :+
             org.apache.spark.sql.types.StructField("__nf",
               org.apache.spark.sql.types.LongType))
-        val bdf = spark.createDataFrame(
+        val bdf = rs.createDataFrame(
           java.util.Arrays.asList(budgets: _*), schema)
         // NULL partition values are laid out as the Hive default token;
         // coalesce so those rows still find their budget row (a plain
@@ -149,22 +174,55 @@ object ParquetSink {
     val writer = salted.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(tmp.toString)
-    // HARD row-count gate before anything is deleted: compaction is
-    // layout-only by contract, and a count mismatch (whatever the
-    // cause) must abort with the original data untouched rather than
-    // swap in a truncated table
+    // HARD row-count + schema gates before anything is deleted:
+    // compaction is layout-only by contract, and a count mismatch OR
+    // a (name, type, order) drift in the rewrite (whatever the cause)
+    // must abort with the original data untouched rather than swap in
+    // a truncated or retyped table
     val nIn = df.count()
-    val nOut = spark.read.parquet(tmp.toString).count()
-    if (nIn != nOut) {
+    val back = rs.read.parquet(tmp.toString)
+    val nOut = back.count()
+    val gotSchema = back.schema.map(f => (f.name, f.dataType))
+    if (nIn != nOut || gotSchema != wantSchema) {
       fs.delete(tmp, true)
       throw new IllegalStateException(
-        s"compaction aborted for $path: rewrote $nOut of $nIn rows — " +
-          "original layout untouched")
+        s"compaction aborted for $path: rewrote $nOut of $nIn rows, " +
+          s"schema $gotSchema vs $wantSchema — original layout untouched")
     }
     if (fs.exists(bak)) fs.delete(bak, true)
-    require(fs.rename(root, bak) && fs.rename(tmp, root),
-      s"compaction swap failed for $path — old data intact at $bak")
-    fs.delete(bak, true)
+    // Two renames, reported SEPARATELY so a failure names where the
+    // data actually is (on object stores rename is a non-atomic copy;
+    // this is a documented best-effort swap, not a transaction):
+    //  rename 1 fails → data never moved, still live at root;
+    //  rename 2 fails → attempt rollback, report root vs bak honestly.
+    if (!fs.rename(root, bak))
+      throw new IllegalStateException(
+        s"compaction swap failed for $path: could not move the current " +
+          s"layout aside — data is STILL LIVE at $root; compacted copy " +
+          s"left at $tmp")
+    if (!fs.rename(tmp, root)) {
+      val rolledBack = fs.rename(bak, root)
+      throw new IllegalStateException(
+        if (rolledBack)
+          s"compaction swap failed for $path: compacted layout could not " +
+            s"move into place; ROLLED BACK — original data live at $root, " +
+            s"compacted copy at $tmp"
+        else
+          s"compaction swap failed for $path: table directory is EMPTY — " +
+            s"original data at $bak, compacted copy at $tmp; rename $bak " +
+            s"back to $root to recover")
+    }
+    // the backup is the ONLY rollback copy — retain it until the
+    // swapped-in layout re-validates (and permanently with keepBackup)
+    val swapped = rs.read.parquet(root.toString)
+    val nSwapped = swapped.count()
+    val swappedSchema = swapped.schema.map(f => (f.name, f.dataType))
+    if (nSwapped != nIn || swappedSchema != wantSchema)
+      throw new IllegalStateException(
+        s"post-swap validation failed for $path: $nSwapped of $nIn rows, " +
+          s"schema $swappedSchema vs $wantSchema — rollback copy retained " +
+          s"at $bak")
+    if (!keepBackup) fs.delete(bak, true)
     val it2 = fs.listFiles(root, true)
     var filesAfter = 0L
     while (it2.hasNext) {

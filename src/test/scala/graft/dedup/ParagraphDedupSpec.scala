@@ -76,6 +76,19 @@ class ParagraphDedupSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("doc keys outside the packing range abort loudly") {
+    // a negative key (or one ≥ 2^43) would silently wrap the packed
+    // ownership key and alias across documents — must raise instead
+    val bad = Seq((-1L, "alpha\n\nbeta")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      ParagraphDedup.dedupParagraphs(bad, "doc_id", "text", "\n\n").collect()
+    }
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(msg).getOrElse("")
+    assert(msg(ex).contains("doc key outside"))
+  }
+
   test("plan has no window and no single-partition exchange") {
     val plan = ParagraphDedup.dedupParagraphs(docs, "doc_id", "text", "\n\n")
       .queryExecution.executedPlan.toString

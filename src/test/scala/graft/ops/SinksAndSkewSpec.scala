@@ -55,6 +55,35 @@ class SinksAndSkewSpec extends SparkSpec {
       spark.read.parquet(dir).select($"id", $"v", $"year").collect().toSet)
   }
 
+  test("compaction preserves string partition values and schema exactly") {
+    // the classic inference trap: a STRING partition value '01' would
+    // re-infer as int 1 and rewrite the directory as year=1 — the
+    // inference-off rewrite read + schema gate must keep it '01'
+    val dir = Files.createTempDirectory("graft-compact-str").toString
+    val rows = (1 to 2000).map(i => (if (i % 2 == 0) "01" else "02",
+      i.toLong, s"p-$i")).toDF("code", "id", "v")
+    rows.repartition(16).write.mode("overwrite").partitionBy("code").parquet(dir)
+    val beforeSchema = spark.read.parquet(dir).schema
+      .map(f => (f.name, f.dataType))
+    val before = spark.read.parquet(dir).collect().toSet
+    val (_, nAfter) = ParquetSink.compact(
+      spark, dir, Seq("code"), targetBytes = 8L * 1024 * 1024,
+      keepBackup = true)
+    assert(nAfter === 2)
+    // directory names byte-identical — '01' did NOT become '1'
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs === Set("code=01", "code=02"), s"directories drifted: $dirs")
+    // a reader sees the identical schema and content
+    val after = spark.read.parquet(dir)
+    assert(after.schema.map(f => (f.name, f.dataType)) === beforeSchema)
+    assert(after.collect().toSet === before)
+    // keepBackup retained the rollback copy alongside
+    val bak = new java.io.File(dir.stripSuffix("/") + "__compact_old")
+    assert(bak.isDirectory, "keepBackup=true must retain the backup")
+    assert(spark.read.parquet(bak.toString).count() === 2000)
+  }
+
   test("deterministic split: stable membership, correct proportions") {
     val df = (1 to 10000).map(i => (s"doc-$i", i)).toDF("key", "v")
     val split = Sampling.deterministicSplit(df, "key",

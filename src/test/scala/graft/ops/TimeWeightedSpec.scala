@@ -24,6 +24,19 @@ class TimeWeightedSpec extends SparkSpec {
     assert(math.abs(df.agg(avg($"value")).as[Double].head() - 36.666) < 0.01)
   }
 
+  test("out-of-range gauge aborts loudly instead of NULL-dropping") {
+    // |v|·1e6 = 2e18 exceeds DECIMAL(18,0); under non-ANSI the cast
+    // would NULL and sum() would silently drop the contribution
+    val df = Seq((1L, t(0), 1L, 2.0e12), (1L, t(1000), 2L, 0.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val ex = intercept[Exception] {
+      TimeWeighted.timeWeightedAvg(
+        df, Seq("user_id"), "ts", "value", Seq("event_id")).collect()
+    }
+    assert(ex.getMessage.contains("DECIMAL(18,0)") ||
+      Option(ex.getCause).exists(_.getMessage.contains("DECIMAL(18,0)")))
+  }
+
   test("single-sample keys yield NULL twa; duplicate timestamps pair stably") {
     val df = Seq(
       (1L, t(0), 1L, 5.0),
