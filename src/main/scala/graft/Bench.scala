@@ -4,6 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // sampled BEFORE the JVM does any Spark work: on a clean window
+    // this is ≈ 0 — see BenchHost scaladoc for the attribution story
+    val loadPreSuite = BenchHost.loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,6 +43,12 @@ object Bench {
     // steady-state cost a resident engine delivers. Standard warm-run
     // benchmarking; N is reported in the JSON for transparency.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
+    // host attribution: canary baseline after warmup (same JVM state
+    // as the queries), then a re-run every ~20 queries + one at the
+    // end; every canary is OUTSIDE the per-query timed regions
+    val canaryBase = BenchHost.canaryBase(spark)
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    val loadPres = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var qIdx = 0
     // iterate in DECLARED inventory order, not SparkEntry.queries' Map
     // hash order: adding any query to a hash map reshuffles the whole
@@ -50,6 +59,7 @@ object Bench {
       .map { case (name, fn, _) => name -> fn }
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        loadPres += (name -> BenchHost.loadAvg())
         val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch {
@@ -74,13 +84,46 @@ object Bench {
         // manager with unreferenced broadcasts.
         qIdx += 1
         if (qIdx % 25 == 0) System.gc()
+        if (qIdx % 20 == 0) {
+          val s = BenchHost.canarySec(spark)
+          canaries += ((qIdx, s, s / canaryBase))
+        }
         name -> times.min
       }
+    locally { // closing canary + post-suite load close the bracket
+      val s = BenchHost.canarySec(spark)
+      canaries += ((qIdx, s, s / canaryBase))
+    }
+    val loadPostSuite = BenchHost.loadAvg()
+    val hostClean = BenchHost.hostClean(
+      loadPreSuite, cpus.toInt, canaries.map(_._3).toSeq)
+    val canaryMaxRatio = canaries.map(_._3).max
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // host-attribution section (FILE json only — per-query maps are
+    // too big for the capped stdout line): raw canary events, the
+    // bracketing per-query attribution, and the suite verdict. The
+    // "queries" map keeps its plain name→seconds shape for existing
+    // parsers.
+    val canaryPos = canaries.map { case (q, _, r) => (q, r) }.toSeq
+    val perQAttr = results.zipWithIndex.map { case ((name, _), i) =>
+      val lp = loadPres.find(_._1 == name).map(_._2).getOrElse(-1.0)
+      val r = BenchHost.ratioForQuery(i + 1, canaryPos)
+      f""""$name":{"load_pre":$lp%.2f,"canary_ratio":$r%.3f}"""
+    }.mkString("{", ",", "}")
+    val canaryJson = canaries.map { case (q, s, r) =>
+      f"""{"after_q":$q,"sec":$s%.4f,"ratio":$r%.3f}"""
+    }.mkString("[", ",", "]")
+    val hostJson =
+      f""""host":{"load_pre_suite":$loadPreSuite%.2f,""" +
+        f""""load_post_suite":$loadPostSuite%.2f,"cpus":$cpus,""" +
+        f""""canary_base_sec":$canaryBase%.4f,""" +
+        f""""canary_max_ratio":$canaryMaxRatio%.3f,""" +
+        s""""host_clean":$hostClean,"canaries":$canaryJson,""" +
+        s""""per_query":$perQAttr}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""runs_per_query":$runs,"sf":"$sfDir"}"""
+      s""""runs_per_query":$runs,"sf":"$sfDir",$hostJson}"""
     // The COMPLETE per-query JSON goes to a file; stdout gets a
     // SIZE-CAPPED line. The harness that captures bench output keeps
     // only the last 2000 chars of stdout — rounds 4-6 printed a
@@ -98,6 +141,8 @@ object Bench {
     val entries = slowestFirst.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""runs_per_query":$runs,"n_queries":${results.size},""" +
+      f""""host_clean":$hostClean,"canary_max_ratio":$canaryMaxRatio%.3f,""" +
+      f""""load_pre_suite":$loadPreSuite%.2f,""" +
       s""""sf":"$sfDir","queries":{"""
     var used = prefix.length + 64 // room for the closing + elided fields
     var cut = 0

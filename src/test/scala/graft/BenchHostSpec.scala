@@ -1,0 +1,71 @@
+package graft
+
+/** Pins the bench's host-attribution instrumentation: the loadavg
+  * probe, the bracketing per-query attribution rule, the host_clean
+  * verdict logic, and — the load-bearing one — that a synthetically
+  * loaded CPU actually drives the canary ratio past the dirty
+  * threshold (i.e. the annotation FIRES when the host is busy, which
+  * is the whole point of making the artifact self-attributing).
+  */
+class BenchHostSpec extends SparkSpec {
+
+  test("loadavg probe returns a real non-negative sample on linux") {
+    val l = BenchHost.loadAvg()
+    assert(l >= 0.0, s"/proc/loadavg should parse on this platform: $l")
+    assert(l < 10000.0)
+  }
+
+  test("host_clean verdict composes the pre-suite load and canary signals") {
+    // idle box, flat canaries → clean
+    assert(BenchHost.hostClean(0.1, 32, Seq(1.0, 1.1, 0.95)))
+    // busy BEFORE the suite started → dirty even with flat canaries
+    assert(!BenchHost.hostClean(20.0, 32, Seq(1.0)))
+    // any canary past the threshold → dirty
+    assert(!BenchHost.hostClean(0.1, 32, Seq(1.0, 2.4, 1.0)))
+    // probe unavailable (-1) is "no signal", not dirty
+    assert(BenchHost.hostClean(-1.0, 32, Seq(1.0)))
+    assert(!BenchHost.hostClean(-1.0, 32, Seq(1.0, 5.0)))
+  }
+
+  test("per-query attribution takes the worst bracketing canary") {
+    val canaries = Seq((20, 1.0), (40, 3.0), (60, 1.1))
+    // query 25 sits between the clean q20 canary and the dirty q40 one
+    assert(BenchHost.ratioForQuery(25, canaries) === 3.0)
+    // query 45: bracketed by dirty-before (3.0) and clean-after (1.1)
+    assert(BenchHost.ratioForQuery(45, canaries) === 3.0)
+    // query 5: nothing before, clean canary after
+    assert(BenchHost.ratioForQuery(5, canaries) === 1.0)
+    // query 70: dirty window long past — clean brackets only
+    assert(BenchHost.ratioForQuery(70, canaries) === 1.1)
+    assert(BenchHost.ratioForQuery(1, Seq.empty) === 1.0)
+  }
+
+  test("synthetic CPU load drives the canary past the dirty threshold") {
+    // quiet baseline in this JVM (min-of-3 discards codegen warmup)
+    val base = BenchHost.canaryBase(spark)
+    assert(base > 0.0)
+    // saturate every core with busy-spin threads, twice over, so the
+    // canary's tasks get at most ~1/3 of the CPU they had at baseline
+    val nThreads = Runtime.getRuntime.availableProcessors() * 2
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val threads = (1 to nThreads).map { _ =>
+      val t = new Thread(() => {
+        var x = 0L
+        while (!stop.get()) { x += 1; if (x == Long.MaxValue) x = 0 }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    try {
+      Thread.sleep(200) // let the spinners actually occupy the cores
+      val loaded = (1 to 2).map(_ => BenchHost.canarySec(spark)).min
+      val ratio = loaded / base
+      assert(ratio > BenchHost.CanaryDirtyRatio,
+        f"canary ratio $ratio%.2f did not flag a 2x-oversubscribed host " +
+          f"(base $base%.3fs, loaded $loaded%.3fs)")
+      assert(!BenchHost.hostClean(0.0, nThreads / 2, Seq(1.0, ratio)))
+    } finally {
+      stop.set(true)
+      threads.foreach(_.join(1000))
+    }
+  }
+}
