@@ -1943,8 +1943,14 @@ object PipelineQueries {
     * corpus — the bounded-sample training contract quantizer training
     * uses at scale (see the q_pq_* scaladocs).
     */
+  /** `kLimitSql`: optional SQL expression overriding the literal `k`
+    * in the init draw's LIMIT — lets an oracle derive k from the data
+    * (a scalar subquery) exactly as the engine does, so the SQL stays
+    * correct at EVERY scale factor instead of baking in one SF's k.
+    */
   private def kmeansCtes(k: Int, iters: Int,
-      trainWhere: Option[String] = None): String = {
+      trainWhere: Option[String] = None,
+      kLimitSql: Option[String] = None): String = {
     // left-fold dot of two 64-dim lists, matching graft.functions.DotFold
     def dot(a: String, b: String) =
       s"""list_reduce(list_prepend(cast(0 as double),
@@ -1990,7 +1996,7 @@ object PipelineQueries {
        |  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cluster, x AS cv
        |  FROM (SELECT vec_id, x,
        |          cast(('0x' || substr(md5(cast(vec_id as varchar)), 1, 15)) as bigint) AS h
-       |        FROM $tBase ORDER BY h, vec_id LIMIT $k)),
+       |        FROM $tBase ORDER BY h, vec_id LIMIT ${kLimitSql.getOrElse(k.toString)})),
        |$rounds,
        |${asg(iters + 1, s"cent$iters", "b")}""".stripMargin
   }
@@ -2584,7 +2590,13 @@ object PipelineQueries {
 
   val qSemdedupSql: String = {
     def cos(a: String, b: String) = cosSql(a, b)
-    s"""${kmeansCtes(8, 3)},
+    // k derives from the corpus count IN SQL — the same
+    // max(8, ceil(N/64)) occupancy rule qSemdedup applies — so this
+    // oracle is exact at EVERY scale factor (sf0.1's k=32 included),
+    // not just where the derived k happens to equal a baked-in 8
+    val kSql = "(SELECT greatest(8, cast(ceil(count(*) / 64.0) as bigint)) " +
+      "FROM embeddings)"
+    s"""${kmeansCtes(8, 3, None, Some(kSql))},
        |sd_pairs AS (
        |  SELECT b2.vec_id, round(${cos("a.x", "b2.x")}, 6) AS cs
        |  FROM asg4 a JOIN asg4 b2
