@@ -916,6 +916,77 @@ object PipelineQueries {
       .stripMargin
   }
 
+  /** Exact-substring dedup ([[graft.dedup.SubstringDedup]]): every
+    * duplicated run of ≥ 8 tokens keeps only its corpus-wide first
+    * occurrence (packed (doc, position) minimum), later occurrences
+    * scrubbed and the text rebuilt — sub-paragraph granularity, so a
+    * passage straddling a paragraph boundary is caught where
+    * `q_para_dedup` provably misses it. The oracle replays the
+    * positional window table, the ownership minimum, position
+    * coverage, and the rebuild exactly.
+    */
+  def qSubstrDedup(s: SparkSession, d: String): DataFrame =
+    graft.dedup.SubstringDedup.dedupSubstrings(
+      Tables.documents(s, d), "doc_id", "text", w = 8)
+
+  private val SubstrW = 8
+
+  /** Shared oracle CTE chain ending at `cov` (doc_id, p): the distinct
+    * 0-based token positions covered by a non-owner duplicated window.
+    */
+  private val substrCovCtes: String = {
+    val w = SubstrW
+    val gram = hash60Sql((0 until w).map(o => s"toks[i+$o]").mkString(" || ' ' || "))
+    val pack = s"doc_id * ${1L << graft.dedup.SubstringDedup.IdxBits} + (s.i - 1)"
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |        list_transform(range(1, greatest(len(toks) - ${w - 1}, 0) + 1),
+       |          i -> $gram % ${Dedup.P}) AS hs
+       |      FROM t),
+       |ps AS (SELECT doc_id, s.i - 1 AS pos, s.h AS h, $pack AS pk
+       |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(hs) + 1),
+       |               i -> {'i': i, 'h': hs[i]})) AS s FROM g)),
+       |own AS (SELECT h, min(pk) AS owner FROM ps GROUP BY 1),
+       |cov AS (SELECT DISTINCT ps.doc_id, ps.pos + o.k AS p
+       |        FROM ps JOIN own USING (h), unnest(range(0, $w)) AS o(k)
+       |        WHERE ps.pk != own.owner)""".stripMargin
+  }
+
+  val qSubstrDedupSql: String =
+    s"""$substrCovCtes,
+       |tp AS (SELECT doc_id, s.p - 1 AS p, s.tok AS tok
+       |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+       |               i -> {'p': i, 'tok': toks[i]})) AS s FROM t)),
+       |kept AS (SELECT tp.doc_id, tp.p, tp.tok
+       |         FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+       |         WHERE cov.p IS NULL),
+       |k AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_dedup,
+       |        count(*) AS n_kept FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(k.text_dedup, '') AS text_dedup,
+       |  cast(len(t.toks) as bigint) AS n_tokens,
+       |  cast(coalesce(k.n_kept, 0) as bigint) AS n_kept,
+       |  cast(len(t.toks) - coalesce(k.n_kept, 0) as bigint) AS n_dropped
+       |FROM t LEFT JOIN k USING (doc_id)""".stripMargin
+
+  /** The maximal duplicate extents behind `q_substr_dedup`: adjacent
+    * covered positions merged by the islands rule into (span_start,
+    * span_end) intervals per non-owner document. The oracle replays
+    * the same per-document row_number island grouping.
+    */
+  def qSubstrSpans(s: SparkSession, d: String): DataFrame =
+    graft.dedup.SubstringDedup.duplicateSpans(
+      Tables.documents(s, d), "doc_id", "text", w = SubstrW)
+
+  val qSubstrSpansSql: String =
+    s"""$substrCovCtes,
+       |r AS (SELECT doc_id, p,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn
+       |      FROM cov)
+       |SELECT doc_id, cast(min(p) as bigint) AS span_start,
+       |  cast(max(p) + 1 as bigint) AS span_end,
+       |  cast(count(*) as bigint) AS span_len
+       |FROM r GROUP BY doc_id, p - rn""".stripMargin
+
   /** Winnowed partial-overlap candidate pairs: documents sharing ≥2
     * selected prints (boilerplate prints df-capped at 100) with the
     * shared-print count.
@@ -3270,6 +3341,8 @@ object PipelineQueries {
     ("q_span_dedup", qSpanDedup _, Some(qSpanDedupSql)),
     ("q_span_scrub", qSpanScrub _, Some(qSpanScrubSql)),
     ("q_para_dedup", qParaDedup _, Some(qParaDedupSql)),
+    ("q_substr_dedup", qSubstrDedup _, Some(qSubstrDedupSql)),
+    ("q_substr_spans", qSubstrSpans _, Some(qSubstrSpansSql)),
     ("q_winnow", qWinnow _, Some(qWinnowSql)),
     ("q_winnow_pairs", qWinnowPairs _, Some(qWinnowPairsSql)),
     ("q_unigram_lm", qUnigramLm _, Some(qUnigramLmSql)),
