@@ -46,8 +46,15 @@ object ProductQuantizer {
     * per-subspace fits, so the trained model is bit-equal and the
     * unrolled oracle replay is unaffected.
     */
+  /** `warmStart`: continue Lloyd from an existing model's codebooks
+    * instead of the hash-ordered init draw — the OPQ alternation needs
+    * this (a fresh per-round init would re-randomize the local minimum
+    * and break the monotone rotation/codebook descent,
+    * [[Opq.fit]]'s contract).
+    */
   def fit(vectors: DataFrame, idCol: String, vecCol: String,
-      dims: Int, m: Int, k: Int, iters: Int): Model = {
+      dims: Int, m: Int, k: Int, iters: Int,
+      warmStart: Option[Model] = None): Model = {
     require(m >= 1 && dims % m == 0, "dims must split into m equal subspaces")
     val w = dims / m
     val x = vectors.select(col(idCol),
@@ -58,18 +65,26 @@ object ProductQuantizer {
       // hash-ordered sample depends only on ids, so m separate
       // per-subspace draws would sort the corpus m times to select
       // the same rows
-      val h = graft.text.TextAnalysis.hash60(col(idCol).cast(StringType))
-      val init = x.orderBy(h.asc, col(idCol).asc).limit(k)
-        .select(col("__pq_x")).collect()
-        .zipWithIndex
-        .map { case (r, i) => (i, r.getSeq[Double](0)) }
-        .toSeq
-      require(init.nonEmpty, "PQ training needs a non-empty vector input")
-      var books: IndexedSeq[KMeans.Model] = (0 until m).map { j =>
-        KMeans.Model(init.map { case (cl, v) =>
-          (cl, v.slice(j * w, j * w + w))
-        }.toIndexedSeq)
-      }.toIndexedSeq
+      var books: IndexedSeq[KMeans.Model] = warmStart match {
+        case Some(prev) =>
+          require(prev.m == m && prev.width == w,
+            s"warm start shape (m=${prev.m}, w=${prev.width}) must match " +
+              s"(m=$m, w=$w)")
+          prev.codebooks.toIndexedSeq
+        case None =>
+          val h = graft.text.TextAnalysis.hash60(col(idCol).cast(StringType))
+          val init = x.orderBy(h.asc, col(idCol).asc).limit(k)
+            .select(col("__pq_x")).collect()
+            .zipWithIndex
+            .map { case (r, i) => (i, r.getSeq[Double](0)) }
+            .toSeq
+          require(init.nonEmpty, "PQ training needs a non-empty vector input")
+          (0 until m).map { j =>
+            KMeans.Model(init.map { case (cl, v) =>
+              (cl, v.slice(j * w, j * w + w))
+            }.toIndexedSeq)
+          }.toIndexedSeq
+      }
       val slices = (0 until m).map(j => slice(col("__pq_x"), j * w + 1, w))
       for (_ <- 0 until iters) {
         // one fused job: (subspace, cluster, dim) → exact integer sums
