@@ -329,6 +329,90 @@ object EventStreams {
       .drop("fp")
   }
 
+  /** A document admitted by [[firstSeenDedupStream]]. */
+  final case class KeptDoc(doc_id: Long, text: String)
+
+  /** A paragraph cell admitted by [[paragraphDedupStream]]. */
+  final case class KeptCell(doc_id: Long, idx: Int, para: String)
+
+  /** DURABLE first-occurrence-wins exact dedup — the keyed-state twin
+    * of [[graft.dedup.Dedup.exact]] for a perpetual ingest stream:
+    * each distinct normalized-content fingerprint admits exactly ONE
+    * document, ever (within a micro-batch, the min doc id — the batch
+    * representative rule), and every later arrival is dropped against
+    * the FULL history without re-running batch dedup.
+    *
+    * This deliberately complements [[dedupStream]]'s bounded horizon:
+    * there, state expires at the watermark (cheap, but far-apart
+    * duplicates survive); here, state is one boolean per distinct
+    * fingerprint under NoTimeout — the state store holds exactly the
+    * group table the batch job would shuffle (|distinct docs| keys),
+    * which is the honest cost of exactness across unbounded time.
+    * Run it on the deduped/curated tail of the pipeline where
+    * distinct cardinality is the DOCUMENT count, and let the state
+    * store (RocksDB in production) spill it off-heap.
+    */
+  def firstSeenDedupStream(docs: DataFrame, idCol: String,
+      textCol: String): Dataset[KeptDoc] = {
+    import docs.sparkSession.implicits._
+    val keyed = docs.select(
+        graft.text.TextAnalysis.fingerprintHex(col(textCol)).as("fp"),
+        col(idCol).cast(LongType).as("doc_id"),
+        col(textCol).cast(StringType).as("text"))
+      .as[(String, Long, String)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[(String, Long, String)],
+            state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = rows.minBy(_._2)
+            Iterator(KeptDoc(first._2, first._3))
+          }
+        })
+  }
+
+  /** DURABLE first-occurrence-wins PARAGRAPH dedup — the keyed-state
+    * twin of [[graft.dedup.ParagraphDedup]]: arriving documents split
+    * at `delim`, each distinct paragraph hash admits exactly one cell
+    * ever (min (doc, idx) within a micro-batch — the batch packed-
+    * ownership rule), later copies drop against the full history.
+    * Emits the admitted cells (doc_id, idx, para); reassembly is one
+    * ordinary per-document aggregate downstream (in foreachBatch or a
+    * batch pass), kept OUT of this operator so the streaming query has
+    * a single stateful stage.
+    *
+    * When arrival order agrees with doc-id order, the admitted set is
+    * EXACTLY the batch operator's kept set on the concatenated corpus
+    * — EventStreamsSpec pins stream ≡ batch on a replayed two-batch
+    * corpus. State: one boolean per distinct paragraph, NoTimeout —
+    * the batch owner table's footprint, held incrementally.
+    */
+  def paragraphDedupStream(docs: DataFrame, idCol: String,
+      textCol: String, delim: String): Dataset[KeptCell] = {
+    import docs.sparkSession.implicits._
+    val cells = docs
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(delim))).as(Seq("idx", "para")))
+      .filter(trim(col("para")) =!= "")
+      .select(graft.text.TextAnalysis.hash60(col("para")).as("h"),
+        col("doc_id"), col("idx"), col("para"))
+      .as[(Long, Long, Int, String)]
+    cells.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[(Long, Long, Int, String)],
+            state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = rows.minBy(r => (r._2, r._3))
+            Iterator(KeptCell(first._2, first._3, first._4))
+          }
+        })
+  }
+
   /** Streaming corpus gate — the incremental twin of the batch
     * curation pipeline's filter+dedup prefix (queries.PipelineQueries
     * qCorpusPipeline): language gate → quality gate → watermark-bounded

@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 
 case class Vec(vec_id: Long, ts: java.sql.Timestamp, v: Array[Double])
 
+case class SDoc(doc_id: Long, text: String)
+
 class EventStreamsSpec extends SparkSpec {
   import spark.implicits._
   import EventStreams._
@@ -604,6 +606,59 @@ class EventStreamsSpec extends SparkSpec {
     val all = spark.read.parquet(dir)
       .select($"id").as[Long].collect().sorted.toSeq
     assert(all === Seq(1L, 2L, 3L))
+  }
+
+  test("durable paragraph dedup: two-batch stream ≡ batch operator replay") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch 2 repeats cells from batch 1 (cross-batch), from its own
+    // batch (doc 4 vs doc 3), and introduces fresh cells — arrival
+    // order agrees with doc-id order, the stated equivalence contract
+    val b1 = Seq(SDoc(1, "alpha beta\n\nshared one"),
+      SDoc(2, "shared one\n\ngamma"))
+    val b2 = Seq(SDoc(3, "delta\n\nshared one\n\nalpha beta"),
+      SDoc(4, "epsilon\n\ndelta"))
+    val mem = MemoryStream[SDoc]
+    val q = paragraphDedupStream(mem.toDF(), "doc_id", "text", "\n\n")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pdedup_out").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("pdedup_out")
+      .as[(Long, Int, String)].collect()
+    val streamTexts = streamed.groupBy(_._1).map { case (id, cells) =>
+      id -> cells.sortBy(_._2).map(_._3).mkString("\n\n") }
+    val batch = graft.dedup.ParagraphDedup
+      .dedupParagraphs((b1 ++ b2).toDF(), "doc_id", "text", "\n\n")
+      .select($"doc_id", $"text_dedup").as[(Long, String)].collect().toMap
+    assert(batch.keySet === Set(1L, 2L, 3L, 4L))
+    batch.foreach { case (id, want) =>
+      assert(streamTexts.getOrElse(id, "") === want,
+        s"doc $id: stream ≠ batch")
+    }
+  }
+
+  test("durable exact dedup: first occurrence survives across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(SDoc(1, "hello world"), SDoc(2, "unique two"))
+    // doc 3 duplicates doc 1 up to normalization (cross-batch), doc 5
+    // duplicates doc 4 inside its own batch
+    val b2 = Seq(SDoc(3, "Hello   World"), SDoc(4, "unique four"),
+      SDoc(5, "unique four"))
+    val mem = MemoryStream[SDoc]
+    val q = firstSeenDedupStream(mem.toDF(), "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fsdedup_out").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("fsdedup_out").select($"doc_id")
+      .as[Long].collect().toSet
+    val batchKeep = graft.dedup.Dedup
+      .exact((b1 ++ b2).toDF(), "doc_id", "text")
+      .select($"keep_id").as[Long].collect().toSet
+    assert(kept === batchKeep)
+    assert(kept === Set(1L, 2L, 4L))
   }
 
   test("streaming sessionization matches batch semantics for closed sessions") {
