@@ -70,4 +70,58 @@ class HilbertSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("MEASURED on parquet: Hilbert layout skips more row groups than " +
+    "Z-order on box queries (footer min/max envelopes)") {
+    import java.nio.file.Files
+    // full 512×512 grid (262,144 points), arrival order scrambled by a
+    // multiplicative hash so neither layout inherits pre-sorted luck
+    val side = 512L
+    val pts = (0L until side * side).map { i =>
+      val s = (i * 2654435761L) % (side * side)
+      (s % side, s / side)
+    }
+    val df = pts.toDF("x", "y")
+    val parts = 64
+    val dirH = Files.createTempDirectory("graft-layout-h").toString
+    val dirZ = Files.createTempDirectory("graft-layout-z").toString
+    Hilbert.sortByH(df, "x", "y", parts).drop("h")
+      .write.mode("overwrite").parquet(dirH)
+    ZOrder.sortByZ(df, "x", "y", parts).drop("z")
+      .write.mode("overwrite").parquet(dirZ)
+    val envH = LayoutAudit.rowGroupEnvelopes(spark, dirH, "x", "y")
+    val envZ = LayoutAudit.rowGroupEnvelopes(spark, dirZ, "x", "y")
+    // both layouts materialized the same corpus over the same number
+    // of range partitions — the comparison is envelope quality only
+    assert(envH.map(_._5).sum === side * side)
+    assert(envZ.map(_._5).sum === side * side)
+    // 24 deterministic 32×32 box queries spread across the grid
+    val boxes = (0 until 24).map { q =>
+      val x0 = (q * 97L) % (side - 32)
+      val y0 = (q * 211L) % (side - 32)
+      (x0, x0 + 31, y0, y0 + 31)
+    }
+    def mustRead(envs: Seq[(Long, Long, Long, Long, Long)]) = boxes.map {
+      case (x0, x1, y0, y1) =>
+        LayoutAudit.mustReadGroups(envs, x0, x1, y0, y1)
+    }
+    val readH = mustRead(envH)
+    val readZ = mustRead(envZ)
+    // the Hilbert claim, measured where it matters: fewer row groups
+    // fetched in total, and never more than Z-order needs on any box
+    assert(readH.sum < readZ.sum,
+      s"hilbert=${readH.sum} zorder=${readZ.sum} of ${envH.size} groups × 24")
+    info(s"box queries: hilbert must-read ${readH.sum}, " +
+      s"zorder ${readZ.sum}, total groups ${envH.size} × 24 queries")
+    // full-width band queries — where Morton's row-major bias can win;
+    // reported for the SCALE.md table, not asserted as an advantage
+    val bands = (0 until 8).map { q =>
+      val y0 = (q * 61L) % (side - 16); (0L, side - 1, y0, y0 + 15)
+    }
+    val bandH = bands.map { case (x0, x1, y0, y1) =>
+      LayoutAudit.mustReadGroups(envH, x0, x1, y0, y1) }.sum
+    val bandZ = bands.map { case (x0, x1, y0, y1) =>
+      LayoutAudit.mustReadGroups(envZ, x0, x1, y0, y1) }.sum
+    info(s"band queries: hilbert must-read $bandH, zorder $bandZ")
+  }
 }
