@@ -1,0 +1,101 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sorted-neighborhood dedup (Hernández–Stolfo SNM) — the classic
+  * blocking alternative to LSH for record linkage: sort the corpus by
+  * a blocking key, then compare only rows within a sliding window of
+  * `w` ranks. Where MinHash/SimHash block by CONTENT hashes, SNM
+  * blocks by ORDER — near-duplicates whose edits fall outside the key
+  * prefix still land adjacent, and the candidate count is exactly
+  * N·w, tunable and skew-proof (an LSH bucket can degenerate to a
+  * quadratic clique; a rank window cannot).
+  *
+  * The scale problem is the global rank: the textbook row_number()
+  * over a corpus-wide ORDER BY is the one-reducer WindowExec cliff.
+  * [[rankByOrder]] computes the IDENTICAL rank with no global sort:
+  * range-repartition on the order key (each shard gets a contiguous
+  * key interval), persist the placement (range boundaries are sampled,
+  * so the placement job must run once, not once per consumer), collect
+  * the BOUNDED per-shard counts (numShards longs), prefix-sum into
+  * offsets, and add a per-shard row_number. Two full-data shuffles,
+  * shard-sized sorts, zero single-partition stages — the
+  * assignDenseIds discipline under a SEMANTIC total order instead of
+  * a hash order.
+  */
+object SortedNeighborhood {
+
+  /** Global dense rank 0..N-1 under the total order of `orderCols`
+    * (which MUST include a unique tiebreaker as the last column —
+    * equal full keys would make the rank placement-dependent).
+    * Output: input columns + `snm_rank` (long).
+    */
+  def rankByOrder(df: DataFrame, orderCols: Seq[String],
+      numShards: Int): DataFrame = {
+    require(numShards >= 1, "need numShards >= 1")
+    require(orderCols.nonEmpty, "need at least one order column")
+    Seq("snm_rank", "__pid").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — rename it first"))
+    val cols = orderCols.map(col)
+    val parted = graft.CacheRegistry.register(
+      df.repartitionByRange(numShards, cols: _*)
+        .withColumn("__pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // bounded: ≤ numShards rows
+    val counts = parted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](numShards)
+    var acc = 0L
+    (0 until numShards).foreach { p =>
+      offsets(p) = acc; acc += counts.getOrElse(p, 0L)
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(cols: _*)
+    parted
+      .withColumn("snm_rank",
+        element_at(lit(offsets), col("__pid") + 1) +
+          row_number().over(w).cast(LongType) - 1L)
+      .drop("__pid")
+  }
+
+  /** SNM near-duplicate pairs: rank by (blocking key, id), pair rows
+    * within `window` ranks, gate on the cheap length-difference bound
+    * (|len(a)−len(b)| ≤ maxDist implies nothing is lost: edit distance
+    * is bounded below by the length difference), then verify with
+    * exact Levenshtein. Output: (lo_id, hi_id, gap, dist) for pairs
+    * with dist ≤ maxDist, lo/hi by RANK order, each unordered pair
+    * once.
+    *
+    * Candidate generation is an EQUI-join on the rank value (the hi
+    * side explodes `window` shifted copies), so the pairing shuffles
+    * N·w bounded rows — never a non-equi range join, never a bucket
+    * clique.
+    */
+  def pairs(df: DataFrame, idCol: String, textCol: String,
+      blockKey: Column, window: Int, maxDist: Int,
+      numShards: Int = 32): DataFrame = {
+    require(window >= 1, "need window >= 1")
+    require(maxDist >= 0, "need maxDist >= 0")
+    val keyed = df.select(col(idCol).cast(LongType).as("id"),
+      col(textCol).as("txt"), blockKey.as("__k"))
+    val ranked = rankByOrder(keyed, Seq("__k", "id"), numShards)
+      .select(col("id"), col("txt"), col("snm_rank"))
+    val lo = ranked.select(col("id").as("lo_id"), col("txt").as("__lo_txt"),
+      col("snm_rank").as("__r"))
+    val hi = ranked
+      .withColumn("gap", explode(lit((1 to window).toArray)))
+      .select(col("id").as("hi_id"), col("txt").as("__hi_txt"),
+        col("gap").cast(LongType).as("gap"),
+        (col("snm_rank") - col("gap")).as("__r"))
+    lo.join(hi, Seq("__r"))
+      .filter(abs(length(col("__lo_txt")) - length(col("__hi_txt"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("__lo_txt"), col("__hi_txt")).cast(LongType))
+      .filter(col("dist") <= maxDist)
+      .select(col("lo_id"), col("hi_id"), col("gap"), col("dist"))
+  }
+}

@@ -3322,8 +3322,141 @@ object PipelineQueries {
       |  unnest(range(0, cast(ceil(length(text) / 64.0) as bigint))) AS u(i)
       |WHERE u.i % 2 = 0""".stripMargin
 
+  /** Character-level Shannon entropy per document — the
+    * compressibility proxy quality signal (base64 blobs and repeated
+    * boilerplate sit at the distribution's extremes). One native
+    * kernel call per row, pure narrow map; the oracle replays the
+    * quantized per-codepoint integer accumulation via an explode —
+    * correct at oracle scale, never the engine's shape.
+    */
+  def qCharEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.CharEntropy.char_entropy(col("text")).as("entropy"))
+
+  val qCharEntropySql: String =
+    """WITH c AS (SELECT doc_id, u.ch AS ch, count(*) AS c
+      |           FROM documents, unnest(string_split(text, '')) AS u(ch)
+      |           GROUP BY 1, 2),
+      |n AS (SELECT doc_id, cast(sum(c) as bigint) AS n FROM c GROUP BY 1),
+      |sl AS (SELECT c.doc_id,
+      |         cast(sum(c.c * cast(round(ln(cast(c.c as double) / n.n) * 1000000)
+      |           as bigint)) as bigint) AS slp
+      |       FROM c JOIN n USING (doc_id) GROUP BY 1)
+      |SELECT d.doc_id, d.n_chars,
+      |  round(coalesce(-cast(sl.slp as double) / n.n / 1000000, 0.0), 6)
+      |    AS entropy
+      |FROM documents d
+      |LEFT JOIN n USING (doc_id) LEFT JOIN sl USING (doc_id)""".stripMargin
+
+  /** PMI phrase candidates (word2phrase collocations) at min pair
+    * count 3 — full surviving-bigram table with exact counts and the
+    * 6-dp quantized PMI.
+    */
+  def qPmiPhrases(s: SparkSession, d: String): DataFrame =
+    graft.text.Pmi.phrases(Tables.documents(s, d), "text", minCount = 3)
+
+  val qPmiPhrasesSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |uni AS (SELECT u.tok AS tok, count(*) AS c
+       |        FROM t, unnest(toks) AS u(tok) GROUP BY 1),
+       |nu AS (SELECT cast(sum(c) as bigint) AS nu FROM uni),
+       |nb AS (SELECT cast(sum(greatest(len(toks) - 1, 0)) as bigint) AS nb
+       |       FROM t),
+       |bg AS (SELECT toks[u.i] AS a, toks[u.i + 1] AS b
+       |       FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)),
+       |pc AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2
+       |       HAVING count(*) >= 3),
+       |j AS (SELECT pc.a, pc.b, pc.c_ab, ua.c AS n_a, ub.c AS n_b
+       |      FROM pc JOIN uni ua ON pc.a = ua.tok
+       |      JOIN uni ub ON pc.b = ub.tok)
+       |SELECT j.a || ' ' || j.b AS bigram, j.c_ab AS n_pair, j.n_a, j.n_b,
+       |  round(ln((cast(j.c_ab as double) / cast(nb.nb as double)) /
+       |    ((cast(j.n_a as double) / cast(nu.nu as double)) *
+       |     (cast(j.n_b as double) / cast(nu.nu as double)))), 6) AS pmi
+       |FROM j CROSS JOIN nu CROSS JOIN nb""".stripMargin
+
+  /** Sorted-neighborhood near-duplicate pairs: block by the first 24
+    * normalized chars, slide a window of 8 ranks, verify with exact
+    * Levenshtein ≤ 60 after the length-difference lower bound. The
+    * oracle replays the rank with ONE global row_number — correct at
+    * oracle scale; the engine computes the identical rank shard-wise
+    * (SortedNeighborhood.rankByOrder), never a global window.
+    */
+  def qSnmPairs(s: SparkSession, d: String): DataFrame =
+    graft.dedup.SortedNeighborhood.pairs(
+      Tables.documents(s, d), "doc_id", "text",
+      substring(lower(trim(col("text"))), 1, 24),
+      window = 8, maxDist = 60)
+
+  val qSnmPairsSql: String =
+    """WITH k AS (SELECT doc_id, text,
+      |             substr(lower(trim(text)), 1, 24) AS kk FROM documents),
+      |r AS (SELECT doc_id, text,
+      |        row_number() OVER (ORDER BY kk, doc_id) - 1 AS r FROM k),
+      |p AS (SELECT a.doc_id AS lo_id, b.doc_id AS hi_id,
+      |        cast(b.r - a.r as bigint) AS gap,
+      |        cast(levenshtein(a.text, b.text) as bigint) AS dist
+      |      FROM r a JOIN r b ON b.r > a.r AND b.r <= a.r + 8
+      |      WHERE abs(length(a.text) - length(b.text)) <= 60)
+      |SELECT lo_id, hi_id, gap, dist FROM p WHERE dist <= 60""".stripMargin
+
+  /** CCNet-style perplexity bands: score every document with the
+    * corpus-trained unigram LM, then split each LANGUAGE slice into
+    * head/middle/tail at its own mean-log-prob terciles (a global cut
+    * would label whole low-resource languages "tail"). Thresholds are
+    * sketch-quantile estimates — one bounded grouped histogram, never
+    * a per-group sort.
+    */
+  def qPplBands(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val wl = graft.text.UnigramLm.score(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val thr = graft.sketch.QuantileHist.quantiles(
+        wl, Seq("lang"), "avg_logp", PplLo, PplHi, PplBins,
+        Seq(PplQ1, PplQ2))
+      .groupBy(col("lang"))
+      .agg(max(when(col("q") === PplQ1, col("est"))).as("__t_lo"),
+        max(when(col("q") === PplQ2, col("est"))).as("__t_hi"))
+    wl.join(thr, Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("avg_logp"),
+        when(col("avg_logp") >= col("__t_hi"), "head")
+          .when(col("avg_logp") >= col("__t_lo"), "middle")
+          .otherwise("tail").as("band"))
+  }
+
+  private val PplLo = -12.0
+  private val PplHi = 0.0
+  private val PplBins = 96
+  private val PplQ1 = 1.0 / 3
+  private val PplQ2 = 2.0 / 3
+
+  val qPplBandsSql: String = {
+    val est = graft.sketch.QuantileHist.quantileOracleSql(
+      "wl", "lang", "avg_logp", PplLo, PplHi, PplBins, Seq(PplQ1, PplQ2))
+    s"""WITH scored AS (
+       |$qUnigramLmSql),
+       |wl AS (SELECT s.doc_id, d.lang, s.avg_logp
+       |       FROM scored s JOIN documents d USING (doc_id)),
+       |est AS (
+       |$est),
+       |b AS (SELECT lang,
+       |        max(CASE WHEN q = $PplQ1 THEN est END) AS t_lo,
+       |        max(CASE WHEN q = $PplQ2 THEN est END) AS t_hi
+       |      FROM est GROUP BY 1)
+       |SELECT w.doc_id, w.lang, w.avg_logp,
+       |  CASE WHEN w.avg_logp >= b.t_hi THEN 'head'
+       |       WHEN w.avg_logp >= b.t_lo THEN 'middle'
+       |       ELSE 'tail' END AS band
+       |FROM wl w JOIN b USING (lang)""".stripMargin
+  }
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q_char_entropy", qCharEntropy _, Some(qCharEntropySql)),
+    ("q_pmi_phrases", qPmiPhrases _, Some(qPmiPhrasesSql)),
+    ("q_snm_pairs", qSnmPairs _, Some(qSnmPairsSql)),
+    ("q_ppl_bands", qPplBands _, Some(qPplBandsSql)),
     ("q_token_count", qTokenCount _, Some(qTokenCountSql)),
     ("q_bigrams", qBigrams _, Some(qBigramsSql)),
     ("q_tokenize", qTokenize _, Some(qTokenizeSql)),
