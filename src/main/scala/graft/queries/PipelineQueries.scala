@@ -1888,6 +1888,63 @@ object PipelineQueries {
        |FROM ranked WHERE rank <= 3""".stripMargin
   }
 
+  /** Multi-probe LSH approximate top-3: the query probes its own sign
+    * bucket plus the 8 Hamming-1 buckets — the recall repair without
+    * extra hash tables, hash-verified like the single-bucket path.
+    */
+  def qAnnMultiprobe(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Ann.lshMultiProbeTopK(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  val qAnnMultiprobeSql: String = {
+    val h = 8
+    val planes = (0 until h).map(i => Ann.hyperplane(i, 64))
+    def planeLit(p: Seq[Double]) = p.mkString("[", ",", "]")
+    def dotPlane(v: String, p: Seq[Double]) =
+      s"""list_reduce(list_prepend(cast(0 as double),
+         |  list_transform(range(1, 65),
+         |    i -> cast($v[i] as double) * (${planeLit(p)})[i])),
+         |  (acc, x) -> acc + x)""".stripMargin
+    val keyExpr = planes.map(p =>
+      s"(CASE WHEN ${dotPlane("embedding", p)} >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(cast(0 as double),
+         |  list_transform(range(1, len($a) + 1),
+         |    i -> cast($a[i] as double) * cast($b[i] as double))),
+         |  (acc, v) -> acc + v)""".stripMargin
+    s"""WITH keyed AS (
+       |  SELECT vec_id, embedding, $keyExpr AS bucket FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv,
+       |    unnest(list_distinct(list_prepend(bucket,
+       |      list_transform(range(1, $h + 1), i ->
+       |        substr(bucket, 1, cast(i - 1 as bigint)) ||
+       |        (CASE WHEN substr(bucket, cast(i as bigint), 1) = '1'
+       |          THEN '0' ELSE '1' END) ||
+       |        substr(bucket, cast(i + 1 as bigint), $h))))) AS bucket
+       |  FROM keyed WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM keyed),
+       |sims AS (
+       |  SELECT query_id, neighbor_id,
+       |    CASE WHEN sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")}) > 0
+       |      THEN ${dot("qv", "cv")} /
+       |           (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")}))
+       |      ELSE 0.0 END AS sim_raw
+       |  FROM c JOIN q USING (bucket)
+       |  WHERE neighbor_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim_raw,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim_raw DESC, neighbor_id ASC) AS rank
+       |  FROM sims)
+       |SELECT query_id, neighbor_id, round(sim_raw, 6) AS sim, rank
+       |FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
   /** IVF-Flat approximate top-3: deterministic sampled centroids,
     * nprobe-cell search — the inverted-file scale path next to the LSH
     * one. Everything (assignment, probing, scoring) is left-fold dot
@@ -3512,6 +3569,7 @@ object PipelineQueries {
     ("q_dim_stats", qDimStats _, Some(qDimStatsSql)),
     ("q_ann_topk", qAnnTopK _, Some(qAnnTopKSql)),
     ("q_ann_lsh", qAnnLsh _, Some(qAnnLshSql)),
+    ("q_ann_multiprobe", qAnnMultiprobe _, Some(qAnnMultiprobeSql)),
     ("q_ann_ivf", qAnnIvf _, Some(qAnnIvfSql)),
     ("q_embed_dup", qEmbedDup _, Some(qEmbedDupSql)),
     ("q_kmeans", qKmeans _, Some(qKmeansSql)),

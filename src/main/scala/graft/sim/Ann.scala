@@ -210,4 +210,54 @@ object Ann {
       .filter(col("rank") <= k)
       .withColumn("sim", round(col("sim"), 6))
   }
+
+  /** The query's own bucket key plus the `h` keys at Hamming
+    * distance 1 (each sign bit flipped once) — the multi-probe set.
+    * Distinct by construction unless flips collide (h = 0 edge), so
+    * a (query, neighbor) pair joins through at most ONE probe key —
+    * no dedup pass needed downstream.
+    */
+  private def multiProbeKeys(key: Column, h: Int): Column =
+    array_distinct(concat(array(key),
+      transform(sequence(lit(1), lit(h)), i =>
+        concat(key.substr(lit(1), i - 1),
+          when(key.substr(i, lit(1)) === "1", lit("0")).otherwise(lit("1")),
+          key.substr(i + 1, lit(h))))))
+
+  /** Multi-probe LSH top-k (Lv et al.): each query searches its own
+    * sign bucket PLUS the `numPlanes` buckets one bit-flip away —
+    * the standard recall repair for sign-LSH without adding hash
+    * tables (more tables multiply the CORPUS index size; multi-probe
+    * multiplies only the query's probe count, and the query side is
+    * the small broadcast side). Candidate volume grows ≤ (h+1)× over
+    * [[lshBucketTopK]] and the candidate set is a strict superset, so
+    * per-query recall is monotonically ≥ the single-bucket path.
+    *
+    * Scale shape: identical to [[lshBucketTopK]] — the corpus is
+    * keyed once (narrow kernel map, no index rebuild), the probe
+    * explosion happens on the broadcast query side only, and the join
+    * fan-in stays bounded by bucket occupancy.
+    */
+  def lshMultiProbeTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, numPlanes: Int = 8): DataFrame = {
+    val dim = 64
+    val planes = (0 until numPlanes).map(i => hyperplane(i, dim))
+    val c = graft.ops.Parallelism.widen(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        lshKey(col(vecCol), planes).as("bucket"),
+        norm(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        explode(multiProbeKeys(lshKey(col(vecCol), planes), numPlanes))
+          .as("bucket"),
+        norm(col(vecCol)).as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePre(dot(col("qvec"), col("cvec")), col("qn"), col("cn")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("sim", round(col("sim"), 6))
+  }
 }
