@@ -641,4 +641,54 @@ object Dedup {
             .cast(DoubleType), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Directional containment pairs (Broder's containment, the
+    * asymmetric near-dup family): C(src ⊆ dst) = |S(src) ∩ S(dst)| /
+    * |S(src)| over distinct word w-shingles. Jaccard misses the
+    * quote/aggregator case — a 50-token doc wholly embedded in a
+    * 5,000-token page has J ≈ 0.01 but containment 1.0 — so this is
+    * the signal that catches "small doc swallowed by big doc".
+    *
+    * Scale shape: an INVERTED-INDEX join, not a blocked all-pairs —
+    * per-shingle posting lists, DF-CAPPED at `dfCap` (a shingle shared
+    * by more than dfCap docs is boilerplate carrying no containment
+    * signal; dropping it bounds the self-join at Σ df² ≤ dfCap·Σ df —
+    * the winnow/decontamination discipline). The denominator |S(src)|
+    * counts the doc's shingles that survive the cap (including df = 1
+    * singletons), so the ratio stays honest for boilerplate-heavy
+    * docs: the estimator is containment OVER THE INFORMATIVE SHINGLE
+    * SET, replayed exactly by the oracle.
+    *
+    * Output: (src_id, dst_id, shared, n_src, contain) for ordered
+    * pairs with contain ≥ minContain — both directions can appear,
+    * each with its own denominator.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, minContain: Double = 0.5, dfCap: Int = 64): DataFrame = {
+    require(minContain > 0.0 && minContain <= 1.0, "minContain in (0, 1]")
+    require(dfCap >= 2, "dfCap < 2 admits no shared shingle at all")
+    val e = graft.CacheRegistry.register(
+      graft.ops.Parallelism.widen(df)
+        .select(col(idCol).as("id"),
+          explode(shingleHashes(col(textCol), w)).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dfreq = e.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val surv = e.join(dfreq.filter(col("df") <= dfCap), Seq("h"))
+    val nSrc = surv.groupBy(col("id")).agg(count(lit(1)).as("n_src"))
+    // df = 1 shingles cannot produce a pair — keep them out of the
+    // self-join (they only count in the denominator above)
+    val posts = surv.filter(col("df") >= 2).select(col("h"), col("id"))
+    val shared = posts.select(col("h"), col("id").as("src_id"))
+      .join(posts.select(col("h"), col("id").as("dst_id")), Seq("h"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .groupBy(col("src_id"), col("dst_id"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(nSrc.select(col("id").as("src_id"), col("n_src")), Seq("src_id"))
+      .withColumn("contain",
+        round(col("shared").cast(DoubleType) / col("n_src").cast(DoubleType), 6))
+      .filter(col("contain") >= minContain)
+      .select(col("src_id"), col("dst_id"), col("shared"), col("n_src"),
+        col("contain"))
+  }
 }

@@ -3508,8 +3508,69 @@ object PipelineQueries {
        |FROM wl w JOIN b USING (lang)""".stripMargin
   }
 
+  /** Directional shingle containment (small doc swallowed by big doc —
+    * the asymmetric case Jaccard misses) at C ≥ 0.5 over the df ≤ 64
+    * informative-shingle set.
+    */
+  def qContainment(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+      w = 3, minContain = 0.5, dfCap = 64)
+
+  val qContainmentSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, ${shinglesSql("toks")} AS gs FROM t),
+       |e AS (SELECT doc_id, u.h AS h FROM g, unnest(gs) AS u(h)),
+       |dfq AS (SELECT h, count(*) AS df FROM e GROUP BY 1),
+       |sv AS (SELECT e.doc_id, e.h, dfq.df
+       |       FROM e JOIN dfq USING (h) WHERE dfq.df <= 64),
+       |ns AS (SELECT doc_id, count(*) AS n_src FROM sv GROUP BY 1),
+       |p AS (SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+       |        count(*) AS shared
+       |      FROM sv a JOIN sv b ON a.h = b.h AND a.doc_id <> b.doc_id
+       |      WHERE a.df >= 2 GROUP BY 1, 2),
+       |c AS (SELECT p.src_id, p.dst_id, p.shared, ns.n_src,
+       |        round(cast(p.shared as double) / cast(ns.n_src as double), 6)
+       |          AS contain
+       |      FROM p JOIN ns ON ns.doc_id = p.src_id)
+       |SELECT src_id, dst_id, shared, n_src, contain
+       |FROM c WHERE contain >= 0.5""".stripMargin
+
+  /** Percentile-rank transform of n_chars within each source — the
+    * rank-uniformization feature preprocessing. The per-group
+    * percentile comes from ONE range-sharded GLOBAL rank over
+    * (source, value, id) minus each source's min rank — groups are
+    * contiguous under that order — so the engine never runs the
+    * per-source data-sized window the oracle replays.
+    */
+  def qRankTransform(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val ranked = graft.dedup.SortedNeighborhood.rankByOrder(
+      docs, Seq("source", "n_chars", "doc_id"), numShards = 32)
+    val base = ranked.groupBy(col("source"))
+      .agg(min(col("snm_rank")).as("__r0"), count(lit(1)).as("__n"))
+    ranked.join(base, Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round((col("snm_rank") - col("__r0")).cast(DoubleType) /
+          greatest(col("__n") - 1L, lit(1L)).cast(DoubleType), 6)
+          .as("pct_rank"))
+  }
+
+  val qRankTransformSql: String =
+    """WITH r AS (SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) - 1 AS rr,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents)
+      |SELECT doc_id, source, n_chars,
+      |  round(cast(rr as double) / cast(greatest(n - 1, 1) as double), 6)
+      |    AS pct_rank
+      |FROM r""".stripMargin
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q_containment", qContainment _, Some(qContainmentSql)),
+    ("q_rank_transform", qRankTransform _, Some(qRankTransformSql)),
     ("q_char_entropy", qCharEntropy _, Some(qCharEntropySql)),
     ("q_pmi_phrases", qPmiPhrases _, Some(qPmiPhrasesSql)),
     ("q_snm_pairs", qSnmPairs _, Some(qSnmPairsSql)),
