@@ -3567,8 +3567,67 @@ object PipelineQueries {
       |    AS pct_rank
       |FROM r""".stripMargin
 
+  /** Curation capstone v5 — the round's new signals composed into one
+    * gate: drop the per-language perplexity TAIL band (worst tercile
+    * by the corpus-trained LM), scrub docs ≥ 90% contained in another
+    * doc (the asymmetric-dup direction: the swallowed copy goes, the
+    * host stays), then keep only docs above a character-entropy floor
+    * (degenerate/boilerplate text). Per-source survivor counts, exact
+    * char volume, and the quantized mean entropy — every stage is the
+    * already-verified operator, so the capstone adds composition, not
+    * new math.
+    */
+  def qCurationV5(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val keepBand = qPplBands(s, d)
+      .filter(col("band") =!= "tail").select(col("doc_id"))
+    val swallowed = Dedup.containmentPairs(docs, "doc_id", "text",
+        w = 3, minContain = 0.9, dfCap = 64)
+      .select(col("src_id").as("doc_id")).distinct()
+    docs
+      .join(keepBand, Seq("doc_id"))
+      .join(swallowed, Seq("doc_id"), "left_anti")
+      .withColumn("ent",
+        graft.functions.CharEntropy.char_entropy(col("text")))
+      .filter(col("ent") >= 2.0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast(LongType).as("chars"),
+        // entropy is a 6-dp-rounded double; summing its exact 1e6
+        // integer image keeps the mean order-independent. round()
+        // before the long cast: ent*1e6 lands a float-ulp off the
+        // integer, and Spark's cast TRUNCATES where DuckDB's rounds
+        round((sum(round(col("ent") * 1e6).cast(LongType)).cast(DoubleType) /
+          count(lit(1)) / 1e6), 6).as("mean_ent"))
+  }
+
+  // lazy: composes qPplBandsSql/qContainmentSql/qCharEntropySql vals
+  lazy val qCurationV5Sql: String =
+    s"""WITH bands AS (
+       |$qPplBandsSql),
+       |cont AS (
+       |$qContainmentSql),
+       |entq AS (
+       |$qCharEntropySql),
+       |keep AS (SELECT doc_id FROM bands WHERE band <> 'tail'),
+       |sw AS (SELECT DISTINCT src_id AS doc_id FROM cont
+       |       WHERE contain >= 0.9),
+       |kept AS (
+       |  SELECT d.source, d.n_chars, e.entropy
+       |  FROM documents d
+       |  JOIN keep USING (doc_id)
+       |  LEFT JOIN sw USING (doc_id)
+       |  JOIN entq e USING (doc_id)
+       |  WHERE sw.doc_id IS NULL AND e.entropy >= 2.0)
+       |SELECT source, count(*) AS n_kept,
+       |  cast(sum(n_chars) as bigint) AS chars,
+       |  round(cast(sum(cast(round(entropy * 1000000) as bigint)) as double) /
+       |    count(*) / 1000000, 6) AS mean_ent
+       |FROM kept GROUP BY source""".stripMargin
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q_curation_v5", qCurationV5 _, Some(qCurationV5Sql)),
     ("q_containment", qContainment _, Some(qContainmentSql)),
     ("q_rank_transform", qRankTransform _, Some(qRankTransformSql)),
     ("q_char_entropy", qCharEntropy _, Some(qCharEntropySql)),
