@@ -659,9 +659,12 @@ object Dedup {
     * docs: the estimator is containment OVER THE INFORMATIVE SHINGLE
     * SET, replayed exactly by the oracle.
     *
-    * Output: (src_id, dst_id, shared, n_src, contain) for ordered
-    * pairs with contain ≥ minContain — both directions can appear,
-    * each with its own denominator.
+    * Output: (src_id, dst_id, shared, n_src, n_dst, contain) for
+    * ordered pairs with contain ≥ minContain — both directions can
+    * appear, each with its own denominator; n_dst rides along so a
+    * consumer scrubbing "the swallowed copy" can break MUTUAL
+    * containment (near-identical docs contain each other)
+    * deterministically instead of dropping both.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, minContain: Double = 0.5, dfCap: Int = 64): DataFrame = {
@@ -685,10 +688,12 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
     shared
       .join(nSrc.select(col("id").as("src_id"), col("n_src")), Seq("src_id"))
+      .join(nSrc.select(col("id").as("dst_id"), col("n_src").as("n_dst")),
+        Seq("dst_id"))
       .withColumn("contain",
         round(col("shared").cast(DoubleType) / col("n_src").cast(DoubleType), 6))
       .filter(col("contain") >= minContain)
       .select(col("src_id"), col("dst_id"), col("shared"), col("n_src"),
-        col("contain"))
+        col("n_dst"), col("contain"))
   }
 }

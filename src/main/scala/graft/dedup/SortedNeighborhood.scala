@@ -84,21 +84,30 @@ object SortedNeighborhood {
       col(textCol).as("txt"), blockKey.as("__k"))
     val ranked = rankByOrder(keyed, Seq("__k", "id"), numShards)
       .select(col("id"), col("txt"), col("snm_rank"))
+    // the exploded hi side is SKINNY (id, length, shifted rank) — the
+    // window-sized duplication never touches document text, so the
+    // pairing shuffle moves N·w fixed-width rows, not N·w payloads;
+    // text for the hi side joins back only onto the length-gated
+    // candidate set (the lo side carries its text once, unexploded)
     val lo = ranked.select(col("id").as("lo_id"), col("txt").as("__lo_txt"),
-      col("snm_rank").as("__r"))
+      length(col("txt")).as("__lo_len"), col("snm_rank").as("__r"))
     val hi = ranked
       .withColumn("gap", explode(lit((1 to window).toArray)))
-      .select(col("id").as("hi_id"), col("txt").as("__hi_txt"),
+      .select(col("id").as("hi_id"), length(col("txt")).as("__hi_len"),
         col("gap").cast(LongType).as("gap"),
         (col("snm_rank") - col("gap")).as("__r"))
+    val cand = lo.join(hi, Seq("__r"))
+      .filter(abs(col("__lo_len") - col("__hi_len")) <= maxDist)
+      .select(col("lo_id"), col("__lo_txt"), col("hi_id"), col("gap"))
     // THRESHOLD-banded Levenshtein: O(maxDist·len) per pair instead of
     // O(len²), returning −1 past the band — measured 5.4× cheaper than
     // the plain form on the gated candidates, and exact (= the
     // oracle's plain levenshtein ≤ maxDist) for every surviving pair.
     // The rejected majority pays only the Filter's eval; survivors
     // re-eval once in the Project — a ~(survivors/candidates) overhead.
-    lo.join(hi, Seq("__r"))
-      .filter(abs(length(col("__lo_txt")) - length(col("__hi_txt"))) <= maxDist)
+    cand
+      .join(ranked.select(col("id").as("hi_id"), col("txt").as("__hi_txt")),
+        Seq("hi_id"))
       .withColumn("dist",
         levenshtein(col("__lo_txt"), col("__hi_txt"), maxDist).cast(LongType))
       .filter(col("dist") =!= -1L)

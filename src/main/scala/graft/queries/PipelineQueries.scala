@@ -48,6 +48,31 @@ object PipelineQueries {
   private def inList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ",", ")")
 
+  /** DuckDB: left-fold dot product of two list columns — the oracle
+    * image of Ann.dot (graft.functions.DotFold): same operand order,
+    * same double math.
+    */
+  private def listDotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(cast(0 as double),
+       |  list_transform(range(1, len($a) + 1),
+       |    i -> cast($a[i] as double) * cast($b[i] as double))),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  /** DuckDB: sign-pattern LSH bucket key of `vec` over the first
+    * `h` dim-64 hyperplanes — the oracle image of Ann.lshKey
+    * (single-sourced plane constants via Ann.hyperplane).
+    */
+  private def lshKeySql(vec: String, h: Int): String = {
+    def dotPlane(p: Seq[Double]) =
+      s"""list_reduce(list_prepend(cast(0 as double),
+         |  list_transform(range(1, 65),
+         |    i -> cast($vec[i] as double) * (${p.mkString("[", ",", "]")})[i])),
+         |  (acc, x) -> acc + x)""".stripMargin
+    (0 until h).map(i => Ann.hyperplane(i, 64))
+      .map(p => s"(CASE WHEN ${dotPlane(p)} >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+  }
+
   /** DuckDB: one SELECT per LSH band, exploding table `src`'s
     * (id, sig) rows into ($idOut, sig, bucket) — the single source of
     * the band/row layout for every MinHash oracle.
@@ -1850,22 +1875,9 @@ object PipelineQueries {
   }
 
   val qAnnLshSql: String = {
-    val planes = (0 until 8).map(i => Ann.hyperplane(i, 64))
-    def planeLit(p: Seq[Double]) = p.mkString("[", ",", "]")
     // bucket key: sign bit per plane, matching Ann.lshKey's left-fold dot
-    def dotPlane(v: String, p: Seq[Double]) =
-      s"""list_reduce(list_prepend(cast(0 as double),
-         |  list_transform(range(1, 65),
-         |    i -> cast($v[i] as double) * (${planeLit(p)})[i])),
-         |  (acc, x) -> acc + x)""".stripMargin
-    val keyExpr = planes.map(p =>
-      s"(CASE WHEN ${dotPlane("embedding", p)} >= 0 THEN '1' ELSE '0' END)")
-      .mkString(" || ")
-    def dot(a: String, b: String) =
-      s"""list_reduce(list_prepend(cast(0 as double),
-         |  list_transform(range(1, len($a) + 1),
-         |    i -> cast($a[i] as double) * cast($b[i] as double))),
-         |  (acc, v) -> acc + v)""".stripMargin
+    val keyExpr = lshKeySql("embedding", 8)
+    def dot(a: String, b: String) = listDotSql(a, b)
     s"""WITH keyed AS (
        |  SELECT vec_id, embedding, $keyExpr AS bucket FROM embeddings),
        |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
@@ -1901,21 +1913,8 @@ object PipelineQueries {
 
   val qAnnMultiprobeSql: String = {
     val h = 8
-    val planes = (0 until h).map(i => Ann.hyperplane(i, 64))
-    def planeLit(p: Seq[Double]) = p.mkString("[", ",", "]")
-    def dotPlane(v: String, p: Seq[Double]) =
-      s"""list_reduce(list_prepend(cast(0 as double),
-         |  list_transform(range(1, 65),
-         |    i -> cast($v[i] as double) * (${planeLit(p)})[i])),
-         |  (acc, x) -> acc + x)""".stripMargin
-    val keyExpr = planes.map(p =>
-      s"(CASE WHEN ${dotPlane("embedding", p)} >= 0 THEN '1' ELSE '0' END)")
-      .mkString(" || ")
-    def dot(a: String, b: String) =
-      s"""list_reduce(list_prepend(cast(0 as double),
-         |  list_transform(range(1, len($a) + 1),
-         |    i -> cast($a[i] as double) * cast($b[i] as double))),
-         |  (acc, v) -> acc + v)""".stripMargin
+    val keyExpr = lshKeySql("embedding", h)
+    def dot(a: String, b: String) = listDotSql(a, b)
     s"""WITH keyed AS (
        |  SELECT vec_id, embedding, $keyExpr AS bucket FROM embeddings),
        |q AS (
@@ -3465,19 +3464,30 @@ object PipelineQueries {
     * sketch-quantile estimates — one bounded grouped histogram, never
     * a per-group sort.
     */
-  def qPplBands(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def qPplBands(s: SparkSession, d: String): DataFrame =
+    pplBands(Tables.documents(s, d))
+
+  /** Banding body over any (doc_id, lang, text) frame — split out so
+    * the empty-document sentinel handling is unit-testable.
+    */
+  def pplBands(docs: DataFrame): DataFrame = {
     val wl = graft.text.UnigramLm.score(docs, "doc_id", "text")
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    // token-less docs carry UnigramLm's avg_logp = 0.0 SENTINEL, not a
+    // fluency score — with PplHi = 0.0 they would band 'head' and
+    // their top-bin mass would inflate every threshold of their
+    // language; keep them out of the estimator and pin them to 'tail'
+    val scoredOnly = wl.filter(col("n_tokens") > 0)
     val thr = graft.sketch.QuantileHist.quantiles(
-        wl, Seq("lang"), "avg_logp", PplLo, PplHi, PplBins,
+        scoredOnly, Seq("lang"), "avg_logp", PplLo, PplHi, PplBins,
         Seq(PplQ1, PplQ2))
       .groupBy(col("lang"))
       .agg(max(when(col("q") === PplQ1, col("est"))).as("__t_lo"),
         max(when(col("q") === PplQ2, col("est"))).as("__t_hi"))
-    wl.join(thr, Seq("lang"))
+    wl.join(thr, Seq("lang"), "left")
       .select(col("doc_id"), col("lang"), col("avg_logp"),
-        when(col("avg_logp") >= col("__t_hi"), "head")
+        when(col("n_tokens") === 0, "tail")
+          .when(col("avg_logp") >= col("__t_hi"), "head")
           .when(col("avg_logp") >= col("__t_lo"), "middle")
           .otherwise("tail").as("band"))
   }
@@ -3490,11 +3500,12 @@ object PipelineQueries {
 
   val qPplBandsSql: String = {
     val est = graft.sketch.QuantileHist.quantileOracleSql(
-      "wl", "lang", "avg_logp", PplLo, PplHi, PplBins, Seq(PplQ1, PplQ2))
+      "so", "lang", "avg_logp", PplLo, PplHi, PplBins, Seq(PplQ1, PplQ2))
     s"""WITH scored AS (
        |$qUnigramLmSql),
-       |wl AS (SELECT s.doc_id, d.lang, s.avg_logp
+       |wl AS (SELECT s.doc_id, d.lang, s.n_tokens, s.avg_logp
        |       FROM scored s JOIN documents d USING (doc_id)),
+       |so AS (SELECT * FROM wl WHERE n_tokens > 0),
        |est AS (
        |$est),
        |b AS (SELECT lang,
@@ -3502,10 +3513,11 @@ object PipelineQueries {
        |        max(CASE WHEN q = $PplQ2 THEN est END) AS t_hi
        |      FROM est GROUP BY 1)
        |SELECT w.doc_id, w.lang, w.avg_logp,
-       |  CASE WHEN w.avg_logp >= b.t_hi THEN 'head'
+       |  CASE WHEN w.n_tokens = 0 THEN 'tail'
+       |       WHEN w.avg_logp >= b.t_hi THEN 'head'
        |       WHEN w.avg_logp >= b.t_lo THEN 'middle'
        |       ELSE 'tail' END AS band
-       |FROM wl w JOIN b USING (lang)""".stripMargin
+       |FROM wl w LEFT JOIN b USING (lang)""".stripMargin
   }
 
   /** Directional shingle containment (small doc swallowed by big doc —
@@ -3529,10 +3541,12 @@ object PipelineQueries {
        |      FROM sv a JOIN sv b ON a.h = b.h AND a.doc_id <> b.doc_id
        |      WHERE a.df >= 2 GROUP BY 1, 2),
        |c AS (SELECT p.src_id, p.dst_id, p.shared, ns.n_src,
+       |        nd.n_src AS n_dst,
        |        round(cast(p.shared as double) / cast(ns.n_src as double), 6)
        |          AS contain
-       |      FROM p JOIN ns ON ns.doc_id = p.src_id)
-       |SELECT src_id, dst_id, shared, n_src, contain
+       |      FROM p JOIN ns ON ns.doc_id = p.src_id
+       |      JOIN ns nd ON nd.doc_id = p.dst_id)
+       |SELECT src_id, dst_id, shared, n_src, n_dst, contain
        |FROM c WHERE contain >= 0.5""".stripMargin
 
   /** Percentile-rank transform of n_chars within each source — the
@@ -3581,8 +3595,13 @@ object PipelineQueries {
     val docs = Tables.documents(s, d)
     val keepBand = qPplBands(s, d)
       .filter(col("band") =!= "tail").select(col("doc_id"))
+    // the swallowed copy is the SMALLER side (fewer informative
+    // shingles; ties by higher id) — near-identical docs contain each
+    // other, and dropping every src would annihilate BOTH copies
     val swallowed = Dedup.containmentPairs(docs, "doc_id", "text",
         w = 3, minContain = 0.9, dfCap = 64)
+      .filter(col("n_src") < col("n_dst") ||
+        (col("n_src") === col("n_dst") && col("src_id") > col("dst_id")))
       .select(col("src_id").as("doc_id")).distinct()
     docs
       .join(keepBand, Seq("doc_id"))
@@ -3611,7 +3630,9 @@ object PipelineQueries {
        |$qCharEntropySql),
        |keep AS (SELECT doc_id FROM bands WHERE band <> 'tail'),
        |sw AS (SELECT DISTINCT src_id AS doc_id FROM cont
-       |       WHERE contain >= 0.9),
+       |       WHERE contain >= 0.9
+       |         AND (n_src < n_dst
+       |              OR (n_src = n_dst AND src_id > dst_id))),
        |kept AS (
        |  SELECT d.source, d.n_chars, e.entropy
        |  FROM documents d

@@ -33,4 +33,21 @@ class PplBandsSpec extends SparkSpec {
       assert(bands.toSet === Set("head", "middle", "tail"))
     } finally out.unpersist()
   }
+
+  test("token-less docs band 'tail' and do not skew the thresholds") {
+    import spark.implicits._
+    val prose = (1L to 30L).map(i =>
+      (i, "en", s"some ordinary words repeated ${"common " * (i.toInt % 5 + 1)}trailer $i"))
+    val empties = Seq((100L, "en", ""), (101L, "en", "   "))
+    val withEmpties = PipelineQueries.pplBands(
+      (prose ++ empties).toDF("doc_id", "lang", "text"))
+    val got = withEmpties.collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got(100L) === "tail" && got(101L) === "tail")
+    // thresholds unchanged by the sentinel rows: scored docs band
+    // identically with and without the empties in the corpus
+    val without = PipelineQueries.pplBands(prose.toDF("doc_id", "lang", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    for ((id, b) <- without) assert(got(id) === b, s"doc $id")
+  }
 }
