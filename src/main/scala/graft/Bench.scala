@@ -43,11 +43,14 @@ object Bench {
     // steady-state cost a resident engine delivers. Standard warm-run
     // benchmarking; N is reported in the JSON for transparency.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
-    // host attribution: canary baseline after warmup (same JVM state
-    // as the queries), then a re-run every ~20 queries + one at the
-    // end; every canary is OUTSIDE the per-query timed regions
-    val canaryBase = BenchHost.canaryBase(spark)
-    val canaries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    // host attribution: a canary every ~20 queries + one at the end,
+    // all OUTSIDE the per-query timed regions, normalized AFTER the
+    // suite against their own MEDIAN (BenchHost.median) — a fresh-JVM
+    // baseline runs 1.4-1.9× fast and would flag every honest epoch.
+    // canaryBase here only pays the canary's codegen pre-suite; its
+    // value is reported for context, never used as the reference.
+    val canaryFresh = BenchHost.canaryBase(spark)
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     val loadPres = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var qIdx = 0
     // iterate in DECLARED inventory order, not SparkEntry.queries' Map
@@ -84,20 +87,18 @@ object Bench {
         // manager with unreferenced broadcasts.
         qIdx += 1
         if (qIdx % 25 == 0) System.gc()
-        if (qIdx % 20 == 0) {
-          val s = BenchHost.canarySec(spark)
-          canaries += ((qIdx, s, s / canaryBase))
-        }
+        if (qIdx % 20 == 0)
+          canaries += ((qIdx, BenchHost.canarySec(spark)))
         name -> times.min
       }
-    locally { // closing canary + post-suite load close the bracket
-      val s = BenchHost.canarySec(spark)
-      canaries += ((qIdx, s, s / canaryBase))
-    }
+    // closing canary + post-suite load close the bracket
+    canaries += ((qIdx, BenchHost.canarySec(spark)))
     val loadPostSuite = BenchHost.loadAvg()
+    val canaryMed = BenchHost.median(canaries.map(_._2).toSeq)
+    val ratios = canaries.map { case (q, s) => (q, s, s / canaryMed) }
     val hostClean = BenchHost.hostClean(
-      loadPreSuite, cpus.toInt, canaries.map(_._3).toSeq)
-    val canaryMaxRatio = canaries.map(_._3).max
+      loadPreSuite, cpus.toInt, ratios.map(_._3).toSeq)
+    val canaryMaxRatio = ratios.map(_._3).max
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -106,19 +107,20 @@ object Bench {
     // bracketing per-query attribution, and the suite verdict. The
     // "queries" map keeps its plain name→seconds shape for existing
     // parsers.
-    val canaryPos = canaries.map { case (q, _, r) => (q, r) }.toSeq
+    val canaryPos = ratios.map { case (q, _, r) => (q, r) }.toSeq
     val perQAttr = results.zipWithIndex.map { case ((name, _), i) =>
       val lp = loadPres.find(_._1 == name).map(_._2).getOrElse(-1.0)
       val r = BenchHost.ratioForQuery(i + 1, canaryPos)
       f""""$name":{"load_pre":$lp%.2f,"canary_ratio":$r%.3f}"""
     }.mkString("{", ",", "}")
-    val canaryJson = canaries.map { case (q, s, r) =>
+    val canaryJson = ratios.map { case (q, s, r) =>
       f"""{"after_q":$q,"sec":$s%.4f,"ratio":$r%.3f}"""
     }.mkString("[", ",", "]")
     val hostJson =
       f""""host":{"load_pre_suite":$loadPreSuite%.2f,""" +
         f""""load_post_suite":$loadPostSuite%.2f,"cpus":$cpus,""" +
-        f""""canary_base_sec":$canaryBase%.4f,""" +
+        f""""canary_median_sec":$canaryMed%.4f,""" +
+        f""""canary_fresh_sec":$canaryFresh%.4f,""" +
         f""""canary_max_ratio":$canaryMaxRatio%.3f,""" +
         s""""host_clean":$hostClean,"canaries":$canaryJson,""" +
         s""""per_query":$perQAttr}"""

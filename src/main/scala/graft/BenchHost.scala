@@ -53,9 +53,34 @@ object BenchHost {
 
   /** Suite-start baseline: best of `n` (the first run additionally
     * pays the canary's own codegen, which min() discards).
+    *
+    * NOT the normalization reference for in-suite ratios: a fresh
+    * small-heap JVM runs the canary 1.4-1.9× faster than the same JVM
+    * mid-suite (heap grown to the bench working set, GC debt, JIT
+    * state), so normalizing against this value flags every honest
+    * epoch as dirty — measured on three quiet-window epochs whose
+    * mid-suite canaries sat at a UNIFORM ~1.5× of the fresh baseline
+    * with totals within ±2%. Bench uses [[median]] of the in-suite
+    * series instead; this baseline's remaining jobs are paying the
+    * canary's codegen before the suite and serving as the CPU-
+    * sensitivity reference in BenchHostSpec.
     */
   def canaryBase(spark: SparkSession, n: Int = 3): Double =
     (1 to n).map(_ => canarySec(spark)).min
+
+  /** Median of the in-suite canary series — the normalization
+    * reference: uniform JVM-state drift cancels exactly (every ratio
+    * ≈ 1), while a transient co-tenant window shows as its canaries
+    * ≫ median (the r9 contamination measured 3-90×, far past the
+    * 1.5 threshold; a sustained-for-the-whole-suite intruder is the
+    * pre-suite loadavg gate's job, not the canary's).
+    */
+  def median(xs: Seq[Double]): Double = {
+    require(xs.nonEmpty, "median of nothing")
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
 
   /** A canary slower than this ratio vs its own baseline marks the
     * surrounding window dirty. 1.5 sits well above same-host jitter

@@ -40,6 +40,24 @@ class BenchHostSpec extends SparkSpec {
     assert(BenchHost.ratioForQuery(1, Seq.empty) === 1.0)
   }
 
+  test("median normalization: uniform JVM drift is clean, a spike is not") {
+    // three quiet-window epochs measured mid-suite canaries at a
+    // UNIFORM ~1.5x of the fresh-JVM baseline (heap/GC/JIT state, not
+    // contention) — normalized against their own median they must
+    // read clean, while a genuine transient spike still fires
+    val drifted = Seq(0.34, 0.36, 0.33, 0.35, 0.37, 0.34)
+    val med = BenchHost.median(drifted)
+    assert(drifted.map(_ / med).forall(_ <= BenchHost.CanaryDirtyRatio))
+    assert(BenchHost.hostClean(0.1, 32, drifted.map(_ / med)))
+    val spiked = drifted :+ 0.95 // one co-tenant window
+    val medS = BenchHost.median(spiked)
+    assert(spiked.map(_ / medS).max > BenchHost.CanaryDirtyRatio)
+    assert(!BenchHost.hostClean(0.1, 32, spiked.map(_ / medS)))
+    // median basics
+    assert(BenchHost.median(Seq(3.0, 1.0, 2.0)) === 2.0)
+    assert(BenchHost.median(Seq(4.0, 1.0, 2.0, 3.0)) === 2.5)
+  }
+
   test("synthetic CPU load drives the canary past the dirty threshold") {
     // quiet baseline in this JVM (min-of-3 discards codegen warmup)
     val base = BenchHost.canaryBase(spark)
