@@ -3646,9 +3646,28 @@ object PipelineQueries {
        |    count(*) / 1000000, 6) AS mean_ent
        |FROM kept GROUP BY source""".stripMargin
 
+  /** Per-user EWMA of event values (α = 0.25), seeded with the first
+    * value in (ts, event_id) order — the per-entity recurrence family
+    * frame windows cannot express.
+    */
+  def qEwma(s: SparkSession, d: String): DataFrame =
+    graft.ops.TimeSeries.ewma(Tables.events(s, d),
+      "user_id", "ts", "event_id", "value", alpha = 0.25)
+
+  val qEwmaSql: String =
+    """WITH o AS (SELECT user_id,
+      |             list(round(cast(value as double) * 1000000)
+      |               ORDER BY ts, event_id) AS vs
+      |           FROM events GROUP BY 1)
+      |SELECT user_id, cast(len(vs) as bigint) AS n_events,
+      |  round(list_reduce(vs,
+      |    (acc, x) -> round(x * 0.25 + acc * 0.75)) / 1000000, 6) AS ewma
+      |FROM o""".stripMargin
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_curation_v5", qCurationV5 _, Some(qCurationV5Sql)),
+    ("q_ewma", qEwma _, Some(qEwmaSql)),
     ("q_containment", qContainment _, Some(qContainmentSql)),
     ("q_rank_transform", qRankTransform _, Some(qRankTransformSql)),
     ("q_char_entropy", qCharEntropy _, Some(qCharEntropySql)),
