@@ -1944,6 +1944,30 @@ object PipelineQueries {
        |FROM ranked WHERE rank <= 3""".stripMargin
   }
 
+  /** Recall@k + reciprocal rank of the single-bucket LSH run against
+    * the exact brute-force answer on the same 8 queries — the ANN
+    * tuning loop as a first-class, hash-verified query.
+    */
+  def qAnnRecall(s: SparkSession, d: String): DataFrame =
+    graft.sim.RetrievalEval.vsExact(qAnnTopK(s, d), qAnnLsh(s, d))
+
+  // lazy: composes qAnnTopKSql/qAnnLshSql, and qAnnTopKSql is
+  // declared later in the object
+  lazy val qAnnRecallSql: String =
+    s"""WITH ex AS (
+       |$qAnnTopKSql),
+       |ap AS (
+       |$qAnnLshSql),
+       |j AS (SELECT ex.query_id, ex.neighbor_id, ap.rank AS ap_rank
+       |      FROM ex LEFT JOIN ap USING (query_id, neighbor_id))
+       |SELECT query_id, count(*) AS n_exact,
+       |  cast(sum(CASE WHEN ap_rank IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+       |    AS n_hit,
+       |  round(cast(sum(CASE WHEN ap_rank IS NOT NULL THEN 1 ELSE 0 END)
+       |      as double) / cast(count(*) as double), 6) AS recall,
+       |  round(coalesce(1.0 / cast(min(ap_rank) as double), 0.0), 6) AS rr
+       |FROM j GROUP BY 1""".stripMargin
+
   /** IVF-Flat approximate top-3: deterministic sampled centroids,
     * nprobe-cell search — the inverted-file scale path next to the LSH
     * one. Everything (assignment, probing, scoring) is left-fold dot
@@ -3668,6 +3692,7 @@ object PipelineQueries {
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_curation_v5", qCurationV5 _, Some(qCurationV5Sql)),
     ("q_ewma", qEwma _, Some(qEwmaSql)),
+    ("q_ann_recall", qAnnRecall _, Some(qAnnRecallSql)),
     ("q_containment", qContainment _, Some(qContainmentSql)),
     ("q_rank_transform", qRankTransform _, Some(qRankTransformSql)),
     ("q_char_entropy", qCharEntropy _, Some(qCharEntropySql)),
