@@ -276,6 +276,55 @@ object EventStreams {
       .drop("session_id")
   }
 
+  case class EwmaState(micros: Double, n: Long)
+  case class EwmaRow(user_id: Long, n_events: Long, ewma: Double)
+
+  /** Streaming per-entity EWMA — the keyed-state twin of
+    * [[graft.ops.TimeSeries.ewma]]: one EwmaState (an integral-micro
+    * double + a count) per user, updated with the IDENTICAL quantized
+    * recurrence, so a replayed stream finalizes to the batch answer
+    * bit-for-bit (the quantization argument is TimeSeries's: with α a
+    * multiple of 1/4 every step is an exact multiple of 0.25, and the
+    * scale-0 HALF_UP round here is the same BigDecimal rounding
+    * Spark's Round codegen applies in the batch fold).
+    *
+    * Within a micro-batch rows sort by (ts, event_id); ACROSS batches
+    * arrival order is trusted (the mapGroupsWithState contract every
+    * streaming leg here shares) — an out-of-order replay is batch
+    * [[graft.ops.TimeSeries.ewma]]'s job.
+    */
+  def ewmaStream(events: Dataset[Event],
+      alpha: Double = 0.25): Dataset[EwmaRow] = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1]")
+    require(alpha * 4 == (alpha * 4).round.toDouble,
+      "alpha must be a multiple of 1/4 (exact-quarters replay)")
+    import events.sparkSession.implicits._
+    def r0(v: Double): Double = // Spark Round(_, 0) semantics
+      java.math.BigDecimal.valueOf(v)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+    def r6(v: Double): Double =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[EwmaState]): EwmaRow = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val xm = r0(e.value * 1e6)
+        cur = Some(cur match {
+          case None => EwmaState(xm, 1L)
+          case Some(s) =>
+            EwmaState(r0(xm * alpha + s.micros * (1.0 - alpha)), s.n + 1L)
+        })
+      }
+      val s = cur.get
+      state.update(s)
+      EwmaRow(userId, s.n, r6(s.micros / 1e6))
+    }
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Streaming exact dedup — the incremental twin of
     * [[graft.dedup.Dedup.exact]]: the FIRST document per normalized-
     * content fingerprint passes, later copies are dropped. State is

@@ -677,4 +677,35 @@ class EventStreamsSpec extends SparkSpec {
       r.getAs[Long]("n_events") == 2 &&
       math.abs(r.getAs[Double]("sum_value") - 3.0) < 1e-9))
   }
+
+  test("streaming EWMA state finalizes to the batch fold across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(
+      Event(1, ts(0), 7, "m", 8.0), Event(2, ts(1), 7, "m", 4.0),
+      Event(3, ts(0), 8, "m", 2.5))
+    val b2 = Seq(
+      Event(4, ts(2), 7, "m", 16.0),
+      Event(5, ts(1), 8, "m", 7.25))
+    val mem = MemoryStream[Event]
+    val q = EventStreams.ewmaStream(mem.toDS(), alpha = 0.25)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ewma_out").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // LAST update per user is the final state
+    val streamed = spark.table("ewma_out").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rs) =>
+        val last = rs.maxBy(_.getAs[Long]("n_events"))
+        u -> (last.getAs[Long]("n_events"), last.getAs[Double]("ewma"))
+      }
+    val batch = graft.ops.TimeSeries.ewma((b1 ++ b2).toDF(),
+        "user_id", "ts", "event_id", "value", alpha = 0.25)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(streamed === batch)
+    // hand value for user 7: y=8 → 0.25·4+0.75·8=7 → 0.25·16+0.75·7=9.25
+    assert(streamed(7L) === ((3L, 9.25)))
+  }
 }
