@@ -3456,6 +3456,55 @@ object PipelineQueries {
        |     (cast(j.n_b as double) / cast(nu.nu as double)))), 6) AS pmi
        |FROM j CROSS JOIN nu CROSS JOIN nb""".stripMargin
 
+  /** word2phrase apply: glue the mined PMI ≥ 0.7 phrases back into the
+    * corpus's token streams, greedy left-to-right — the vocabulary
+    * preprocessing step before BPE/vocab training.
+    */
+  def qPhraseGlue(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val ph = graft.text.Pmi.phrases(docs, "text", minCount = 3)
+      .filter(col("pmi") >= 0.7)
+      .select(split(col("bigram"), " ").getItem(0).as("a"),
+        split(col("bigram"), " ").getItem(1).as("b"))
+    graft.text.Pmi.gluePhrases(docs, "doc_id", "text", ph)
+  }
+
+  val qPhraseGlueSql: String =
+    s"""WITH pm AS (
+       |$qPmiPhrasesSql),
+       |ph AS (SELECT string_split(bigram, ' ')[1] AS a,
+       |              string_split(bigram, ' ')[2] AS b
+       |       FROM pm WHERE pmi >= 0.7),
+       |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tk AS (SELECT doc_id, u.p - 1 AS p, toks[u.p] AS tok
+       |       FROM t, unnest(range(1, len(toks) + 1)) AS u(p)),
+       |pr AS (SELECT doc_id, u.i - 1 AS p, toks[u.i] AS a, toks[u.i + 1] AS b
+       |       FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)),
+       |m AS (SELECT pr.doc_id, pr.p, pr.a || '_' || pr.b AS glued
+       |      FROM pr JOIN ph USING (a, b)),
+       |isl AS (SELECT doc_id, p, glued,
+       |          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+       |        FROM m),
+       |g AS (SELECT doc_id, p, glued,
+       |        row_number() OVER (PARTITION BY doc_id, grp ORDER BY p) AS rn
+       |      FROM isl),
+       |gl AS (SELECT doc_id, p, glued FROM g WHERE rn % 2 = 1),
+       |keep AS (
+       |  SELECT tk.doc_id, tk.p, coalesce(gl.glued, tk.tok) AS t2,
+       |         (gl2.p IS NOT NULL) AS consumed,
+       |         (gl.p IS NOT NULL) AS is_glue
+       |  FROM tk
+       |  LEFT JOIN gl ON tk.doc_id = gl.doc_id AND tk.p = gl.p
+       |  LEFT JOIN gl gl2 ON tk.doc_id = gl2.doc_id AND tk.p = gl2.p + 1),
+       |o AS (SELECT doc_id,
+       |        string_agg(t2, ' ' ORDER BY p) AS text_glued,
+       |        cast(sum(CASE WHEN is_glue THEN 1 ELSE 0 END) as bigint)
+       |          AS n_glued
+       |      FROM keep WHERE NOT consumed GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(o.text_glued, '') AS text_glued,
+       |  coalesce(o.n_glued, cast(0 as bigint)) AS n_glued
+       |FROM documents d LEFT JOIN o USING (doc_id)""".stripMargin
+
   /** Sorted-neighborhood near-duplicate pairs: block by the first 24
     * normalized chars, slide a window of 8 ranks, verify with exact
     * Levenshtein ≤ 60 after the length-difference lower bound. The
@@ -3693,6 +3742,7 @@ object PipelineQueries {
     ("q_curation_v5", qCurationV5 _, Some(qCurationV5Sql)),
     ("q_ewma", qEwma _, Some(qEwmaSql)),
     ("q_ann_recall", qAnnRecall _, Some(qAnnRecallSql)),
+    ("q_phrase_glue", qPhraseGlue _, Some(qPhraseGlueSql)),
     ("q_containment", qContainment _, Some(qContainmentSql)),
     ("q_rank_transform", qRankTransform _, Some(qRankTransformSql)),
     ("q_char_entropy", qCharEntropy _, Some(qCharEntropySql)),

@@ -69,4 +69,73 @@ object Pmi {
              (col("n_b").cast(DoubleType) / col("nu").cast(DoubleType)))), 6)
           .as("pmi"))
   }
+
+  /** word2phrase APPLY step: rewrite each document's token stream,
+    * gluing adjacent (a, b) occurrences from `phrasePairs` into one
+    * "a_b" token, GREEDY left-to-right (after "new york" glues,
+    * "york city" cannot — york is consumed). Greedy-ness has a closed
+    * form that needs no sequential fold: within each maximal run of
+    * consecutive matching positions, exactly the 1st, 3rd, 5th…
+    * positions glue — the gaps-and-islands decomposition — so the
+    * whole rewrite is window functions over (doc, position), fully
+    * declarative and oracle-replayable.
+    *
+    * Scale shape: positions explode once; the phrase table joins in
+    * (broadcast when it fits — phrase vocabularies do); the island
+    * windows partition by DOCUMENT (bounded groups, the ParagraphDedup
+    * discipline); the rebuild is one ordered per-doc aggregation.
+    * Output: (idCol, text_glued, n_glued).
+    */
+  def gluePhrases(df: DataFrame, idCol: String, textCol: String,
+      phrasePairs: DataFrame): DataFrame = {
+    require(phrasePairs.columns.toSeq.sorted.containsSlice(Seq("a", "b")),
+      "phrasePairs needs (a, b) token columns")
+    val w = org.apache.spark.sql.expressions.Window
+    val base = graft.CacheRegistry.register(
+      df.select(col(idCol).as("id"),
+          TextAnalysis.tokens(col(textCol)).as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val toks = base.select(col("id"),
+      posexplode(col("toks")).as(Seq("p", "tok")))
+    // adjacent pairs as ONE narrow map over the bound array (no
+    // positional self-join of the token stream)
+    val pairs = base.select(col("id"), explode(element_at(
+        transform(array(col("toks")), t =>
+          transform(
+            when(size(t) >= 2, sequence(lit(1), size(t) - 1))
+              .otherwise(array().cast(ArrayType(IntegerType))),
+            i => struct((i - 1).as("p"),
+              element_at(t, i).as("a"), element_at(t, i + 1).as("b")))),
+        1)).as("pr"))
+      .select(col("id"), col("pr.p").as("p"), col("pr.a").as("a"),
+        col("pr.b").as("b"))
+      .join(phrasePairs.select(col("a"), col("b"), lit(1).as("__m")),
+        Seq("a", "b"), "left")
+    // islands of consecutive matches: grp is constant within a run;
+    // the run's 1st, 3rd, … positions glue
+    val matched = pairs.filter(col("__m").isNotNull)
+      .withColumn("grp", col("p") - row_number().over(
+        w.partitionBy(col("id")).orderBy(col("p"))))
+      .withColumn("rn", row_number().over(
+        w.partitionBy(col("id"), col("grp")).orderBy(col("p"))))
+      .filter(col("rn") % 2 === 1)
+      .select(col("id"), col("p"), concat(col("a"), lit("_"), col("b")).as("glued"))
+    val out = toks
+      .join(matched.select(col("id"), col("p"), col("glued")), Seq("id", "p"), "left")
+      .join(matched.select(col("id"), (col("p") + 1).as("p"),
+        lit(1).as("__consumed")), Seq("id", "p"), "left")
+      .filter(col("__consumed").isNull)
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"),
+            coalesce(col("glued"), col("tok")).as("t")))),
+          s => s.getField("t")), " ").as("text_glued"),
+        sum(when(col("glued").isNotNull, 1L).otherwise(0L)).as("n_glued"))
+    df.select(col(idCol).as("id"))
+      .join(out, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("text_glued"), lit("")).as("text_glued"),
+        coalesce(col("n_glued"), lit(0L)).as("n_glued"))
+  }
 }

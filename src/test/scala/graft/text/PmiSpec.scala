@@ -26,6 +26,23 @@ class PmiSpec extends SparkSpec {
     assert(out.keySet === Set("new york", "of the"))
   }
 
+  test("gluePhrases rewrites greedily, runs glue at odd positions only") {
+    val phrases = Seq(("new", "york"), ("york", "city"), ("a", "a"))
+      .toDF("a", "b")
+    val docs = Seq(
+      (1L, "visit new york city today"), // greedy: new_york glues, york city cannot
+      (2L, "a a a a a"),                 // run of 4 matches → positions 0,2 glue
+      (3L, "nothing matches here"),
+      (4L, "")                           // empty doc survives as empty
+    ).toDF("doc_id", "text")
+    val out = Pmi.gluePhrases(docs, "doc_id", "text", phrases)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) === (("visit new_york city today", 1L)))
+    assert(out(2L) === (("a_a a_a a", 2L)))
+    assert(out(3L) === (("nothing matches here", 0L)))
+    assert(out(4L) === (("", 0L)))
+  }
+
   test("bigram totals count per-document adjacency, not cross-doc") {
     // "a b" appears once per doc; "b | a" boundary must not pair
     val docs = Seq("a b", "a b", "a b").toDF("text")
