@@ -3719,6 +3719,32 @@ object PipelineQueries {
        |    count(*) / 1000000, 6) AS mean_ent
        |FROM kept GROUP BY source""".stripMargin
 
+  /** Sketch re-aggregation — the mergeability law AS a query: HLL
+    * registers built per (returnflag, linestatus) max-merge up to
+    * returnflag and finalize to the IDENTICAL estimate a direct
+    * coarse-grain sketch gives (the defining property that lets a
+    * warehouse store fine-grain sketches once and serve every rollup
+    * without rescanning). Both paths emitted; the hash pins equality.
+    */
+  def qHllRollup(s: SparkSession, d: String): DataFrame = {
+    import graft.sketch.Hll
+    val li = Tables.lineitem(s, d)
+    val fine = Hll.registers(li, Seq("l_returnflag", "l_linestatus"),
+      "l_partkey")
+    val mergedRegs = fine
+      .groupBy(col("l_returnflag"), col("reg_idx"))
+      .agg(max(col("reg_rank")).as("reg_rank"))
+    val merged = Hll.estimateFromRegisters(mergedRegs, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_est").as("n_est_merged"))
+    val direct = Hll.estimate(li, Seq("l_returnflag"), "l_partkey")
+      .select(col("l_returnflag"), col("n_est").as("n_est_direct"))
+    merged.join(direct, Seq("l_returnflag"))
+  }
+
+  val qHllRollupSql: String = graft.sketch.Hll.rollupOracleSql(
+    "lineitem", Seq("l_returnflag", "l_linestatus"), Seq("l_returnflag"),
+    "l_partkey")
+
   /** Per-user EWMA of event values (α = 0.25), seeded with the first
     * value in (ts, event_id) order — the per-entity recurrence family
     * frame windows cannot express.
@@ -3743,6 +3769,7 @@ object PipelineQueries {
     ("q_ewma", qEwma _, Some(qEwmaSql)),
     ("q_ann_recall", qAnnRecall _, Some(qAnnRecallSql)),
     ("q_phrase_glue", qPhraseGlue _, Some(qPhraseGlueSql)),
+    ("q_hll_rollup", qHllRollup _, Some(qHllRollupSql)),
     ("q_containment", qContainment _, Some(qContainmentSql)),
     ("q_rank_transform", qRankTransform _, Some(qRankTransformSql)),
     ("q_char_entropy", qCharEntropy _, Some(qCharEntropySql)),

@@ -146,4 +146,50 @@ object Hll {
        |  ${alphaM2Scaled(b)} / cast(harmonic_scaled as double) AS n_est
        |FROM agg""".stripMargin
   }
+
+  /** DuckDB mirror of the REGISTER-MERGE rollup law: estimate at the
+    * coarse grain two ways — max-merging the fine-grain registers vs
+    * sketching directly — and emit both (they are EQUAL by the
+    * sketch's defining property; the oracle hash pins it). Same
+    * constants as [[oracleSql]] — single source of truth.
+    */
+  def rollupOracleSql(table: String, fineCols: Seq[String],
+      coarseCols: Seq[String], valueExpr: String,
+      b: Int = defaultB): String = {
+    require(coarseCols.forall(fineCols.contains), "coarse ⊆ fine")
+    val m = 1 << b
+    val rmax = rankMax(b)
+    val h = s"cast(('0x' || substr(md5(cast($valueExpr as varchar)), 1, 15)) as bigint)"
+    val fg = fineCols.mkString(", ")
+    val cg = coarseCols.mkString(", ")
+    def aggTail(src: String, grp: Seq[String], out: String) =
+      s"""SELECT ${grp.mkString(", ")},
+         |    ${alphaM2Scaled(b)} / cast(
+         |      cast(sum(cast(1::BIGINT << ($rmax - reg_rank) as decimal(38,0))) +
+         |        cast($m - count(*) as decimal(38,0)) *
+         |          cast(1::BIGINT << $rmax as decimal(38,0)) as decimal(38,0))
+         |      as double) AS $out
+         |  FROM $src GROUP BY ${(1 to grp.size).mkString(", ")}""".stripMargin
+    s"""WITH hashed AS (
+       |  SELECT $fg, $h % $m AS reg_idx, $h // $m AS w FROM $table),
+       |fine AS (
+       |  SELECT $fg, reg_idx,
+       |    max(CASE WHEN w = 0 THEN $rmax
+       |        ELSE ${width(b) + 1} - length(bin(w)) END) AS reg_rank
+       |  FROM hashed GROUP BY ${(1 to fineCols.size + 1).mkString(", ")}),
+       |mergedregs AS (
+       |  SELECT $cg, reg_idx, max(reg_rank) AS reg_rank
+       |  FROM fine GROUP BY ${(1 to coarseCols.size + 1).mkString(", ")}),
+       |merged AS (
+       |  ${aggTail("mergedregs", coarseCols, "n_est_merged")}),
+       |directregs AS (
+       |  SELECT $cg, reg_idx,
+       |    max(CASE WHEN w = 0 THEN $rmax
+       |        ELSE ${width(b) + 1} - length(bin(w)) END) AS reg_rank
+       |  FROM hashed GROUP BY ${(1 to coarseCols.size + 1).mkString(", ")}),
+       |direct AS (
+       |  ${aggTail("directregs", coarseCols, "n_est_direct")})
+       |SELECT m.*, d.n_est_direct
+       |FROM merged m JOIN direct d USING ($cg)""".stripMargin
+  }
 }

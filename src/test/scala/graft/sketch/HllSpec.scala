@@ -35,4 +35,23 @@ class HllSpec extends SparkSpec {
       .groupBy($"grp", $"reg_idx").agg(max($"reg_rank").as("reg_rank"))
     assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
   }
+
+  test("register max-merge rollup equals the direct coarse sketch exactly") {
+    // DISJOINT fine groups (a: 1..3000, b: 3001..8000) so the merge
+    // genuinely combines different register content
+    val df = ((1 to 3000).map(i => ("x", "a", s"v-$i")) ++
+      (3001 to 8000).map(i => ("x", "b", s"v-$i"))).toDF("c", "f", "v")
+    val fine = Hll.registers(df, Seq("c", "f"), "v")
+    val mergedRegs = fine.groupBy($"c", $"reg_idx")
+      .agg(org.apache.spark.sql.functions.max($"reg_rank").as("reg_rank"))
+    val merged = Hll.estimateFromRegisters(mergedRegs, Seq("c"))
+      .select($"n_est").head().getDouble(0)
+    val direct = Hll.estimate(df, Seq("c"), "v")
+      .select($"n_est").head().getDouble(0)
+    assert(merged === direct, s"merge law violated: $merged vs $direct")
+    // loose sanity band only — the merge EQUALITY above is the law
+    // under test; this fixed draw happens to sit at ~3.3σ of the
+    // b=12 ±1.6% standard error
+    assert(math.abs(direct - 8000) / 8000 < 0.08)
+  }
 }
