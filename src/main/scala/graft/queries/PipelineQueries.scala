@@ -3745,6 +3745,36 @@ object PipelineQueries {
     "lineitem", Seq("l_returnflag", "l_linestatus"), Seq("l_returnflag"),
     "l_partkey")
 
+  /** KMV trim-after-merge law as a query: fine-grain k-min registers
+    * union, dedup, re-trim to k — exactly the direct coarse sketch's
+    * estimate. The complementary mergeability identity to
+    * [[qHllRollup]]'s register max (min-set vs max-register).
+    */
+  def qKmvRollup(s: SparkSession, d: String): DataFrame = {
+    import graft.sketch.Kmv
+    val k = 512
+    val li = Tables.lineitem(s, d)
+    val merged = Kmv
+      .registers(li, Seq("l_returnflag", "l_linestatus"), "l_partkey", k)
+      .groupBy(col("l_returnflag"))
+      .agg(graft.functions.KMinAgg.k_min_distinct(col("h"), k).as("hs"))
+      .select(col("l_returnflag"),
+        size(col("hs")).cast(LongType).as("__n"),
+        element_at(col("hs"), -1).as("__kth"))
+      .select(col("l_returnflag"),
+        when(col("__n") < k, col("__n").cast(DoubleType))
+          .otherwise(lit((k - 1).toDouble) /
+            (col("__kth").cast(DoubleType) / Kmv.hashRange))
+          .as("n_est_merged"))
+    val direct = Kmv.estimateDistinct(li, Seq("l_returnflag"), "l_partkey", k)
+      .select(col("l_returnflag"), col("n_est").as("n_est_direct"))
+    merged.join(direct, Seq("l_returnflag"))
+  }
+
+  val qKmvRollupSql: String = graft.sketch.Kmv.rollupOracleSql(
+    "lineitem", Seq("l_returnflag", "l_linestatus"), Seq("l_returnflag"),
+    "l_partkey", 512)
+
   /** Per-user EWMA of event values (α = 0.25), seeded with the first
     * value in (ts, event_id) order — the per-entity recurrence family
     * frame windows cannot express.
@@ -3770,6 +3800,7 @@ object PipelineQueries {
     ("q_ann_recall", qAnnRecall _, Some(qAnnRecallSql)),
     ("q_phrase_glue", qPhraseGlue _, Some(qPhraseGlueSql)),
     ("q_hll_rollup", qHllRollup _, Some(qHllRollupSql)),
+    ("q_kmv_rollup", qKmvRollup _, Some(qKmvRollupSql)),
     ("q_containment", qContainment _, Some(qContainmentSql)),
     ("q_rank_transform", qRankTransform _, Some(qRankTransformSql)),
     ("q_char_entropy", qCharEntropy _, Some(qCharEntropySql)),

@@ -152,4 +152,37 @@ object Kmv {
        |  END AS n_est
        |FROM regs GROUP BY ${(1 to groupCols.size).mkString(", ")}""".stripMargin
   }
+
+  /** DuckDB mirror of the KMV MERGE law: k-min registers built at the
+    * fine grain, unioned per coarse group, DEDUPED and re-trimmed to
+    * the k smallest, estimate exactly the direct coarse sketch — the
+    * trim-after-merge identity (kmin_k(kmin_k(A) ∪ kmin_k(B)) =
+    * kmin_k(A ∪ B)) that makes stored fine sketches servable at every
+    * rollup. Same constants as [[oracleSql]].
+    */
+  def rollupOracleSql(table: String, fineCols: Seq[String],
+      coarseCols: Seq[String], valueExpr: String, k: Int): String = {
+    require(coarseCols.forall(fineCols.contains), "coarse ⊆ fine")
+    val cg = coarseCols.mkString(", ")
+    val fine = registersOracleSql(table, fineCols, valueExpr, k)
+    val direct = oracleSql(table, coarseCols, valueExpr, k)
+    s"""WITH fine AS (
+       |$fine),
+       |u AS (SELECT DISTINCT $cg, h FROM fine),
+       |tk AS (SELECT $cg, h,
+       |         row_number() OVER (PARTITION BY $cg ORDER BY h ASC) AS rn
+       |       FROM u),
+       |mregs AS (SELECT $cg, h FROM tk WHERE rn <= $k),
+       |merged AS (
+       |  SELECT $cg, count(*) AS n_regs,
+       |    CASE WHEN count(*) < $k THEN cast(count(*) as double)
+       |         ELSE ${(k - 1).toDouble} /
+       |              (cast(max(h) as double) / ${hashRange})
+       |    END AS n_est_merged
+       |  FROM mregs GROUP BY ${(1 to coarseCols.size).mkString(", ")}),
+       |direct AS (
+       |$direct)
+       |SELECT m.$cg, m.n_est_merged, d.n_est AS n_est_direct
+       |FROM merged m JOIN direct d USING ($cg)""".stripMargin
+  }
 }

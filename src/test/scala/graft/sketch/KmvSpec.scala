@@ -52,4 +52,25 @@ class KmvSpec extends SparkSpec {
     assert(math.abs(jac - 1.0 / 3) < 0.07, s"jaccard $jac")
     assert(math.abs(inter - 4000) / 4000 < 0.2, s"intersection $inter")
   }
+
+  test("trim-after-merge: merged fine sketches equal the direct coarse sketch") {
+    // disjoint fine groups so merging must combine register sets and
+    // the re-trim actually cuts (each fine sketch is k-full)
+    val k = 64
+    val df = ((1 to 500).map(i => ("x", "a", s"v-$i")) ++
+      (501 to 1200).map(i => ("x", "b", s"v-$i"))).toDF("c", "f", "v")
+    val merged = Kmv.registers(df, Seq("c", "f"), "v", k)
+      .groupBy($"c")
+      .agg(graft.functions.KMinAgg.k_min_distinct($"h", k).as("hs"))
+      .select(org.apache.spark.sql.functions.element_at($"hs", -1).as("kth"),
+        org.apache.spark.sql.functions.size($"hs").as("n"))
+      .head()
+    val direct = Kmv.registers(df, Seq("c"), "v", k)
+      .groupBy($"c")
+      .agg(graft.functions.KMinAgg.k_min_distinct($"h", k).as("hs"))
+      .select(org.apache.spark.sql.functions.element_at($"hs", -1).as("kth"),
+        org.apache.spark.sql.functions.size($"hs").as("n"))
+      .head()
+    assert(merged === direct)
+  }
 }
