@@ -81,4 +81,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s.contains("hashpartitioning"),
       "assignment must not shuffle on any key")
   }
+
+  test("char entropy is a pure narrow map: no shuffle, no join") {
+    val s = formatted(PipelineQueries.qCharEntropy(spark, sf))
+    assert(!s.contains("Exchange"),
+      "the per-row kernel must never introduce a shuffle (the " +
+        "explode-chars formulation would)")
+    assert(!s.contains("Join"))
+  }
+
+  test("SNM rank never runs a global window: no SinglePartition in the plan") {
+    val s = formatted(PipelineQueries.qSnmPairs(spark, sf))
+    assert(!s.contains("SinglePartition"),
+      "rankByOrder must stay shard-windowed — a SinglePartition " +
+        "exchange means the global row_number formulation regressed")
+  }
+
+  test("rank transform never runs a per-source data-sized window") {
+    val s = formatted(PipelineQueries.qRankTransform(spark, sf))
+    assert(!s.contains("SinglePartition"))
+    // the only windows allowed partition on the range-shard pid, never
+    // on the source column (whose groups are data-sized at scale)
+    assert(!s.contains("windowspecdefinition(source"),
+      "percentile rank must come from the sharded global rank, not a " +
+        "per-source window")
+  }
+
+  test("multi-probe LSH explodes probes on the broadcast query side only") {
+    val s = formatted(PipelineQueries.qAnnMultiprobe(spark, sf))
+    assert(s.contains("BroadcastHashJoin"),
+      "the probed query frame must broadcast into the corpus buckets")
+    // the corpus side must be keyed ONCE: exactly one sign_buckets scan
+    // over the full table would show as a generate/explode beneath the
+    // stream side of the join — assert no Exchange precedes the big
+    // side's bucket computation beyond the widen fan-out
+    assert(!s.contains("SinglePartition"))
+  }
 }
