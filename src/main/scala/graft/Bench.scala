@@ -97,7 +97,8 @@ object Bench {
     val canaryMed = BenchHost.median(canaries.map(_._2).toSeq)
     val ratios = canaries.map { case (q, s) => (q, s, s / canaryMed) }
     val hostClean = BenchHost.hostClean(
-      loadPreSuite, cpus.toInt, ratios.map(_._3).toSeq)
+      loadPreSuite, cpus.toInt, ratios.map(_._3).toSeq,
+      canaries.map(_._2 / canaryFresh).toSeq)
     val canaryMaxRatio = ratios.map(_._3).max
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -82,12 +82,22 @@ object BenchHost {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
-  /** A canary slower than this ratio vs its own baseline marks the
+  /** A canary slower than this ratio vs the in-suite MEDIAN marks the
     * surrounding window dirty. 1.5 sits well above same-host jitter
     * (repeat canaries on a quiet box stay within ~1.2×) and well below
     * the 3-90× swings measured on contaminated driver windows.
     */
   val CanaryDirtyRatio = 1.5
+
+  /** Second, ABSOLUTE gate vs the fresh-JVM baseline: the median gate
+    * alone is blind to contamination that arrives just after suite
+    * start and persists (it inflates the median itself, every ratio
+    * reads ~1). Clean mid-suite canaries measure ≤1.9× the fresh
+    * baseline (JVM heap/GC/JIT drift — see [[canaryBase]]); a
+    * sustained co-tenant at 3× trips this bound on nearly every
+    * canary while uniform JVM drift never does.
+    */
+  val CanaryAbsDirtyRatio = 2.5
 
   /** Pre-suite load above this fraction of the core count means the
     * box was busy before the bench contributed anything.
@@ -95,13 +105,18 @@ object BenchHost {
   val PreSuiteLoadFrac = 0.25
 
   /** The suite verdict: clean iff the box was idle when we started
-    * (no signal counts as unknown-but-not-dirty) and every canary ran
-    * at its baseline speed.
+    * (no signal counts as unknown-but-not-dirty), every canary ran at
+    * its in-suite-median speed (transient-spike gate), and no canary
+    * exceeded the absolute fresh-baseline bound (sustained-intruder
+    * gate — see [[CanaryAbsDirtyRatio]]). Pass absRatios empty to
+    * skip the absolute gate (no fresh baseline available).
     */
   def hostClean(loadPreSuite: Double, cpus: Int,
-      canaryRatios: Seq[Double]): Boolean =
+      canaryRatios: Seq[Double],
+      absRatios: Seq[Double] = Seq.empty): Boolean =
     (loadPreSuite < 0 || loadPreSuite <= PreSuiteLoadFrac * cpus) &&
-      canaryRatios.forall(_ <= CanaryDirtyRatio)
+      canaryRatios.forall(_ <= CanaryDirtyRatio) &&
+      absRatios.forall(_ <= CanaryAbsDirtyRatio)
 
   /** Conservative per-query attribution: a query inherits the WORST
     * ratio of the canaries bracketing it (the last one at-or-before

@@ -3754,18 +3754,12 @@ object PipelineQueries {
     import graft.sketch.Kmv
     val k = 512
     val li = Tables.lineitem(s, d)
-    val merged = Kmv
-      .registers(li, Seq("l_returnflag", "l_linestatus"), "l_partkey", k)
-      .groupBy(col("l_returnflag"))
-      .agg(graft.functions.KMinAgg.k_min_distinct(col("h"), k).as("hs"))
-      .select(col("l_returnflag"),
-        size(col("hs")).cast(LongType).as("__n"),
-        element_at(col("hs"), -1).as("__kth"))
-      .select(col("l_returnflag"),
-        when(col("__n") < k, col("__n").cast(DoubleType))
-          .otherwise(lit((k - 1).toDouble) /
-            (col("__kth").cast(DoubleType) / Kmv.hashRange))
-          .as("n_est_merged"))
+    val merged = Kmv.estimateFromSketch(
+        Kmv.registers(li, Seq("l_returnflag", "l_linestatus"), "l_partkey", k)
+          .groupBy(col("l_returnflag"))
+          .agg(graft.functions.KMinAgg.k_min_distinct(col("h"), k).as("hs")),
+        Seq("l_returnflag"), k)
+      .select(col("l_returnflag"), col("n_est").as("n_est_merged"))
     val direct = Kmv.estimateDistinct(li, Seq("l_returnflag"), "l_partkey", k)
       .select(col("l_returnflag"), col("n_est").as("n_est_direct"))
     merged.join(direct, Seq("l_returnflag"))

@@ -62,8 +62,16 @@ object Kmv {
     */
   def estimateDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
       k: Int): DataFrame =
-    sketch(df, groupCols, valueCol, k)
-      .select((groupCols.map(col) :+
+    estimateFromSketch(sketch(df, groupCols, valueCol, k), groupCols, k)
+
+  /** The estimator tail over any (groupCols…, hs) sketch frame — the
+    * SINGLE source of the (k−1)/u_k arithmetic, shared by
+    * [[estimateDistinct]] and merge/rollup consumers re-aggregating
+    * stored sketches (the [[Hll.estimateFromRegisters]] pattern).
+    */
+  def estimateFromSketch(sk: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame =
+    sk.select((groupCols.map(col) :+
         size(col("hs")).cast(LongType).as("n_regs") :+
         element_at(col("hs"), -1).as("kth_hash")): _*)
       .withColumn("n_est",

@@ -307,7 +307,14 @@ object EventStreams {
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     def fn(userId: Long, rows: Iterator[Event],
         state: GroupState[EwmaState]): EwmaRow = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      // full-precision order key: ts.getTime is MILLIS and would tie
+      // two events in the same millisecond, letting event_id decide a
+      // fold order the batch twin (which sorts full-precision
+      // timestamps) disagrees with — seconds·1e9 + nanos is the exact
+      // Timestamp total order
+      val sorted = rows.toSeq.sortBy(e =>
+        (Math.floorDiv(e.ts.getTime, 1000L) * 1000000000L + e.ts.getNanos,
+          e.event_id))
       var cur = state.getOption
       sorted.foreach { e =>
         val xm = r0(e.value * 1e6)

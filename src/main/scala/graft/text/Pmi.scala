@@ -88,7 +88,7 @@ object Pmi {
     */
   def gluePhrases(df: DataFrame, idCol: String, textCol: String,
       phrasePairs: DataFrame): DataFrame = {
-    require(phrasePairs.columns.toSeq.sorted.containsSlice(Seq("a", "b")),
+    require(Set("a", "b").subsetOf(phrasePairs.columns.toSet),
       "phrasePairs needs (a, b) token columns")
     val w = org.apache.spark.sql.expressions.Window
     val base = graft.CacheRegistry.register(
@@ -109,8 +109,11 @@ object Pmi {
         1)).as("pr"))
       .select(col("id"), col("pr.p").as("p"), col("pr.a").as("a"),
         col("pr.b").as("b"))
-      .join(phrasePairs.select(col("a"), col("b"), lit(1).as("__m")),
-        Seq("a", "b"), "left")
+      // distinct: a duplicated (a, b) row in the caller's phrase table
+      // would double-match one position, corrupt the islands parity
+      // and emit the glued token twice
+      .join(phrasePairs.select(col("a"), col("b")).distinct()
+        .withColumn("__m", lit(1)), Seq("a", "b"), "left")
     // islands of consecutive matches: grp is constant within a run;
     // the run's 1st, 3rd, … positions glue
     val matched = pairs.filter(col("__m").isNotNull)

@@ -58,6 +58,26 @@ class BenchHostSpec extends SparkSpec {
     assert(BenchHost.median(Seq(4.0, 1.0, 2.0, 3.0)) === 2.5)
   }
 
+  test("absolute gate catches sustained contamination the median misses") {
+    // intruder lands after the first canary and persists: the median
+    // itself is contaminated, every median-ratio reads ~1 (the early
+    // clean canary reads LOW, which the ≤ threshold ignores) — the
+    // median gate alone would stamp this run clean
+    val fresh = 0.235
+    val secs = Seq(0.24, 0.72, 0.75, 0.70, 0.74, 0.73, 0.71)
+    val med = BenchHost.median(secs)
+    val medRatios = secs.map(_ / med)
+    assert(medRatios.forall(_ <= BenchHost.CanaryDirtyRatio))
+    assert(BenchHost.hostClean(0.1, 32, medRatios))
+    // …but vs the fresh baseline the sustained 3× intruder is plain
+    assert(!BenchHost.hostClean(0.1, 32, medRatios, secs.map(_ / fresh)))
+    // clean JVM drift (≤1.9× fresh, flat) passes BOTH gates
+    val drift = Seq(0.34, 0.36, 0.33, 0.35, 0.37)
+    val dm = BenchHost.median(drift)
+    assert(BenchHost.hostClean(0.1, 32, drift.map(_ / dm),
+      drift.map(_ / fresh)))
+  }
+
   test("synthetic CPU load drives the canary past the dirty threshold") {
     // quiet baseline in this JVM (min-of-3 discards codegen warmup)
     val base = BenchHost.canaryBase(spark)
