@@ -3408,6 +3408,14 @@ object PipelineQueries {
     * kernel call per row, pure narrow map; the oracle replays the
     * quantized per-codepoint integer accumulation via an explode —
     * correct at oracle scale, never the engine's shape.
+    *
+    * Granularity contract with the oracle: DuckDB's
+    * `string_split(text, '')` splits per Unicode CODE POINT (verified
+    * incl. astral plane: 'a😀b😀' → 4 elements), and the kernel counts
+    * code points too (codePointAt + charCount stepping, never UTF-16
+    * units) — CharEntropySpec pins the astral-plane case to the
+    * hand-computed quantized value so a regression on either side
+    * surfaces even though the parquet fixtures are ASCII-dominated.
     */
   def qCharEntropy(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

@@ -25,9 +25,17 @@ object RetrievalEval {
     * nothing was found — e.g. the query's LSH bucket was empty).
     */
   def vsExact(exact: DataFrame, approx: DataFrame): DataFrame = {
+    // Both sides are collapsed to one row per (query_id, neighbor_id)
+    // BEFORE the join: a duplicated neighbor row in either input would
+    // silently inflate n_exact/n_hit (each exact row multiplies by its
+    // approx match count). The approx side keeps its BEST (minimum)
+    // rank — a deterministic reduction, unlike dropDuplicates'
+    // arbitrary-row pick — which is also what rr reads downstream.
     val ap = approx.select(col("query_id"), col("neighbor_id"),
       col("rank").as("__ap_rank"))
-    exact.select(col("query_id"), col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(min(col("__ap_rank")).as("__ap_rank"))
+    exact.select(col("query_id"), col("neighbor_id")).distinct()
       .join(ap, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(

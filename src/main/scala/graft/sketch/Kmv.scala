@@ -190,7 +190,8 @@ object Kmv {
        |  FROM mregs GROUP BY ${(1 to coarseCols.size).mkString(", ")}),
        |direct AS (
        |$direct)
-       |SELECT m.$cg, m.n_est_merged, d.n_est AS n_est_direct
+       |SELECT ${coarseCols.map(c => s"m.$c").mkString(", ")},
+       |  m.n_est_merged, d.n_est AS n_est_direct
        |FROM merged m JOIN direct d USING ($cg)""".stripMargin
   }
 }

@@ -76,6 +76,14 @@ class BenchHostSpec extends SparkSpec {
     val dm = BenchHost.median(drift)
     assert(BenchHost.hostClean(0.1, 32, drift.map(_ / dm),
       drift.map(_ / fresh)))
+    // the former 2.5 bound's blind band (1.9-2.5× fresh): a sustained
+    // co-tenant stacking ~20% on top of honest 1.9× JVM drift sits at
+    // ~2.3× fresh with flat median ratios — it must read dirty now
+    val band = Seq(0.54, 0.53, 0.55, 0.54, 0.53)
+    val bm = BenchHost.median(band)
+    assert(band.map(_ / bm).forall(_ <= BenchHost.CanaryDirtyRatio))
+    assert(!BenchHost.hostClean(0.1, 32, band.map(_ / bm),
+      band.map(_ / fresh)))
   }
 
   test("synthetic CPU load drives the canary past the dirty threshold") {

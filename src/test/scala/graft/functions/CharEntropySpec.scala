@@ -37,6 +37,21 @@ class CharEntropySpec extends SparkSpec {
     assert(math.abs(h("😀a😀a") - math.log(2.0)) < 2e-6)
   }
 
+  test("astral plane: exact quantized value at the oracle's granularity") {
+    // 'a😀b😀' = 4 CODE POINTS {a:1, 😀:2, b:1} — a UTF-16-unit counter
+    // would see 6 units and diverge. DuckDB's string_split(text, '')
+    // splits per code point too (verified: 4 elements, slp −4158882),
+    // so this pins the engine/oracle granularity contract the parquet
+    // fixtures (ASCII-dominated) never exercise.
+    val lpQ = math.rint(math.log(0.25) * 1e6).toLong  // a, b
+    val lpH = math.rint(math.log(0.5) * 1e6).toLong   // 😀
+    val slp = 2 * lpQ + 2 * lpH
+    assert(slp === -4158882L)
+    val expect = BigDecimal(-slp.toDouble / 4 / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(h("a😀b😀") === expect)
+  }
+
   test("column form survives codegen, null in → null out") {
     // spark.range keeps a real physical stage (a local Seq would fold
     // into a LocalTableScan and bypass codegen entirely)
