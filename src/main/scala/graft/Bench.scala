@@ -4,6 +4,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // the COMMITTED epoch's per-query seconds, read BEFORE this run
+    // overwrites the file — the reference for end-of-suite outlier
+    // re-measurement (see BenchMetrics scaladoc)
+    val epochRef = sys.env.getOrElse("SPARK_GRAFT_EPOCH_REF", "bench_full.json")
+    val epoch: Map[String, Double] =
+      try BenchMetrics.parseEpochQueries(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(epochRef)),
+        java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => Map.empty }
     // sampled BEFORE the JVM does any Spark work: on a clean window
     // this is ≈ 0 — see BenchHost scaladoc for the attribution story
     val loadPreSuite = BenchHost.loadAvg()
@@ -17,6 +26,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = new BenchMetrics.Listener
+    spark.sparkContext.addSparkListener(metrics)
     // Absorb fixed JVM/session start-up outside the timed region: first
     // actions pay Spark context spin-up + Janino codegen compilation of
     // the common operator shapes (scan, hash-agg, sort, window, join) —
@@ -63,12 +74,15 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         loadPres += (name -> BenchHost.loadAvg())
-        val times = (1 to runs).map { _ =>
+        val times = (1 to runs).map { r =>
+          // job group = metrics attribution key (BenchMetrics.Listener)
+          spark.sparkContext.setJobGroup(s"graft.bench:$name#$r", name)
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch {
             case e: Throwable => System.err.println(s"[bench] $name FAILED: $e")
           }
           val dt = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.clearJobGroup()
           CacheRegistry.releaseAll() // transient caches: no cross-run reuse
           dt
         }
@@ -93,6 +107,29 @@ object Bench {
       }
     // closing canary + post-suite load close the bracket
     canaries += ((qIdx, BenchHost.canarySec(spark)))
+    // End-of-suite outlier re-measurement (BenchMetrics scaladoc): any
+    // query that ran >2× its COMMITTED-epoch time gets ONE more
+    // sample now, bracketed by its own canary — a retry back on the
+    // epoch self-labels the first sample as transient contention; a
+    // repeated slow time is a genuine regression. Subset runs keep the
+    // gate (the epoch map still covers them); new queries have no
+    // epoch entry and are skipped.
+    val outlierRows = BenchMetrics.outliers(results, epoch).map {
+      case (name, firstSec, epochSec, ratio) =>
+        val fn = graft.queries.Inventory.entries
+          .collectFirst { case (`name`, f, _) => f }.get
+        spark.sparkContext.setJobGroup(s"graft.bench:$name#retry", name)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable => System.err.println(s"[bench] retry $name FAILED: $e")
+        }
+        val retrySec = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.clearJobGroup()
+        CacheRegistry.releaseAll()
+        spark.catalog.clearCache()
+        val retryCanary = BenchHost.canarySec(spark)
+        (name, firstSec, epochSec, ratio, retrySec, retryCanary)
+    }
     val loadPostSuite = BenchHost.loadAvg()
     val canaryMed = BenchHost.median(canaries.map(_._2).toSeq)
     val ratios = canaries.map { case (q, s) => (q, s, s / canaryMed) }
@@ -109,11 +146,26 @@ object Bench {
     // "queries" map keeps its plain name→seconds shape for existing
     // parsers.
     val canaryPos = ratios.map { case (q, _, r) => (q, r) }.toSeq
+    // listener-bus events for the last tasks can lag the blocking
+    // count() by a beat — give the single dispatch thread a moment
+    // before reading the per-query counters
+    Thread.sleep(500)
     val perQAttr = results.zipWithIndex.map { case ((name, _), i) =>
       val lp = loadPres.find(_._1 == name).map(_._2).getOrElse(-1.0)
       val r = BenchHost.ratioForQuery(i + 1, canaryPos)
-      f""""$name":{"load_pre":$lp%.2f,"canary_ratio":$r%.3f}"""
+      val m = metrics.forQuery(name)
+      f""""$name":{"load_pre":$lp%.2f,"canary_ratio":$r%.3f,""" +
+        s""""shuffle_read":${m.shuffleRead},"shuffle_write":${m.shuffleWrite},""" +
+        s""""mem_spill":${m.memSpill},"disk_spill":${m.diskSpill},""" +
+        s""""input":${m.input},"tasks":${m.tasks}}"""
     }.mkString("{", ",", "}")
+    val outlierJson = outlierRows.map {
+      case (name, firstSec, epochSec, ratio, retrySec, retryCanary) =>
+        f"""{"q":"$name","first_sec":$firstSec%.4f,"epoch_sec":$epochSec%.4f,""" +
+          f""""ratio_vs_epoch":$ratio%.3f,"retry_sec":$retrySec%.4f,""" +
+          f""""retry_ratio_vs_epoch":${retrySec / epochSec}%.3f,""" +
+          f""""retry_canary_ratio":${retryCanary / canaryMed}%.3f}"""
+    }.mkString("[", ",", "]")
     val canaryJson = ratios.map { case (q, s, r) =>
       f"""{"after_q":$q,"sec":$s%.4f,"ratio":$r%.3f}"""
     }.mkString("[", ",", "]")
@@ -124,6 +176,8 @@ object Bench {
         f""""canary_fresh_sec":$canaryFresh%.4f,""" +
         f""""canary_max_ratio":$canaryMaxRatio%.3f,""" +
         s""""host_clean":$hostClean,"canaries":$canaryJson,""" +
+        s""""epoch_ref":"$epochRef","epoch_n":${epoch.size},""" +
+        s""""outliers":$outlierJson,""" +
         s""""per_query":$perQAttr}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""runs_per_query":$runs,"sf":"$sfDir",$hostJson}"""
@@ -146,6 +200,7 @@ object Bench {
       s""""runs_per_query":$runs,"n_queries":${results.size},""" +
       f""""host_clean":$hostClean,"canary_max_ratio":$canaryMaxRatio%.3f,""" +
       f""""load_pre_suite":$loadPreSuite%.2f,""" +
+      s""""n_outliers":${outlierRows.size},""" +
       s""""sf":"$sfDir","queries":{"""
     var used = prefix.length + 64 // room for the closing + elided fields
     var cut = 0

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class BenchMetricsSpec extends SparkSpec {
+
+  test("epoch parsing: queries map extracted, junk shapes yield empty") {
+    val json = """{"metric":"total","value":89.04,"unit":"sec",
+      |"queries":{"q_a":1.5,"q_b":0.25,"q_c":12.0},
+      |"runs_per_query":2,"host":{"per_query":{"q_a":{"load_pre":0.1}}}}"""
+      .stripMargin.replace("\n", "")
+    val m = BenchMetrics.parseEpochQueries(json)
+    assert(m === Map("q_a" -> 1.5, "q_b" -> 0.25, "q_c" -> 12.0))
+    // the nested per_query object must not leak into the epoch map
+    assert(!m.contains("load_pre"))
+    assert(BenchMetrics.parseEpochQueries("") === Map.empty)
+    assert(BenchMetrics.parseEpochQueries("{\"value\":1}") === Map.empty)
+    assert(BenchMetrics.parseEpochQueries("not json at all") === Map.empty)
+  }
+
+  test("outlier gate: >2x epoch flagged, new and fast queries skipped") {
+    val epoch = Map("q_a" -> 1.0, "q_b" -> 2.0, "q_z" -> 0.0)
+    val measured = Seq(
+      "q_a" -> 2.5,  // 2.5x -> outlier
+      "q_b" -> 3.9,  // 1.95x -> under the line
+      "q_new" -> 50.0, // no epoch entry -> skipped
+      "q_z" -> 1.0)  // zero epoch entry -> skipped (no meaningful ratio)
+    val out = BenchMetrics.outliers(measured, epoch)
+    assert(out === Seq(("q_a", 2.5, 1.0, 2.5)))
+    // boundary is strict: exactly 2x is not an outlier
+    assert(BenchMetrics.outliers(Seq("q_a" -> 2.0), epoch).isEmpty)
+    assert(BenchMetrics.outliers(measured, Map.empty).isEmpty)
+  }
+
+  test("listener attributes shuffle bytes to the query's job group") {
+    val m = new BenchMetrics.Listener
+    spark.sparkContext.addSparkListener(m)
+    try {
+      spark.sparkContext.setJobGroup("graft.bench:qx#1", "qx")
+      spark.range(0, 100000, 1, 4)
+        .selectExpr("id % 97 AS k", "id AS v")
+        .groupBy(col("k")).agg(sum(col("v"))).count()
+      spark.sparkContext.clearJobGroup()
+      // ungrouped work must NOT land on qx
+      spark.range(0, 1000).count()
+      // listener delivery is async — poll briefly instead of sleeping a
+      // fixed beat (the production path drains 500 ms once per suite)
+      val deadline = System.nanoTime() + 10e9.toLong
+      var c = m.forQuery("qx")
+      while (c.shuffleWrite == 0 && System.nanoTime() < deadline) {
+        Thread.sleep(50); c = m.forQuery("qx")
+      }
+      assert(c.tasks > 0)
+      assert(c.shuffleWrite > 0, "groupBy must have written shuffle bytes")
+      assert(c.shuffleRead > 0, "agg side must have read shuffle bytes")
+      assert(m.forQuery("no_such_query").tasks === 0)
+    } finally spark.sparkContext.removeSparkListener(m)
+  }
+}
