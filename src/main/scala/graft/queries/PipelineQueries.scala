@@ -2378,6 +2378,32 @@ object PipelineQueries {
       coarse, model, q, nprobe = 3, n = 10)
   }
 
+  /** IVF-PQ served from a PERSISTED index table — the write-once /
+    * query-many path `q_pq_ivf`'s train-per-query shape grows into at
+    * production scale. The index is built (or reused, when layout
+    * version + hyperparameters + corpus fingerprint all match) as a
+    * cell-partitioned parquet table of PQ codes plus a bounded model
+    * table; the probe then loads only the model, picks nprobe cells
+    * driver-side, and scans ONLY those `cell=` directories — partition
+    * pruning visible in the scan (AnnIndexSpec pins the scanned file
+    * list to the probed cells), with no training and no raw vectors in
+    * the serving plan. Hyperparameters match `q_pq_ivf` exactly, so
+    * the persisted probe must reproduce its ranking bit-for-bit
+    * (spec-pinned) and the same oracle replay gates both.
+    */
+  def qAnnPersisted(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.orderBy(col("vec_id").asc).limit(1)
+      .select(col("embedding").cast(ArrayType(DoubleType)))
+      .collect().head.getSeq[Double](0)
+    val params = graft.sim.AnnIndex.Params(dims = 64, coarseK = 8,
+      coarseIters = 3, m = 4, k = 4, pqIters = 2, nprobeDefault = 3)
+    val path = graft.sim.AnnIndex.defaultPath(d)
+    val (models, _) = graft.sim.AnnIndex.ensure(emb, "vec_id", "embedding",
+      pqTrainSample(emb), params, path)
+    graft.sim.AnnIndex.probe(s, path, models, q, nprobe = 3, n = 10)
+  }
+
   val qPqIvfSql: String =
     s"""${kmeansCtes(8, 3, Some(pqTrainWhereSql))},
        |$pqChains,
@@ -3872,6 +3898,9 @@ object PipelineQueries {
     ("q_pq_encode", qPqEncode _, Some(qPqEncodeSql)),
     ("q_pq_adc", qPqAdc _, Some(qPqAdcSql)),
     ("q_pq_ivf", qPqIvf _, Some(qPqIvfSql)),
+    // identical oracle to q_pq_ivf BY DESIGN: the persisted index must
+    // serve the exact ranking the in-query path computes
+    ("q_ann_persisted", qAnnPersisted _, Some(qPqIvfSql)),
     ("q_pq_residual", qPqResidual _, Some(qPqResidualSql)),
     ("q_sq8_encode", qSq8Encode _, Some(qSq8EncodeSql)),
     ("q_sq8_topk", qSq8TopK _, Some(qSq8TopKSql)),

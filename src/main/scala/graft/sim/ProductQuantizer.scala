@@ -251,7 +251,7 @@ object ProductQuantizer {
     * bounded codebook — distance formula and tie-break match the
     * engines' assignment kernel exactly.
     */
-  private def probeCells(coarse: KMeans.Model, query: Seq[Double],
+  private[sim] def probeCells(coarse: KMeans.Model, query: Seq[Double],
       nprobe: Int): Seq[Int] = {
     val qq = selfDot(query)
     coarse.centroids
