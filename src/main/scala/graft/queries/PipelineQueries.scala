@@ -238,6 +238,72 @@ object PipelineQueries {
        |FROM t""".stripMargin
   }
 
+  /** LEARNED quality classifier (graft.text.QualityClassifier):
+    * 10 rounds of quantized-integer batch gradient descent distilling
+    * the heuristic composite gate (quality ≥ 0.65) into a linear
+    * scorer — one feature projection + dot product replaces ~5
+    * tokenizer passes at apply time. The oracle replays EVERY
+    * training round in DuckDB: the same micro-unit features, the same
+    * exact long gradient sums, the same algebraic sigmoid (rational
+    * arithmetic only — no transcendental whose last ulp could flip a
+    * quantization round), the same HALF_UP weight updates — so the
+    * per-document scores hash-match only if the full 10-round
+    * trajectory is bit-identical.
+    */
+  def qClassifier(s: SparkSession, d: String): DataFrame =
+    graft.text.QualityClassifier.fitScore(
+      Tables.documents(s, d), col("text"),
+      (TextAnalysis.qualityScore(col("text")) >= 0.65).cast(IntegerType),
+      keep = Seq(col("doc_id")))
+
+  val qClassifierSql: String = {
+    import graft.text.{QualityClassifier => QC}
+    val nd = QC.NumFeatures
+    val stops = inList(TextAnalysis.defaultStopwords)
+    val stopR = s"round(CASE WHEN len(toks) > 0 THEN " +
+      s"len(list_filter(toks, x -> x IN $stops)) * 1.0 / len(toks) " +
+      "ELSE 0.0 END, 6)"
+    val punctR = "round(CASE WHEN length(text) > 0 THEN " +
+      "length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0" +
+      " / length(text) ELSE 0.0 END, 6)"
+    val digitR = "round(CASE WHEN length(text) > 0 THEN " +
+      "length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0" +
+      " / length(text) ELSE 0.0 END, 6)"
+    val mtl = "round(CASE WHEN len(toks) > 0 THEN " +
+      "length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / len(toks) " +
+      "ELSE 0.0 END, 6)"
+    val feats = Seq("1.0", stopR, "least(len(toks) / 100.0, 1.0)",
+      punctR, digitR, s"least($mtl / 10.0, 1.0)")
+    def sig(z: String) = s"(0.5 + $z / (2.0 * (1.0 + abs($z))))"
+    def zed(w: String) = (0 until nd).map(i => s"$w.w$i * f.f$i")
+      .mkString(" + ")
+    val sb = new StringBuilder
+    sb ++= s"WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),\n"
+    sb ++= "f AS (SELECT doc_id,\n  " + feats.zipWithIndex.map {
+      case (f, i) => s"cast(round(($f) * ${QC.Scale}) as bigint) AS f$i"
+    }.mkString(",\n  ")
+    sb ++= s",\n  CASE WHEN ${qualityExprSql("toks", "text")} >= 0.65 " +
+      "THEN 1 ELSE 0 END AS y\nFROM t),\n"
+    sb ++= "w0 AS (SELECT " + (0 until nd).map(i =>
+      s"cast(0 as bigint) AS w$i").mkString(", ") + "),\n"
+    for (r <- 1 to QC.Iters) {
+      sb ++= s"z$r AS (SELECT f.*, cast((${zed("w")}) as double)" +
+        s" / 1000000000000.0 AS z FROM f CROSS JOIN w${r - 1} w),\n"
+      sb ++= s"g$r AS (SELECT count(*) AS n,\n  " + (0 until nd).map(i =>
+        s"sum(cast(round((${sig("z")} - y) * f$i) as bigint)) AS g$i")
+        .mkString(",\n  ") + s"\nFROM z$r),\n"
+      sb ++= s"w$r AS (SELECT " + (0 until nd).map(i =>
+        s"w.w$i - cast(round(${QC.Lr} * g.g$i / g.n) as bigint) AS w$i")
+        .mkString(",\n  ") + s" FROM w${r - 1} w CROSS JOIN g$r g),\n"
+    }
+    sb ++= s"sc AS (SELECT f.doc_id, f.y, round(${sig("z")}, 6) AS score\n" +
+      s"FROM (SELECT f.*, cast((${zed("w")}) as double)" +
+      s" / 1000000000000.0 AS z FROM f CROSS JOIN w${QC.Iters} w) f)\n"
+    sb ++= "SELECT doc_id, y, score, " +
+      "CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS pred FROM sc"
+    sb.toString
+  }
+
   /** Language ID: marker-word votes + argmax (first-wins tiebreak). */
   def qLangId(s: SparkSession, d: String): DataFrame = {
     val scores = TextAnalysis.langMarkers.map { case (lang, ms) =>
@@ -3839,6 +3905,7 @@ object PipelineQueries {
     ("q_bigrams", qBigrams _, Some(qBigramsSql)),
     ("q_tokenize", qTokenize _, Some(qTokenizeSql)),
     ("q_text_quality", qTextQuality _, Some(qTextQualitySql)),
+    ("q_classifier", qClassifier _, Some(qClassifierSql)),
     ("q_lang_id", qLangId _, Some(qLangIdSql)),
     ("q_fingerprint", qFingerprint _, Some(qFingerprintSql)),
     ("q_pii_redact", qPiiRedact _, Some(qPiiRedactSql)),
