@@ -238,6 +238,63 @@ object PipelineQueries {
        |FROM t""".stripMargin
   }
 
+  /** CROSS-RUN incremental dedup (graft.dedup.IncrementalDedup): the
+    * accepted corpus's first-occurrence ownership persists as a
+    * fingerprint-BUCKETED table (shuffle paid once at write), and a
+    * new batch classifies against it with zero state-side exchange
+    * (IncrementalDedupSpec pins the executed plan). The batch is
+    * derived deterministically from the same corpus so all three
+    * classifications occur: a recrawl slice (identical text, new ids
+    * → dup_of_state), a fresh slice (modified text → kept), and a
+    * twice-submitted slice of the fresh content (→ dup_in_batch).
+    * The oracle replays the state build, the batch synthesis, and the
+    * classification joins.
+    */
+  def qIncrDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val h = TextAnalysis.hash60(col("doc_id").cast(StringType))
+    val recrawl = docs.filter(h % 4 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val fresh = docs.filter(h % 4 === 3)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" incremental v2")).as("text"))
+    val dupin = docs.filter(h % 8 === 7)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(col("text"), lit(" incremental v2")).as("text"))
+    val batch = recrawl.unionByName(fresh).unionByName(dupin)
+    val table = "graft_incr_state_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.dedup.IncrementalDedup.ensureState(docs, "doc_id", "text",
+      table, nBuckets = 8)
+    graft.dedup.IncrementalDedup.dedupAgainst(s, table, batch,
+      "doc_id", "text")
+  }
+
+  // lazy: references normSql, which is declared LATER in this object —
+  // a strict val here would capture null during object init
+  lazy val qIncrDedupSql: String = {
+    val h = graft.ops.Sampling.hash60Sql("cast(doc_id as varchar)")
+    s"""WITH batch AS (
+       |  SELECT doc_id + 1000000 AS doc_id, text
+       |  FROM documents WHERE $h % 4 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id, text || ' incremental v2'
+       |  FROM documents WHERE $h % 4 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 3000000 AS doc_id, text || ' incremental v2'
+       |  FROM documents WHERE $h % 8 = 7),
+       |st AS (
+       |  SELECT ${hash60Sql(normSql)} AS fp, min(doc_id) AS state_owner
+       |  FROM documents GROUP BY 1),
+       |b AS (SELECT doc_id, ${hash60Sql(normSql)} AS fp FROM batch),
+       |bo AS (SELECT fp, min(doc_id) AS batch_owner FROM b GROUP BY 1)
+       |SELECT b.doc_id, b.fp,
+       |  CASE WHEN st.state_owner IS NOT NULL THEN 'dup_of_state'
+       |       WHEN b.doc_id != bo.batch_owner THEN 'dup_in_batch'
+       |       ELSE 'kept' END AS status,
+       |  coalesce(st.state_owner, bo.batch_owner) AS owner_id
+       |FROM b JOIN bo USING (fp) LEFT JOIN st USING (fp)""".stripMargin
+  }
+
   /** LEARNED quality classifier (graft.text.QualityClassifier):
     * 10 rounds of quantized-integer batch gradient descent distilling
     * the heuristic composite gate (quality ≥ 0.65) into a linear
@@ -3943,6 +4000,7 @@ object PipelineQueries {
     ("q_curation_v3", qCurationV3 _, Some(qCurationV3Sql)),
     ("q_curation_v4", qCurationV4 _, Some(qCurationV4Sql)),
     ("q_dedup_exact", qDedupExact _, Some(qDedupExactSql)),
+    ("q_incr_dedup", qIncrDedup _, Some(qIncrDedupSql)),
     ("q_minhash_sig", qMinhashSig _, Some(qMinhashSigSql)),
     ("q_minhash_pairs", qMinhashPairs _, Some(qMinhashPairsSql)),
     ("q_dedup_apply", qDedupApply _, Some(qDedupApplySql)),

@@ -20,13 +20,26 @@ import org.apache.spark.sql.DataFrame
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed (optionally bucket-sorted) managed
-    * parquet table. Overwrites any existing table of that name.
+  /** Write `df` as a bucketed (optionally bucket-sorted) parquet
+    * table. Overwrites any existing table of that name. With `path`
+    * the table is EXTERNAL at that location — required when the
+    * session catalog is in-memory (a new JVM forgets managed tables
+    * but their warehouse directories survive, and a managed
+    * saveAsTable then fails with LOCATION_ALREADY_EXISTS; an external
+    * location is allowed to pre-exist). Note the catalog is still
+    * what carries the bucketing spec: Spark only plans bucketed scans
+    * for CATALOG tables, so cross-process reuse of a bucketed layout
+    * needs a persistent metastore — without one, each process
+    * re-registers (rewrites) the table, which this drop-first
+    * overwrite makes idempotent.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-      nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+      nBuckets: Int, sortCols: Seq[String] = Nil,
+      path: Option[String] = None): Unit = {
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
-    val w = df.write.mode("overwrite").format("parquet")
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    val base = df.write.mode("overwrite").format("parquet")
+    val w = path.fold(base)(p => base.option("path", p))
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)

@@ -1,0 +1,119 @@
+package graft.dedup
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "alpha beta gamma delta"),
+    (2L, "epsilon zeta eta theta"),
+    (3L, "Alpha  beta   GAMMA delta"), // normalizes equal to doc 1
+    (4L, "iota kappa lambda mu")).toDF("doc_id", "text")
+
+  test("classification: dup_of_state / dup_in_batch / kept, owners correct") {
+    val table = "incr_spec_state"
+    try {
+      IncrementalDedup.ensureState(corpus, "doc_id", "text", table, 4)
+      val batch = Seq(
+        (10L, "alpha beta gamma delta"),  // = state content, owner 1
+        (11L, "nu xi omicron pi"),        // new → kept
+        (12L, "nu  XI omicron pi"),       // dup of 11 within batch
+        (13L, "rho sigma tau")).toDF("doc_id", "text")
+      val out = IncrementalDedup.dedupAgainst(spark, table, batch,
+        "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+      assert(out(10L) === ("dup_of_state", 1L))
+      assert(out(11L) === ("kept", 11L))
+      assert(out(12L) === ("dup_in_batch", 11L))
+      assert(out(13L) === ("kept", 13L))
+      // the append law: kept rows' fingerprints extend the state
+      val keptIds = IncrementalDedup.kept(
+        IncrementalDedup.dedupAgainst(spark, table, batch, "doc_id", "text"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(keptIds === Set(11L, 13L))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("ensureState reuses on identical corpus, rebuilds on drift") {
+    val table = "incr_spec_reuse"
+    try {
+      assert(IncrementalDedup.ensureState(corpus, "doc_id", "text", table, 4))
+      assert(!IncrementalDedup.ensureState(corpus, "doc_id", "text", table, 4))
+      val drifted = corpus.filter($"doc_id" =!= 4L)
+      assert(IncrementalDedup.ensureState(drifted, "doc_id", "text", table, 4))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("probe-side plan: no exchange anywhere above the bucketed state scan") {
+    val table = "incr_spec_plan"
+    val docs = Tables.documents(spark, sf)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      IncrementalDedup.ensureState(docs, "doc_id", "text", table, 8)
+      // AQE off so the executed plan is inspectable; broadcast off so
+      // the state side would otherwise be exchanged for a shuffle join
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val batch = docs.filter($"doc_id" % 3 === 0)
+        .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+      val df = IncrementalDedup.dedupAgainst(spark, table, batch,
+        "doc_id", "text")
+      val plan = df.queryExecution.executedPlan
+      // the state scan must exist…
+      val stateScans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.toString.contains("graft_incr_state") ||
+              f.relation.location.rootPaths.exists(
+                _.toString.contains("incr_spec_plan")) => f
+      }
+      assert(stateScans.nonEmpty, plan.toString)
+      // …and no shuffle exchange may have it in its subtree: the
+      // state side streams pre-bucketed, only the batch side moves
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(exchanges.nonEmpty, "sanity: the batch side does shuffle")
+      exchanges.foreach { e =>
+        val below = e.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths.exists(
+                _.toString.contains("incr_spec_plan")) => f
+        }
+        assert(below.isEmpty,
+          s"state scan found under a shuffle exchange:\n$plan")
+      }
+      // values unaffected by the plan discipline
+      assert(df.count() === batch.count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
+  test("batch-vs-state composition equals one-shot dedup over the union") {
+    val table = "incr_spec_law"
+    try {
+      val batch = Seq(
+        (10L, "alpha beta gamma delta"),
+        (11L, "nu xi omicron pi"),
+        (12L, "nu  XI omicron pi")).toDF("doc_id", "text")
+      IncrementalDedup.ensureState(corpus, "doc_id", "text", table, 4)
+      val classified = IncrementalDedup.dedupAgainst(spark, table, batch,
+        "doc_id", "text")
+      // survivors of (state ∪ batch) via the incremental path…
+      val incrementalOwners = IncrementalDedup.stateOf(corpus, "doc_id", "text")
+        .select($"owner_id").as[Long].collect().toSet ++
+        IncrementalDedup.kept(classified).select($"doc_id").as[Long]
+          .collect().toSet
+      // …must equal the one-shot first-occurrence owners of the union
+      val oneShot = IncrementalDedup.stateOf(
+        corpus.unionByName(batch), "doc_id", "text")
+        .select($"owner_id").as[Long].collect().toSet
+      assert(incrementalOwners === oneShot)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+}
