@@ -238,6 +238,82 @@ object PipelineQueries {
        |FROM t""".stripMargin
   }
 
+  /** URL → eTLD+1 domain profile (graft.text.UrlOps): URLs are
+    * synthesized deterministically from (source, doc_id) so every
+    * suffix class occurs — plain .com, www-prefixed .co.uk,
+    * subdomained github.io private registry, .org.uk, cdn .net —
+    * then host extraction (parse_url) and the PSL longest-match
+    * eTLD+1 fold the host zoo onto registrable domains, and the
+    * profile aggregates per domain: doc count, distinct hosts, token
+    * mass, mean quality, corpus share. This is the keying stage
+    * before any per-site policy (domain mixing weights, per-site
+    * dedup caps, containment limits) — [[graft.ops.Sampling]]'s
+    * domain mix consumes exactly this (domain, share) shape. The
+    * share window runs over the AGGREGATED per-domain frame (bounded
+    * by the domain count — model-state-sized), never the corpus.
+    */
+  def qUrlProfile(s: SparkSession, d: String): DataFrame = {
+    import graft.text.{UrlOps => U}
+    val docs = Tables.documents(s, d)
+    val h = TextAnalysis.hash60(col("doc_id").cast(StringType)) % 5
+    val hostExpr = when(h === 0, concat(col("source"), lit(".com")))
+      .when(h === 1, concat(lit("www."), col("source"), lit(".co.uk")))
+      .when(h === 2, concat(lit("blog"), pmod(col("doc_id"), lit(7)),
+        lit("."), col("source"), lit(".github.io")))
+      .when(h === 3, concat(col("source"), lit(".org.uk")))
+      .otherwise(concat(lit("cdn."), col("source"), lit(".net")))
+    val withUrl = docs.withColumn("url",
+      concat(lit("https://"), hostExpr, lit("/doc/"), col("doc_id")))
+    val staged = withUrl.select(
+      col("doc_id"),
+      U.host(col("url")).as("hst"),
+      TextAnalysis.tokenCount(col("text")).as("n_toks"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+      .withColumn("domain", U.etld1(col("hst")))
+    val prof = staged.groupBy(col("domain")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("hst")).as("n_hosts"),
+      sum(col("n_toks")).as("n_tokens"),
+      round(sum(col("q").cast(DecimalType(18, 6))).cast(DoubleType) /
+        count(lit(1)), 6).as("mean_quality"))
+    prof.withColumn("share",
+      round(col("n_docs").cast(DoubleType) /
+        sum(col("n_docs")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+  }
+
+  lazy val qUrlProfileSql: String = {
+    import graft.text.{UrlOps => U}
+    val h = s"${graft.ops.Sampling.hash60Sql("cast(doc_id as varchar)")} % 5"
+    s"""WITH u AS (SELECT doc_id, text,
+       |  CASE WHEN $h = 0 THEN source || '.com'
+       |       WHEN $h = 1 THEN 'www.' || source || '.co.uk'
+       |       WHEN $h = 2 THEN 'blog' || (doc_id % 7) || '.' || source || '.github.io'
+       |       WHEN $h = 3 THEN source || '.org.uk'
+       |       ELSE 'cdn.' || source || '.net' END AS hb
+       |FROM documents),
+       |w AS (SELECT doc_id, text,
+       |  'https://' || hb || '/doc/' || doc_id AS url FROM u),
+       |st AS (SELECT doc_id,
+       |  ${U.hostSql("url")} AS hst,
+       |  len($toksSql) AS n_toks,
+       |  ${qualityExprSql(toksSql, "text")} AS q
+       |FROM w),
+       |dom AS (SELECT doc_id, hst, n_toks, q,
+       |  string_split(hst, '.') AS ls FROM st),
+       |p AS (SELECT
+       |  ${U.etld1Sql("ls")} AS domain,
+       |  count(*) AS n_docs,
+       |  count(distinct hst) AS n_hosts,
+       |  cast(sum(n_toks) as bigint) AS n_tokens,
+       |  round(cast(sum(cast(q as decimal(18,6))) as double) / count(*), 6)
+       |    AS mean_quality
+       |FROM dom GROUP BY 1)
+       |SELECT domain, n_docs, n_hosts, n_tokens, mean_quality,
+       |  round(cast(n_docs as double) / sum(n_docs) OVER (), 6) AS share
+       |FROM p""".stripMargin
+  }
+
   /** CROSS-RUN incremental dedup (graft.dedup.IncrementalDedup): the
     * accepted corpus's first-occurrence ownership persists as a
     * fingerprint-BUCKETED table (shuffle paid once at write), and a
@@ -3963,6 +4039,7 @@ object PipelineQueries {
     ("q_tokenize", qTokenize _, Some(qTokenizeSql)),
     ("q_text_quality", qTextQuality _, Some(qTextQualitySql)),
     ("q_classifier", qClassifier _, Some(qClassifierSql)),
+    ("q_url_profile", qUrlProfile _, Some(qUrlProfileSql)),
     ("q_lang_id", qLangId _, Some(qLangIdSql)),
     ("q_fingerprint", qFingerprint _, Some(qFingerprintSql)),
     ("q_pii_redact", qPiiRedact _, Some(qPiiRedactSql)),
