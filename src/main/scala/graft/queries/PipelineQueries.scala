@@ -252,18 +252,34 @@ object PipelineQueries {
     * share window runs over the AGGREGATED per-domain frame (bounded
     * by the domain count — model-state-sized), never the corpus.
     */
-  def qUrlProfile(s: SparkSession, d: String): DataFrame = {
-    import graft.text.{UrlOps => U}
-    val docs = Tables.documents(s, d)
+  /** The deterministic URL-synthesis expression shared by
+    * `q_url_profile` and `q_curation_v6`: every suffix class occurs.
+    */
+  private def urlHostExpr: org.apache.spark.sql.Column = {
     val h = TextAnalysis.hash60(col("doc_id").cast(StringType)) % 5
-    val hostExpr = when(h === 0, concat(col("source"), lit(".com")))
+    when(h === 0, concat(col("source"), lit(".com")))
       .when(h === 1, concat(lit("www."), col("source"), lit(".co.uk")))
       .when(h === 2, concat(lit("blog"), pmod(col("doc_id"), lit(7)),
         lit("."), col("source"), lit(".github.io")))
       .when(h === 3, concat(col("source"), lit(".org.uk")))
       .otherwise(concat(lit("cdn."), col("source"), lit(".net")))
+  }
+
+  /** DuckDB twin of [[urlHostExpr]] (a CASE over the same hash). */
+  private lazy val urlHostCaseSql: String = {
+    val h = s"${graft.ops.Sampling.hash60Sql("cast(doc_id as varchar)")} % 5"
+    s"""CASE WHEN $h = 0 THEN source || '.com'
+       |       WHEN $h = 1 THEN 'www.' || source || '.co.uk'
+       |       WHEN $h = 2 THEN 'blog' || (doc_id % 7) || '.' || source || '.github.io'
+       |       WHEN $h = 3 THEN source || '.org.uk'
+       |       ELSE 'cdn.' || source || '.net' END""".stripMargin
+  }
+
+  def qUrlProfile(s: SparkSession, d: String): DataFrame = {
+    import graft.text.{UrlOps => U}
+    val docs = Tables.documents(s, d)
     val withUrl = docs.withColumn("url",
-      concat(lit("https://"), hostExpr, lit("/doc/"), col("doc_id")))
+      concat(lit("https://"), urlHostExpr, lit("/doc/"), col("doc_id")))
     val staged = withUrl.select(
       col("doc_id"),
       U.host(col("url")).as("hst"),
