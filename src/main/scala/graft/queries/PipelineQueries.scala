@@ -238,20 +238,6 @@ object PipelineQueries {
        |FROM t""".stripMargin
   }
 
-  /** URL → eTLD+1 domain profile (graft.text.UrlOps): URLs are
-    * synthesized deterministically from (source, doc_id) so every
-    * suffix class occurs — plain .com, www-prefixed .co.uk,
-    * subdomained github.io private registry, .org.uk, cdn .net —
-    * then host extraction (parse_url) and the PSL longest-match
-    * eTLD+1 fold the host zoo onto registrable domains, and the
-    * profile aggregates per domain: doc count, distinct hosts, token
-    * mass, mean quality, corpus share. This is the keying stage
-    * before any per-site policy (domain mixing weights, per-site
-    * dedup caps, containment limits) — [[graft.ops.Sampling]]'s
-    * domain mix consumes exactly this (domain, share) shape. The
-    * share window runs over the AGGREGATED per-domain frame (bounded
-    * by the domain count — model-state-sized), never the corpus.
-    */
   /** The deterministic URL-synthesis expression shared by
     * `q_url_profile` and `q_curation_v6`: every suffix class occurs.
     */
@@ -275,6 +261,20 @@ object PipelineQueries {
        |       ELSE 'cdn.' || source || '.net' END""".stripMargin
   }
 
+  /** URL → eTLD+1 domain profile (graft.text.UrlOps): URLs are
+    * synthesized deterministically from (source, doc_id) so every
+    * suffix class occurs — plain .com, www-prefixed .co.uk,
+    * subdomained github.io private registry, .org.uk, cdn .net —
+    * then host extraction (parse_url) and the PSL longest-match
+    * eTLD+1 fold the host zoo onto registrable domains, and the
+    * profile aggregates per domain: doc count, distinct hosts, token
+    * mass, mean quality, corpus share. This is the keying stage
+    * before any per-site policy (domain mixing weights, per-site
+    * dedup caps, containment limits) — [[graft.ops.Sampling]]'s
+    * domain mix consumes exactly this (domain, share) shape. The
+    * share window runs over the AGGREGATED per-domain frame (bounded
+    * by the domain count — model-state-sized), never the corpus.
+    */
   def qUrlProfile(s: SparkSession, d: String): DataFrame = {
     import graft.text.{UrlOps => U}
     val docs = Tables.documents(s, d)
@@ -328,6 +328,106 @@ object PipelineQueries {
        |SELECT domain, n_docs, n_hosts, n_tokens, mean_quality,
        |  round(cast(n_docs as double) / sum(n_docs) OVER (), 6) AS share
        |FROM p""".stripMargin
+  }
+
+  /** Per-registrable-domain keep cap for [[qCurationV6]]. Fixed and
+    * absolute (the Common-Crawl-style anti-domination rule), small
+    * enough to bind at every SF (~5 docs/domain at sf0.001, ~500 at
+    * sf1).
+    */
+  private val DomainCap = 4
+
+  /** Curation capstone v6 — the round-10 web-corpus operators
+    * composed into the gate a crawl-scale curation stack actually
+    * runs: synthesize the URL zoo ([[urlHostExpr]]), key every doc by
+    * its eTLD+1 registrable domain (graft.text.UrlOps), score it with
+    * the IN-ENGINE-TRAINED quality classifier
+    * (graft.text.QualityClassifier — same corpus and label as
+    * `q_classifier`, so the oracle reuses that query's full 10-round
+    * trajectory replay verbatim), keep classifier-passed docs, and
+    * cap each domain at [[DomainCap]] survivors ranked by
+    * (score desc, doc_id) — the anti-single-site-domination rule.
+    * Emits per-domain: docs in, classifier-passed, kept-after-cap,
+    * kept token mass, quantized mean kept score.
+    *
+    * Scale shape: training is d+1 bounded scalar collects per round
+    * (driver-held model); scoring and domain keying are one narrow
+    * projection each; the rank-filter compiles to Spark 4's
+    * WindowGroupLimit (map-side per-domain top-k BEFORE the
+    * shuffle, pinned by PlanShapeSpec), so no domain ships more than
+    * cap+ties rows per mapper; the final frames are domain-sized.
+    */
+  def qCurationV6(s: SparkSession, d: String): DataFrame = {
+    import graft.text.{UrlOps => U}
+    val docs = Tables.documents(s, d)
+    val withUrl = docs.withColumn("url",
+      concat(lit("https://"), urlHostExpr, lit("/doc/"), col("doc_id")))
+    val scored = graft.text.QualityClassifier.fitScore(
+      withUrl, col("text"),
+      (TextAnalysis.qualityScore(col("text")) >= 0.65).cast(IntegerType),
+      keep = Seq(col("doc_id"),
+        U.etld1(U.host(col("url"))).as("domain"),
+        TextAnalysis.tokenCount(col("text")).as("n_toks")))
+    val perDomain = scored.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === 1, 1L).otherwise(0L)).as("n_passed"))
+    val capped = scored.filter(col("pred") === 1)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("domain"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk") <= DomainCap)
+    val kept = capped.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_toks")).as("toks_kept"),
+        // score is a 6-dp-rounded double; sum its exact 1e6 integer
+        // image (round BEFORE the long cast — Spark's cast truncates
+        // where DuckDB's rounds) so the mean is order-independent
+        round(sum(round(col("score") * 1e6).cast(LongType))
+          .cast(DoubleType) / count(lit(1)) / 1e6, 6).as("mean_score"))
+    perDomain.join(kept, Seq("domain"), "left")
+      .select(col("domain"), col("n_docs"), col("n_passed"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("toks_kept"), lit(0L)).as("toks_kept"),
+        // 0.0, not NULL, when a domain keeps nothing: NULL doubles
+        // round-trip differently through parquet/pandas vs DuckDB
+        coalesce(col("mean_score"), lit(0.0)).as("mean_score"))
+  }
+
+  // lazy: composes qClassifierSql (declared later in this object)
+  lazy val qCurationV6Sql: String = {
+    import graft.text.{UrlOps => U}
+    s"""WITH clf AS (
+       |$qClassifierSql),
+       |u AS (SELECT doc_id, text, $urlHostCaseSql AS hb FROM documents),
+       |w AS (SELECT doc_id, text,
+       |  'https://' || hb || '/doc/' || doc_id AS url FROM u),
+       |st AS (SELECT doc_id, ${U.hostSql("url")} AS hst,
+       |  len($toksSql) AS n_toks FROM w),
+       |dm AS (SELECT doc_id, n_toks, string_split(hst, '.') AS ls
+       |       FROM st),
+       |dd AS (SELECT doc_id, n_toks, ${U.etld1Sql("ls")} AS domain
+       |       FROM dm),
+       |j AS (SELECT dd.domain, dd.doc_id, dd.n_toks, c.score, c.pred
+       |      FROM dd JOIN clf c USING (doc_id)),
+       |allp AS (SELECT domain, count(*) AS n_docs,
+       |    cast(sum(CASE WHEN pred = 1 THEN 1 ELSE 0 END) as bigint)
+       |      AS n_passed
+       |  FROM j GROUP BY 1),
+       |rk AS (SELECT domain, doc_id, n_toks, score,
+       |    row_number() OVER (PARTITION BY domain
+       |      ORDER BY score DESC, doc_id) AS rk
+       |  FROM j WHERE pred = 1),
+       |kp AS (SELECT domain, count(*) AS n_kept,
+       |    cast(sum(n_toks) as bigint) AS toks_kept,
+       |    round(cast(sum(cast(round(score * 1000000) as bigint)) as double)
+       |      / count(*) / 1000000, 6) AS mean_score
+       |  FROM rk WHERE rk <= $DomainCap GROUP BY 1)
+       |SELECT a.domain, a.n_docs, a.n_passed,
+       |  coalesce(k.n_kept, 0) AS n_kept,
+       |  coalesce(k.toks_kept, 0) AS toks_kept,
+       |  coalesce(k.mean_score, 0.0) AS mean_score
+       |FROM allp a LEFT JOIN kp k USING (domain)""".stripMargin
   }
 
   /** CROSS-RUN incremental dedup (graft.dedup.IncrementalDedup): the
@@ -4039,6 +4139,7 @@ object PipelineQueries {
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_curation_v5", qCurationV5 _, Some(qCurationV5Sql)),
+    ("q_curation_v6", qCurationV6 _, Some(qCurationV6Sql)),
     ("q_ewma", qEwma _, Some(qEwmaSql)),
     ("q_ann_recall", qAnnRecall _, Some(qAnnRecallSql)),
     ("q_phrase_glue", qPhraseGlue _, Some(qPhraseGlueSql)),

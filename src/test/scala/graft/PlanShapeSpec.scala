@@ -107,6 +107,19 @@ class PlanShapeSpec extends SparkSpec {
         "per-source window")
   }
 
+  test("curation v6 domain cap compiles to a map-side WindowGroupLimit") {
+    val df = PipelineQueries.qCurationV6(spark, sf)
+    df.collect()
+    val s = planString(df)
+    // rk <= cap over row_number must push a per-domain top-k BELOW the
+    // window's shuffle (Spark 4 WindowGroupLimit, Partial mode on the
+    // map side) — without it every domain ships its full doc list
+    assert(s.contains("WindowGroupLimit"),
+      s"the rank filter must compile to WindowGroupLimit:\n$s")
+    assert(s.contains("Partial"),
+      "the group limit must run map-side (Partial) before the shuffle")
+  }
+
   test("multi-probe LSH explodes probes on the broadcast query side only") {
     val s = formatted(PipelineQueries.qAnnMultiprobe(spark, sf))
     assert(s.contains("BroadcastHashJoin"),
