@@ -430,6 +430,57 @@ object PipelineQueries {
        |FROM allp a LEFT JOIN kp k USING (domain)""".stripMargin
   }
 
+  /** Gram width for [[qDecontam]] — 5 whitespace tokens (the
+    * published pipelines use 13; the synthetic docs are short).
+    */
+  private val DecontamN = 5
+
+  /** Benchmark decontamination (graft.text.Decontaminate): the
+    * "benchmark" is synthesized deterministically from the corpus
+    * itself — an 8-token middle slice (tokens 4..11) of every
+    * doc with hash60(doc_id) % 16 = 5 plays the eval prompt — so the
+    * sliced-from docs are PLANTED contamination (they contain their
+    * own slice verbatim) and everything else is flagged only if it
+    * genuinely shares a 5-gram. Output per corpus doc: distinct gram
+    * count, benchmark-hit count, contaminated flag.
+    */
+  def qDecontam(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bench = docs
+      .filter(TextAnalysis.hash60(col("doc_id").cast(StringType))
+        % 16 === 5)
+      .select(concat_ws(" ",
+        slice(TextAnalysis.tokens(col("text")), 4, 8)).as("bench_text"))
+    graft.text.Decontaminate.audit(docs, "doc_id", "text",
+      bench, "bench_text", DecontamN)
+  }
+
+  lazy val qDecontamSql: String = {
+    val n = DecontamN
+    def gram(ts: String) = hash60Sql(
+      (0 until n).map(o => s"$ts[i+$o]").mkString(" || ' ' || "))
+    val h16 = s"${hash60Sql("cast(doc_id as varchar)")} % 16"
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, list_distinct(
+       |        list_transform(range(1, greatest(len(toks) - ${n - 1}, 0) + 1),
+       |          i -> ${gram("toks")})) AS hs
+       |      FROM t),
+       |bt AS (SELECT list_slice(toks, 4, 11) AS bt
+       |       FROM t WHERE $h16 = 5),
+       |bg AS (SELECT DISTINCT unnest(
+       |        list_transform(range(1, greatest(len(bt) - ${n - 1}, 0) + 1),
+       |          i -> ${gram("bt")})) AS h
+       |       FROM bt),
+       |u AS (SELECT doc_id, unnest(hs) AS h FROM g),
+       |hits AS (SELECT u.doc_id, count(*) AS n_hit
+       |         FROM u JOIN bg USING (h) GROUP BY 1)
+       |SELECT g.doc_id, cast(len(g.hs) as bigint) AS n_grams,
+       |  cast(coalesce(h.n_hit, 0) as bigint) AS n_hit,
+       |  CASE WHEN coalesce(h.n_hit, 0) >= 1 THEN 1 ELSE 0 END
+       |    AS contaminated
+       |FROM g LEFT JOIN hits h USING (doc_id)""".stripMargin
+  }
+
   /** CROSS-RUN incremental dedup (graft.dedup.IncrementalDedup): the
     * accepted corpus's first-occurrence ownership persists as a
     * fingerprint-BUCKETED table (shuffle paid once at write), and a
@@ -4140,6 +4191,7 @@ object PipelineQueries {
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_curation_v5", qCurationV5 _, Some(qCurationV5Sql)),
     ("q_curation_v6", qCurationV6 _, Some(qCurationV6Sql)),
+    ("q_decontam", qDecontam _, Some(qDecontamSql)),
     ("q_ewma", qEwma _, Some(qEwmaSql)),
     ("q_ann_recall", qAnnRecall _, Some(qAnnRecallSql)),
     ("q_phrase_glue", qPhraseGlue _, Some(qPhraseGlueSql)),
