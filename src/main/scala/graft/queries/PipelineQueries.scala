@@ -481,6 +481,51 @@ object PipelineQueries {
        |FROM g LEFT JOIN hits h USING (doc_id)""".stripMargin
   }
 
+  /** Training-sequence length for [[qPackGlobal]] (tokens). ~2.3
+    * docs per sequence at the synthetic doc lengths, so both
+    * multi-doc sequences and boundary-crossing docs occur at every SF.
+    */
+  private val SeqLen = 128
+
+  /** GLOBAL-order sequence packing (graft.ops.SeqPack) — the
+    * complement of [[qSeqPack]]'s shard-local packing: the corpus
+    * token stream, deterministically shuffled by hash60(doc_id) — the
+    * seeded pre-training shuffle — is conceptually concatenated into
+    * ONE stream and cut into [[SeqLen]]-token training sequences;
+    * each doc reports its exclusive stream offset and first/last
+    * sequence ids. The oracle replays the prefix sum as the textbook
+    * global ORDER BY window — the one-reducer formulation the ENGINE
+    * must never run (the range-shard + bounded-offsets plan is pinned
+    * SinglePartition-free in PlanShapeSpec).
+    */
+  def qPackGlobal(s: SparkSession, d: String): DataFrame =
+    graft.ops.SeqPack.pack(Tables.documents(s, d), "doc_id",
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.hash60(col("doc_id").cast(StringType)),
+      seqLen = SeqLen)
+
+  lazy val qPackGlobalSql: String = {
+    val l = SeqLen
+    s"""WITH t AS (SELECT doc_id, len($toksSql) AS n_toks,
+       |    ${hash60Sql("cast(doc_id as varchar)")} AS k FROM documents),
+       |p AS (SELECT doc_id, n_toks,
+       |    cast(coalesce(sum(n_toks) OVER (ORDER BY k, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      as bigint) AS prefix
+       |  FROM t)
+       |SELECT doc_id, cast(n_toks as bigint) AS n_toks, prefix,
+       |  prefix // $l AS seq_first,
+       |  CASE WHEN n_toks > 0 THEN (prefix + n_toks - 1) // $l
+       |       ELSE prefix // $l END AS seq_last,
+       |  CASE WHEN n_toks > 0
+       |       THEN (prefix + n_toks - 1) // $l - prefix // $l + 1
+       |       ELSE 0 END AS n_seqs,
+       |  CASE WHEN n_toks > 0
+       |        AND (prefix + n_toks - 1) // $l > prefix // $l
+       |       THEN 1 ELSE 0 END AS crosses
+       |FROM p""".stripMargin
+  }
+
   /** CROSS-RUN incremental dedup (graft.dedup.IncrementalDedup): the
     * accepted corpus's first-occurrence ownership persists as a
     * fingerprint-BUCKETED table (shuffle paid once at write), and a
@@ -4192,6 +4237,7 @@ object PipelineQueries {
     ("q_curation_v5", qCurationV5 _, Some(qCurationV5Sql)),
     ("q_curation_v6", qCurationV6 _, Some(qCurationV6Sql)),
     ("q_decontam", qDecontam _, Some(qDecontamSql)),
+    ("q_pack_global", qPackGlobal _, Some(qPackGlobalSql)),
     ("q_ewma", qEwma _, Some(qEwmaSql)),
     ("q_ann_recall", qAnnRecall _, Some(qAnnRecallSql)),
     ("q_phrase_glue", qPhraseGlue _, Some(qPhraseGlueSql)),

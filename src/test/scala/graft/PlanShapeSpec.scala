@@ -120,6 +120,13 @@ class PlanShapeSpec extends SparkSpec {
       "the group limit must run map-side (Partial) before the shuffle")
   }
 
+  test("global packing prefix sum never runs a one-reducer window") {
+    val s = formatted(PipelineQueries.qPackGlobal(spark, sf))
+    assert(!s.contains("SinglePartition"),
+      "prefixSumByOrder must stay range-sharded — a SinglePartition " +
+        "exchange means the global ORDER BY window formulation regressed")
+  }
+
   test("multi-probe LSH explodes probes on the broadcast query side only") {
     val s = formatted(PipelineQueries.qAnnMultiprobe(spark, sf))
     assert(s.contains("BroadcastHashJoin"),
