@@ -47,7 +47,19 @@ object IncrementalDedup {
     * matches; returns true when a (re)build happened.
     */
   def ensureState(docs: DataFrame, idCol: String, textCol: String,
-      table: String, nBuckets: Int): Boolean = {
+      table: String, nBuckets: Int): Boolean =
+    ensureBucketedState(docs, idCol, table, nBuckets,
+      bucketCols = Seq("fp"), sortCols = Seq("fp"))(
+      stateOf(docs, idCol, textCol))
+
+  /** Shared staleness-guarded bucketed-table writer for every
+    * incremental state flavor: reuse iff the stored corpus
+    * fingerprint matches, else rebuild from `build`. Returns true
+    * when a (re)build happened.
+    */
+  private def ensureBucketedState(docs: DataFrame, idCol: String,
+      table: String, nBuckets: Int, bucketCols: Seq[String],
+      sortCols: Seq[String])(build: => DataFrame): Boolean = {
     val spark = docs.sparkSession
     val (n, h) = fingerprint(docs, idCol)
     val fresh =
@@ -69,8 +81,8 @@ object IncrementalDedup {
       val loc = s"${System.getProperty("java.io.tmpdir")}/graft_incr_state/" +
         table.replaceAll("[^A-Za-z0-9_]", "_")
       graft.sources.Bucketing.writeBucketed(
-        stateOf(docs, idCol, textCol), table,
-        bucketCols = Seq("fp"), nBuckets = nBuckets, sortCols = Seq("fp"),
+        build, table,
+        bucketCols = bucketCols, nBuckets = nBuckets, sortCols = sortCols,
         path = Some(loc))
       spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES(" +
         s"'graft.fp_n'='$n','graft.fp_h'='$h')")
@@ -116,4 +128,79 @@ object IncrementalDedup {
     */
   def kept(classified: DataFrame): DataFrame =
     classified.filter(col("status") === "kept")
+
+  // ——— NEAR-dup state: the MinHash-LSH band-bucket index persisted ———
+
+  /** LSH band-bucket index of the accepted corpus — the NEAR-dup
+    * analogue of [[stateOf]]: one row per (band bucket, doc) carrying
+    * the doc's full signature for the verify step. `Dedup.bands`
+    * rows per doc (the standard LSH index amplification), persisted
+    * BUCKETED by the band key so batch probes meet it exchange-free.
+    */
+  def nearStateOf(docs: DataFrame, idCol: String,
+      textCol: String, w: Int = 3): DataFrame =
+    graft.ops.Parallelism.widen(docs)
+      .select(col(idCol).as("owner_id"),
+        Dedup.shingleHashes(col(textCol), w).as("grams"))
+      .select(col("owner_id"), Dedup.minhashSignature(col("grams")).as("sig"))
+      .select(col("owner_id"), col("sig"),
+        explode(Dedup.bandKeys(col("sig"))).as("bucket"))
+
+  /** Persist (or reuse) the banded near-dup state — same staleness
+    * discipline as [[ensureState]].
+    */
+  def ensureNearState(docs: DataFrame, idCol: String, textCol: String,
+      table: String, nBuckets: Int, w: Int = 3): Boolean =
+    ensureBucketedState(docs, idCol, table, nBuckets,
+      bucketCols = Seq("bucket"), sortCols = Seq("bucket"))(
+      nearStateOf(docs, idCol, textCol, w))
+
+  /** Classify every batch row against the persisted band index:
+    * `near_dup_of_state` when some accepted doc shares a band bucket
+    * AND agrees on ≥ `minAgreement` of the signature (best match
+    * reported: highest agreement, ties to the lowest owner id), else
+    * `kept`. Output: (idCol, status, owner_id, best_agreement) with
+    * owner_id = −1 and agreement 0.0 for kept rows — every batch row
+    * present exactly once.
+    *
+    * Plan shape: the batch side computes signatures narrowly and
+    * explodes `Dedup.bands` skinny probe rows; the join streams the
+    * bucketed state with zero state-side exchange (the same
+    * spec-pinned property as [[dedupAgainst]]); the best-match
+    * reduction is batch-keyed.
+    */
+  def nearDedupAgainst(spark: SparkSession, table: String,
+      batch: DataFrame, idCol: String, textCol: String, w: Int = 3,
+      minAgreement: Double = 0.75): DataFrame = {
+    val nSig = Dedup.minhashCoeffs.size
+    val state = spark.table(table)
+      .select(col("bucket"), col("owner_id"), col("sig").as("__ssig"))
+    val probe = graft.ops.Parallelism.widen(batch)
+      .select(col(idCol).as("id"),
+        Dedup.shingleHashes(col(textCol), w).as("grams"))
+      .select(col("id"), Dedup.minhashSignature(col("grams")).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(Dedup.bandKeys(col("sig"))).as("bucket"))
+    val agree = round(
+      size(filter(zip_with(col("sig"), col("__ssig"),
+        (x, y) => x === y), b => b)).cast("double") / nSig, 6)
+    val best = probe.join(state, Seq("bucket"))
+      .select(col("id"), col("owner_id"), agree.as("agree"))
+      .filter(col("agree") >= minAgreement)
+      // one pass best-match: struct max = (max agreement, then max of
+      // the NEGATED owner = min owner id) — deterministic under the
+      // multi-bucket duplicate candidate rows LSH produces
+      .groupBy(col("id"))
+      .agg(max(struct(col("agree").as("agree"),
+        (-col("owner_id")).as("neg"))).as("m"))
+      .select(col("id"), col("m.agree").as("best_agreement"),
+        (-col("m.neg")).as("owner_id"))
+    batch.select(col(idCol).as("id"))
+      .join(best, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("owner_id").isNotNull, lit("near_dup_of_state"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("owner_id"), lit(-1L)).as("owner_id"),
+        coalesce(col("best_agreement"), lit(0.0)).as("best_agreement"))
+  }
 }

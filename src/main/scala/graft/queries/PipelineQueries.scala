@@ -583,6 +583,79 @@ object PipelineQueries {
        |FROM b JOIN bo USING (fp) LEFT JOIN st USING (fp)""".stripMargin
   }
 
+  /** CROSS-RUN incremental NEAR-dup (IncrementalDedup.nearStateOf /
+    * nearDedupAgainst): the exact-fingerprint state of
+    * [[qIncrDedup]] generalized to the fuzzy case — the accepted
+    * corpus's MinHash-LSH band index persists BUCKETED by band key,
+    * and a new batch classifies against it with zero state-side
+    * exchange. The batch plants both classes: a near-recrawl slice
+    * (text + a short suffix → shares buckets at high signature
+    * agreement) and a fresh slice (synthetic id-derived tokens → no
+    * shingle in common, no bucket hit). Borderline short docs in the
+    * near slice legitimately fall under the 0.75 agreement gate —
+    * both engines replay the identical arithmetic, so the
+    * classification matches row for row.
+    */
+  def qIncrNear(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val h = TextAnalysis.hash60(col("doc_id").cast(StringType))
+    val near = docs.filter(h % 4 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" trailing marker tokens appended"))
+          .as("text"))
+    val fresh = docs.filter(h % 8 === 6)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ",
+          concat(lit("zq"), col("doc_id")), concat(lit("xv"), col("doc_id")),
+          concat(lit("wm"), col("doc_id")), concat(lit("nk"), col("doc_id")),
+          concat(lit("jp"), col("doc_id"))).as("text"))
+    val batch = near.unionByName(fresh)
+    val table = "graft_incr_near_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.dedup.IncrementalDedup.ensureNearState(docs, "doc_id", "text",
+      table, nBuckets = 8)
+    graft.dedup.IncrementalDedup.nearDedupAgainst(s, table, batch,
+      "doc_id", "text")
+  }
+
+  // lazy: references normSql-adjacent helpers declared later
+  lazy val qIncrNearSql: String = {
+    val h = hash60Sql("cast(doc_id as varchar)")
+    val n = Dedup.minhashCoeffs.size
+    val freshText = "'zq'||doc_id||' xv'||doc_id||' wm'||doc_id||" +
+      "' nk'||doc_id||' jp'||doc_id"
+    s"""WITH batch AS (
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    text || ' trailing marker tokens appended' AS text
+       |  FROM documents WHERE $h % 4 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id, $freshText AS text
+       |  FROM documents WHERE $h % 8 = 6),
+       |st AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |ssh AS (SELECT doc_id, ${shinglesSql("toks")} AS grams FROM st),
+       |ssig AS (SELECT doc_id AS owner_id, ${minhashSql("grams")} AS sig
+       |         FROM ssh),
+       |sbuck AS (${bandSelectsSql("ssig", "owner_id")}),
+       |bt AS (SELECT doc_id, $toksSql AS toks FROM batch),
+       |bsh AS (SELECT doc_id, ${shinglesSql("toks")} AS grams FROM bt),
+       |bsig AS (SELECT doc_id, ${minhashSql("grams")} AS sig FROM bsh),
+       |bbuck AS (${bandSelectsSql("bsig", "doc_id")}),
+       |cand AS (SELECT b.doc_id, s.owner_id,
+       |    round(len(list_filter(range(1, $n + 1),
+       |      i -> b.sig[i] = s.sig[i])) * 1.0 / $n, 6) AS agree
+       |  FROM bbuck b JOIN sbuck s ON b.bucket = s.bucket),
+       |q AS (SELECT doc_id, owner_id, agree,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY agree DESC, owner_id ASC) AS rn
+       |  FROM cand WHERE agree >= 0.75),
+       |b1 AS (SELECT doc_id, owner_id, agree FROM q WHERE rn = 1)
+       |SELECT b.doc_id,
+       |  CASE WHEN b1.owner_id IS NOT NULL THEN 'near_dup_of_state'
+       |       ELSE 'kept' END AS status,
+       |  coalesce(b1.owner_id, -1) AS owner_id,
+       |  coalesce(b1.agree, 0.0) AS best_agreement
+       |FROM batch b LEFT JOIN b1 USING (doc_id)""".stripMargin
+  }
+
   /** LEARNED quality classifier (graft.text.QualityClassifier):
     * 10 rounds of quantized-integer batch gradient descent distilling
     * the heuristic composite gate (quality ≥ 0.65) into a linear
@@ -4293,6 +4366,7 @@ object PipelineQueries {
     ("q_curation_v4", qCurationV4 _, Some(qCurationV4Sql)),
     ("q_dedup_exact", qDedupExact _, Some(qDedupExactSql)),
     ("q_incr_dedup", qIncrDedup _, Some(qIncrDedupSql)),
+    ("q_incr_near", qIncrNear _, Some(qIncrNearSql)),
     ("q_minhash_sig", qMinhashSig _, Some(qMinhashSigSql)),
     ("q_minhash_pairs", qMinhashPairs _, Some(qMinhashPairsSql)),
     ("q_dedup_apply", qDedupApply _, Some(qDedupApplySql)),

@@ -94,6 +94,111 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("near state: verbatim and suffixed recrawls flag, fresh text keeps") {
+    val table = "incr_spec_near"
+    try {
+      // long docs: enough shingles that a short suffix stays ≥ 0.75
+      val docs = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+          "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+        (2L, "one two three four five six seven eight nine ten eleven " +
+          "twelve thirteen fourteen fifteen sixteen")).toDF("doc_id", "text")
+      IncrementalDedup.ensureNearState(docs, "doc_id", "text", table, 4)
+      val batch = Seq(
+        (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+          "lambda mu nu xi omicron pi rho sigma tau upsilon"), // verbatim
+        (11L, "one two three four five six seven eight nine ten eleven " +
+          "twelve thirteen fourteen fifteen sixteen extra suffix"), // near
+        (12L, "totally different content with zero shared shingles here"))
+        .toDF("doc_id", "text")
+      val out = IncrementalDedup.nearDedupAgainst(spark, table, batch,
+        "doc_id", "text").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(out(10L)._1 === "near_dup_of_state")
+      assert(out(10L)._2 === 1L)
+      assert(out(10L)._3 === 1.0, "verbatim copy agrees on every minhash")
+      assert(out(11L)._1 === "near_dup_of_state")
+      assert(out(11L)._2 === 2L)
+      assert(out(11L)._3 >= 0.75 && out(11L)._3 < 1.0)
+      assert(out(12L) === (("kept", -1L, 0.0)))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("near probe plan: no exchange above the bucketed band-index scan") {
+    val table = "incr_spec_near_plan"
+    val docs = Tables.documents(spark, sf)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      IncrementalDedup.ensureNearState(docs, "doc_id", "text", table, 8)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val batch = docs.filter($"doc_id" % 5 === 0)
+        .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+      val df = IncrementalDedup.nearDedupAgainst(spark, table, batch,
+        "doc_id", "text")
+      val plan = df.queryExecution.executedPlan
+      // the invariant is about the path STATE SCAN → BUCKET JOIN: the
+      // pre-bucketed index must reach its join without an exchange.
+      // (Exchanges ABOVE the join move candidate rows — batch-
+      // proportional, legitimate; the exact-dedup variant has no
+      // post-join agg so its spec can assert the broader form.)
+      def hasStateScan(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths.exists(
+                _.toString.contains("incr_spec_near_plan")) => f
+        }.nonEmpty
+      assert(hasStateScan(plan), plan.toString)
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if hasStateScan(j) => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+            if hasStateScan(j) => j
+      }
+      assert(joins.nonEmpty, s"no join over the state scan:\n$plan")
+      // the innermost such join is the bucket join itself
+      val bucketJoin = joins.last
+      val stateSide = bucketJoin.children.filter(hasStateScan)
+      assert(stateSide.nonEmpty)
+      stateSide.foreach { side =>
+        val ex = side.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }
+        assert(ex.isEmpty,
+          s"band-index side of the bucket join got exchanged:\n$plan")
+      }
+      assert(df.count() === batch.count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
+  test("near classification agrees with the in-memory cross-corpus probe") {
+    val table = "incr_spec_near_law"
+    val docs = Tables.documents(spark, sf)
+    try {
+      IncrementalDedup.ensureNearState(docs, "doc_id", "text", table, 8)
+      val batch = docs.filter($"doc_id" % 7 === 2)
+        .select(($"doc_id" + 5000L).as("doc_id"),
+          concat($"text", lit(" tiny suffix")).as("text"))
+      val flagged = IncrementalDedup.nearDedupAgainst(spark, table, batch,
+          "doc_id", "text")
+        .filter($"status" === "near_dup_of_state")
+        .select($"doc_id").as[Long].collect().toSet
+      // the same decision the one-shot two-sided LSH probe makes
+      val expected = Dedup.minhashCandidatesAcross(batch, docs,
+          "doc_id", "text")
+        .filter($"sig_agreement" >= 0.75)
+        .select($"id_a").distinct().as[Long].collect().toSet
+      assert(flagged === expected)
+      graft.CacheRegistry.releaseAll()
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("batch-vs-state composition equals one-shot dedup over the union") {
     val table = "incr_spec_law"
     try {
