@@ -488,6 +488,26 @@ object EventStreams {
           graft.text.TextAnalysis.qualityScore(col(textCol)) >= minQuality),
       tsCol, textCol, watermark)
 
+  /** Streaming twin of [[graft.text.Decontaminate]]: gate a document
+    * ingest stream against a STATIC benchmark's n-gram set. The
+    * benchmark grams collect to the driver ONCE (bounded:
+    * eval-suite-sized — the same driver-held-model discipline as the
+    * k-means centroids) and evaluate as a literal array, so the gate
+    * is one narrow stateless filter: no join, no watermark, no
+    * shuffle, and the decision per doc is exactly the batch audit's
+    * `contaminated = 0` (spec-pinned equivalence).
+    */
+  def decontamGateStream(docs: DataFrame, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    val benchGrams: Array[Long] = bench
+      .select(explode(
+        graft.text.Decontaminate.gramSet(col(benchTextCol), n)).as("h"))
+      .distinct().collect().map(_.getLong(0))
+    docs.filter(!arrays_overlap(
+      graft.text.Decontaminate.gramSet(col(textCol), n),
+      lit(benchGrams)))
+  }
+
   /** Stream-static enrichment: every micro-batch of the stream joined
     * to a static dimension snapshot. Stateless — the dim is broadcast
     * per batch, no watermark and no join state; the streaming analog of

@@ -370,6 +370,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.length.toLong === batchGroups)
   }
 
+  test("streaming decontamination gate ≡ batch audit's clean set") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq("the quick brown fox jumps over").toDF("bench_text")
+    val mem = MemoryStream[(Long, String)]
+    val gated = EventStreams.decontamGateStream(
+      mem.toDF().toDF("doc_id", "text"), "text", bench, "bench_text", n = 5)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("decontam_out").start()
+    val docs = Seq(
+      (1L, "prefix the quick brown fox jumps over something"), // leaks
+      (2L, "quick brown fox jumps high above everything"),     // 4-gram only
+      (3L, "totally unrelated clean content right here"),
+      (4L, "tiny"))                                            // < n tokens
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("decontam_out")
+      .select($"doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(streamed === Set(2L, 3L, 4L))
+    // bit-for-bit the batch operator's clean set
+    val batchClean = graft.text.Decontaminate.audit(
+      docs.toDF("doc_id", "text"), "doc_id", "text",
+      bench, "bench_text", n = 5)
+      .filter($"contaminated" === 0).select($"doc_id")
+      .as[Long].collect().toSet
+    assert(streamed === batchClean)
+  }
+
   test("streaming dedup against a static reference drops corpus duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val reference = Seq(
