@@ -1155,6 +1155,71 @@ object PipelineQueries {
        |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin
   }
 
+  /** DoReMi-style domain mixture optimization
+    * (graft.ops.MixtureOptimizer): per-doc unigram-LM losses
+    * (quantized micro-nats, the [[qUnigramLm]] machinery) aggregate
+    * to per-source mean losses, then [[MixtureOptimizer.Rounds]]
+    * multiplicative-weights rounds upweight under-modeled domains.
+    * The oracle replays the LM, the quantized per-doc losses, and
+    * EVERY renormalization round — the weights hash-match only if the
+    * whole trajectory is bit-identical.
+    */
+  def qMixOpt(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = graft.text.UnigramLm.score(docs, "doc_id", "text")
+    val perDoc = docs.select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"))
+      .select(col("source"),
+        round(-col("avg_logp") * 1e6).cast(LongType).as("lm"))
+    graft.ops.MixtureOptimizer.optimize(perDoc, "source", "lm")
+  }
+
+  lazy val qMixOptSql: String = {
+    val sc = graft.text.UnigramLm.Scale
+    val rounds = graft.ops.MixtureOptimizer.Rounds
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |v AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+         |tot AS (SELECT cast(sum(c) as bigint) AS tt FROM v),
+         |q AS (SELECT tok,
+         |        cast(round(ln(cast(c as double) / cast(tt as double)) * $sc) as bigint) AS lp
+         |      FROM v CROSS JOIN tot),
+         |p AS (SELECT u.doc_id, count(*) AS n_tokens, cast(sum(q.lp) as bigint) AS slp
+         |      FROM u JOIN q USING (tok) GROUP BY u.doc_id),
+         |pd AS (SELECT d.source,
+         |    cast(round(-(round(CASE WHEN p.n_tokens > 0
+         |      THEN cast(p.slp as double) / p.n_tokens / $sc.0
+         |      ELSE 0.0 END, 6)) * 1000000) as bigint) AS lm
+         |  FROM documents d LEFT JOIN p USING (doc_id)),
+         |dom AS (SELECT source AS domain, count(*) AS n_docs,
+         |    cast(sum(lm) as bigint) AS sl FROM pd GROUP BY 1),
+         |d0 AS (SELECT domain, n_docs, sl,
+         |    cast(round(cast(sl as double) / n_docs) as bigint) AS lmean
+         |  FROM dom),
+         |w0 AS (SELECT domain, n_docs, lmean,
+         |    cast(round(1000000.0 / (count(*) OVER ())) as bigint) AS w
+         |  FROM d0),
+         |""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++=
+        s"""w$r AS (SELECT domain, n_docs, lmean,
+           |    cast(round(cast(w * lmean as double) /
+           |      cast(sum(w * lmean) OVER () as double) * 1000000.0)
+           |      as bigint) AS w
+           |  FROM w${r - 1}),
+           |""".stripMargin
+    }
+    sb ++=
+      s"""fin AS (SELECT * FROM w$rounds)
+         |SELECT domain, n_docs,
+         |  round(cast(lmean as double) / 1000000, 6) AS mean_loss,
+         |  round(cast(w as double) / 1000000, 6) AS weight
+         |FROM fin""".stripMargin
+    sb.toString
+  }
+
   /** DSIR importance weights: per-document log-ratio of a hashed
     * unigram+bigram LM trained on the TARGET slice (English docs) vs
     * the raw corpus — the data-selection score that says "looks like
@@ -4347,6 +4412,7 @@ object PipelineQueries {
     ("q_winnow_pairs", qWinnowPairs _, Some(qWinnowPairsSql)),
     ("q_unigram_lm", qUnigramLm _, Some(qUnigramLmSql)),
     ("q_dsir", qDsir _, Some(qDsirSql)),
+    ("q_mix_opt", qMixOpt _, Some(qMixOptSql)),
     ("q_bigram_lm", qBigramLm _, Some(qBigramLmSql)),
     ("q_weighted_sample", qWeightedSample _, Some(qWeightedSampleSql)),
     ("q_quality_gate", qQualityGate _, Some(qQualityGateSql)),
