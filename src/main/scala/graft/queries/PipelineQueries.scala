@@ -1155,6 +1155,111 @@ object PipelineQueries {
        |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin
   }
 
+  /** Classifier calibration audit — the reliability-diagram bins an
+    * ML data pipeline checks before trusting a learned gate: decile
+    * bins of the trained scorer's output vs the realized label rate.
+    * Reuses [[qClassifier]]'s training verbatim (same corpus, same
+    * label → identical 10-round trajectory), so the oracle composes
+    * that replay and adds only the binning.
+    */
+  def qCalibration(s: SparkSession, d: String): DataFrame = {
+    val scored = graft.text.QualityClassifier.fitScore(
+      Tables.documents(s, d), col("text"),
+      (TextAnalysis.qualityScore(col("text")) >= 0.65).cast(IntegerType),
+      keep = Seq(col("doc_id")))
+    scored
+      .withColumn("bin", least(floor(col("score") * 10), lit(9.0))
+        .cast(LongType))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y").cast(LongType)).as("n_pos"),
+        // score is 6-dp-rounded; exact micro-integer mean
+        round(sum(round(col("score") * 1e6).cast(LongType))
+          .cast(DoubleType) / count(lit(1)) / 1e6, 6).as("mean_score"),
+        round(sum(col("y").cast(LongType)).cast(DoubleType) /
+          count(lit(1)), 6).as("pos_rate"))
+  }
+
+  lazy val qCalibrationSql: String =
+    s"""WITH clf AS (
+       |$qClassifierSql)
+       |SELECT cast(least(floor(score * 10), 9) as bigint) AS bin,
+       |  count(*) AS n,
+       |  cast(sum(y) as bigint) AS n_pos,
+       |  round(cast(sum(cast(round(score * 1000000) as bigint)) as double)
+       |    / count(*) / 1000000, 6) AS mean_score,
+       |  round(cast(sum(y) as double) / count(*), 6) AS pos_rate
+       |FROM clf GROUP BY 1""".stripMargin
+
+  /** Token-distribution drift — the JSD complement of [[qDrift]]'s
+    * per-feature histogram drift: per-token Jensen–Shannon divergence
+    * contributions between the accepted corpus and a drifted snapshot
+    * (planted deterministically: every doc gains two copies of its
+    * source token, shifting mass toward source names). Per-token
+    * terms quantize to nano-nats (the UnigramLm
+    * ln-on-exact-rationals discipline) and sum exactly; every frame
+    * after the two token counts is VOCAB-sized.
+    */
+  def qTokenDrift(s: SparkSession, d: String): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val docs = Tables.documents(s, d)
+    val drifted = docs.select(concat(col("text"), lit(" "),
+      col("source"), lit(" "), col("source")).as("text"))
+    def counts(df: DataFrame, as: String) = df
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as(as))
+    val v = counts(docs, "c_old")
+      .join(counts(drifted, "c_new"), Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"))
+    val np = sum(col("c_old")).over(all).cast(DoubleType)
+    val nq = sum(col("c_new")).over(all).cast(DoubleType)
+    val pd = col("c_old").cast(DoubleType) / np
+    val qd = col("c_new").cast(DoubleType) / nq
+    val md = (pd + qd) / 2.0d
+    val klp = when(col("c_old") > 0L, pd * log(pd / md)).otherwise(0.0d)
+    val klq = when(col("c_new") > 0L, qd * log(qd / md)).otherwise(0.0d)
+    val contrib = round((klp + klq) * 0.5d * 1.0e9d).cast(LongType)
+    v.withColumn("contrib_nano", contrib)
+      .withColumn("p_old", round(pd, 6))
+      .withColumn("p_new", round(qd, 6))
+      .withColumn("jsd",
+        round(sum(col("contrib_nano")).over(all).cast(DoubleType) / 1.0e9d,
+          6))
+      .select(col("tok"), col("c_old"), col("c_new"), col("p_old"),
+        col("p_new"), col("contrib_nano"), col("jsd"))
+  }
+
+  val qTokenDriftSql: String =
+    s"""WITH od AS (SELECT text FROM documents),
+       |nd AS (SELECT text || ' ' || source || ' ' || source AS text
+       |       FROM documents),
+       |co AS (SELECT u.tok, count(*) AS c_old
+       |       FROM (SELECT unnest($toksSql) AS tok FROM od) u GROUP BY 1),
+       |cn AS (SELECT u.tok, count(*) AS c_new
+       |       FROM (SELECT unnest($toksSql) AS tok FROM nd) u GROUP BY 1),
+       |v AS (SELECT coalesce(co.tok, cn.tok) AS tok,
+       |        cast(coalesce(co.c_old, 0) as bigint) AS c_old,
+       |        cast(coalesce(cn.c_new, 0) as bigint) AS c_new
+       |      FROM co FULL OUTER JOIN cn ON co.tok = cn.tok),
+       |w AS (SELECT tok, c_old, c_new,
+       |        cast(c_old as double) / cast(sum(c_old) OVER () as double) AS pd,
+       |        cast(c_new as double) / cast(sum(c_new) OVER () as double) AS qd
+       |      FROM v),
+       |k AS (SELECT tok, c_old, c_new, pd, qd,
+       |        cast(round(((CASE WHEN c_old > 0
+       |            THEN pd * ln(pd / ((pd + qd) / 2.0)) ELSE 0.0 END) +
+       |          (CASE WHEN c_new > 0
+       |            THEN qd * ln(qd / ((pd + qd) / 2.0)) ELSE 0.0 END))
+       |          * 0.5 * 1000000000.0) as bigint) AS contrib_nano
+       |      FROM w)
+       |SELECT tok, c_old, c_new,
+       |  round(pd, 6) AS p_old, round(qd, 6) AS p_new, contrib_nano,
+       |  round(cast(sum(contrib_nano) OVER () as double) / 1000000000.0, 6)
+       |    AS jsd
+       |FROM k""".stripMargin
+
   /** DoReMi-style domain mixture optimization
     * (graft.ops.MixtureOptimizer): per-doc unigram-LM losses
     * (quantized micro-nats, the [[qUnigramLm]] machinery) aggregate
@@ -4392,6 +4497,7 @@ object PipelineQueries {
     ("q_tokenize", qTokenize _, Some(qTokenizeSql)),
     ("q_text_quality", qTextQuality _, Some(qTextQualitySql)),
     ("q_classifier", qClassifier _, Some(qClassifierSql)),
+    ("q_calibration", qCalibration _, Some(qCalibrationSql)),
     ("q_url_profile", qUrlProfile _, Some(qUrlProfileSql)),
     ("q_lang_id", qLangId _, Some(qLangIdSql)),
     ("q_fingerprint", qFingerprint _, Some(qFingerprintSql)),
@@ -4413,6 +4519,7 @@ object PipelineQueries {
     ("q_unigram_lm", qUnigramLm _, Some(qUnigramLmSql)),
     ("q_dsir", qDsir _, Some(qDsirSql)),
     ("q_mix_opt", qMixOpt _, Some(qMixOptSql)),
+    ("q_token_drift", qTokenDrift _, Some(qTokenDriftSql)),
     ("q_bigram_lm", qBigramLm _, Some(qBigramLmSql)),
     ("q_weighted_sample", qWeightedSample _, Some(qWeightedSampleSql)),
     ("q_quality_gate", qQualityGate _, Some(qQualityGateSql)),
