@@ -138,12 +138,23 @@ object Dedup {
     * coalesces the shuffle at small scale and splits skew at large
     * scale (an explicit repartition here cost 2-4× at sf0.1).
     */
+  /** The ONE canonical widen → shingle → signature staging chain —
+    * every signature consumer (one-shot candidates, cross-corpus
+    * probes, the persisted incremental band index) must build on this
+    * so a tweak to shingling or staging discipline lands everywhere
+    * at once. Output: (id, sig), NOT cached — callers that fan the
+    * frame into multiple consumers wrap it in [[stagedSignatures]].
+    */
+  private[graft] def signatureFrame(df: DataFrame, idCol: String,
+      textCol: String, w: Int, fast: Boolean = false): DataFrame =
+    graft.ops.Parallelism.widen(df)
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), w, fast).as("grams"))
+      .select(col("id"), minhashSignature(col("grams")).as("sig"))
+
   private def stagedSignatures(df: DataFrame, idCol: String, textCol: String,
       w: Int, fast: Boolean): DataFrame =
     graft.CacheRegistry.register(
-      graft.ops.Parallelism.widen(df)
-        .select(col(idCol).as("id"), shingleHashes(col(textCol), w, fast).as("grams"))
-        .select(col("id"), minhashSignature(col("grams")).as("sig"))
+      signatureFrame(df, idCol, textCol, w, fast)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** MinHash LSH candidate pairs: explode band keys, self-join within

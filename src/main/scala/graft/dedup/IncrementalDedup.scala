@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   * never to the corpus.
   *
   * Staleness discipline matches [[graft.sim.AnnIndex]]: the state
-  * table carries a corpus fingerprint (exact long count + id-hash
-  * sum) in table properties; [[ensureState]] rebuilds when it
-  * disagrees, so a drifted corpus can never silently serve stale
-  * ownership.
+  * table carries a corpus fingerprint (exact long count + a wrapping
+  * sum hashing BOTH doc id and normalized content) in table
+  * properties; [[ensureState]] rebuilds when it disagrees, so a
+  * drifted corpus — including a text-only re-ingest over unchanged
+  * ids — can never silently serve stale ownership.
   */
 object IncrementalDedup {
 
@@ -36,9 +37,20 @@ object IncrementalDedup {
     docs.groupBy(TextAnalysis.fingerprint60(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("owner_id"))
 
-  private def fingerprint(docs: DataFrame, idCol: String): (Long, Long) = {
-    val r = docs.select(count(lit(1)),
-      sum(TextAnalysis.hash60(col(idCol).cast("string")))).collect().head
+  /** Corpus staleness checksum: exact count + wrapping sum of a
+    * per-row hash that covers BOTH the id and the normalized text —
+    * a text-only re-ingest (same ids, edited content) must register
+    * as drift, because everything the state tables persist
+    * (fingerprints, band signatures) derives from the text. The
+    * deliberate non-ANSI long wraparound is deterministic and fine
+    * for a checksum; the cost is one narrow normalize+md5 pass at
+    * ensure time — the honest price of content-level staleness.
+    */
+  private def fingerprint(docs: DataFrame, idCol: String,
+      textCol: String): (Long, Long) = {
+    val rowHash = TextAnalysis.hash60(concat_ws("",
+      col(idCol).cast("string"), TextAnalysis.fingerprint60(col(textCol))))
+    val r = docs.select(count(lit(1)), sum(rowHash)).collect().head
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
@@ -48,7 +60,7 @@ object IncrementalDedup {
     */
   def ensureState(docs: DataFrame, idCol: String, textCol: String,
       table: String, nBuckets: Int): Boolean =
-    ensureBucketedState(docs, idCol, table, nBuckets,
+    ensureBucketedState(docs, idCol, textCol, table, nBuckets,
       bucketCols = Seq("fp"), sortCols = Seq("fp"))(
       stateOf(docs, idCol, textCol))
 
@@ -58,10 +70,11 @@ object IncrementalDedup {
     * when a (re)build happened.
     */
   private def ensureBucketedState(docs: DataFrame, idCol: String,
-      table: String, nBuckets: Int, bucketCols: Seq[String],
+      textCol: String, table: String, nBuckets: Int,
+      bucketCols: Seq[String],
       sortCols: Seq[String])(build: => DataFrame): Boolean = {
     val spark = docs.sparkSession
-    val (n, h) = fingerprint(docs, idCol)
+    val (n, h) = fingerprint(docs, idCol, textCol)
     val fresh =
       try {
         val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
@@ -139,11 +152,8 @@ object IncrementalDedup {
     */
   def nearStateOf(docs: DataFrame, idCol: String,
       textCol: String, w: Int = 3): DataFrame =
-    graft.ops.Parallelism.widen(docs)
-      .select(col(idCol).as("owner_id"),
-        Dedup.shingleHashes(col(textCol), w).as("grams"))
-      .select(col("owner_id"), Dedup.minhashSignature(col("grams")).as("sig"))
-      .select(col("owner_id"), col("sig"),
+    Dedup.signatureFrame(docs, idCol, textCol, w)
+      .select(col("id").as("owner_id"), col("sig"),
         explode(Dedup.bandKeys(col("sig"))).as("bucket"))
 
   /** Persist (or reuse) the banded near-dup state — same staleness
@@ -151,7 +161,7 @@ object IncrementalDedup {
     */
   def ensureNearState(docs: DataFrame, idCol: String, textCol: String,
       table: String, nBuckets: Int, w: Int = 3): Boolean =
-    ensureBucketedState(docs, idCol, table, nBuckets,
+    ensureBucketedState(docs, idCol, textCol, table, nBuckets,
       bucketCols = Seq("bucket"), sortCols = Seq("bucket"))(
       nearStateOf(docs, idCol, textCol, w))
 
@@ -172,13 +182,18 @@ object IncrementalDedup {
   def nearDedupAgainst(spark: SparkSession, table: String,
       batch: DataFrame, idCol: String, textCol: String, w: Int = 3,
       minAgreement: Double = 0.75): DataFrame = {
+    // the best-match tie-break negates the owner id and the kept
+    // sentinel is −1: NUMERIC ids only (the exact-dedup sibling is
+    // type-agnostic; here a string id would silently cast to NULL
+    // under negation and corrupt the tie-break — fail loudly instead)
+    require(batch.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"nearDedupAgainst needs a numeric id column, got " +
+        s"${batch.schema(idCol).dataType.simpleString} for '$idCol'")
     val nSig = Dedup.minhashCoeffs.size
     val state = spark.table(table)
       .select(col("bucket"), col("owner_id"), col("sig").as("__ssig"))
-    val probe = graft.ops.Parallelism.widen(batch)
-      .select(col(idCol).as("id"),
-        Dedup.shingleHashes(col(textCol), w).as("grams"))
-      .select(col("id"), Dedup.minhashSignature(col("grams")).as("sig"))
+    val probe = Dedup.signatureFrame(batch, idCol, textCol, w)
       .select(col("id"), col("sig"),
         explode(Dedup.bandKeys(col("sig"))).as("bucket"))
     val agree = round(

@@ -32,6 +32,23 @@ object HashKernels {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** True iff any element of `arr` occurs in the SORTED key array —
+    * binary search per element, zero allocation per row (vs
+    * arrays_overlap against a literal, which rebuilds its lookup
+    * structure on every evaluation). NULL elements never match.
+    */
+  def sortedContainsAny(arr: ArrayData, sorted: Array[Long]): Boolean = {
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i) &&
+        java.util.Arrays.binarySearch(sorted, arr.getLong(i)) >= 0)
+        return true
+      i += 1
+    }
+    false
+  }
+
   /** First 60 bits of md5(s) as a positive long — identical to
     * conv(substring(md5(s),1,15),16,10): hex chars 0-14 are bytes 0-6
     * plus the high nibble of byte 7.
@@ -306,6 +323,37 @@ case class BloomContainsExpr(child: Expression, words: Array[Long],
     copy(child = newChild)
 }
 
+/** Membership-of-any: true iff any element of the child long array is
+  * in the driver-supplied key set. The keys sort ONCE at construction
+  * and bind into codegen as a reference object — per row the cost is
+  * |arr|·log|keys| comparisons with zero allocation, where
+  * arrays_overlap against a literal array re-hashes the full key set
+  * on every evaluation. Built for the streaming decontamination gate
+  * (eval-suite-sized key sets probed at ingest rate).
+  */
+case class LongSetContainsAny(child: Expression, keys: Array[Long])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val sorted: Array[Long] = {
+    val s = keys.clone(); java.util.Arrays.sort(s); s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.sortedContainsAny(input.asInstanceOf[ArrayData], sorted)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kRef = ctx.addReferenceObj("sortedKeys", sorted, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.sortedContainsAny($c, $kRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LongSetContainsAny =
+    copy(child = newChild)
+}
+
 /** SimHash fingerprint (low `bits` bits used) of a text column. */
 case class SimHashExpr(child: Expression, bits: Int)
     extends UnaryExpression {
@@ -420,6 +468,9 @@ object TextHashes {
 
   def sim_hash(text: Column, bits: Int): Column =
     Bridge.toColumn(SimHashExpr(Bridge.toExpression(text), bits))
+
+  def set_contains_any(arr: Column, keys: Array[Long]): Column =
+    Bridge.toColumn(LongSetContainsAny(Bridge.toExpression(arr), keys))
 
   /** All sign-projection bucket keys of `vec` in one kernel call.
     * `planes` holds `numTables·planesPerTable` rows of length `dim`

@@ -34,17 +34,26 @@ object SeqPack {
       orderCols: Seq[String], numShards: Int): DataFrame = {
     require(numShards >= 1, "need numShards >= 1")
     require(orderCols.nonEmpty, "need at least one order column")
-    Seq("prefix", "__pid").foreach(c =>
+    Seq("prefix", "__pid", "__v").foreach(c =>
       require(!df.columns.contains(c),
         s"input already has a '$c' column — rename it first"))
     val cols = orderCols.map(col)
+    // a NULL value must fail LOUDLY: sum() would skip it silently, so
+    // the row would occupy an output slot while contributing 0 to
+    // every later offset — downstream sequence cuts land wrong with
+    // no error (and an all-NULL shard would NPE the driver collect)
+    val v = when(col(valueCol).isNotNull, col(valueCol).cast(LongType))
+      .otherwise(raise_error(concat(
+        lit(s"SeqPack: NULL $valueCol under order key "),
+        concat_ws(",", cols: _*))).cast(LongType))
     val parted = graft.CacheRegistry.register(
       df.repartitionByRange(numShards, cols: _*)
         .withColumn("__pid", spark_partition_id())
+        .withColumn("__v", v)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // bounded: ≤ numShards rows
     val totals = parted.groupBy(col("__pid"))
-      .agg(sum(col(valueCol).cast(LongType)).as("t"))
+      .agg(sum(col("__v")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = new Array[Long](numShards)
     var acc = 0L
@@ -56,8 +65,8 @@ object SeqPack {
     parted
       .withColumn("prefix",
         element_at(lit(offsets), col("__pid") + 1) +
-          coalesce(sum(col(valueCol).cast(LongType)).over(w), lit(0L)))
-      .drop("__pid")
+          coalesce(sum(col("__v")).over(w), lit(0L)))
+      .drop("__pid", "__v")
   }
 
   /** Pack plan for the corpus: per document, its exclusive token

@@ -300,13 +300,8 @@ object PipelineQueries {
 
   lazy val qUrlProfileSql: String = {
     import graft.text.{UrlOps => U}
-    val h = s"${graft.ops.Sampling.hash60Sql("cast(doc_id as varchar)")} % 5"
     s"""WITH u AS (SELECT doc_id, text,
-       |  CASE WHEN $h = 0 THEN source || '.com'
-       |       WHEN $h = 1 THEN 'www.' || source || '.co.uk'
-       |       WHEN $h = 2 THEN 'blog' || (doc_id % 7) || '.' || source || '.github.io'
-       |       WHEN $h = 3 THEN source || '.org.uk'
-       |       ELSE 'cdn.' || source || '.net' END AS hb
+       |  $urlHostCaseSql AS hb
        |FROM documents),
        |w AS (SELECT doc_id, text,
        |  'https://' || hb || '/doc/' || doc_id AS url FROM u),
@@ -335,7 +330,7 @@ object PipelineQueries {
     * enough to bind at every SF (~5 docs/domain at sf0.001, ~500 at
     * sf1).
     */
-  private val DomainCap = 4
+  private[graft] val DomainCap = 4
 
   /** Curation capstone v6 — the round-10 web-corpus operators
     * composed into the gate a crawl-scale curation stack actually

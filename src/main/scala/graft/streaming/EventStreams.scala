@@ -492,7 +492,10 @@ object EventStreams {
     * ingest stream against a STATIC benchmark's n-gram set. The
     * benchmark grams collect to the driver ONCE (bounded:
     * eval-suite-sized — the same driver-held-model discipline as the
-    * k-means centroids) and evaluate as a literal array, so the gate
+    * k-means centroids) and bind into the native
+    * [[graft.functions.LongSetContainsAny]] kernel (sorted once,
+    * binary-searched per gram — an arrays_overlap literal would
+    * rebuild its lookup set on every row at ingest rate), so the gate
     * is one narrow stateless filter: no join, no watermark, no
     * shuffle, and the decision per doc is exactly the batch audit's
     * `contaminated = 0` (spec-pinned equivalence).
@@ -503,9 +506,8 @@ object EventStreams {
       .select(explode(
         graft.text.Decontaminate.gramSet(col(benchTextCol), n)).as("h"))
       .distinct().collect().map(_.getLong(0))
-    docs.filter(!arrays_overlap(
-      graft.text.Decontaminate.gramSet(col(textCol), n),
-      lit(benchGrams)))
+    docs.filter(!graft.functions.TextHashes.set_contains_any(
+      graft.text.Decontaminate.gramSet(col(textCol), n), benchGrams))
   }
 
   /** Stream-static enrichment: every micro-batch of the stream joined

@@ -46,6 +46,27 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("TEXT-only drift (same ids) forces a rebuild, and the rebuilt " +
+      "state serves the new content") {
+    val table = "incr_spec_textdrift"
+    try {
+      assert(IncrementalDedup.ensureState(corpus, "doc_id", "text", table, 4))
+      // same ids, same count — doc 2's content edited in place
+      val edited = corpus.withColumn("text",
+        when($"doc_id" === 2L, lit("edited replacement content"))
+          .otherwise($"text"))
+      assert(IncrementalDedup.ensureState(edited, "doc_id", "text", table, 4),
+        "a text-only re-ingest must register as corpus drift")
+      // a batch dup of the NEW content resolves against the new state
+      val batch = Seq((20L, "edited  REPLACEMENT content"))
+        .toDF("doc_id", "text")
+      val out = IncrementalDedup.dedupAgainst(spark, table, batch,
+        "doc_id", "text").collect().head
+      assert(out.getString(2) === "dup_of_state")
+      assert(out.getLong(3) === 2L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("probe-side plan: no exchange anywhere above the bucketed state scan") {
     val table = "incr_spec_plan"
     val docs = Tables.documents(spark, sf)

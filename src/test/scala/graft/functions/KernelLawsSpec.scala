@@ -69,6 +69,26 @@ class KernelLawsSpec extends SparkSpec {
     }
   }
 
+  test("law: set_contains_any ≡ arrays_overlap on random key sets") {
+    val gArr = Gen.listOfN(8, Gen.chooseNum(0L, 40L))
+    val gKeys = Gen.listOfN(6, Gen.chooseNum(0L, 40L))
+    cases(Gen.zip(gArr, gKeys), 60).zipWithIndex.foreach {
+      case ((arr, keys), i) =>
+        val df = Seq(Tuple1(arr)).toDF("hs")
+        val got = df.select(TextHashes.set_contains_any($"hs",
+          keys.toArray).as("x")).head().getBoolean(0)
+        val want = arr.exists(keys.toSet)
+        assert(got === want, s"case $i: arr=$arr keys=$keys")
+    }
+    // empty array never matches; empty key set never matches
+    val e = Seq(Tuple1(Seq.empty[Long])).toDF("hs")
+    assert(!e.select(TextHashes.set_contains_any($"hs", Array(1L, 2L)).as("x"))
+      .head().getBoolean(0))
+    val f = Seq(Tuple1(Seq(1L, 2L))).toDF("hs")
+    assert(!f.select(TextHashes.set_contains_any($"hs", Array.empty[Long]).as("x"))
+      .head().getBoolean(0))
+  }
+
   test("law: containment lies in (0,1] and shared ≤ min(n_src, n_dst)") {
     val wordGen = Gen.oneOf((1 to 12).map(i => s"w$i"))
     val docGen = Gen.chooseNum(6, 40).flatMap(n =>

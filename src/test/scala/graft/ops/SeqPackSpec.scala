@@ -28,6 +28,17 @@ class SeqPackSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("a NULL value fails loudly instead of silently shifting offsets") {
+    val df = Seq((1L, java.lang.Long.valueOf(3L)),
+      (2L, null.asInstanceOf[java.lang.Long]), (3L, java.lang.Long.valueOf(5L)))
+      .toDF("id", "v")
+    val ex = intercept[Exception] {
+      SeqPack.prefixSumByOrder(df, "v", Seq("id"), 2).collect()
+    }
+    assert(ex.getMessage != null)
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("pack arithmetic: stream conservation, empty docs, crossing flag") {
     // lengths chosen to straddle one L=10 boundary and include an
     // empty doc; order key = id so the stream is 1,2,3,4,5

@@ -11,18 +11,19 @@ import org.apache.spark.sql.functions._
   */
 class CurationV6Spec extends SparkSpec {
 
+  private val cap = PipelineQueries.DomainCap
   private lazy val out = PipelineQueries.qCurationV6(spark, sf).cache()
 
   test("funnel ordering: kept ≤ capped passed ≤ passed ≤ docs, per domain") {
     val bad = out.filter(
       col("n_kept") > col("n_passed") || col("n_passed") > col("n_docs") ||
-        col("n_kept") > 4 || col("n_kept") < 0)
+        col("n_kept") > cap || col("n_kept") < 0)
     assert(bad.count() === 0)
   }
 
   test("the domain cap binds somewhere and the funnel drops something") {
     val agg = out.agg(
-      sum(when(col("n_passed") > 4, 1).otherwise(0)).as("over_cap"),
+      sum(when(col("n_passed") > cap, 1).otherwise(0)).as("over_cap"),
       sum(col("n_docs")).as("docs"),
       sum(col("n_passed")).as("passed"),
       sum(col("n_kept")).as("kept")).head()
