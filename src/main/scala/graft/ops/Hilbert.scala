@@ -97,7 +97,7 @@ object Hilbert {
       val sm = s - 1
       s"""h$i AS (
          |  SELECT $keepCols,
-         |    d + ${s * s} * xor(3 * rx, ry) AS d,
+         |    d + cast(${s * s} as bigint) * xor(3 * rx, ry) AS d,
          |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN $sm - (y & $sm) ELSE y & $sm END)
          |         ELSE x & $sm END AS x,
          |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN $sm - (x & $sm) ELSE x & $sm END)
