@@ -142,6 +142,63 @@ object IncrementalDedup {
   def kept(classified: DataFrame): DataFrame =
     classified.filter(col("status") === "kept")
 
+  /** APPEND the accepted (kept) rows of a classified batch to the
+    * persisted exact-dedup state — the steady-state operation of a
+    * production ingest: the corpus grows by each batch's survivors and
+    * the state must follow WITHOUT the full-corpus rebuild
+    * [[ensureState]] performs on drift. Cost is O(batch): the new
+    * ownership rows append into the existing buckets (Spark verifies
+    * the bucket spec matches), and the staleness checksum updates
+    * INCREMENTALLY — it is a wrapping SUM of per-row hashes, so
+    * checksum(corpus ∪ kept) = checksum(corpus) + checksum(kept),
+    * exact under the same mod-2^64 wraparound. After the append,
+    * [[ensureState]] over (corpus ∪ kept rows) REUSES the table
+    * (spec-pinned), and probes against the appended state classify
+    * identically to a rebuilt one.
+    *
+    * `kept` must be exactly [[kept]]`(classified)`-shaped rows (their
+    * fingerprints are new to the state and unique within the batch by
+    * construction); appending anything else corrupts first-occurrence
+    * ownership. MATERIALIZE `kept` before calling (collect, write, or
+    * checkpoint): its plan typically reads the very state table this
+    * method mutates, and a lazy frame re-evaluated after the append
+    * would re-classify every row as a duplicate of itself.
+    */
+  def appendAccepted(spark: SparkSession, table: String, kept: DataFrame,
+      idCol: String, textCol: String, nBuckets: Int): Unit = {
+    graft.sources.Bucketing.appendBucketed(
+      stateOf(kept, idCol, textCol), table,
+      bucketCols = Seq("fp"), nBuckets = nBuckets, sortCols = Seq("fp"))
+    bumpFingerprint(spark, table, kept, idCol, textCol)
+  }
+
+  /** [[appendAccepted]] for the NEAR-dup band index: the kept rows'
+    * band rows append into the band-key buckets and the checksum
+    * updates incrementally. Same contract and laws.
+    */
+  def appendAcceptedNear(spark: SparkSession, table: String,
+      kept: DataFrame, idCol: String, textCol: String, nBuckets: Int,
+      w: Int = 3): Unit = {
+    graft.sources.Bucketing.appendBucketed(
+      nearStateOf(kept, idCol, textCol, w), table,
+      bucketCols = Seq("bucket"), nBuckets = nBuckets,
+      sortCols = Seq("bucket"))
+    bumpFingerprint(spark, table, kept, idCol, textCol)
+  }
+
+  private def bumpFingerprint(spark: SparkSession, table: String,
+      added: DataFrame, idCol: String, textCol: String): Unit = {
+    val (dn, dh) = fingerprint(added, idCol, textCol)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val n = props.getOrElse("graft.fp_n",
+      sys.error(s"$table carries no graft.fp_n — not an ensure*-built " +
+        "state table")).toLong + dn
+    val h = props("graft.fp_h").toLong + dh // deliberate wrap, see doc
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES(" +
+      s"'graft.fp_n'='$n','graft.fp_h'='$h')")
+  }
+
   // ——— NEAR-dup state: the MinHash-LSH band-bucket index persisted ———
 
   /** LSH band-bucket index of the accepted corpus — the NEAR-dup

@@ -45,6 +45,22 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Append rows to an EXISTING bucketed table. The spec must match
+    * the table's (same bucket columns/count/sort) — Spark enforces
+    * this, so a drifted caller fails loudly instead of silently
+    * breaking the bucketed-scan contract. Each append lands new
+    * per-bucket files; compaction policy is the caller's
+    * (see ops.Compaction).
+    */
+  def appendBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val w = df.write.mode("append").format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** True iff the executed plan of `df` contains no shuffle exchange —
     * the property bucketed co-located joins buy. Requires a plan built
     * with AQE off: the adaptive wrapper hides its children until

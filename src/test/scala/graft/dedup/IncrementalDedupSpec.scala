@@ -220,6 +220,85 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("appendAccepted: O(batch) state growth, reuse law, probe ≡ rebuild") {
+    val table = "incr_spec_append"
+    val tableR = "incr_spec_append_ref"
+    try {
+      IncrementalDedup.ensureState(corpus, "doc_id", "text", table, 4)
+      val batch1 = Seq(
+        (10L, "nu xi omicron pi"),
+        (11L, "alpha beta gamma delta"), // dup of state — NOT kept
+        (12L, "rho sigma tau")).toDF("doc_id", "text")
+      // MATERIALIZE before the append: kept1's plan reads the state
+      // table, and appendAccepted mutates it — a lazy frame would
+      // re-classify against the already-appended state on re-eval
+      val kept1 = IncrementalDedup.kept(
+        IncrementalDedup.dedupAgainst(spark, table, batch1, "doc_id", "text"))
+        .select($"doc_id").join(batch1, "doc_id")
+        .as[(Long, String)].collect().toSeq.toDF("doc_id", "text")
+      IncrementalDedup.appendAccepted(spark, table, kept1,
+        "doc_id", "text", 4)
+      // REUSE law: the incremental checksum equals the union's
+      val union = corpus.unionByName(kept1.select($"doc_id", $"text"))
+      assert(!IncrementalDedup.ensureState(union, "doc_id", "text", table, 4),
+        "after appendAccepted, ensureState over corpus ∪ kept must reuse")
+      // PROBE law: appended state ≡ state rebuilt from the union
+      IncrementalDedup.ensureState(union, "doc_id", "text", tableR, 4)
+      val batch2 = Seq(
+        (20L, "nu  XI omicron pi"),      // dup of appended content
+        (21L, "phi chi psi omega"),      // genuinely new
+        (22L, "EPSILON zeta eta theta")) // dup of original corpus
+        .toDF("doc_id", "text")
+      val a = IncrementalDedup.dedupAgainst(spark, table, batch2,
+        "doc_id", "text").orderBy("doc_id").collect().toSeq
+      val b = IncrementalDedup.dedupAgainst(spark, tableR, batch2,
+        "doc_id", "text").orderBy("doc_id").collect().toSeq
+      assert(a === b)
+      assert(a.map(r => r.getLong(0) -> r.getString(2)).toMap ===
+        Map(20L -> "dup_of_state", 21L -> "kept", 22L -> "dup_of_state"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS $tableR")
+    }
+  }
+
+  test("appendAcceptedNear: band index grows by the batch, probe ≡ rebuild") {
+    val table = "incr_spec_append_near"
+    val tableR = "incr_spec_append_near_ref"
+    try {
+      val docs = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+          "lambda mu nu xi omicron pi")).toDF("doc_id", "text")
+      IncrementalDedup.ensureNearState(docs, "doc_id", "text", table, 4)
+      val kept1 = Seq(
+        (10L, "one two three four five six seven eight nine ten eleven " +
+          "twelve thirteen fourteen")).toDF("doc_id", "text")
+      IncrementalDedup.appendAcceptedNear(spark, table, kept1,
+        "doc_id", "text", 4)
+      val union = docs.unionByName(kept1)
+      assert(!IncrementalDedup.ensureNearState(union, "doc_id", "text",
+        table, 4), "after appendAcceptedNear, ensureNearState must reuse")
+      IncrementalDedup.ensureNearState(union, "doc_id", "text", tableR, 4)
+      val batch2 = Seq(
+        (20L, "one two three four five six seven eight nine ten eleven " +
+          "twelve thirteen fourteen tail"),                    // near 10
+        (21L, "completely novel content sharing no shingles at all"))
+        .toDF("doc_id", "text")
+      val a = IncrementalDedup.nearDedupAgainst(spark, table, batch2,
+        "doc_id", "text").orderBy("doc_id").collect().toSeq
+      val b = IncrementalDedup.nearDedupAgainst(spark, tableR, batch2,
+        "doc_id", "text").orderBy("doc_id").collect().toSeq
+      assert(a === b)
+      assert(a.head.getString(1) === "near_dup_of_state")
+      assert(a.head.getLong(2) === 10L,
+        "the appended doc must own the near-match")
+      assert(a(1).getString(1) === "kept")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS $tableR")
+    }
+  }
+
   test("batch-vs-state composition equals one-shot dedup over the union") {
     val table = "incr_spec_law"
     try {
