@@ -46,7 +46,7 @@ object IncrementalDedup {
     * for a checksum; the cost is one narrow normalize+md5 pass at
     * ensure time — the honest price of content-level staleness.
     */
-  private def fingerprint(docs: DataFrame, idCol: String,
+  private[graft] def fingerprint(docs: DataFrame, idCol: String,
       textCol: String): (Long, Long) = {
     val rowHash = TextAnalysis.hash60(concat_ws("",
       col(idCol).cast("string"), TextAnalysis.fingerprint60(col(textCol))))
@@ -69,7 +69,7 @@ object IncrementalDedup {
     * fingerprint matches, else rebuild from `build`. Returns true
     * when a (re)build happened.
     */
-  private def ensureBucketedState(docs: DataFrame, idCol: String,
+  private[graft] def ensureBucketedState(docs: DataFrame, idCol: String,
       textCol: String, table: String, nBuckets: Int,
       bucketCols: Seq[String],
       sortCols: Seq[String])(build: => DataFrame): Boolean = {

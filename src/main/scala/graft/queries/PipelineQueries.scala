@@ -3879,6 +3879,22 @@ object PipelineQueries {
       Bm25Queries.toDF("query_id", "qtext"), k = 10)
   }
 
+  /** BM25 served FROM the persisted inverted index
+    * (graft.text.Bm25Index) — the lexical serving path: postings
+    * bucketed by term, corpus scalars as table-property literals,
+    * probe = broadcast query terms into the postings scan. Same
+    * oracle as `q_bm25` BY DESIGN: the persisted probe must
+    * reproduce the in-query operator's ranking bit-for-bit.
+    */
+  def qBm25Persisted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val table = "graft_bm25_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.text.Bm25Index.ensure(docs, "doc_id", "text", table, 8)
+    graft.text.Bm25Index.topK(s, table,
+      Bm25Queries.toDF("query_id", "qtext"), "doc_id", k = 10)
+  }
+
   val qBm25Sql: String = {
     val sc = Bm25.Scale
     val k1 = 1.2
@@ -4582,6 +4598,7 @@ object PipelineQueries {
     ("q_bpe", qBpe _, Some(qBpeSql)),
     ("q_bpe_encode", qBpeEncode _, Some(qBpeEncodeSql)),
     ("q_bm25", qBm25 _, Some(qBm25Sql)),
+    ("q_bm25_persisted", qBm25Persisted _, Some(qBm25Sql)),
     ("q_ann_rp", qAnnRp _, Some(qAnnRpSql)),
     ("q_rrf", qRrf _, Some(qRrfSql)),
     ("q_phash", qPhash _, Some(qPhashSql)),

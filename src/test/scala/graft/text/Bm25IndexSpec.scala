@@ -1,0 +1,87 @@
+package graft.text
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class Bm25IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def queries = Seq(
+    ("q1", "alpha quick brown"), ("q2", "data spark shuffle"))
+    .toDF("query_id", "qtext")
+
+  test("persisted probe ≡ in-query Bm25.topK bit-for-bit") {
+    val table = "bm25_spec_idx"
+    try {
+      val docs = Tables.documents(spark, sf)
+      Bm25Index.ensure(docs, "doc_id", "text", table, 8)
+      val served = Bm25Index.topK(spark, table, queries, "doc_id", k = 10)
+        .orderBy("query_id", "rank").collect().toSeq
+      val direct = Bm25.topK(docs, "doc_id", "text", queries, k = 10)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(served === direct)
+      assert(served.nonEmpty, "fixture queries must match something")
+      graft.CacheRegistry.releaseAll()
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("ensure reuses on identical corpus, rebuilds on text drift") {
+    val table = "bm25_spec_reuse"
+    try {
+      val docs = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+        .toDF("doc_id", "text")
+      assert(Bm25Index.ensure(docs, "doc_id", "text", table, 2))
+      assert(!Bm25Index.ensure(docs, "doc_id", "text", table, 2))
+      val edited = docs.withColumn("text",
+        when($"doc_id" === 2L, lit("gamma epsilon")).otherwise($"text"))
+      assert(Bm25Index.ensure(edited, "doc_id", "text", table, 2))
+      // the rebuilt index serves the NEW vocabulary
+      val hit = Bm25Index.topK(spark, table,
+        Seq(("q", "epsilon")).toDF("query_id", "qtext"), "doc_id")
+        .select($"doc_id").as[Long].collect()
+      assert(hit.toSeq === Seq(2L))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("probe plan: postings reach the term join without an exchange") {
+    val table = "bm25_spec_plan"
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Bm25Index.ensure(Tables.documents(spark, sf), "doc_id", "text",
+        table, 8)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Bm25Index.topK(spark, table, queries, "doc_id", k = 5)
+      val plan = df.queryExecution.executedPlan
+      def hasPostings(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths.exists(
+                _.toString.contains("bm25_spec_plan")) => f
+        }.nonEmpty
+      assert(hasPostings(plan), plan.toString)
+      // the explicit broadcast() wins even with the threshold at -1,
+      // so the postings side must never sit under a shuffle exchange
+      // on its way into the term join
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if hasPostings(j) => j
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if hasPostings(j) => j
+      }
+      assert(joins.nonEmpty, s"no join over the postings scan:\n$plan")
+      joins.last.children.filter(hasPostings).foreach { side =>
+        val ex = side.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }
+        assert(ex.isEmpty,
+          s"postings side of the term join got exchanged:\n$plan")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+}
