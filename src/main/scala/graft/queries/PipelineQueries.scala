@@ -476,6 +476,67 @@ object PipelineQueries {
        |FROM g LEFT JOIN hits h USING (doc_id)""".stripMargin
   }
 
+  /** The eval-owner's view of [[qDecontam]]: PER BENCHMARK ITEM, how
+    * many corpus documents leak it (any shared width-n gram) and how
+    * many distinct grams of the item occur anywhere in the corpus —
+    * the report that decides which eval rows are still trustworthy.
+    * Same asymmetric shape transposed: the benchmark gram table
+    * (eval-suite-sized) broadcasts; the corpus side is the same two
+    * narrow passes; aggregation is benchmark-grain (bounded output).
+    */
+  def qDecontamItems(s: SparkSession, d: String): DataFrame = {
+    import graft.text.{Decontaminate => D}
+    val docs = Tables.documents(s, d)
+    val bench = docs
+      .filter(TextAnalysis.hash60(col("doc_id").cast(StringType))
+        % 16 === 5)
+      .select(col("doc_id").as("bench_id"), concat_ws(" ",
+        slice(TextAnalysis.tokens(col("text")), 4, 8)).as("bench_text"))
+    val bg = bench.select(col("bench_id"),
+      explode(D.gramSet(col("bench_text"), DecontamN)).as("h"))
+    val cg = docs.select(col("doc_id"),
+      explode(D.gramSet(col("text"), DecontamN)).as("h"))
+    val hits = cg.join(broadcast(bg), Seq("h"))
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_hit"),
+        countDistinct(col("h")).as("n_grams_hit"))
+    bench.select(col("bench_id"),
+        size(D.gramSet(col("bench_text"), DecontamN)).cast(LongType)
+          .as("n_grams"))
+      .join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_grams"),
+        coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
+        coalesce(col("n_grams_hit"), lit(0L)).as("n_grams_hit"))
+  }
+
+  lazy val qDecontamItemsSql: String = {
+    val n = DecontamN
+    def gram(ts: String) = hash60Sql(
+      (0 until n).map(o => s"$ts[i+$o]").mkString(" || ' ' || "))
+    val h16 = s"${hash60Sql("cast(doc_id as varchar)")} % 16"
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |b0 AS (SELECT doc_id AS bench_id, list_slice(toks, 4, 11) AS bt
+       |       FROM t WHERE $h16 = 5),
+       |bt AS (SELECT bench_id, list_distinct(
+       |        list_transform(range(1, greatest(len(bt) - ${n - 1}, 0) + 1),
+       |          i -> ${gram("bt")})) AS gs
+       |       FROM b0),
+       |bg AS (SELECT bench_id, unnest(gs) AS h FROM bt),
+       |cg AS (SELECT doc_id, unnest(list_distinct(
+       |        list_transform(range(1, greatest(len(toks) - ${n - 1}, 0) + 1),
+       |          i -> ${gram("toks")}))) AS h
+       |       FROM t),
+       |hits AS (SELECT bg.bench_id,
+       |    count(distinct cg.doc_id) AS n_docs_hit,
+       |    count(distinct bg.h) AS n_grams_hit
+       |  FROM cg JOIN bg USING (h) GROUP BY 1)
+       |SELECT bt.bench_id,
+       |  cast(len(bt.gs) as bigint) AS n_grams,
+       |  cast(coalesce(h.n_docs_hit, 0) as bigint) AS n_docs_hit,
+       |  cast(coalesce(h.n_grams_hit, 0) as bigint) AS n_grams_hit
+       |FROM bt LEFT JOIN hits h USING (bench_id)""".stripMargin
+  }
+
   /** Training-sequence length for [[qPackGlobal]] (tokens). ~2.3
     * docs per sequence at the synthetic doc lengths, so both
     * multi-doc sequences and boundary-crossing docs occur at every SF.
@@ -4491,6 +4552,7 @@ object PipelineQueries {
     ("q_curation_v5", qCurationV5 _, Some(qCurationV5Sql)),
     ("q_curation_v6", qCurationV6 _, Some(qCurationV6Sql)),
     ("q_decontam", qDecontam _, Some(qDecontamSql)),
+    ("q_decontam_items", qDecontamItems _, Some(qDecontamItemsSql)),
     ("q_pack_global", qPackGlobal _, Some(qPackGlobalSql)),
     ("q_ewma", qEwma _, Some(qEwmaSql)),
     ("q_ann_recall", qAnnRecall _, Some(qAnnRecallSql)),
