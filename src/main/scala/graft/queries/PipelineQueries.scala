@@ -1381,6 +1381,63 @@ object PipelineQueries {
     sb.toString
   }
 
+  /** The measure → optimize → APPLY loop closed
+    * ([[qMixOpt]] ∘ Sampling.domainMix): the optimizer's
+    * multiplicative-weights mixture becomes the live sampling policy
+    * — its weights collect to the driver (domain-count-sized model
+    * state), feed domainMix's rate arithmetic, and the report
+    * compares each surviving domain's REALIZED share against its
+    * target. The oracle replays the LM, the full optimizer
+    * trajectory, the rate derivation (min-scale + per-source
+    * least(1, t·scale/n)), and the coordinate filter.
+    */
+  def qMixPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = graft.text.UnigramLm.score(docs, "doc_id", "text")
+    val perDoc = docs.select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"))
+      .select(col("source"),
+        round(-col("avg_logp") * 1e6).cast(LongType).as("lm"))
+    // bounded collect: one weight per domain (model state)
+    val w = graft.ops.MixtureOptimizer.optimize(perDoc, "source", "lm")
+      .select(col("domain"), col("weight"))
+      .filter(col("weight") > 0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
+      .sortBy(_._1)
+    val kept = graft.ops.Sampling.domainMix(docs, "doc_id", "source", w)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    val tgt = w.foldRight(lit(null).cast(DoubleType)) {
+      case ((s0, t), acc) => when(col("source") === s0, lit(t)).otherwise(acc)
+    }
+    kept
+      .withColumn("target_share", tgt)
+      .withColumn("realized_share",
+        round(col("n_kept").cast(DoubleType) /
+          sum(col("n_kept")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+  }
+
+  lazy val qMixPipelineSql: String = {
+    val u = graft.ops.Sampling.coordinateSql("doc_id")
+    s"""WITH wopt AS (
+       |$qMixOptSql),
+       |counts AS (SELECT source, count(*) AS n_src FROM documents
+       |           GROUP BY 1),
+       |tw AS (SELECT domain AS source, weight FROM wopt WHERE weight > 0),
+       |j AS (SELECT c.source, c.n_src, t.weight
+       |      FROM counts c JOIN tw t USING (source)),
+       |sc AS (SELECT min(cast(n_src as double) / weight) AS scale FROM j),
+       |kept AS (
+       |  SELECT d.source FROM documents d
+       |  JOIN j USING (source) CROSS JOIN sc
+       |  WHERE $u < least(1.0, weight * scale / cast(n_src as double))),
+       |k AS (SELECT source, count(*) AS n_kept FROM kept GROUP BY 1)
+       |SELECT k.source, k.n_kept, j.weight AS target_share,
+       |  round(cast(k.n_kept as double) / sum(k.n_kept) OVER (), 6)
+       |    AS realized_share
+       |FROM k JOIN j USING (source)""".stripMargin
+  }
+
   /** DSIR importance weights: per-document log-ratio of a hashed
     * unigram+bigram LM trained on the TARGET slice (English docs) vs
     * the raw corpus — the data-selection score that says "looks like
@@ -4593,6 +4650,7 @@ object PipelineQueries {
     ("q_dsir", qDsir _, Some(qDsirSql)),
     ("q_mix_opt", qMixOpt _, Some(qMixOptSql)),
     ("q_token_drift", qTokenDrift _, Some(qTokenDriftSql)),
+    ("q_mix_pipeline", qMixPipeline _, Some(qMixPipelineSql)),
     ("q_bigram_lm", qBigramLm _, Some(qBigramLmSql)),
     ("q_weighted_sample", qWeightedSample _, Some(qWeightedSampleSql)),
     ("q_quality_gate", qQualityGate _, Some(qQualityGateSql)),
