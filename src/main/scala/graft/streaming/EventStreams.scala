@@ -565,6 +565,39 @@ object EventStreams {
       }
       .start()
 
+  /** Gate a document ingest stream against the PERSISTED near-dup
+    * band index ([[graft.dedup.IncrementalDedup]]): each micro-batch
+    * runs the full batch classification (band probe into the bucketed
+    * state, agreement gate, deterministic best-match) via
+    * foreachBatch — the sanctioned pattern for reusing batch logic
+    * that needs static-table joins plus aggregation a pure streaming
+    * plan cannot express in append mode — and lands the classified
+    * rows partitioned by batch id (idempotent on replay: a re-run
+    * batch overwrites its own partition with identical content, since
+    * classification against the static state is deterministic).
+    *
+    * The state table is NOT advanced per batch here — admission policy
+    * (when to [[graft.dedup.IncrementalDedup.appendAcceptedNear]] the
+    * kept rows) stays with the caller, because gating and state
+    * growth are separate decisions in a production ingest (e.g. gate
+    * now, append only after downstream quality checks pass).
+    */
+  def nearDedupGateSink(docs: DataFrame, stateTable: String,
+      idCol: String, textCol: String, sinkDir: String,
+      checkpointDir: String, w: Int = 3, minAgreement: Double = 0.75)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val classified = graft.dedup.IncrementalDedup.nearDedupAgainst(
+          batch.sparkSession, stateTable, batch, idCol, textCol,
+          w, minAgreement)
+        graft.sources.ParquetSink.overwritePartitions(
+          classified.withColumn("__batch_id", lit(batchId)),
+          sinkDir, Seq("__batch_id"))
+      }
+      .start()
+
   /** Streaming CDC materialization: fold each micro-batch of change
     * rows into a parquet snapshot with [[graft.ops.Upsert]] — the
     * streaming twin of the batch changelog application, giving a

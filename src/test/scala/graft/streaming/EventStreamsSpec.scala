@@ -398,6 +398,52 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batchClean)
   }
 
+  test("near-dup gate sink: streamed batches ≡ batch classification, " +
+      "idempotent partitions") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = "stream_near_gate_state"
+    val sink = java.nio.file.Files.createTempDirectory("near_gate_sink")
+      .toString
+    val ckpt = java.nio.file.Files.createTempDirectory("near_gate_ckpt")
+      .toString
+    try {
+      val corpus = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+          "lambda mu nu xi omicron pi")).toDF("doc_id", "text")
+      graft.dedup.IncrementalDedup.ensureNearState(
+        corpus, "doc_id", "text", table, 4)
+      val mem = MemoryStream[(Long, String)]
+      val q = EventStreams.nearDedupGateSink(
+        mem.toDF().toDF("doc_id", "text"), table, "doc_id", "text",
+        sink, ckpt)
+      val b1 = Seq(
+        (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+          "lambda mu nu xi omicron pi extra"),                 // near dup
+        (11L, "wholly different fresh content with new words"))
+      val b2 = Seq(
+        (12L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+          "lambda mu nu xi omicron pi"))                       // verbatim
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      val out = spark.read.parquet(sink)
+        .select($"doc_id", $"status", $"owner_id").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(out(10L) === (("near_dup_of_state", 1L)))
+      assert(out(11L)._1 === "kept")
+      assert(out(12L) === (("near_dup_of_state", 1L)))
+      assert(out.size === 3)
+      // bit-for-bit the batch operator on the same rows
+      val batchAll = graft.dedup.IncrementalDedup.nearDedupAgainst(
+        spark, table, (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2)))).toMap
+      assert(out === batchAll)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("streaming dedup against a static reference drops corpus duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val reference = Seq(
