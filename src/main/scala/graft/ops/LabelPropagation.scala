@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation (community detection) over an edge
+  * list — the graph-clustering complement to [[ConnectedComponents]]:
+  * CC answers "which docs are transitively LINKED", LPA answers "which
+  * docs cluster DENSELY" (a near-dup graph component can chain together
+  * two genuinely distinct communities through one bridge pair; LPA
+  * splits them, CC cannot). In a curation pipeline the community id is
+  * a grouping key for per-community caps/sampling exactly like the
+  * eTLD+1 domain key, but derived from interaction structure instead of
+  * metadata.
+  *
+  * Semantics (fixed, data-independent — the oracle unrolls the same
+  * rounds): every vertex starts labeled with its own id; each round,
+  * synchronously, label'(v) = the label with the highest vote count
+  * over {v} ∪ N(v) (self vote included — it damps the 2-cycle
+  * oscillation synchronous LPA exhibits on bipartite graphs), ties
+  * broken toward the SMALLEST label. All-integer votes + total
+  * tie-break ⇒ bit-identical results in any engine, unlike async LPA
+  * whose answer depends on visit order.
+  *
+  * Scale shape: each round is (a) one equi-join of the persisted edge
+  * list against the label frame keyed by src, (b) one partial-
+  * aggregated count keyed by (dst, label), (c) one partial-aggregated
+  * lexicographic struct-max keyed by dst — NO per-vertex window sort:
+  * argmax_{(count desc, label asc)} is max(struct(count, -label)),
+  * which combines map-side like any max. Rounds are fixed (default 4),
+  * so plan depth is static; at rounds ≳ 20 add the localCheckpoint
+  * discipline from [[ConnectedComponents]].
+  */
+object LabelPropagation {
+
+  /** Labels after `rounds` synchronous votes: (id, community).
+    * `edges` are directed (src, dst) as stored; votes flow src → dst,
+    * so pass a symmetrized list for undirected semantics. Vertices
+    * absent from any dst side keep their previous (initial) label.
+    */
+  def run(nodes: DataFrame, edges: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = graft.CacheRegistry.register(
+      Parallelism.widen(edges)
+        .select(col("src"), col("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val v = graft.CacheRegistry.register(
+      nodes.select(col("id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Each round references the previous label frame TWICE (self-vote
+    // union branch + the neighbor join), so raw lineage doubles per
+    // round — 2^rounds plan copies. The ConnectedComponents discipline
+    // applies: lazily localCheckpoint each round, materialize with one
+    // tiny count, free the superseded round's blocks immediately.
+    var labels = v.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(false)
+    labels.count() // materializes the lazy checkpoint
+    for (_ <- 1 to rounds) {
+      // self vote rides a union with the neighbor votes so one count
+      // aggregation sees both; the struct-max then picks the winner
+      // with (count desc, label asc) total order, no window needed
+      val votes = labels.select(col("id").as("vid"), col("lbl"))
+        .unionByName(
+          e.join(labels, e("src") === labels("id"))
+            .select(col("dst").as("vid"), col("lbl")))
+        .groupBy(col("vid"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val picked = votes
+        .groupBy(col("vid"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("w"))
+        .select(col("vid").as("id"), (-col("w.nl")).as("lbl"))
+      // vertices with no vote row (isolated AND filtered) keep labels;
+      // with the self vote in the union that set is empty, but the
+      // left join keeps the invariant explicit and costless
+      val next = v.join(picked, Seq("id"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+        .localCheckpoint(false)
+      next.count() // materializes the lazy checkpoint
+      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(labels)
+      labels = next
+    }
+    labels.select(col("id"), col("lbl").as("community"))
+  }
+
+  /** run() + per-community member counts: (id, community, csize). */
+  def withSizes(nodes: DataFrame, edges: DataFrame,
+      rounds: Int = 4): DataFrame = {
+    val labeled = run(nodes, edges, rounds)
+    val sizes = labeled.groupBy(col("community")).agg(count(lit(1)).as("csize"))
+    labeled.join(sizes, Seq("community"))
+      .select(col("id"), col("community"), col("csize"))
+  }
+}

@@ -3828,6 +3828,118 @@ object PipelineQueries {
        |FROM r5""".stripMargin
   }
 
+  /** The cust–supp bipartite interaction graph shared by the LPA and
+    * k-core queries (same construction as `qPagerank`): customer and
+    * supplier keys namespaced into one id space (cust → 2k,
+    * supp → 2k+1), symmetrized, deduplicated. The join+distinct is the
+    * expensive stage and feeds every downstream consumer, so it is
+    * persisted via the CacheRegistry.
+    */
+  private def bipartiteEdges(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    val ed = graft.CacheRegistry.register(
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    ed.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(ed.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  private val bipartiteEdgesSql: String =
+    """ed AS (
+      |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |edges AS (SELECT a AS src, b AS dst FROM ed
+      |          UNION ALL SELECT b AS src, a AS dst FROM ed),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges)""".stripMargin
+
+  /** Synchronous label-propagation communities on the cust–supp
+    * interaction graph: 4 fixed voting rounds, self vote included,
+    * ties to the smallest label (graft.ops.LabelPropagation — all-
+    * integer votes, so the oracle's unrolled rounds replay exactly).
+    * Output: every node with its community label and community size —
+    * the per-community grouping key a curation pipeline caps/samples
+    * on, analogous to the eTLD+1 domain key but structure-derived.
+    */
+  def qLabelProp(s: SparkSession, d: String): DataFrame = {
+    val edges = bipartiteEdges(s, d)
+    val nodes = edges.select(col("src").as("id")).distinct()
+    graft.ops.LabelPropagation.withSizes(nodes, edges, rounds = 4)
+      .select(
+        when(col("id") % 2 === 0, "cust").otherwise("supp").as("kind"),
+        expr("id div 2").as("node_key"),
+        col("community"),
+        col("csize"))
+  }
+
+  val qLabelPropSql: String = {
+    def round(n: Int) =
+      s"""c$n AS (
+         |  SELECT vid, lbl, count(*) AS c FROM (
+         |    SELECT id AS vid, lbl FROM l${n - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS vid, p.lbl FROM edges e
+         |    JOIN l${n - 1} p ON e.src = p.id)
+         |  GROUP BY 1, 2),
+         |p$n AS (
+         |  SELECT vid, lbl, row_number() OVER (PARTITION BY vid
+         |    ORDER BY c DESC, lbl ASC) AS rn
+         |  FROM c$n),
+         |l$n AS (SELECT vid AS id, lbl FROM p$n WHERE rn = 1)""".stripMargin
+    s"""WITH $bipartiteEdgesSql,
+       |l0 AS (SELECT id, id AS lbl FROM nodes),
+       |${(1 to 4).map(round).mkString(",\n")},
+       |sz AS (SELECT lbl, count(*) AS csize FROM l4 GROUP BY 1)
+       |SELECT CASE WHEN id % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+       |  id // 2 AS node_key, l4.lbl AS community, sz.csize
+       |FROM l4 JOIN sz ON l4.lbl = sz.lbl""".stripMargin
+  }
+
+  /** Fixed-round k-core peeling (k=12, 4 rounds) on the same graph:
+    * the density gate — vertices whose degree survives repeated
+    * removal of sub-k vertices, with residual degree and a
+    * self-reported convergence flag (graft.ops.KCore). k sits at the
+    * customer-side median degree, so the peel cascades non-trivially
+    * at every scale factor.
+    */
+  def qKcore(s: SparkSession, d: String): DataFrame = {
+    val edges = bipartiteEdges(s, d)
+    val nodes = edges.select(col("src").as("id")).distinct()
+    graft.ops.KCore.run(nodes, edges, k = 12, rounds = 4)
+      .select(
+        when(col("id") % 2 === 0, "cust").otherwise("supp").as("kind"),
+        expr("id div 2").as("node_key"),
+        col("deg"),
+        col("converged"))
+  }
+
+  val qKcoreSql: String = {
+    val k = 12
+    def peel(n: Int) =
+      s"""d$n AS (
+         |  SELECT e.src AS id, count(*) AS c FROM edges e
+         |  JOIN a${n - 1} s ON e.src = s.id
+         |  JOIN a${n - 1} t ON e.dst = t.id
+         |  GROUP BY 1),
+         |a$n AS (SELECT id FROM d$n WHERE c >= $k)""".stripMargin
+    s"""WITH $bipartiteEdgesSql,
+       |a0 AS (SELECT id FROM nodes),
+       |${(1 to 4).map(peel).mkString(",\n")},
+       |fd AS (
+       |  SELECT a.id, coalesce(d.c, 0) AS deg
+       |  FROM a4 a LEFT JOIN (
+       |    SELECT e.src AS id, count(*) AS c FROM edges e
+       |    JOIN a4 s ON e.src = s.id
+       |    JOIN a4 t ON e.dst = t.id
+       |    GROUP BY 1) d ON a.id = d.id)
+       |SELECT CASE WHEN id % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+       |  id // 2 AS node_key, deg,
+       |  (SELECT count(*) FROM a4) = (SELECT count(*) FROM a3) AS converged
+       |FROM fd""".stripMargin
+  }
+
   /** Brute-force cosine top-3 in Johnson-Lindenstrauss PROJECTED space
     * (64 → 16 dims): the dimensionality-reduction preprocessing for
     * corpus-scale similarity. The oracle recomputes the deterministic
@@ -4703,6 +4815,8 @@ object PipelineQueries {
     ("q_ann_rerank", qAnnRerank _, Some(qAnnRerankSql)),
     ("q_semdedup", qSemdedup _, Some(qSemdedupSql)),
     ("q_pagerank", qPagerank _, Some(qPagerankSql)),
+    ("q_label_prop", qLabelProp _, Some(qLabelPropSql)),
+    ("q_kcore", qKcore _, Some(qKcoreSql)),
     ("q_triangles", qTriangles _, Some(qTrianglesSql)),
     ("q_fuzzy_join", qFuzzyJoin _, Some(qFuzzyJoinSql)),
     ("q_snapshot_diff", qSnapshotDiff _, Some(qSnapshotDiffSql)),
