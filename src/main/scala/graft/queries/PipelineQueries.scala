@@ -2215,6 +2215,60 @@ object PipelineQueries {
        |      FROM ($qDupClustersSql) c JOIN w USING (doc_id))
        |SELECT cluster_id, doc_id, quality FROM j WHERE rk = 1""".stripMargin
 
+  /** Survivorship / golden-record fusion over the near-duplicate
+    * clusters: one fused record per cluster — longest text elects the
+    * canonical id, categorical fields (lang, source) fuse by
+    * most-frequent-wins with smallest-value ties, n_chars sums
+    * (graft.ops.Survivorship). The MDM merge step that follows
+    * clustering: `q_dedup_best` elects a member ROW, this fuses
+    * FIELDS across members. All-aggregation plan (struct-max +
+    * count/max/min chains), no windows — a hot cluster partial-
+    * aggregates instead of pinning one sort task.
+    */
+  def qSurvivor(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val clusters = Dedup.duplicateClusters(docs, "doc_id", "text")
+    graft.ops.Survivorship.goldenRecords(
+      docs.join(clusters, Seq("doc_id")),
+      clusterCol = "cluster_id", idCol = "doc_id", textCol = "text",
+      modalCols = Seq("lang", "source"), sumCols = Seq("n_chars"))
+  }
+
+  val qSurvivorSql: String = {
+    def modal(cte: String, field: String) =
+      s"""${cte}c AS (
+         |  SELECT cluster_id, $field AS v, count(*) AS c FROM j
+         |  WHERE $field IS NOT NULL GROUP BY 1, 2),
+         |$cte AS (
+         |  SELECT cluster_id, v FROM (
+         |    SELECT cluster_id, v, row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY c DESC, v ASC) AS rn
+         |    FROM ${cte}c) WHERE rn = 1)""".stripMargin
+    s"""WITH j AS (
+       |  SELECT c.cluster_id, d.doc_id, d.text, d.lang, d.source, d.n_chars
+       |  FROM ($qDupClustersSql) c JOIN documents d ON c.doc_id = d.doc_id),
+       |core AS (
+       |  SELECT cluster_id, count(*) AS n_members,
+       |    cast(sum(n_chars) as bigint) AS sum_n_chars
+       |  FROM j GROUP BY 1),
+       |canon AS (
+       |  SELECT cluster_id, doc_id AS canonical_id,
+       |    length(text) AS canonical_len,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY length(text) DESC, doc_id ASC) AS rn
+       |  FROM j),
+       |${modal("ml", "lang")},
+       |${modal("ms", "source")}
+       |SELECT core.cluster_id, core.n_members, cn.canonical_id,
+       |  cn.canonical_len, core.sum_n_chars,
+       |  ml.v AS modal_lang, ms.v AS modal_source
+       |FROM core
+       |JOIN (SELECT cluster_id, canonical_id, canonical_len
+       |      FROM canon WHERE rn = 1) cn ON core.cluster_id = cn.cluster_id
+       |LEFT JOIN ml ON core.cluster_id = ml.cluster_id
+       |LEFT JOIN ms ON core.cluster_id = ms.cluster_id""".stripMargin
+  }
+
   /** Leakage-safe train/val/test split: split membership is a hash of
     * the near-duplicate CLUSTER id, not the document id — every
     * transitive near-dup lands in the same split, so no eval document
@@ -4788,6 +4842,7 @@ object PipelineQueries {
     ("q_dedup_apply", qDedupApply _, Some(qDedupApplySql)),
     ("q_dup_clusters", qDupClusters _, Some(qDupClustersSql)),
     ("q_dedup_best", qDedupBest _, Some(qDedupBestSql)),
+    ("q_survivor", qSurvivor _, Some(qSurvivorSql)),
     ("q_dedup_incr", qDedupIncr _, Some(qDedupIncrSql)),
     ("q_simhash", qSimhash _, Some(qSimhashSql)),
     ("q_simhash_pairs", qSimhashPairs _, Some(qSimhashPairsSql)),
