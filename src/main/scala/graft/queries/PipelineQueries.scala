@@ -2269,6 +2269,76 @@ object PipelineQueries {
        |LEFT JOIN ms ON core.cluster_id = ms.cluster_id""".stripMargin
   }
 
+  /** k-anonymity / l-diversity release audit with a local-recoding
+    * generalization ladder (graft.ops.Privacy): quasi-identifiers
+    * (nation, market segment, account-balance band), entity =
+    * customer, sensitive = order priority. Classes with < 5 distinct
+    * customers or < 2 distinct priorities coarsen their band 1000 →
+    * 5000 → suppressed; residual failures flag `risky`. The privacy
+    * gate a data-release pipeline runs before publishing per-group
+    * aggregates.
+    */
+  def qKanon(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val base = c.join(o, col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("bigint").as("qi_nation"),
+        col("c_mktsegment").as("qi_seg"),
+        (floor(col("c_acctbal") / 1000) * 1000).cast("bigint").as("band_fine"),
+        (floor(col("c_acctbal") / 5000) * 5000).cast("bigint").as("band_coarse"),
+        col("c_custkey"), col("o_orderpriority"))
+    graft.ops.Privacy.generalize(base, Seq("qi_nation", "qi_seg"),
+      "band_fine", "band_coarse", "c_custkey", "o_orderpriority",
+      k = 5, l = 2)
+  }
+
+  val qKanonSql: String = {
+    val (kk, ll) = (5, 2)
+    s"""WITH base AS (
+       |  SELECT cast(c_nationkey as bigint) AS qi_nation,
+       |    c_mktsegment AS qi_seg,
+       |    cast(floor(c_acctbal / 1000) * 1000 as bigint) AS band_fine,
+       |    cast(floor(c_acctbal / 5000) * 5000 as bigint) AS band_coarse,
+       |    c_custkey, o_orderpriority
+       |  FROM customer JOIN orders ON o_custkey = c_custkey),
+       |g0 AS (
+       |  SELECT qi_nation, qi_seg, band_fine,
+       |    count(DISTINCT c_custkey) AS k_size,
+       |    count(DISTINCT o_orderpriority) AS l_div
+       |  FROM base GROUP BY 1, 2, 3),
+       |rows1 AS (
+       |  SELECT b.* FROM base b
+       |  JOIN g0 ON b.qi_nation = g0.qi_nation AND b.qi_seg = g0.qi_seg
+       |    AND b.band_fine = g0.band_fine
+       |  WHERE g0.k_size < $kk OR g0.l_div < $ll),
+       |g1 AS (
+       |  SELECT qi_nation, qi_seg, band_coarse,
+       |    count(DISTINCT c_custkey) AS k_size,
+       |    count(DISTINCT o_orderpriority) AS l_div
+       |  FROM rows1 GROUP BY 1, 2, 3),
+       |rows2 AS (
+       |  SELECT r.* FROM rows1 r
+       |  JOIN g1 ON r.qi_nation = g1.qi_nation AND r.qi_seg = g1.qi_seg
+       |    AND r.band_coarse = g1.band_coarse
+       |  WHERE g1.k_size < $kk OR g1.l_div < $ll),
+       |g2 AS (
+       |  SELECT qi_nation, qi_seg,
+       |    count(DISTINCT c_custkey) AS k_size,
+       |    count(DISTINCT o_orderpriority) AS l_div
+       |  FROM rows2 GROUP BY 1, 2)
+       |SELECT qi_nation, qi_seg, band_fine AS attr, 0 AS level,
+       |  k_size, l_div, false AS risky
+       |FROM g0 WHERE k_size >= $kk AND l_div >= $ll
+       |UNION ALL
+       |SELECT qi_nation, qi_seg, band_coarse AS attr, 1 AS level,
+       |  k_size, l_div, false AS risky
+       |FROM g1 WHERE k_size >= $kk AND l_div >= $ll
+       |UNION ALL
+       |SELECT qi_nation, qi_seg, NULL AS attr, 2 AS level,
+       |  k_size, l_div, (k_size < $kk OR l_div < $ll) AS risky
+       |FROM g2""".stripMargin
+  }
+
   /** Leakage-safe train/val/test split: split membership is a hash of
     * the near-duplicate CLUSTER id, not the document id — every
     * transitive near-dup lands in the same split, so no eval document
@@ -4843,6 +4913,7 @@ object PipelineQueries {
     ("q_dup_clusters", qDupClusters _, Some(qDupClustersSql)),
     ("q_dedup_best", qDedupBest _, Some(qDedupBestSql)),
     ("q_survivor", qSurvivor _, Some(qSurvivorSql)),
+    ("q_kanon", qKanon _, Some(qKanonSql)),
     ("q_dedup_incr", qDedupIncr _, Some(qDedupIncrSql)),
     ("q_simhash", qSimhash _, Some(qSimhashSql)),
     ("q_simhash_pairs", qSimhashPairs _, Some(qSimhashPairsSql)),
