@@ -2269,6 +2269,36 @@ object PipelineQueries {
        |LEFT JOIN ms ON core.cluster_id = ms.cluster_id""".stripMargin
   }
 
+  /** Join-cardinality estimation by CMS inner product
+    * (graft.sketch.CountMin.joinSizeEstimate): |lineitem ⋈ σ(part)| on
+    * partkey, estimated from two d×65536 counter tables (w sized so the collision term ‖fA‖₁‖fB‖₁/w sits well under the true size) built in one
+    * narrow pass per side — the planner statistic that decides
+    * broadcast-vs-shuffle (or predicts a skew blowup) BEFORE paying
+    * the join. Emits per-depth estimates, the sketch min, and the
+    * exact size so the one-sided error is visible in the result.
+    */
+  def qJoinCard(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val p = Tables.part(s, d).filter(col("p_retailprice") > 975.0)
+    val est = graft.sketch.CountMin.joinSizeEstimate(
+      l, "l_partkey", p, "p_partkey", w = 65536)
+    val exact = l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(count(lit(1)).as("exact_n"))
+    est.crossJoin(broadcast(exact))
+  }
+
+  val qJoinCardSql: String =
+    s"""WITH ka AS (SELECT l_partkey AS k FROM lineitem),
+       |kb AS (SELECT p_partkey AS k FROM part WHERE p_retailprice > 975.0),
+       |${graft.sketch.CountMin.joinSizeCtesSql(65536)},
+       |ex AS (
+       |  SELECT count(*) AS exact_n FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  WHERE p_retailprice > 975.0)
+       |SELECT r.cm_row, r.row_est,
+       |  (SELECT min(row_est) FROM rows_) AS est, ex.exact_n
+       |FROM rows_ r CROSS JOIN ex""".stripMargin
+
   /** k-anonymity / l-diversity release audit with a local-recoding
     * generalization ladder (graft.ops.Privacy): quasi-identifiers
     * (nation, market segment, account-balance band), entity =
@@ -4914,6 +4944,7 @@ object PipelineQueries {
     ("q_dedup_best", qDedupBest _, Some(qDedupBestSql)),
     ("q_survivor", qSurvivor _, Some(qSurvivorSql)),
     ("q_kanon", qKanon _, Some(qKanonSql)),
+    ("q_join_card", qJoinCard _, Some(qJoinCardSql)),
     ("q_dedup_incr", qDedupIncr _, Some(qDedupIncrSql)),
     ("q_simhash", qSimhash _, Some(qSimhashSql)),
     ("q_simhash_pairs", qSimhashPairs _, Some(qSimhashPairsSql)),

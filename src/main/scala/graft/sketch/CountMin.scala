@@ -151,4 +151,76 @@ object CountMin {
        |LEFT JOIN ctrs c USING (cm_row, cm_bucket)
        |GROUP BY 1, 2""".stripMargin
   }
+
+  /** Join-cardinality estimation by CMS inner product — the planner
+    * statistic for 100 TB joins: |A ⋈ B| on a key equals
+    * Σ_k fA(k)·fB(k), and the inner product of the two sides' CMS
+    * counter rows estimates it from d·w counters per side instead of a
+    * distinct-key pass over either input (AMS/CMS sketch classic:
+    * Cormode & Muthukrishnan 2005, §4.2). Per depth row the estimate
+    * is Σ_b cA[i,b]·cB[i,b]; collisions only ADD cross terms, so each
+    * row over-estimates and the MIN over rows is the sketch estimate,
+    * with est ≥ true always and est ≤ true + ε·‖fA‖₁‖fB‖₁ w.h.p. at
+    * w = e/ε. All-integer, so cross-engine exact.
+    *
+    * Use: decide broadcast-vs-shuffle or detect a skew blowup BEFORE
+    * running the join — the sketches build in one narrow pass over
+    * each side (map-side combinable counts), ship d·w longs, and the
+    * estimate itself is a d·w-row join, independent of data size.
+    *
+    * @return one row per depth: (cm_row, row_est, est) with est the
+    *         min over depths — callers typically read the single est
+    */
+  def joinSizeEstimate(a: DataFrame, keyColA: String,
+      b: DataFrame, keyColB: String, w: Int): DataFrame = {
+    val ca = counters(a.select(col(keyColA).as("k")), Seq(), "k", w)
+      .select(col("cm_row"), col("cm_bucket"), col("cnt").as("cnt_a"))
+    val cb = counters(b.select(col(keyColB).as("k")), Seq(), "k", w)
+      .select(col("cm_row"), col("cm_bucket"), col("cnt").as("cnt_b"))
+    val inner = ca.join(cb, Seq("cm_row", "cm_bucket"))
+      .groupBy(col("cm_row"))
+      .agg(sum(col("cnt_a") * col("cnt_b")).as("row_est"))
+    // a depth whose buckets never coincide has inner product 0 — the
+    // inner join DROPS that row, which would silently inflate the min
+    // (the 0 estimate is exactly the informative one on near-disjoint
+    // inputs). Re-anchor on the full depth range with a left join.
+    val depths = a.sparkSession.range(0, depth.toLong)
+      .select(col("id").cast(IntegerType).as("cm_row"))
+    // d rows total, but read twice (per-depth output + the min):
+    // persist so the counter builds run once
+    val rows = graft.CacheRegistry.register(
+      depths.join(inner, Seq("cm_row"), "left")
+        .select(col("cm_row"), coalesce(col("row_est"), lit(0L)).as("row_est"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    rows.crossJoin(broadcast(rows.agg(min(col("row_est")).as("est"))))
+  }
+
+  /** DuckDB mirror of [[joinSizeEstimate]]: CTE chain over two key
+    * CTEs `ka(k)` and `kb(k)` the caller prepends, ending in
+    * `rows_(cm_row, row_est)`; the caller writes the final SELECT
+    * (typically joining in an exact count for the error report).
+    */
+  def joinSizeCtesSql(w: Int): String = {
+    def h(src: String) =
+      s"cast(('0x' || substr(md5(cast($src.k as varchar)), 1, 15)) as bigint) % $P"
+    def hashed(name: String, src: String) = {
+      val rowSelects = rowCoeffs.zipWithIndex.map { case ((acf, bcf), i) =>
+        s"SELECT $i AS cm_row, ((${h(src)} * $acf + $bcf) % $P) % $w AS cm_bucket FROM $src"
+      }.mkString("\nUNION ALL\n")
+      s"""$name AS (
+         |  SELECT cm_row, cm_bucket, count(*) AS cnt FROM (
+         |$rowSelects)
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    s"""${hashed("ca", "ka")},
+       |${hashed("cb", "kb")},
+       |inner_ AS (
+       |  SELECT ca.cm_row, cast(sum(ca.cnt * cb.cnt) as bigint) AS row_est
+       |  FROM ca JOIN cb ON ca.cm_row = cb.cm_row AND ca.cm_bucket = cb.cm_bucket
+       |  GROUP BY 1),
+       |rows_ AS (
+       |  SELECT d.cm_row, coalesce(i.row_est, 0) AS row_est
+       |  FROM (SELECT unnest(range($depth)) AS cm_row) d
+       |  LEFT JOIN inner_ i ON d.cm_row = i.cm_row)""".stripMargin
+  }
 }
