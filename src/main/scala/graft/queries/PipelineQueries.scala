@@ -2269,6 +2269,33 @@ object PipelineQueries {
        |LEFT JOIN ms ON core.cluster_id = ms.cluster_id""".stripMargin
   }
 
+  /** Quality-per-token Pareto frontier (graft.ops.Skyline.front2d):
+    * documents no budget-constrained selection policy would skip —
+    * maximize quality score, minimize token count, keep the
+    * non-dominated set. The engine runs the level-sweep formulation
+    * (per-level min + one window over DISTINCT quality levels + a
+    * joined-back threshold — O(N) + a tiny sort); the oracle is the
+    * quadratic NOT EXISTS textbook definition, so the algebraic
+    * equivalence is what the hash match certifies.
+    */
+  def qPareto(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    graft.ops.Skyline.front2d(scored, "quality", "n_tokens")
+  }
+
+  val qParetoSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks, text FROM documents),
+       |w AS (SELECT doc_id, ${qualityExprSql("toks", "text")} AS quality,
+       |        len(toks) AS n_tokens FROM t)
+       |SELECT p.doc_id, p.quality, p.n_tokens FROM w p
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM w o
+       |  WHERE o.quality >= p.quality AND o.n_tokens <= p.n_tokens
+       |    AND (o.quality > p.quality OR o.n_tokens < p.n_tokens))""".stripMargin
+
   /** Join-cardinality estimation by CMS inner product
     * (graft.sketch.CountMin.joinSizeEstimate): |lineitem ⋈ σ(part)| on
     * partkey, estimated from two d×65536 counter tables (w sized so the collision term ‖fA‖₁‖fB‖₁/w sits well under the true size) built in one
@@ -4945,6 +4972,7 @@ object PipelineQueries {
     ("q_survivor", qSurvivor _, Some(qSurvivorSql)),
     ("q_kanon", qKanon _, Some(qKanonSql)),
     ("q_join_card", qJoinCard _, Some(qJoinCardSql)),
+    ("q_pareto", qPareto _, Some(qParetoSql)),
     ("q_dedup_incr", qDedupIncr _, Some(qDedupIncrSql)),
     ("q_simhash", qSimhash _, Some(qSimhashSql)),
     ("q_simhash_pairs", qSimhashPairs _, Some(qSimhashPairsSql)),
