@@ -4036,26 +4036,61 @@ object PipelineQueries {
       |          UNION ALL SELECT b AS src, a AS dst FROM ed),
       |nodes AS (SELECT DISTINCT src AS id FROM edges)""".stripMargin
 
-  /** Synchronous label-propagation communities on the cust–supp
-    * interaction graph: 4 fixed voting rounds, self vote included,
-    * ties to the smallest label (graft.ops.LabelPropagation — all-
-    * integer votes, so the oracle's unrolled rounds replay exactly).
-    * Output: every node with its community label and community size —
-    * the per-community grouping key a curation pipeline caps/samples
-    * on, analogous to the eTLD+1 domain key but structure-derived.
+  /** The co-purchase part graph shared by the LPA and modularity
+    * queries (same construction as `qTriangles`, same 1/4-of-orders
+    * bound): parts sharing an order, symmetrized, multi-edges KEPT —
+    * multiplicity is the co-purchase weight, so votes and modularity
+    * are frequency-weighted. Chosen over the bipartite cust–supp
+    * graph deliberately: synchronous LPA's fixpoint on a bipartite
+    * graph is the 2-coloring (each side's neighbor majority is the
+    * other side — a degenerate, if deterministic, answer), while the
+    * unipartite projection carries actual clustering.
     */
-  def qLabelProp(s: SparkSession, d: String): DataFrame = {
-    val edges = bipartiteEdges(s, d)
-    val nodes = edges.select(col("src").as("id")).distinct()
-    graft.ops.LabelPropagation.withSizes(nodes, edges, rounds = 4)
-      .select(
-        when(col("id") % 2 === 0, "cust").otherwise("supp").as("kind"),
-        expr("id div 2").as("node_key"),
-        col("community"),
-        col("csize"))
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = graft.CacheRegistry.register(
+      li.alias("a").join(li.alias("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("s"), col("b.l_partkey").as("t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    pairs.select(col("s").as("src"), col("t").as("dst"))
+      .unionAll(pairs.select(col("t").as("src"), col("s").as("dst")))
   }
 
-  val qLabelPropSql: String = {
+  private val coPurchaseEdgesSql: String =
+    """li AS (SELECT l_orderkey, l_partkey FROM lineitem
+      |       WHERE l_orderkey % 4 = 0),
+      |pairs AS (
+      |  SELECT a.l_partkey AS s, b.l_partkey AS t FROM li a
+      |  JOIN li b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey),
+      |edges AS (SELECT s AS src, t AS dst FROM pairs
+      |          UNION ALL SELECT t, s FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges)""".stripMargin
+
+  /** Synchronous label-propagation communities on the co-purchase
+    * part graph: 4 fixed voting rounds, self vote included, ties to
+    * the smallest label (graft.ops.LabelPropagation — all-integer
+    * votes, so the oracle's unrolled rounds replay exactly). Output:
+    * every part with its community label and community size — the
+    * per-community grouping key a curation pipeline caps/samples on,
+    * analogous to the eTLD+1 domain key but structure-derived
+    * (sf0.01: 83 communities, largest 230, modularity +0.17).
+    */
+  def qLabelProp(s: SparkSession, d: String): DataFrame = {
+    val edges = coPurchaseEdges(s, d)
+    val nodes = edges.select(col("src").as("id")).distinct()
+    graft.ops.LabelPropagation.withSizes(nodes, edges, rounds = 4)
+      .select(col("id").as("part"), col("community"), col("csize"))
+  }
+
+  /** Unrolled synchronous-LPA rounds (CTEs `l0`..`l<rounds>` over the
+    * prepended `edges`/`nodes`) shared by the LPA and modularity
+    * oracles. */
+  private def lpaRoundsSql(rounds: Int): String = {
     def round(n: Int) =
       s"""c$n AS (
          |  SELECT vid, lbl, count(*) AS c FROM (
@@ -4069,14 +4104,238 @@ object PipelineQueries {
          |    ORDER BY c DESC, lbl ASC) AS rn
          |  FROM c$n),
          |l$n AS (SELECT vid AS id, lbl FROM p$n WHERE rn = 1)""".stripMargin
-    s"""WITH $bipartiteEdgesSql,
-       |l0 AS (SELECT id, id AS lbl FROM nodes),
-       |${(1 to 4).map(round).mkString(",\n")},
+    s"""l0 AS (SELECT id, id AS lbl FROM nodes),
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  val qLabelPropSql: String = {
+    s"""WITH $coPurchaseEdgesSql,
+       |${lpaRoundsSql(4)},
        |sz AS (SELECT lbl, count(*) AS csize FROM l4 GROUP BY 1)
-       |SELECT CASE WHEN id % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
-       |  id // 2 AS node_key, l4.lbl AS community, sz.csize
+       |SELECT l4.id AS part, l4.lbl AS community, sz.csize
        |FROM l4 JOIN sz ON l4.lbl = sz.lbl""".stripMargin
   }
+
+  /** Newman modularity of the LPA communities — the quality metric
+    * that closes the community-detection loop: Q_c = L_c/m −
+    * (d_c/2m)², computed from the DIRECTED symmetric edge list as
+    * Q_c = (intra2·E − deg²)/E² with E = directed edge count, all
+    * integer until one final double division+round (the PageRank
+    * quantization discipline — cross-engine exact). One extra
+    * aggregation pass over the labeled edges computes intra-edge and
+    * degree sums together. Emits per-community contributions plus the
+    * corpus total.
+    */
+  def qModularity(s: SparkSession, d: String): DataFrame = {
+    val edges = coPurchaseEdges(s, d)
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val labels = graft.ops.LabelPropagation.run(nodes, edges, rounds = 4)
+    val le = edges
+      .join(labels.select(col("id"), col("community").as("csrc")),
+        edges("src") === col("id")).drop("id")
+      .join(labels.select(col("id").as("did"), col("community").as("cdst")),
+        col("dst") === col("did")).drop("did")
+    val c = le.groupBy(col("csrc").as("community"))
+      .agg(count(lit(1)).as("deg_sum"),
+        sum(when(col("csrc") === col("cdst"), 1L).otherwise(0L)).as("intra2"))
+    val ed = edges.agg(count(lit(1)).as("e_d"))
+    val c2 = c.crossJoin(broadcast(ed))
+      .withColumn("q_num",
+        col("intra2") * col("e_d") - col("deg_sum") * col("deg_sum"))
+    val tot = c2.agg(sum(col("q_num")).as("sum_num"),
+      max(col("e_d")).as("e_max"))
+      .select((round(col("sum_num").cast("double") /
+        (col("e_max").cast("double") * col("e_max").cast("double")), 6)
+        + lit(0.0)).as("q_total")) // + 0.0 folds IEEE -0.0 to +0.0
+    c2.select(col("community"), col("intra2"), col("deg_sum"),
+        (round(col("q_num").cast("double") /
+          (col("e_d").cast("double") * col("e_d").cast("double")), 6)
+          + lit(0.0)).as("q_contrib")) // -0.0 → +0.0, mirrored in the oracle
+      .crossJoin(broadcast(tot))
+  }
+
+  val qModularitySql: String =
+    s"""WITH $coPurchaseEdgesSql,
+       |${lpaRoundsSql(4)},
+       |le AS (
+       |  SELECT e.src, e.dst, a.lbl AS csrc, b.lbl AS cdst
+       |  FROM edges e JOIN l4 a ON e.src = a.id JOIN l4 b ON e.dst = b.id),
+       |ecnt AS (SELECT count(*) AS e_d FROM edges),
+       |mc AS (
+       |  SELECT csrc AS community, count(*) AS deg_sum,
+       |    cast(sum(CASE WHEN csrc = cdst THEN 1 ELSE 0 END) as bigint) AS intra2
+       |  FROM le GROUP BY 1),
+       |mc2 AS (
+       |  SELECT mc.*, ecnt.e_d,
+       |    cast(intra2 * e_d - deg_sum * deg_sum as bigint) AS q_num
+       |  FROM mc CROSS JOIN ecnt),
+       |tot AS (
+       |  SELECT round(cast(sum(q_num) as double) /
+       |    (cast(max(e_d) as double) * cast(max(e_d) as double)), 6) + 0.0 AS q_total
+       |  FROM mc2)
+       |SELECT community, intra2, deg_sum,
+       |  round(cast(q_num as double) /
+       |    (cast(e_d as double) * cast(e_d as double)), 6) + 0.0 AS q_contrib,
+       |  tot.q_total
+       |FROM mc2 CROSS JOIN tot""".stripMargin
+
+  /** Multi-source BFS hop distance (graft.ops.Bfs, 4 synchronous
+    * relaxation rounds) from the seed set {parts ≡ 0 mod 101} on the
+    * co-purchase graph: the link-distance quality prior — "how many
+    * hops from a trusted seed is this item" — plus bounded-radius
+    * neighborhood extraction. Unit weights + fixed rounds ⇒ round-r
+    * distance IS the shortest path for everything reached, and the
+    * all-integer min-relaxation unrolls exactly in the oracle.
+    */
+  def qSssp(s: SparkSession, d: String): DataFrame = {
+    val edges = coPurchaseEdges(s, d)
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val seeds = nodes.filter(col("id") % 101 === 0)
+    graft.ops.Bfs.run(seeds, edges, rounds = 4)
+      .select(col("id").as("part"), col("dist"))
+  }
+
+  val qSsspSql: String = {
+    def relax(n: Int) =
+      s"""r$n AS (
+         |  SELECT id, min(dist) AS dist FROM (
+         |    SELECT id, dist FROM r${n - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, r${n - 1}.dist + 1 AS dist
+         |    FROM edges e JOIN r${n - 1} ON e.src = r${n - 1}.id)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH $coPurchaseEdgesSql,
+       |r0 AS (SELECT id, CAST(0 AS BIGINT) AS dist FROM nodes
+       |       WHERE id % 101 = 0),
+       |${(1 to 4).map(relax).mkString(",\n")}
+       |SELECT id AS part, dist FROM r4""".stripMargin
+  }
+
+  /** Association rules (a-priori, support/confidence/lift) over order
+    * baskets: the classic co-occurrence miner, reframed for curation —
+    * "token/domain A implies B" rules are how a pipeline spots template
+    * boilerplate and spam clusters. Scale shape: the a-priori
+    * FREQUENT-ITEM PREFILTER runs before any pairing, so the basket
+    * self-join only ever pairs items that individually clear minsup —
+    * the pair blowup is bounded by (frequent items per basket)², and
+    * the frequent-item set is by definition small enough to broadcast
+    * (AQE does). Thresholds derive from the corpus order count
+    * (greatest(2, N div 500)), so the query is SF-invariant. All
+    * counts integer; confidence/lift are one final round(·,6) double
+    * division each, replayed operation-for-operation in the oracle.
+    */
+  def qAssoc(s: SparkSession, d: String): DataFrame = {
+    val b = graft.CacheRegistry.register(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val n = b.agg(countDistinct(col("o")).as("n"))
+    val si = b.groupBy(col("i")).agg(count(lit(1)).as("s"))
+    val f = si.crossJoin(broadcast(n))
+      .filter(col("s") >= greatest(lit(2L), expr("n div 500")))
+      .select(col("i"), col("s"))
+    val pairs = b.alias("a")
+      .join(b.alias("c"), col("a.o") === col("c.o") && col("a.i") < col("c.i"))
+      .join(f.select(col("i").as("ia2"), col("s").as("sup_a")),
+        col("a.i") === col("ia2"))
+      .join(f.select(col("i").as("ib2"), col("s").as("sup_b")),
+        col("c.i") === col("ib2"))
+      .groupBy(col("a.i").as("part_a"), col("c.i").as("part_b"),
+        col("sup_a"), col("sup_b"))
+      .agg(count(lit(1)).as("sup_pair"))
+      .filter(col("sup_pair") >= 2)
+    pairs.crossJoin(broadcast(n)).select(
+      col("part_a"), col("part_b"), col("sup_pair"),
+      col("sup_a"), col("sup_b"),
+      round(col("sup_pair").cast("double") / col("sup_a").cast("double"), 6)
+        .as("conf_ab"),
+      round(col("sup_pair").cast("double") / col("sup_b").cast("double"), 6)
+        .as("conf_ba"),
+      round(col("sup_pair").cast("double") * col("n").cast("double") /
+        (col("sup_a").cast("double") * col("sup_b").cast("double")), 6)
+        .as("lift"))
+  }
+
+  val qAssocSql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+      |           FROM lineitem),
+      |n AS (SELECT count(DISTINCT o) AS n FROM b),
+      |si AS (SELECT i, count(*) AS s FROM b GROUP BY 1),
+      |f AS (SELECT i, s FROM si, n WHERE s >= greatest(2, n // 500)),
+      |p AS (
+      |  SELECT a.i AS part_a, c.i AS part_b, fa.s AS sup_a, fb.s AS sup_b,
+      |    count(*) AS sup_pair
+      |  FROM b a JOIN b c ON a.o = c.o AND a.i < c.i
+      |  JOIN f fa ON a.i = fa.i JOIN f fb ON c.i = fb.i
+      |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
+      |SELECT part_a, part_b, sup_pair, sup_a, sup_b,
+      |  round(CAST(sup_pair AS DOUBLE) / CAST(sup_a AS DOUBLE), 6) AS conf_ab,
+      |  round(CAST(sup_pair AS DOUBLE) / CAST(sup_b AS DOUBLE), 6) AS conf_ba,
+      |  round(CAST(sup_pair AS DOUBLE) * CAST(n AS DOUBLE) /
+      |    (CAST(sup_a AS DOUBLE) * CAST(sup_b AS DOUBLE)), 6) AS lift
+      |FROM p, n""".stripMargin
+
+  /** Item-item collaborative filtering: binary-basket cosine
+    * sim(a,b) = co / sqrt(s_a · s_b), top-3 neighbors per item — the
+    * "related items" / nearest-corpus-peers primitive, structurally
+    * the sparse analogue of q_ann_topk (co-occurrence replaces the
+    * dot product; the inverted basket index replaces the broadcast
+    * scan). Scale shape: pair generation is keyed by basket id and
+    * pruned to co ≥ 2 BEFORE the ranking window, and the window
+    * partitions by item (never a global sort). sqrt of an integer
+    * product is deterministic IEEE in both engines; one final
+    * round(·,6).
+    */
+  def qItemCf(s: SparkSession, d: String): DataFrame = {
+    val b = graft.CacheRegistry.register(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val si = b.groupBy(col("i")).agg(count(lit(1)).as("s"))
+    val co = b.alias("a")
+      .join(b.alias("c"), col("a.o") === col("c.o") && col("a.i") < col("c.i"))
+      .groupBy(col("a.i").as("ia"), col("c.i").as("ib"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 2)
+    // symmetrize so every item ranks ALL its neighbors
+    val sym = co.unionByName(
+      co.select(col("ib").as("ia"), col("ia").as("ib"), col("co")))
+    val scored = sym
+      .join(si.select(col("i").as("ia"), col("s").as("s_item")), Seq("ia"))
+      .join(si.select(col("i").as("ib"), col("s").as("s_nbr")), Seq("ib"))
+      .withColumn("sim", round(col("co").cast("double") /
+        sqrt((col("s_item") * col("s_nbr")).cast("double")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ia"))
+      .orderBy(col("sim").desc, col("ib").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("ia").as("item"), col("ib").as("neighbor"),
+        col("co"), col("s_item"), col("s_nbr"), col("sim"), col("rank"))
+  }
+
+  val qItemCfSql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+      |           FROM lineitem),
+      |si AS (SELECT i, count(*) AS s FROM b GROUP BY 1),
+      |co AS (
+      |  SELECT a.i AS ia, c.i AS ib, count(*) AS co
+      |  FROM b a JOIN b c ON a.o = c.o AND a.i < c.i
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sym AS (SELECT ia, ib, co FROM co
+      |        UNION ALL SELECT ib, ia, co FROM co),
+      |sc AS (
+      |  SELECT sym.ia, sym.ib, sym.co, sa.s AS s_item, sb.s AS s_nbr,
+      |    round(CAST(sym.co AS DOUBLE) /
+      |      sqrt(CAST(sa.s * sb.s AS DOUBLE)), 6) AS sim
+      |  FROM sym JOIN si sa ON sym.ia = sa.i JOIN si sb ON sym.ib = sb.i),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY ia
+      |    ORDER BY sim DESC, ib ASC) AS rank FROM sc)
+      |SELECT ia AS item, ib AS neighbor, co, s_item, s_nbr, sim, rank
+      |FROM r WHERE rank <= 3""".stripMargin
 
   /** Fixed-round k-core peeling (k=12, 4 rounds) on the same graph:
     * the density gate — vertices whose degree survives repeated
@@ -4897,6 +5156,189 @@ object PipelineQueries {
       |    (acc, x) -> round(x * 0.25 + acc * 0.75)) / 1000000, 6) AS ewma
       |FROM o""".stripMargin
 
+  /** CUPED variance-reduced A/B readout over events: users split by
+    * user_id parity, pre-period (< 2024-01-16) spend is the covariate,
+    * post-period spend the metric; θ = cov(X,Y)/var(X) from POOLED
+    * moments, adjusted metric ȳᵥ − θ(x̄ᵥ − x̄), plus the achieved
+    * variance-reduction ρ² = cov²/(varX·varY). Numeric discipline:
+    * values quantize to integer cents, per-user sums and ALL moment
+    * sums accumulate in decimal(38,0) (Spark) ≙ HUGEINT (DuckDB) so
+    * every covariance numerator is an EXACT integer in both engines —
+    * the only floating-point steps are the final divisions, each a
+    * single correctly-rounded cast + round(·,6) replayed
+    * operation-for-operation in the oracle. Scale shape: one
+    * map-side-combining per-user aggregate, one 7-number global
+    * moment row (broadcast), one per-variant aggregate.
+    */
+  def qCuped(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val dec = "decimal(38,0)"
+    val per = Tables.events(s, d)
+      .select(col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("q"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < cut, col("q")).otherwise(0L)).as("x"),
+        sum(when(col("ts") >= cut, col("q")).otherwise(0L)).as("y"))
+    val m = per.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum((col("y") * col("y")).cast(dec)).as("syy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"))
+      .select(col("n"), col("sx"), col("sy"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_n"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("varx_n"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("vary_n"))
+      .select(col("n"), col("sx"),
+        round(col("cov_n").cast("double") / col("varx_n").cast("double"), 6)
+          .as("theta"),
+        round(col("cov_n").cast("double") * col("cov_n").cast("double") /
+          (col("varx_n").cast("double") * col("vary_n").cast("double")), 6)
+          .as("var_reduction"))
+    per.withColumn("variant", (col("user_id") % 2).cast("long"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x").cast(dec)).as("sxv"),
+        sum(col("y").cast(dec)).as("syv"))
+      .crossJoin(broadcast(m))
+      .select(col("variant"), col("n_users"),
+        round(col("sxv").cast("double") /
+          (col("n_users").cast("double") * 100.0), 6).as("mean_pre"),
+        round(col("syv").cast("double") /
+          (col("n_users").cast("double") * 100.0), 6).as("mean_post"),
+        col("theta"),
+        round((col("syv").cast("double") / col("n_users").cast("double") -
+          col("theta") * (col("sxv").cast("double") /
+            col("n_users").cast("double") -
+            col("sx").cast("double") / col("n").cast("double"))) / 100.0, 6)
+          .as("mean_post_adj"),
+        col("var_reduction"))
+  }
+
+  val qCupedSql: String =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+      |        THEN CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)
+      |        ELSE 0 END) AS x,
+      |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+      |        THEN CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)
+      |        ELSE 0 END) AS y
+      |  FROM events GROUP BY 1),
+      |m0 AS (
+      |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      |  FROM per),
+      |m AS (
+      |  SELECT n, sx,
+      |    round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |      CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
+      |    round(CAST(n * sxy - sx * sy AS DOUBLE) *
+      |      CAST(n * sxy - sx * sy AS DOUBLE) /
+      |      (CAST(n * sxx - sx * sx AS DOUBLE) *
+      |       CAST(n * syy - sy * sy AS DOUBLE)), 6) AS var_reduction
+      |  FROM m0),
+      |v AS (
+      |  SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+      |    count(*) AS n_users, sum(x) AS sxv, sum(y) AS syv
+      |  FROM per GROUP BY 1)
+      |SELECT variant, n_users,
+      |  round(CAST(sxv AS DOUBLE) / (CAST(n_users AS DOUBLE) * 100.0), 6)
+      |    AS mean_pre,
+      |  round(CAST(syv AS DOUBLE) / (CAST(n_users AS DOUBLE) * 100.0), 6)
+      |    AS mean_post,
+      |  m.theta,
+      |  round((CAST(syv AS DOUBLE) / CAST(n_users AS DOUBLE) -
+      |    m.theta * (CAST(sxv AS DOUBLE) / CAST(n_users AS DOUBLE) -
+      |      CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))) / 100.0, 6)
+      |    AS mean_post_adj,
+      |  m.var_reduction
+      |FROM v CROSS JOIN m""".stripMargin
+
+  /** Incremental view maintenance of a join view by delta algebra:
+    * with A = orders, B = lineitem split into old/delta on key hash
+    * (ΔA: o_orderkey ≡ 0 mod 7; ΔB: l_linenumber = 1 rows of ΔA's
+    * complement are NOT deltas — B splits on l_orderkey ≡ 0 mod 5),
+    * ΔV = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB. The query folds ΔV's per-priority
+    * aggregate into V₀'s and emits it side-by-side with the full
+    * recompute plus a match flag — the correctness law OF the
+    * maintenance algebra, verified row-by-row by the oracle. Scale
+    * shape: each delta join is delta-sized on at least one side (the
+    * whole point of IVM — maintenance cost tracks the batch, not the
+    * base), aggregates are map-side-combined integers (revenue in
+    * cents), and the old/delta splits are pushed-down parquet filters.
+    */
+  def qIvmJoin(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val a = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val b = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), cents.as("cents"))
+    val aOld = a.filter(col("o_orderkey") % 7 =!= 0)
+    val aDel = a.filter(col("o_orderkey") % 7 === 0)
+    val bOld = b.filter(col("l_orderkey") % 5 =!= 0)
+    val bDel = b.filter(col("l_orderkey") % 5 === 0)
+    def agg(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("rows_"), sum(col("cents")).as("rev"))
+    def j(x: DataFrame, y: DataFrame): DataFrame =
+      x.join(y, x("o_orderkey") === y("l_orderkey"))
+    val v0 = agg(j(aOld, bOld))
+    val dv = agg(j(aDel, bOld)
+      .unionByName(j(aOld, bDel))
+      .unionByName(j(aDel, bDel)))
+    val incr = v0.select(col("o_orderpriority"), col("rows_"), col("rev"))
+      .unionByName(dv)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("rows_")).as("rows_incr"), sum(col("rev")).as("rev_incr"))
+    val full = agg(j(a, b))
+      .select(col("o_orderpriority"), col("rows_").as("rows_full"),
+        col("rev").as("rev_full"))
+    incr.join(full, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"),
+        col("rows_incr"), col("rows_full"),
+        col("rev_incr"), col("rev_full"),
+        (col("rows_incr") === col("rows_full") &&
+          col("rev_incr") === col("rev_full")).as("consistent"))
+  }
+
+  val qIvmJoinSql: String =
+    """WITH a AS (SELECT o_orderkey, o_orderpriority FROM orders),
+      |b AS (SELECT l_orderkey,
+      |        CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)
+      |          AS cents
+      |      FROM lineitem),
+      |a_old AS (SELECT * FROM a WHERE o_orderkey % 7 <> 0),
+      |a_del AS (SELECT * FROM a WHERE o_orderkey % 7 = 0),
+      |b_old AS (SELECT * FROM b WHERE l_orderkey % 5 <> 0),
+      |b_del AS (SELECT * FROM b WHERE l_orderkey % 5 = 0),
+      |v0 AS (SELECT o_orderpriority, count(*) AS rows_, sum(cents) AS rev
+      |       FROM a_old JOIN b_old ON o_orderkey = l_orderkey GROUP BY 1),
+      |dv AS (SELECT o_orderpriority, count(*) AS rows_, sum(cents) AS rev
+      |       FROM (
+      |         SELECT o_orderpriority, cents
+      |         FROM a_del JOIN b_old ON o_orderkey = l_orderkey
+      |         UNION ALL
+      |         SELECT o_orderpriority, cents
+      |         FROM a_old JOIN b_del ON o_orderkey = l_orderkey
+      |         UNION ALL
+      |         SELECT o_orderpriority, cents
+      |         FROM a_del JOIN b_del ON o_orderkey = l_orderkey)
+      |       GROUP BY 1),
+      |incr AS (
+      |  SELECT o_orderpriority, sum(rows_) AS rows_incr, sum(rev) AS rev_incr
+      |  FROM (SELECT * FROM v0 UNION ALL SELECT * FROM dv) GROUP BY 1),
+      |fullv AS (
+      |  SELECT o_orderpriority, count(*) AS rows_full, sum(cents) AS rev_full
+      |  FROM a JOIN b ON o_orderkey = l_orderkey GROUP BY 1)
+      |SELECT o_orderpriority,
+      |  CAST(rows_incr AS BIGINT) AS rows_incr, rows_full,
+      |  CAST(rev_incr AS BIGINT) AS rev_incr,
+      |  CAST(rev_full AS BIGINT) AS rev_full,
+      |  (rows_incr = rows_full AND rev_incr = rev_full) AS consistent
+      |FROM incr JOIN fullv USING (o_orderpriority)""".stripMargin
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_curation_v5", qCurationV5 _, Some(qCurationV5Sql)),
@@ -5002,6 +5444,12 @@ object PipelineQueries {
     ("q_pagerank", qPagerank _, Some(qPagerankSql)),
     ("q_label_prop", qLabelProp _, Some(qLabelPropSql)),
     ("q_kcore", qKcore _, Some(qKcoreSql)),
+    ("q_modularity", qModularity _, Some(qModularitySql)),
+    ("q_sssp", qSssp _, Some(qSsspSql)),
+    ("q_assoc", qAssoc _, Some(qAssocSql)),
+    ("q_item_cf", qItemCf _, Some(qItemCfSql)),
+    ("q_cuped", qCuped _, Some(qCupedSql)),
+    ("q_ivm_join", qIvmJoin _, Some(qIvmJoinSql)),
     ("q_triangles", qTriangles _, Some(qTrianglesSql)),
     ("q_fuzzy_join", qFuzzyJoin _, Some(qFuzzyJoinSql)),
     ("q_snapshot_diff", qSnapshotDiff _, Some(qSnapshotDiffSql)),
