@@ -5257,10 +5257,10 @@ object PipelineQueries {
       |FROM v CROSS JOIN m""".stripMargin
 
   /** Incremental view maintenance of a join view by delta algebra:
-    * with A = orders, B = lineitem split into old/delta on key hash
-    * (ΔA: o_orderkey ≡ 0 mod 7; ΔB: l_linenumber = 1 rows of ΔA's
-    * complement are NOT deltas — B splits on l_orderkey ≡ 0 mod 5),
-    * ΔV = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB. The query folds ΔV's per-priority
+    * with A = orders and B = lineitem each split into old/delta on a
+    * key hash (ΔA: o_orderkey ≡ 0 mod 7; ΔB: l_orderkey ≡ 0 mod 5 —
+    * deliberately different moduli so all three delta-join terms are
+    * non-empty), ΔV = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB. The query folds ΔV's per-priority
     * aggregate into V₀'s and emits it side-by-side with the full
     * recompute plus a match flag — the correctness law OF the
     * maintenance algebra, verified row-by-row by the oracle. Scale
@@ -5338,6 +5338,223 @@ object PipelineQueries {
       |  CAST(rev_full AS BIGINT) AS rev_full,
       |  (rows_incr = rows_full AND rev_incr = rev_full) AS consistent
       |FROM incr JOIN fullv USING (o_orderpriority)""".stripMargin
+
+  /** KMV theta-sketch set intersection: "how much does corpus A
+    * overlap corpus B" answered from two 512-register sketches
+    * (graft.sketch.Kmv.jaccardEstimate) instead of a raw-data join —
+    * THE set-operation payoff that distinguishes KMV from HLL. Sides:
+    * the (part, supplier) pairs shipped with returnflag R vs A
+    * (~5% true Jaccard). The exact full-join answer rides along so
+    * the verified artifact MEASURES estimator error instead of
+    * claiming it; the serving path at 100 TB is the sketch-only
+    * prefix (two ≤512-row register sets joined on hash — the exact
+    * branch is the expensive thing the sketch exists to avoid).
+    * Deterministic: registers are integer hashes, θ-truncated set
+    * arithmetic is integer, and the estimates are fixed-order double
+    * expressions replayed verbatim in the oracle.
+    */
+  def qKmvIntersect(s: SparkSession, d: String): DataFrame = {
+    import graft.sketch.Kmv
+    val li = Tables.lineitem(s, d)
+      .select((col("l_partkey") * 1000 + col("l_suppkey")).as("v"),
+        col("l_returnflag"))
+    val a = li.filter(col("l_returnflag") === "R").select(col("v"))
+    val b = li.filter(col("l_returnflag") === "A").select(col("v"))
+    val est = Kmv.jaccardEstimate(a, b, "v", k = 512)
+    val exact = a.distinct().select(col("v"), lit(true).as("in_a"))
+      .join(b.distinct().select(col("v"), lit(true).as("in_b")),
+        Seq("v"), "full_outer")
+      .agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("in_b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L))
+          .as("exact_inter"),
+        count(lit(1)).as("exact_union"))
+    exact.crossJoin(broadcast(est)).select(
+      col("n_a"), col("n_b"), col("exact_inter"), col("exact_union"),
+      round(col("exact_inter").cast("double") /
+        col("exact_union").cast("double"), 6).as("exact_jaccard"),
+      round(col("est_jaccard"), 6).as("est_jaccard"),
+      round(col("est_intersection"), 6).as("est_intersection"))
+  }
+
+  val qKmvIntersectSql: String = {
+    val k = 512
+    val h = "cast(('0x' || substr(md5(cast(v as varchar)), 1, 15)) as bigint)"
+    s"""WITH src AS (SELECT l_partkey * 1000 + l_suppkey AS v, l_returnflag
+       |             FROM lineitem),
+       |da AS (SELECT DISTINCT v FROM src WHERE l_returnflag = 'R'),
+       |db AS (SELECT DISTINCT v FROM src WHERE l_returnflag = 'A'),
+       |ra AS (SELECT h FROM (
+       |  SELECT $h AS h, row_number() OVER (ORDER BY $h ASC) AS rn
+       |  FROM da) WHERE rn <= $k),
+       |rb AS (SELECT h FROM (
+       |  SELECT $h AS h, row_number() OVER (ORDER BY $h ASC) AS rn
+       |  FROM db) WHERE rn <= $k),
+       |th AS (SELECT least((SELECT max(h) FROM ra),
+       |                    (SELECT max(h) FROM rb)) AS theta),
+       |j AS (SELECT coalesce(ra.h, rb.h) AS h,
+       |        ra.h IS NOT NULL AS in_a, rb.h IS NOT NULL AS in_b
+       |      FROM ra FULL OUTER JOIN rb ON ra.h = rb.h),
+       |e0 AS (SELECT
+       |         sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS n_inter,
+       |         count(*) AS n_union, max(theta) AS theta
+       |       FROM j, th WHERE h <= theta),
+       |e AS (SELECT
+       |        CASE WHEN n_union > 0
+       |          THEN CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)
+       |          ELSE 0.0 END AS ej,
+       |        n_union, theta
+       |      FROM e0),
+       |est AS (SELECT round(ej, 6) AS est_jaccard,
+       |          round(ej * (greatest(CAST(n_union AS DOUBLE) - 1.0, 0.0) /
+       |            (CAST(theta AS DOUBLE) / 1152921504606846976.0)), 6)
+       |            AS est_intersection
+       |        FROM e),
+       |ex AS (SELECT
+       |         CAST(sum(CASE WHEN da.v IS NOT NULL THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_a,
+       |         CAST(sum(CASE WHEN db.v IS NOT NULL THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n_b,
+       |         CAST(sum(CASE WHEN da.v IS NOT NULL AND db.v IS NOT NULL
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter,
+       |         count(*) AS exact_union
+       |       FROM da FULL OUTER JOIN db ON da.v = db.v)
+       |SELECT n_a, n_b, exact_inter, exact_union,
+       |  round(CAST(exact_inter AS DOUBLE) / CAST(exact_union AS DOUBLE), 6)
+       |    AS exact_jaccard,
+       |  est_jaccard, est_intersection
+       |FROM ex CROSS JOIN est""".stripMargin
+  }
+
+  /** Positional phrase search: mine the corpus's most frequent bigram
+    * (deterministic tie-break), then find every document containing
+    * that two-token phrase with occurrence count and first position —
+    * the adjacency-aware retrieval primitive a bag-of-words index
+    * (q_bm25) cannot answer, and the batch twin of the
+    * positions-column extension a persisted inverted index needs for
+    * phrase queries. Scale shape: bigrams come from a doc-partitioned
+    * lead() window (never a global sort), the argmax bigram is a
+    * TakeOrdered(1) over grouped counts, and the occurrence scan is
+    * one broadcast-semi-join of the token stream against a 1-row
+    * phrase table.
+    */
+  def qPhraseSearch(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.CacheRegistry.register(
+      graft.ops.Parallelism.widen(Tables.documents(s, d))
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = toks
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("tok").as("w1"), lead(col("tok"), 1).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+    val top = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1").asc, col("w2").asc)
+      .limit(1)
+      .select(col("w1"), col("w2"))
+    bigrams.join(broadcast(top), Seq("w1", "w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_occ"), min(col("pos")).as("first_pos"))
+      .select(col("doc_id"), col("w1"), col("w2"), col("n_occ"),
+        col("first_pos"))
+  }
+
+  val qPhraseSearchSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |u AS (SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS pos, toks[r.i] AS tok
+       |      FROM t, unnest(range(1, len(toks) + 1)) AS r(i)),
+       |b AS (SELECT doc_id, pos, tok AS w1,
+       |        lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |      FROM u),
+       |bn AS (SELECT * FROM b WHERE w2 IS NOT NULL),
+       |top AS (SELECT w1, w2 FROM (
+       |  SELECT w1, w2, count(*) AS c FROM bn GROUP BY 1, 2)
+       |  ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1)
+       |SELECT bn.doc_id, bn.w1, bn.w2, count(*) AS n_occ,
+       |  min(bn.pos) AS first_pos
+       |FROM bn JOIN top ON bn.w1 = top.w1 AND bn.w2 = top.w2
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  /** Linear multi-touch attribution: every purchase's value is split
+    * equally across the user's touch events (any non-purchase type)
+    * in the preceding 7 days; touchless purchases credit a synthetic
+    * 'direct' channel. The credit unit is an INTEGER micro-cent-share
+    * (round(cents·10⁶ / n_touches)) so per-channel totals are exact
+    * integer sums — no float accumulation anywhere — with one final
+    * division to dollars. Scale shape: the conversion↔touch interval
+    * join is keyed by user (per-user event counts are bounded, so the
+    * pair blowup is per-key quadratic in a SMALL key group, the same
+    * argument as q_interval_join), and both credit aggregations are
+    * map-side-combined integer sums.
+    */
+  def qAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("cts"),
+        col("event_id").as("cid"), col("cents"))
+    val touch = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts").as("tts"),
+        col("event_type").as("channel"))
+    val pairs = graft.CacheRegistry.register(
+      conv.join(touch, Seq("user_id"))
+        .filter(col("tts") < col("cts") &&
+          col("tts") >= col("cts") - expr("INTERVAL 7 DAYS"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val n = pairs.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    val credited = pairs.groupBy(col("cid"), col("cents"), col("channel"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(n, Seq("cid"))
+      .select(col("cid"), col("channel"),
+        (col("cnt") * round(col("cents").cast("double") * 1000000.0 /
+          col("n").cast("double")).cast("long")).as("micro"))
+    val direct = conv.join(pairs.select(col("cid")).distinct(),
+        Seq("cid"), "left_anti")
+      .select(col("cid"), lit("direct").as("channel"),
+        (col("cents") * 1000000L).as("micro"))
+    credited.unionByName(direct)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("micro")).as("micro_total"))
+      .select(col("channel"), col("n_conversions"),
+        round(col("micro_total").cast("double") / 100000000.0, 6)
+          .as("credit_dollars"))
+  }
+
+  val qAttributionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |conv AS (SELECT user_id, ts AS cts, event_id AS cid, cents
+      |         FROM ev WHERE event_type = 'purchase'),
+      |touch AS (SELECT user_id, ts AS tts, event_type AS channel
+      |          FROM ev WHERE event_type <> 'purchase'),
+      |pairs AS (
+      |  SELECT c.cid, c.cents, t.channel
+      |  FROM conv c JOIN touch t ON c.user_id = t.user_id
+      |    AND t.tts < c.cts AND t.tts >= c.cts - INTERVAL 7 DAY),
+      |n AS (SELECT cid, count(*) AS n FROM pairs GROUP BY 1),
+      |credited AS (
+      |  SELECT p.cid, p.channel,
+      |    cnt * CAST(round(CAST(p.cents AS DOUBLE) * 1000000.0 /
+      |      CAST(n.n AS DOUBLE)) AS BIGINT) AS micro
+      |  FROM (SELECT cid, cents, channel, count(*) AS cnt
+      |        FROM pairs GROUP BY 1, 2, 3) p
+      |  JOIN n ON p.cid = n.cid),
+      |direct AS (
+      |  SELECT cid, 'direct' AS channel, cents * 1000000 AS micro
+      |  FROM conv WHERE cid NOT IN (SELECT cid FROM pairs))
+      |SELECT channel, count(*) AS n_conversions,
+      |  round(CAST(sum(micro) AS DOUBLE) / 100000000.0, 6)
+      |    AS credit_dollars
+      |FROM (SELECT * FROM credited UNION ALL SELECT * FROM direct)
+      |GROUP BY 1""".stripMargin
 
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
@@ -5450,6 +5667,9 @@ object PipelineQueries {
     ("q_item_cf", qItemCf _, Some(qItemCfSql)),
     ("q_cuped", qCuped _, Some(qCupedSql)),
     ("q_ivm_join", qIvmJoin _, Some(qIvmJoinSql)),
+    ("q_kmv_intersect", qKmvIntersect _, Some(qKmvIntersectSql)),
+    ("q_phrase_search", qPhraseSearch _, Some(qPhraseSearchSql)),
+    ("q_attribution", qAttribution _, Some(qAttributionSql)),
     ("q_triangles", qTriangles _, Some(qTrianglesSql)),
     ("q_fuzzy_join", qFuzzyJoin _, Some(qFuzzyJoinSql)),
     ("q_snapshot_diff", qSnapshotDiff _, Some(qSnapshotDiffSql)),
