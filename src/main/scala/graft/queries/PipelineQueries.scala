@@ -5556,6 +5556,176 @@ object PipelineQueries {
       |FROM (SELECT * FROM credited UNION ALL SELECT * FROM direct)
       |GROUP BY 1""".stripMargin
 
+  /** Per-document tf-idf keyword extraction (top 3 terms): the
+    * lightweight doc-summarization/topical-tagging pass a curation
+    * pipeline runs to label corpus slices before mixing. Same numeric
+    * discipline as q_bm25: each term's score quantizes to an integer
+    * (round(tf · ln(1 + N/df) · 10⁶)) BEFORE ranking, so the per-doc
+    * rank order is integer-total-ordered and replays exactly. Scale
+    * shape: tf/df are map-side-combined aggregates over the token
+    * stream, the df frame joins broadcast-side (vocab-sized), and the
+    * ranking window partitions by doc — never a global sort.
+    */
+  def qKeywords(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.CacheRegistry.register(
+      graft.ops.Parallelism.widen(Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = toks.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("tok")).crossJoin(broadcast(nDocs))
+      .withColumn("score_q",
+        round(col("tf").cast("double") *
+          log(lit(1.0) + col("n_docs").cast("double") /
+            col("df").cast("double")) * 1000000.0).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_q").desc, col("tok").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("tok").as("term"), col("tf"), col("df"),
+        round(col("score_q").cast("double") / 1000000.0, 6).as("score"),
+        col("rank"))
+  }
+
+  val qKeywordsSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+       |sc AS (
+       |  SELECT doc_id, tok, tf, df,
+       |    CAST(round(CAST(tf AS DOUBLE) *
+       |      ln(1.0 + CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) *
+       |      1000000.0) AS BIGINT) AS score_q
+       |  FROM tf JOIN dfq USING (tok) CROSS JOIN nd),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY score_q DESC, tok ASC) AS rank FROM sc)
+       |SELECT doc_id, tok AS term, tf, df,
+       |  round(CAST(score_q AS DOUBLE) / 1000000.0, 6) AS score, rank
+       |FROM r WHERE rank <= 3""".stripMargin
+
+  /** First-order Markov transition matrix over per-user event
+    * journeys: P(next type | type) from (ts, event_id)-ordered
+    * sequences — the behavioral fingerprint that feeds
+    * journey-anomaly detection and synthetic-journey generation, and
+    * the batch twin of a streaming sessionizer's edge counts. All
+    * counts integer (lead over a user-partitioned window, never a
+    * global sort); the probability is one final round(·,6) division.
+    */
+  def qMarkov(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = trans.groupBy(col("from_type"))
+      .agg(sum(col("n_trans")).as("n_from"))
+    trans.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        col("n_from"),
+        round(col("n_trans").cast("double") / col("n_from").cast("double"), 6)
+          .as("prob"))
+  }
+
+  val qMarkovSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |tr AS (SELECT from_type, to_type, count(*) AS n_trans
+      |       FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+      |        FROM tr GROUP BY 1)
+      |SELECT from_type, to_type, n_trans, n_from,
+      |  round(CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE), 6) AS prob
+      |FROM tr JOIN tot USING (from_type)""".stripMargin
+
+  /** HLL inclusion–exclusion intersection over the SAME two sets as
+    * q_kmv_intersect (part-supp pairs, returnflag R vs A), so the
+    * verified artifacts measure the two sketches' intersection error
+    * side by side: HLL unions losslessly (register max) but
+    * intersects only by est_A + est_B − est_union — signed error that
+    * grows as the overlap shrinks — while KMV intersects natively.
+    * The Spark path answers all three estimates from ONE register
+    * table (sketch once, serve per-side and merged), leaning on the
+    * max-merge = union-sketch identity that q_hll_rollup pins; the
+    * oracle computes the union sketch directly — equal by that exact
+    * integer identity. Exact answer rides along for the error
+    * measurement.
+    */
+  def qHllIntersect(s: SparkSession, d: String): DataFrame = {
+    import graft.sketch.Hll
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_returnflag").isin("R", "A"))
+      .select(
+        when(col("l_returnflag") === "R", "a").otherwise("b").as("g"),
+        (col("l_partkey") * 1000 + col("l_suppkey")).as("v"))
+    val regs = graft.CacheRegistry.register(
+      Hll.registers(li, Seq("g"), "v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val per = Hll.estimateFromRegisters(regs, Seq("g"))
+      .groupBy()
+      .agg(max(when(col("g") === "a", col("n_est"))).as("ea"),
+        max(when(col("g") === "b", col("n_est"))).as("eb"))
+    val merged = regs.groupBy(col("reg_idx"))
+      .agg(max(col("reg_rank")).as("reg_rank"))
+      .withColumn("one", lit(1))
+    val un = Hll.estimateFromRegisters(merged, Seq("one"))
+      .select(col("n_est").as("eu"))
+    val exact = li.filter(col("g") === "a").select(col("v")).distinct()
+      .select(col("v"), lit(true).as("in_a"))
+      .join(li.filter(col("g") === "b").select(col("v")).distinct()
+        .select(col("v"), lit(true).as("in_b")), Seq("v"), "full_outer")
+      .agg(sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L))
+        .as("exact_inter"))
+    per.crossJoin(broadcast(un)).crossJoin(broadcast(exact))
+      .select(
+        round(col("ea"), 6).as("est_a"),
+        round(col("eb"), 6).as("est_b"),
+        round(col("eu"), 6).as("est_union"),
+        round(col("ea") + col("eb") - col("eu"), 6).as("est_inter"),
+        col("exact_inter"))
+  }
+
+  val qHllIntersectSql: String = {
+    val src = "(SELECT CASE WHEN l_returnflag = 'R' THEN 'a' ELSE 'b' END " +
+      "AS g, l_partkey * 1000 + l_suppkey AS v FROM lineitem " +
+      "WHERE l_returnflag IN ('R', 'A'))"
+    val srcAll = "(SELECT 1 AS one, l_partkey * 1000 + l_suppkey AS v " +
+      "FROM lineitem WHERE l_returnflag IN ('R', 'A'))"
+    val per = graft.sketch.Hll.oracleSql(src, Seq("g"), "v")
+    val un = graft.sketch.Hll.oracleSql(srcAll, Seq("one"), "v")
+    s"""WITH per AS (
+       |$per),
+       |un AS (
+       |$un),
+       |p AS (SELECT max(CASE WHEN g = 'a' THEN n_est END) AS ea,
+       |        max(CASE WHEN g = 'b' THEN n_est END) AS eb
+       |      FROM per),
+       |ex AS (
+       |  SELECT CAST(sum(CASE WHEN da.v IS NOT NULL AND db.v IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+       |  FROM (SELECT DISTINCT l_partkey * 1000 + l_suppkey AS v
+       |        FROM lineitem WHERE l_returnflag = 'R') da
+       |  FULL OUTER JOIN
+       |       (SELECT DISTINCT l_partkey * 1000 + l_suppkey AS v
+       |        FROM lineitem WHERE l_returnflag = 'A') db
+       |  ON da.v = db.v)
+       |SELECT round(ea, 6) AS est_a, round(eb, 6) AS est_b,
+       |  round(un.n_est, 6) AS est_union,
+       |  round(ea + eb - un.n_est, 6) AS est_inter, exact_inter
+       |FROM p CROSS JOIN un CROSS JOIN ex""".stripMargin
+  }
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_curation_v5", qCurationV5 _, Some(qCurationV5Sql)),
@@ -5670,6 +5840,9 @@ object PipelineQueries {
     ("q_kmv_intersect", qKmvIntersect _, Some(qKmvIntersectSql)),
     ("q_phrase_search", qPhraseSearch _, Some(qPhraseSearchSql)),
     ("q_attribution", qAttribution _, Some(qAttributionSql)),
+    ("q_keywords", qKeywords _, Some(qKeywordsSql)),
+    ("q_markov", qMarkov _, Some(qMarkovSql)),
+    ("q_hll_intersect", qHllIntersect _, Some(qHllIntersectSql)),
     ("q_triangles", qTriangles _, Some(qTrianglesSql)),
     ("q_fuzzy_join", qFuzzyJoin _, Some(qFuzzyJoinSql)),
     ("q_snapshot_diff", qSnapshotDiff _, Some(qSnapshotDiffSql)),
