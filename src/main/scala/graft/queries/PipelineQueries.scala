@@ -5726,6 +5726,38 @@ object PipelineQueries {
        |FROM p CROSS JOIN un CROSS JOIN ex""".stripMargin
   }
 
+  /** Cardinality serving from the PERSISTED sketch store
+    * (graft.sketch.SketchStore): daily-grain KMV sketches of distinct
+    * users per event type persist once (bucketed by event type,
+    * staleness-fingerprinted), and the per-type rollup is answered
+    * from the stored registers — the raw events are never rescanned
+    * at serve time. The direct raw-data estimate rides along; the two
+    * are EQUAL by the trim-after-merge identity (q_kmv_rollup), and
+    * the oracle recomputes both paths from raw data in DuckDB. This
+    * is the 100 TB shape: sketch 30 days once, answer any window's
+    * distinct-user question from k-row register sets.
+    */
+  def qKmvStore(s: SparkSession, d: String): DataFrame = {
+    import graft.sketch.{Kmv, SketchStore}
+    val k = 256
+    val fine = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("user_id"), col("event_id"))
+    val table = "graft_kmv_store_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    SketchStore.ensure(fine, Seq("event_type", "day"), "user_id", k,
+      table, nBuckets = 4, fpIdCol = "event_id", fpContentCol = "user_id")
+    val served = SketchStore.serveRollup(s, table, Seq("event_type"), k)
+      .select(col("event_type"), col("n_est").as("n_est_served"))
+    val direct = Kmv.estimateDistinct(fine, Seq("event_type"), "user_id", k)
+      .select(col("event_type"), col("n_est").as("n_est_direct"))
+    served.join(direct, Seq("event_type"))
+  }
+
+  val qKmvStoreSql: String = graft.sketch.Kmv.rollupOracleSql(
+    "(SELECT event_type, CAST(ts AS DATE) AS day, user_id FROM events)",
+    Seq("event_type", "day"), Seq("event_type"), "user_id", 256)
+    .replace("n_est_merged", "n_est_served")
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_curation_v5", qCurationV5 _, Some(qCurationV5Sql)),
@@ -5843,6 +5875,7 @@ object PipelineQueries {
     ("q_keywords", qKeywords _, Some(qKeywordsSql)),
     ("q_markov", qMarkov _, Some(qMarkovSql)),
     ("q_hll_intersect", qHllIntersect _, Some(qHllIntersectSql)),
+    ("q_kmv_store", qKmvStore _, Some(qKmvStoreSql)),
     ("q_triangles", qTriangles _, Some(qTrianglesSql)),
     ("q_fuzzy_join", qFuzzyJoin _, Some(qFuzzyJoinSql)),
     ("q_snapshot_diff", qSnapshotDiff _, Some(qSnapshotDiffSql)),
