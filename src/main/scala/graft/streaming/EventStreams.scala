@@ -332,6 +332,47 @@ object EventStreams {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }
 
+  case class MarkovState(lastKey: Long, lastId: Long, lastType: String)
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming journey transitions — the incremental twin of the
+    * batch Markov matrix (PipelineQueries.qMarkov): per-user keyed
+    * state holds only the LAST event (type + full-precision order
+    * key), each micro-batch emits the consecutive-pair transitions in
+    * (ts, event_id) order including the one across the batch
+    * boundary, and a downstream count-by-(from,to) aggregation
+    * reproduces the batch matrix exactly (spec-pinned). State is
+    * O(1) per user — the bounded-state contract a perpetual journey
+    * stream needs. Same full-precision order key as [[ewmaStream]]:
+    * millis·10⁹ + nanos, so intra-millisecond ties resolve exactly
+    * like the batch window's full-precision timestamp sort.
+    *
+    * Caveat (same as every mapGroups twin here): per-key events must
+    * arrive in order ACROSS micro-batches — true for replayed logs
+    * and watermarked upstreams; out-of-order arrivals belong to the
+    * batch recompute path.
+    */
+  def markovStream(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    def key(e: Event): Long =
+      Math.floorDiv(e.ts.getTime, 1000L) * 1000000000L + e.ts.getNanos
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[MarkovState]): Iterator[Transition] = {
+      val sorted = rows.toSeq.sortBy(e => (key(e), e.event_id))
+      var prev = state.getOption
+      val out = Seq.newBuilder[Transition]
+      sorted.foreach { e =>
+        prev.foreach(p => out += Transition(userId, p.lastType, e.event_type))
+        prev = Some(MarkovState(key(e), e.event_id, e.event_type))
+      }
+      prev.foreach(state.update)
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Streaming exact dedup — the incremental twin of
     * [[graft.dedup.Dedup.exact]]: the FIRST document per normalized-
     * content fingerprint passes, later copies are dropped. State is

@@ -782,4 +782,37 @@ class EventStreamsSpec extends SparkSpec {
     // hand value for user 7: y=8 → 0.25·4+0.75·8=7 → 0.25·16+0.75·7=9.25
     assert(streamed(7L) === ((3L, 9.25)))
   }
+
+  test("streaming Markov transitions ≡ batch lead-window pairs, " +
+      "including the cross-batch boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(
+      Event(1, ts(0), 7, "view", 0.0), Event(2, ts(1), 7, "click", 0.0),
+      Event(3, ts(0), 8, "signup", 0.0))
+    val b2 = Seq(
+      Event(4, ts(2), 7, "purchase", 0.0), // boundary: click → purchase
+      Event(5, ts(1), 8, "view", 0.0),
+      Event(6, ts(2), 8, "purchase", 0.0))
+    val mem = MemoryStream[Event]
+    val q = EventStreams.markovStream(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("markov_out").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("markov_out")
+      .groupBy($"from_type", $"to_type").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val batch = (b1 ++ b2).toDF()
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+    assert(streamed(("click", "purchase")) === 1L, "cross-batch transition")
+  }
 }
