@@ -5758,6 +5758,98 @@ object PipelineQueries {
     Seq("event_type", "day"), Seq("event_type"), "user_id", 256)
     .replace("n_est_merged", "n_est_served")
 
+  /** Top-10 three-step journeys (event-type trigrams over per-user
+    * (ts, event_id)-ordered sequences) — the sequential-pattern
+    * counterpart of q_markov's first-order matrix: where the matrix
+    * sees edges, this sees paths, the thing funnel design and
+    * journey-anomaly work actually consume. Scale shape: trigrams
+    * from two leads over the user-partitioned window, counts
+    * map-side-combined, and the global top-10 is a TakeOrdered over
+    * the grouped counts with a total tie-break — never a global sort
+    * of the raw sequence stream.
+    */
+  def qJourneys(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("s1"))
+      .withColumn("s2", lead(col("s1"), 1).over(w))
+      .withColumn("s3", lead(col("s1"), 2).over(w))
+      .filter(col("s3").isNotNull)
+      .groupBy(col("s1"), col("s2"), col("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1").asc, col("s2").asc, col("s3").asc)
+      .limit(10)
+  }
+
+  val qJourneysSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS s1,
+      |    lead(event_type, 1) OVER w AS s2,
+      |    lead(event_type, 2) OVER w AS s3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT s1, s2, s3, count(*) AS n
+      |FROM seq WHERE s3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, s1 ASC, s2 ASC, s3 ASC LIMIT 10""".stripMargin
+
+  /** Weekly-cohort LTV matrix: users cohorted by first-activity week,
+    * purchase revenue accumulated per (cohort, week-index) cell with
+    * cohort size and exact integer cents — the standard retention/
+    * monetization readout, and the aggregation every mixing decision
+    * about "which acquisition slice earns its tokens" mirrors. Scale
+    * shape: first-activity is a per-user min (map-side combined, no
+    * window), the cohort join broadcasts (one row per user), and the
+    * matrix is one integer aggregation; rev_per_user is the only
+    * division, rounded once.
+    */
+  def qCohortLtv(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7)
+          .as("week"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_users"))
+    ev.filter(col("event_type") === "purchase")
+      .join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week"))
+        .as("week_idx"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("rev_cents"))
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_idx"), col("n_users"),
+        col("n_purchases"), col("rev_cents"),
+        round(col("rev_cents").cast("double") /
+          (col("n_users").cast("double") * 100.0), 6).as("rev_per_user"))
+  }
+
+  val qCohortLtvSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |    CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents,
+      |    CAST(floor(date_diff('day', DATE '2024-01-01',
+      |      CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week
+      |  FROM events),
+      |cohort AS (SELECT user_id, min(week) AS cohort_week
+      |           FROM ev GROUP BY 1),
+      |sizes AS (SELECT cohort_week, count(*) AS n_users
+      |          FROM cohort GROUP BY 1),
+      |cells AS (
+      |  SELECT c.cohort_week, e.week - c.cohort_week AS week_idx,
+      |    count(*) AS n_purchases,
+      |    CAST(sum(e.cents) AS BIGINT) AS rev_cents
+      |  FROM ev e JOIN cohort c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY 1, 2)
+      |SELECT cohort_week, week_idx, n_users, n_purchases, rev_cents,
+      |  round(CAST(rev_cents AS DOUBLE) /
+      |    (CAST(n_users AS DOUBLE) * 100.0), 6) AS rev_per_user
+      |FROM cells JOIN sizes USING (cohort_week)""".stripMargin
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_curation_v5", qCurationV5 _, Some(qCurationV5Sql)),
@@ -5876,6 +5968,8 @@ object PipelineQueries {
     ("q_markov", qMarkov _, Some(qMarkovSql)),
     ("q_hll_intersect", qHllIntersect _, Some(qHllIntersectSql)),
     ("q_kmv_store", qKmvStore _, Some(qKmvStoreSql)),
+    ("q_journeys", qJourneys _, Some(qJourneysSql)),
+    ("q_cohort_ltv", qCohortLtv _, Some(qCohortLtvSql)),
     ("q_triangles", qTriangles _, Some(qTrianglesSql)),
     ("q_fuzzy_join", qFuzzyJoin _, Some(qFuzzyJoinSql)),
     ("q_snapshot_diff", qSnapshotDiff _, Some(qSnapshotDiffSql)),
