@@ -5758,6 +5758,43 @@ object PipelineQueries {
     Seq("event_type", "day"), Seq("event_type"), "user_id", 256)
     .replace("n_est_merged", "n_est_served")
 
+  /** Quantile serving from the PERSISTED histogram store — the
+    * percentile sibling of q_kmv_store: daily-grain fixed-grid value
+    * histograms per event type persist once
+    * (graft.sketch.SketchStore.ensureHist), and any coarser window's
+    * p50/p95 is answered by an exact integer counter merge (≤ nBins
+    * rows per group) plus the shared estimator tail — bit-equal to
+    * sketching the rollup directly, so the raw-data DuckDB oracle
+    * checks the SERVED numbers. The direct estimate rides along.
+    */
+  def qQhistStore(s: SparkSession, d: String): DataFrame = {
+    import graft.sketch.{QuantileHist, SketchStore}
+    val (lo, hi, nBins) = (0.0, 256.0, 128)
+    val qs = Seq(0.5, 0.95)
+    val fine = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value"), col("event_id"))
+    val table = "graft_qhist_store_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    SketchStore.ensureHist(fine, Seq("event_type", "day"), "value",
+      lo, hi, nBins, table, nBuckets = 4,
+      fpIdCol = "event_id", fpContentCol = "value")
+    val served = SketchStore.serveHistQuantiles(s, table,
+        Seq("event_type"), lo, hi, nBins, qs)
+      .select(col("event_type"), col("q"), col("est").as("est_served"))
+    val direct = QuantileHist.quantiles(fine, Seq("event_type"), "value",
+        lo, hi, nBins, qs)
+      .select(col("event_type"), col("q"), col("est").as("est_direct"))
+    served.join(direct, Seq("event_type", "q"))
+  }
+
+  val qQhistStoreSql: String = {
+    val inner = graft.sketch.QuantileHist.quantileOracleSql(
+      "events", "event_type", "value",
+      lo = 0.0, hi = 256.0, nBins = 128, qs = Seq(0.5, 0.95))
+    s"""SELECT event_type, q, est AS est_served, est AS est_direct
+       |FROM ($inner)""".stripMargin
+  }
+
   /** Top-10 three-step journeys (event-type trigrams over per-user
     * (ts, event_id)-ordered sequences) — the sequential-pattern
     * counterpart of q_markov's first-order matrix: where the matrix
@@ -5968,6 +6005,7 @@ object PipelineQueries {
     ("q_markov", qMarkov _, Some(qMarkovSql)),
     ("q_hll_intersect", qHllIntersect _, Some(qHllIntersectSql)),
     ("q_kmv_store", qKmvStore _, Some(qKmvStoreSql)),
+    ("q_qhist_store", qQhistStore _, Some(qQhistStoreSql)),
     ("q_journeys", qJourneys _, Some(qJourneysSql)),
     ("q_cohort_ltv", qCohortLtv _, Some(qCohortLtvSql)),
     ("q_triangles", qTriangles _, Some(qTrianglesSql)),

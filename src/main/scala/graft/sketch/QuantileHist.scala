@@ -57,12 +57,25 @@ object QuantileHist {
 
   private def quantilesAt(df: DataFrame, groupCols: Seq[String],
       valueCol: String, lo: Double, hi: Double, nBins: Int,
-      qs: Seq[Double], rounded: Boolean): DataFrame = {
+      qs: Seq[Double], rounded: Boolean): DataFrame =
+    quantilesFromCounters(counters(df, groupCols, valueCol, lo, hi, nBins),
+      groupCols, lo, hi, nBins, qs, rounded)
+
+  /** The estimator tail over any (groupCols…, qh_bin, cnt) counter
+    * frame — the merge/read-back path for histograms persisted at a
+    * finer grain (sum the counters per coarse group first; addition
+    * is the sketch's exact merge). Arithmetic identical to
+    * [[quantiles]]'s tail, so served and direct estimates are
+    * bit-equal.
+    */
+  def quantilesFromCounters(ctr: DataFrame, groupCols: Seq[String],
+      lo: Double, hi: Double, nBins: Int, qs: Seq[Double],
+      rounded: Boolean = true): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       "quantiles must lie in [0, 1]")
     val width = (hi - lo) / nBins
     val grp = groupCols.map(col)
-    val cum = counters(df, groupCols, valueCol, lo, hi, nBins)
+    val cum = ctr
       .withColumn("cum", sum(col("cnt")).over(
         Window.partitionBy(grp: _*).orderBy(col("qh_bin"))))
       .withColumn("total", sum(col("cnt")).over(Window.partitionBy(grp: _*)))

@@ -37,6 +37,33 @@ object SketchStore {
       bucketCols = Seq(fineCols.head), sortCols = fineCols)(
       Kmv.sketch(src, fineCols, valueCol, k))
 
+  /** Persist (or reuse) a fixed-grid histogram counter table of
+    * `valueCol` at the `fineCols` grain — same staleness discipline
+    * as [[ensure]]; counters merge by exact integer addition, so any
+    * coarser rollup served from the store is bit-equal to sketching
+    * the rollup directly.
+    */
+  def ensureHist(src: DataFrame, fineCols: Seq[String], valueCol: String,
+      lo: Double, hi: Double, nBins: Int, table: String, nBuckets: Int,
+      fpIdCol: String, fpContentCol: String): Boolean =
+    graft.dedup.IncrementalDedup.ensureBucketedState(
+      src, fpIdCol, fpContentCol, table, nBuckets,
+      bucketCols = Seq(fineCols.head), sortCols = fineCols)(
+      QuantileHist.counters(src, fineCols, valueCol, lo, hi, nBins))
+
+  /** Quantile estimates at the `coarseCols` grain served FROM the
+    * persisted histogram store: one integer counter merge per coarse
+    * group (≤ nBins rows each), then the shared estimator tail.
+    */
+  def serveHistQuantiles(spark: SparkSession, table: String,
+      coarseCols: Seq[String], lo: Double, hi: Double, nBins: Int,
+      qs: Seq[Double]): DataFrame = {
+    val merged = spark.table(table)
+      .groupBy((coarseCols.map(col) :+ col("qh_bin")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+    QuantileHist.quantilesFromCounters(merged, coarseCols, lo, hi, nBins, qs)
+  }
+
   /** Distinct-count estimates at the `coarseCols` grain served FROM
     * the persisted store: explode the stored registers, re-trim to
     * the k smallest distinct per coarse group (one bounded
