@@ -5887,6 +5887,108 @@ object PipelineQueries {
       |    (CAST(n_users AS DOUBLE) * 100.0), 6) AS rev_per_user
       |FROM cells JOIN sizes USING (cohort_week)""".stripMargin
 
+  /** Hard-negative mining for retrieval/contrastive training: for
+    * each query vector, the top-5 HIGHEST-cosine candidates whose
+    * label DIFFERS — the near-miss negatives that actually teach a
+    * bi-encoder, mined exactly as q_ann_topk ranks positives but with
+    * the label disagreement filter applied before ranking. Scale
+    * shape: identical to the brute-force baseline (broadcast query
+    * side, per-query window) — and at corpus scale the same label
+    * filter drops into the IVF/PQ candidate path unchanged, since it
+    * is a per-candidate predicate, not a ranking change.
+    */
+  def qHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        Ann.norm(col("embedding")).as("qn"), col("label").as("query_label"))
+    val c = graft.ops.Parallelism.widen(emb)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"),
+        Ann.norm(col("embedding")).as("cn"), col("label").as("neg_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("neg_label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neg_label"),
+        Ann.cosinePre(Ann.dot(col("qvec"), col("cvec")),
+          col("qn"), col("cn")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .withColumn("sim", round(col("sim"), 6))
+  }
+
+  val qHardNegativesSql: String =
+    s"""WITH sims AS (
+       |  SELECT q.vec_id AS query_id, q.label AS query_label,
+       |    c.vec_id AS neighbor_id, c.label AS neg_label,
+       |    ${cosSql("q.embedding", "c.embedding")} AS sim
+       |  FROM embeddings q JOIN embeddings c ON c.label <> q.label
+       |  WHERE q.vec_id < 8),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, neighbor_id ASC) AS rank FROM sims)
+       |SELECT query_id, query_label, neighbor_id, neg_label,
+       |  round(sim, 6) AS sim, rank
+       |FROM r WHERE rank <= 5""".stripMargin
+
+  /** Per-dimension standardization (whitening stats) of the embedding
+    * column: dimension means/stds from EXACT integer moments
+    * (values quantized to micro-units, decimal(38,0) ≙ HUGEINT moment
+    * sums — the q_cuped discipline applied per dimension) and the
+    * z-scored sample for the probe vectors. The preprocessing every
+    * distance-based downstream (k-means, PQ, cosine) assumes; at
+    * corpus scale it is one posexplode aggregation (64 groups) plus a
+    * broadcast join of the 64-row stats table back onto the vectors.
+    * Zero-variance dimensions z to 0 by definition in both engines.
+    */
+  def qEmbedNorm(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = graft.CacheRegistry.register(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "xv")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          round(col("xv").cast("double") * 1000000.0).cast("long").as("qx"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val st = x.groupBy(col("dim"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("qx").cast(dec)).as("sx"),
+        sum((col("qx") * col("qx")).cast(dec)).as("sxx"))
+      .select(col("dim"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mean"),
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+          (col("n").cast("double") * col("n").cast("double"))).as("std"))
+    x.filter(col("vec_id") < 8).join(broadcast(st), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        round(col("mean") / 1000000.0, 6).as("dim_mean"),
+        round(col("std") / 1000000.0, 6).as("dim_std"),
+        when(col("std") > 0,
+          round((col("qx").cast("double") - col("mean")) / col("std"), 6))
+          .otherwise(lit(0.0)).as("z"))
+  }
+
+  val qEmbedNormSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, CAST(r.i - 1 AS BIGINT) AS dim,
+      |    CAST(round(CAST(embedding[r.i] AS DOUBLE) * 1000000.0) AS BIGINT)
+      |      AS qx
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)),
+      |m AS (SELECT dim, count(*) AS n, sum(qx) AS sx, sum(qx * qx) AS sxx
+      |      FROM x GROUP BY 1),
+      |st AS (SELECT dim,
+      |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) /
+      |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS std
+      |  FROM m)
+      |SELECT x.vec_id, x.dim,
+      |  round(st.mean / 1000000.0, 6) AS dim_mean,
+      |  round(st.std / 1000000.0, 6) AS dim_std,
+      |  CASE WHEN st.std > 0
+      |    THEN round((CAST(x.qx AS DOUBLE) - st.mean) / st.std, 6)
+      |    ELSE 0.0 END AS z
+      |FROM x JOIN st USING (dim) WHERE x.vec_id < 8""".stripMargin
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_curation_v5", qCurationV5 _, Some(qCurationV5Sql)),
@@ -6008,6 +6110,8 @@ object PipelineQueries {
     ("q_qhist_store", qQhistStore _, Some(qQhistStoreSql)),
     ("q_journeys", qJourneys _, Some(qJourneysSql)),
     ("q_cohort_ltv", qCohortLtv _, Some(qCohortLtvSql)),
+    ("q_hard_negatives", qHardNegatives _, Some(qHardNegativesSql)),
+    ("q_embed_norm", qEmbedNorm _, Some(qEmbedNormSql)),
     ("q_triangles", qTriangles _, Some(qTrianglesSql)),
     ("q_fuzzy_join", qFuzzyJoin _, Some(qFuzzyJoinSql)),
     ("q_snapshot_diff", qSnapshotDiff _, Some(qSnapshotDiffSql)),
