@@ -3105,6 +3105,58 @@ object PipelineQueries {
        |SELECT vec_id, cluster, round(greatest(dist2, 0.0), 6) AS dist2
        |FROM asg4""".stripMargin
 
+  /** Clustering-quality eval: per-cluster label purity (majority-label
+    * share against the embeddings' ground-truth label column) plus the
+    * corpus-level purity — the MEASURED answer to "did k-means find
+    * the label structure", the same close-the-loop discipline as
+    * q_ann_recall/q_calibration. Majority pick is the integer
+    * struct-max (count desc, label asc), purity one rounded division;
+    * the oracle replays the full Lloyd training (kmeansCtes) and the
+    * eval. Scale: the eval adds one broadcast label join and a
+    * k-row aggregation on top of the assignment pass.
+    */
+  def qClusterPurity(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val asg = graft.sim.KMeans.fitAssign(emb, "vec_id", "embedding",
+      k = 8, iters = 3).select(col("vec_id"), col("cluster"))
+    val counts = asg
+      .join(emb.select(col("vec_id"), col("label").cast("long").as("label")),
+        Seq("vec_id"))
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val per = counts.groupBy(col("cluster"))
+      .agg(sum(col("c")).as("n"),
+        max(struct(col("c"), (-col("label")).as("nl"))).as("w"))
+      .select(col("cluster"), col("n"),
+        (-col("w.nl")).as("major_label"), col("w.c").as("major_n"),
+        round(col("w.c").cast("double") / col("n").cast("double"), 6)
+          .as("purity"))
+    val overall = per.agg(sum(col("major_n")).as("sm"), sum(col("n")).as("sn"))
+      .select(round(col("sm").cast("double") / col("sn").cast("double"), 6)
+        .as("overall_purity"))
+    per.crossJoin(broadcast(overall))
+  }
+
+  val qClusterPuritySql: String =
+    s"""${kmeansCtes(8, 3)},
+       |lab AS (
+       |  SELECT a.cluster, CAST(e.label AS BIGINT) AS label
+       |  FROM asg4 a JOIN embeddings e USING (vec_id)),
+       |cnt AS (SELECT cluster, label, count(*) AS c FROM lab GROUP BY 1, 2),
+       |mj AS (SELECT cluster, label AS major_label, c AS major_n FROM (
+       |  SELECT cluster, label, c, row_number() OVER (PARTITION BY cluster
+       |    ORDER BY c DESC, label ASC) AS rn FROM cnt) WHERE rn = 1),
+       |tot AS (SELECT cluster, CAST(sum(c) AS BIGINT) AS n
+       |        FROM cnt GROUP BY 1),
+       |ov AS (SELECT round(CAST(sum(major_n) AS DOUBLE) /
+       |         CAST(sum(n) AS DOUBLE), 6) AS overall_purity
+       |       FROM mj JOIN tot USING (cluster))
+       |SELECT t.cluster, t.n, m.major_label, CAST(m.major_n AS BIGINT)
+       |    AS major_n,
+       |  round(CAST(m.major_n AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS purity,
+       |  ov.overall_purity
+       |FROM tot t JOIN mj m USING (cluster) CROSS JOIN ov""".stripMargin
+
   /** IVF index APPEND — the index-maintenance primitive a 100 TB
     * embedding store lives on: new vectors (the odd-vec_id delta) are
     * assigned into an index whose coarse centroids were trained on
@@ -6112,6 +6164,7 @@ object PipelineQueries {
     ("q_cohort_ltv", qCohortLtv _, Some(qCohortLtvSql)),
     ("q_hard_negatives", qHardNegatives _, Some(qHardNegativesSql)),
     ("q_embed_norm", qEmbedNorm _, Some(qEmbedNormSql)),
+    ("q_cluster_purity", qClusterPurity _, Some(qClusterPuritySql)),
     ("q_triangles", qTriangles _, Some(qTrianglesSql)),
     ("q_fuzzy_join", qFuzzyJoin _, Some(qFuzzyJoinSql)),
     ("q_snapshot_diff", qSnapshotDiff _, Some(qSnapshotDiffSql)),
