@@ -6041,6 +6041,125 @@ object PipelineQueries {
       |    ELSE 0.0 END AS z
       |FROM x JOIN st USING (dim) WHERE x.vec_id < 8""".stripMargin
 
+  /** Two-sample Kolmogorov–Smirnov statistic per event type: D =
+    * max |F̂₁ − F̂₂| between the value distributions of the two
+    * user-parity variants — the standard "did the experiment change
+    * the DISTRIBUTION, not just the mean" companion to q_cuped.
+    * Computed on quantized integer values: per distinct value the
+    * cumulative per-variant counts are exact integers (ranking
+    * windows partition by event type), each CDF point is one double
+    * division, and D is a max over identically-computed doubles —
+    * deterministic in both engines, rounded once.
+    */
+  def qKsTest(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("q"),
+        (col("user_id") % 2).as("variant"))
+    val pts = ev.groupBy(col("event_type"), col("q"))
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c1"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("q"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    pts
+      .withColumn("cum0", sum(col("c0")).over(w))
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("n0", sum(col("c0")).over(wt))
+      .withColumn("n1", sum(col("c1")).over(wt))
+      .groupBy(col("event_type"))
+      .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+        max(abs(col("cum0").cast("double") / col("n0").cast("double") -
+          col("cum1").cast("double") / col("n1").cast("double"))).as("d_raw"))
+      .select(col("event_type"), col("n0"), col("n1"),
+        round(col("d_raw"), 6).as("ks_d"))
+  }
+
+  val qKsTestSql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS q,
+      |    user_id % 2 AS variant
+      |  FROM events),
+      |pts AS (
+      |  SELECT event_type, q,
+      |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS c0,
+      |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS c1
+      |  FROM ev GROUP BY 1, 2),
+      |cdf AS (
+      |  SELECT event_type,
+      |    sum(c0) OVER (PARTITION BY event_type ORDER BY q
+      |      ROWS UNBOUNDED PRECEDING) AS cum0,
+      |    sum(c1) OVER (PARTITION BY event_type ORDER BY q
+      |      ROWS UNBOUNDED PRECEDING) AS cum1,
+      |    sum(c0) OVER (PARTITION BY event_type) AS n0,
+      |    sum(c1) OVER (PARTITION BY event_type) AS n1
+      |  FROM pts)
+      |SELECT event_type, CAST(max(n0) AS BIGINT) AS n0,
+      |  CAST(max(n1) AS BIGINT) AS n1,
+      |  round(max(abs(CAST(cum0 AS DOUBLE) / CAST(n0 AS DOUBLE) -
+      |    CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE))), 6) AS ks_d
+      |FROM cdf GROUP BY 1""".stripMargin
+
+  /** Herfindahl–Hirschman concentration of the corpus: per language,
+    * the sum of squared source shares of total characters — the
+    * "is this slice dominated by one domain" number that decides
+    * whether a per-domain cap (q_curation_v6) has anything to do.
+    * Exact integer char sums; shares and the index are one double
+    * expression replayed verbatim, with the max share and its source
+    * alongside (integer struct-argmax).
+    */
+  def qHhi(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_chars")).as("chars"))
+    val tot = src.groupBy(col("lang"))
+      .agg(sum(col("chars")).as("total"), count(lit(1)).as("n_sources"))
+    // HHI = Σ chars² / total² with Σ chars² an EXACT decimal(38,0)
+    // sum (a double Σ share² would be partition-order dependent)
+    src.join(tot, Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_sources")).as("n_sources"),
+        max(col("total")).as("total_chars"),
+        sum((col("chars") * col("chars")).cast("decimal(38,0)")).as("sq"),
+        max(struct(col("chars"), col("source"))).as("w"))
+      .select(col("lang"), col("n_sources"), col("total_chars"),
+        round(col("sq").cast("double") /
+          (col("total_chars").cast("double") *
+            col("total_chars").cast("double")), 6).as("hhi"),
+        col("w.source").as("top_source"),
+        round(col("w.chars").cast("double") /
+          col("total_chars").cast("double"), 6).as("top_share"))
+  }
+
+  val qHhiSql: String =
+    """WITH src AS (
+      |  SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS chars
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(sum(chars) AS BIGINT) AS total,
+      |          count(*) AS n_sources
+      |        FROM src GROUP BY 1),
+      |sh AS (
+      |  SELECT s.lang, s.source, s.chars, t.total, t.n_sources
+      |  FROM src s JOIN tot t USING (lang)),
+      |top AS (
+      |  SELECT lang, source AS top_source, chars AS top_chars FROM (
+      |    SELECT lang, source, chars, row_number() OVER (PARTITION BY lang
+      |      ORDER BY chars DESC, source DESC) AS rn FROM sh) WHERE rn = 1)
+      |SELECT sh.lang, max(sh.n_sources) AS n_sources,
+      |  max(sh.total) AS total_chars,
+      |  round(CAST(sum(sh.chars * sh.chars) AS DOUBLE) /
+      |    (CAST(max(sh.total) AS DOUBLE) * CAST(max(sh.total) AS DOUBLE)), 6)
+      |    AS hhi,
+      |  max(t.top_source) AS top_source,
+      |  round(max(CAST(t.top_chars AS DOUBLE)) /
+      |    CAST(max(sh.total) AS DOUBLE), 6) AS top_share
+      |FROM sh JOIN top t USING (lang)
+      |GROUP BY 1""".stripMargin
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_curation_v5", qCurationV5 _, Some(qCurationV5Sql)),
@@ -6165,6 +6284,8 @@ object PipelineQueries {
     ("q_hard_negatives", qHardNegatives _, Some(qHardNegativesSql)),
     ("q_embed_norm", qEmbedNorm _, Some(qEmbedNormSql)),
     ("q_cluster_purity", qClusterPurity _, Some(qClusterPuritySql)),
+    ("q_ks_test", qKsTest _, Some(qKsTestSql)),
+    ("q_hhi", qHhi _, Some(qHhiSql)),
     ("q_triangles", qTriangles _, Some(qTrianglesSql)),
     ("q_fuzzy_join", qFuzzyJoin _, Some(qFuzzyJoinSql)),
     ("q_snapshot_diff", qSnapshotDiff _, Some(qSnapshotDiffSql)),
