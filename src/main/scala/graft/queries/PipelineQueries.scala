@@ -4271,10 +4271,14 @@ object PipelineQueries {
     * self-join only ever pairs items that individually clear minsup —
     * the pair blowup is bounded by (frequent items per basket)², and
     * the frequent-item set is by definition small enough to broadcast
-    * (AQE does). Thresholds derive from the corpus order count
-    * (greatest(2, N div 500)), so the query is SF-invariant. All
-    * counts integer; confidence/lift are one final round(·,6) double
-    * division each, replayed operation-for-operation in the oracle.
+    * (AQE does). The frequency threshold is the corpus's own MEAN
+    * item support (greatest(2, basket-rows div distinct-items)) — a
+    * DENSITY-relative bar, stable whether the corpus grows by
+    * repeating the same items more often or by adding new items (an
+    * absolute N-derived bar empties out under the latter, which the
+    * sf1 replication probe caught). All counts integer;
+    * confidence/lift are one final round(·,6) double division each,
+    * replayed operation-for-operation in the oracle.
     */
   def qAssoc(s: SparkSession, d: String): DataFrame = {
     val b = graft.CacheRegistry.register(
@@ -4282,10 +4286,11 @@ object PipelineQueries {
         .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val n = b.agg(countDistinct(col("o")).as("n"))
+    val n = b.agg(countDistinct(col("o")).as("n"),
+      count(lit(1)).as("nb"), countDistinct(col("i")).as("ni"))
     val si = b.groupBy(col("i")).agg(count(lit(1)).as("s"))
     val f = si.crossJoin(broadcast(n))
-      .filter(col("s") >= greatest(lit(2L), expr("n div 500")))
+      .filter(col("s") >= greatest(lit(2L), expr("nb div ni")))
       .select(col("i"), col("s"))
     val pairs = b.alias("a")
       .join(b.alias("c"), col("a.o") === col("c.o") && col("a.i") < col("c.i"))
@@ -4312,9 +4317,10 @@ object PipelineQueries {
   val qAssocSql: String =
     """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
       |           FROM lineitem),
-      |n AS (SELECT count(DISTINCT o) AS n FROM b),
+      |n AS (SELECT count(DISTINCT o) AS n, count(*) AS nb,
+      |        count(DISTINCT i) AS ni FROM b),
       |si AS (SELECT i, count(*) AS s FROM b GROUP BY 1),
-      |f AS (SELECT i, s FROM si, n WHERE s >= greatest(2, n // 500)),
+      |f AS (SELECT i, s FROM si, n WHERE s >= greatest(2, nb // ni)),
       |p AS (
       |  SELECT a.i AS part_a, c.i AS part_b, fa.s AS sup_a, fb.s AS sup_b,
       |    count(*) AS sup_pair
