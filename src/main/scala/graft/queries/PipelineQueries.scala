@@ -4292,8 +4292,13 @@ object PipelineQueries {
     val f = si.crossJoin(broadcast(n))
       .filter(col("s") >= greatest(lit(2L), expr("nb div ni")))
       .select(col("i"), col("s"))
-    val pairs = b.alias("a")
-      .join(b.alias("c"), col("a.o") === col("c.o") && col("a.i") < col("c.i"))
+    // semi-join the basket rows against the frequent set BEFORE the
+    // self-join: Spark won't reorder inner joins without CBO, so a
+    // pair-then-filter formulation would run the quadratic fan-out
+    // over ALL items first — the exact blowup a-priori exists to avoid
+    val bf = b.join(broadcast(f.select(col("i"))), Seq("i"), "left_semi")
+    val pairs = bf.alias("a")
+      .join(bf.alias("c"), col("a.o") === col("c.o") && col("a.i") < col("c.i"))
       .join(f.select(col("i").as("ia2"), col("s").as("sup_a")),
         col("a.i") === col("ia2"))
       .join(f.select(col("i").as("ib2"), col("s").as("sup_b")),
@@ -4395,7 +4400,10 @@ object PipelineQueries {
       |SELECT ia AS item, ib AS neighbor, co, s_item, s_nbr, sim, rank
       |FROM r WHERE rank <= 3""".stripMargin
 
-  /** Fixed-round k-core peeling (k=12, 4 rounds) on the same graph:
+  /** Fixed-round k-core peeling (k=12, 4 rounds) on the bipartite
+    * cust–supp graph (NOT the co-purchase projection the LPA/
+    * modularity/BFS queries use — peeling has no 2-coloring
+    * degeneracy, so the bipartite structure is fine here):
     * the density gate — vertices whose degree survives repeated
     * removal of sub-k vertices, with residual degree and a
     * self-reported convergence flag (graft.ops.KCore). k sits at the
@@ -5241,9 +5249,11 @@ object PipelineQueries {
       count(lit(1)).cast(dec).as("n"),
       sum(col("x").cast(dec)).as("sx"),
       sum(col("y").cast(dec)).as("sy"),
-      sum((col("x") * col("x")).cast(dec)).as("sxx"),
-      sum((col("y") * col("y")).cast(dec)).as("syy"),
-      sum((col("x") * col("y")).cast(dec)).as("sxy"))
+      // cast BEFORE multiplying: long*long wraps silently past 2^63
+      // while DuckDB errors — decimal operands keep both paths exact
+      sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+      sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"),
+      sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"))
       .select(col("n"), col("sx"), col("sy"),
         (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_n"),
         (col("n") * col("sxx") - col("sx") * col("sx")).as("varx_n"),
@@ -5414,7 +5424,7 @@ object PipelineQueries {
   def qKmvIntersect(s: SparkSession, d: String): DataFrame = {
     import graft.sketch.Kmv
     val li = Tables.lineitem(s, d)
-      .select((col("l_partkey") * 1000 + col("l_suppkey")).as("v"),
+      .select((col("l_partkey") * 1000000L + col("l_suppkey")).as("v"),
         col("l_returnflag"))
     val a = li.filter(col("l_returnflag") === "R").select(col("v"))
     val b = li.filter(col("l_returnflag") === "A").select(col("v"))
@@ -5439,7 +5449,7 @@ object PipelineQueries {
   val qKmvIntersectSql: String = {
     val k = 512
     val h = "cast(('0x' || substr(md5(cast(v as varchar)), 1, 15)) as bigint)"
-    s"""WITH src AS (SELECT l_partkey * 1000 + l_suppkey AS v, l_returnflag
+    s"""WITH src AS (SELECT l_partkey * 1000000 + l_suppkey AS v, l_returnflag
        |             FROM lineitem),
        |da AS (SELECT DISTINCT v FROM src WHERE l_returnflag = 'R'),
        |db AS (SELECT DISTINCT v FROM src WHERE l_returnflag = 'A'),
@@ -5726,7 +5736,7 @@ object PipelineQueries {
       .filter(col("l_returnflag").isin("R", "A"))
       .select(
         when(col("l_returnflag") === "R", "a").otherwise("b").as("g"),
-        (col("l_partkey") * 1000 + col("l_suppkey")).as("v"))
+        (col("l_partkey") * 1000000L + col("l_suppkey")).as("v"))
     val regs = graft.CacheRegistry.register(
       Hll.registers(li, Seq("g"), "v")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -5756,9 +5766,9 @@ object PipelineQueries {
 
   val qHllIntersectSql: String = {
     val src = "(SELECT CASE WHEN l_returnflag = 'R' THEN 'a' ELSE 'b' END " +
-      "AS g, l_partkey * 1000 + l_suppkey AS v FROM lineitem " +
+      "AS g, l_partkey * 1000000 + l_suppkey AS v FROM lineitem " +
       "WHERE l_returnflag IN ('R', 'A'))"
-    val srcAll = "(SELECT 1 AS one, l_partkey * 1000 + l_suppkey AS v " +
+    val srcAll = "(SELECT 1 AS one, l_partkey * 1000000 + l_suppkey AS v " +
       "FROM lineitem WHERE l_returnflag IN ('R', 'A'))"
     val per = graft.sketch.Hll.oracleSql(src, Seq("g"), "v")
     val un = graft.sketch.Hll.oracleSql(srcAll, Seq("one"), "v")
@@ -5772,10 +5782,10 @@ object PipelineQueries {
        |ex AS (
        |  SELECT CAST(sum(CASE WHEN da.v IS NOT NULL AND db.v IS NOT NULL
        |    THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
-       |  FROM (SELECT DISTINCT l_partkey * 1000 + l_suppkey AS v
+       |  FROM (SELECT DISTINCT l_partkey * 1000000 + l_suppkey AS v
        |        FROM lineitem WHERE l_returnflag = 'R') da
        |  FULL OUTER JOIN
-       |       (SELECT DISTINCT l_partkey * 1000 + l_suppkey AS v
+       |       (SELECT DISTINCT l_partkey * 1000000 + l_suppkey AS v
        |        FROM lineitem WHERE l_returnflag = 'A') db
        |  ON da.v = db.v)
        |SELECT round(ea, 6) AS est_a, round(eb, 6) AS est_b,
@@ -5803,7 +5813,7 @@ object PipelineQueries {
         col("user_id"), col("event_id"))
     val table = "graft_kmv_store_" + d.replaceAll("[^A-Za-z0-9]", "_")
     SketchStore.ensure(fine, Seq("event_type", "day"), "user_id", k,
-      table, nBuckets = 4, fpIdCol = "event_id", fpContentCol = "user_id")
+      table, nBuckets = 4, fpIdCol = "event_id")
     val served = SketchStore.serveRollup(s, table, Seq("event_type"), k)
       .select(col("event_type"), col("n_est").as("n_est_served"))
     val direct = Kmv.estimateDistinct(fine, Seq("event_type"), "user_id", k)
@@ -5834,8 +5844,7 @@ object PipelineQueries {
         col("value"), col("event_id"))
     val table = "graft_qhist_store_" + d.replaceAll("[^A-Za-z0-9]", "_")
     SketchStore.ensureHist(fine, Seq("event_type", "day"), "value",
-      lo, hi, nBins, table, nBuckets = 4,
-      fpIdCol = "event_id", fpContentCol = "value")
+      lo, hi, nBins, table, nBuckets = 4, fpIdCol = "event_id")
     val served = SketchStore.serveHistQuantiles(s, table,
         Seq("event_type"), lo, hi, nBins, qs)
       .select(col("event_type"), col("q"), col("est").as("est_served"))
@@ -6012,7 +6021,7 @@ object PipelineQueries {
     val st = x.groupBy(col("dim"))
       .agg(count(lit(1)).cast(dec).as("n"),
         sum(col("qx").cast(dec)).as("sx"),
-        sum((col("qx") * col("qx")).cast(dec)).as("sxx"))
+        sum(col("qx").cast(dec) * col("qx").cast(dec)).as("sxx"))
       .select(col("dim"),
         (col("sx").cast("double") / col("n").cast("double")).as("mean"),
         sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
@@ -6130,7 +6139,8 @@ object PipelineQueries {
       .groupBy(col("lang"))
       .agg(max(col("n_sources")).as("n_sources"),
         max(col("total")).as("total_chars"),
-        sum((col("chars") * col("chars")).cast("decimal(38,0)")).as("sq"),
+        sum(col("chars").cast("decimal(38,0)") *
+          col("chars").cast("decimal(38,0)")).as("sq"),
         max(struct(col("chars"), col("source"))).as("w"))
       .select(col("lang"), col("n_sources"), col("total_chars"),
         round(col("sq").cast("double") /

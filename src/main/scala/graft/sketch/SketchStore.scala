@@ -24,16 +24,30 @@ import org.apache.spark.sql.functions._
   */
 object SketchStore {
 
+  /** The staleness fingerprint must cover EVERY column the sketch
+    * depends on — grain columns included: a row whose day or group
+    * flips while its id/value stay fixed re-keys a register, and a
+    * fingerprint blind to the grain would keep serving the stale
+    * table. One synthesized content column = concat of grain + value.
+    */
+  private def fpContent(src: DataFrame, fineCols: Seq[String],
+      valueCol: String): DataFrame =
+    src.withColumn("__fp_content",
+      concat_ws("",
+        (fineCols :+ valueCol).map(c => col(c).cast("string")): _*))
+
   /** Persist (or reuse) the KMV sketch table of `valueCol` at the
-    * `fineCols` grain. `fpIdCol`/`fpContentCol` feed the staleness
-    * fingerprint of the SOURCE frame. Returns true when a (re)build
+    * `fineCols` grain. `fpIdCol` identifies source rows for the
+    * staleness fingerprint; the content side of the fingerprint is
+    * the full (grain, value) tuple. Returns true when a (re)build
     * happened.
     */
   def ensure(src: DataFrame, fineCols: Seq[String], valueCol: String,
       k: Int, table: String, nBuckets: Int,
-      fpIdCol: String, fpContentCol: String): Boolean =
+      fpIdCol: String): Boolean =
     graft.dedup.IncrementalDedup.ensureBucketedState(
-      src, fpIdCol, fpContentCol, table, nBuckets,
+      fpContent(src, fineCols, valueCol), fpIdCol, "__fp_content",
+      table, nBuckets,
       bucketCols = Seq(fineCols.head), sortCols = fineCols)(
       Kmv.sketch(src, fineCols, valueCol, k))
 
@@ -45,9 +59,10 @@ object SketchStore {
     */
   def ensureHist(src: DataFrame, fineCols: Seq[String], valueCol: String,
       lo: Double, hi: Double, nBins: Int, table: String, nBuckets: Int,
-      fpIdCol: String, fpContentCol: String): Boolean =
+      fpIdCol: String): Boolean =
     graft.dedup.IncrementalDedup.ensureBucketedState(
-      src, fpIdCol, fpContentCol, table, nBuckets,
+      fpContent(src, fineCols, valueCol), fpIdCol, "__fp_content",
+      table, nBuckets,
       bucketCols = Seq(fineCols.head), sortCols = fineCols)(
       QuantileHist.counters(src, fineCols, valueCol, lo, hi, nBins))
 

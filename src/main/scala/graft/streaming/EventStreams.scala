@@ -349,8 +349,11 @@ object EventStreams {
     *
     * Caveat (same as every mapGroups twin here): per-key events must
     * arrive in order ACROSS micro-batches — true for replayed logs
-    * and watermarked upstreams; out-of-order arrivals belong to the
-    * batch recompute path.
+    * and watermarked upstreams. The stored order key POLICES the
+    * contract: a batch row at or before the state's last (key, id) is
+    * a cross-batch regression and is DROPPED rather than allowed to
+    * emit a transition the batch twin would never produce;
+    * out-of-order arrivals belong to the batch recompute path.
     */
   def markovStream(events: Dataset[Event]): Dataset[Transition] = {
     import events.sparkSession.implicits._
@@ -362,8 +365,13 @@ object EventStreams {
       var prev = state.getOption
       val out = Seq.newBuilder[Transition]
       sorted.foreach { e =>
-        prev.foreach(p => out += Transition(userId, p.lastType, e.event_type))
-        prev = Some(MarkovState(key(e), e.event_id, e.event_type))
+        val regressed = prev.exists(p =>
+          Ordering[(Long, Long)].lteq((key(e), e.event_id),
+            (p.lastKey, p.lastId)))
+        if (!regressed) {
+          prev.foreach(p => out += Transition(userId, p.lastType, e.event_type))
+          prev = Some(MarkovState(key(e), e.event_id, e.event_type))
+        }
       }
       prev.foreach(state.update)
       out.result().iterator

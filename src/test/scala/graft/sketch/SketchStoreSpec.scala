@@ -15,7 +15,7 @@ class SketchStoreSpec extends SparkSpec {
     try {
       val k = 16
       SketchStore.ensure(src, Seq("etype", "day"), "uid", k, table, 2,
-        fpIdCol = "row_id", fpContentCol = "uid")
+        fpIdCol = "row_id")
       val served = SketchStore.serveRollup(spark, table, Seq("etype"), k)
         .select($"etype", $"n_regs", $"n_est")
         .orderBy("etype").collect().toSeq
@@ -42,13 +42,19 @@ class SketchStoreSpec extends SparkSpec {
     val table = "kmv_store_reuse"
     try {
       assert(SketchStore.ensure(src, Seq("etype", "day"), "uid", 8, table, 2,
-        "row_id", "uid"))
+        "row_id"))
       assert(!SketchStore.ensure(src, Seq("etype", "day"), "uid", 8, table, 2,
-        "row_id", "uid"))
+        "row_id"))
       val drifted = src.withColumn("uid",
         when($"row_id" === 0L, lit(9999L)).otherwise($"uid"))
       assert(SketchStore.ensure(drifted, Seq("etype", "day"), "uid", 8,
-        table, 2, "row_id", "uid"))
+        table, 2, "row_id"))
+      // GRAIN drift (same id, same value, different day) must also
+      // invalidate — the fingerprint covers the full (grain, value)
+      val regrained = src.withColumn("day",
+        when($"row_id" === 1L, lit("d9")).otherwise($"day"))
+      assert(SketchStore.ensure(regrained, Seq("etype", "day"), "uid", 8,
+        table, 2, "row_id"))
       graft.CacheRegistry.releaseAll()
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
