@@ -120,6 +120,17 @@ class PlanShapeSpec extends SparkSpec {
       "the group limit must run map-side (Partial) before the shuffle")
   }
 
+  test("association rules semi-join the frequent set BELOW the pairing join") {
+    val s = planString(PipelineQueries.qAssoc(spark, sf))
+    // the a-priori contract: the quadratic basket self-join must see
+    // only frequent-item rows. Spark does not reorder inner joins
+    // without CBO, so the prune must be an explicit LeftSemi that
+    // sits under the o=o equi-join in the physical plan.
+    val semiIdx = s.indexOf("LeftSemi")
+    assert(semiIdx >= 0, s"frequent-item prune must be a semi-join:\n$s")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("global packing prefix sum never runs a one-reducer window") {
     val s = formatted(PipelineQueries.qPackGlobal(spark, sf))
     assert(!s.contains("SinglePartition"),
