@@ -71,4 +71,61 @@ object PageRank {
     ranks.select(col("id"),
       round(col("r").cast(DoubleType) / Scale, 6).as("rank"))
   }
+
+  /** Personalized PageRank / TrustRank: identical damped iteration,
+    * but ALL teleport mass lands on the `seeds` set — rank becomes
+    * "distance-damped trust flowing out of the seeds" (the TrustRank
+    * construction for web-corpus quality: seed a few audited domains,
+    * propagate). Same quantized-integer discipline as [[run]]; the
+    * seed indicator rides the persisted vertex frame so each
+    * iteration stays one join + one partial-aggregated sum. Non-seed
+    * vertices start at 0 and receive only propagated mass, so
+    * unreachable-from-seeds vertices finish at exactly 0.
+    *
+    * One discipline refinement over [[run]]: the damped multiply is
+    * EXACT INTEGER arithmetic — (num·s + den/2) div den with
+    * damping = num/den — instead of round(d·double(s)). The float
+    * form is correctly rounded in both engines but lands ON the .5
+    * boundary whenever 17s ≡ 10 (mod 20), where the engines' round
+    * paths (BigDecimal HALF_UP vs std::round of the same double) can
+    * disagree by one unit; the sf1 probe caught exactly 2 such rows
+    * in 200k. Integer half-up has no boundary ambiguity. `damping`
+    * must therefore be a multiple of 0.01 (den = 100).
+    */
+  def personalized(nodes: DataFrame, seeds: DataFrame, edges: DataFrame,
+      damping: Double = 0.85, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1)
+    val num = Math.round(damping * 100)
+    require(num / 100.0 == damping, s"damping must be a multiple of 0.01")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = graft.CacheRegistry.register(
+      Parallelism.widen(edges).join(deg, Seq("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val base = Math.round((1.0 - damping) * Scale)
+    val v = graft.CacheRegistry.register(
+      nodes.select(col("id"))
+        .join(seeds.select(col("id")).distinct()
+          .select(col("id"), lit(1L).as("is_seed")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var ranks = v.select(col("id"), (col("is_seed") * Scale).as("r"))
+    for (_ <- 1 to iters) {
+      val sums = e.join(ranks, e("src") === ranks("id"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = v
+        .join(sums, v("id") === sums("dst"), "left")
+        .select(col("id"),
+          (col("is_seed") * base +
+            expr(s"(($num * coalesce(s, CAST(0 AS BIGINT))) + 50) div 100"))
+            .as("r"))
+    }
+    // output discipline: truncate the nano-unit rank to micro-units
+    // IN INTEGER SPACE, then one exact-integer→double division — a
+    // round(r/1e9, 6) here can land exactly on a half boundary
+    // (r ≡ 500 mod 1000), where the engines' decimal-rounding paths
+    // disagree on the same double (2 rows in 200k at sf1)
+    ranks.select(col("id"),
+      (expr("r div 1000").cast(DoubleType) / 1000000.0).as("trust"))
+  }
 }

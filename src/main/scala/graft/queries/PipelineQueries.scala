@@ -4400,6 +4400,53 @@ object PipelineQueries {
       |SELECT ia AS item, ib AS neighbor, co, s_item, s_nbr, sim, rank
       |FROM r WHERE rank <= 3""".stripMargin
 
+  /** TrustRank (personalized PageRank) from the SAME seed set as
+    * q_sssp on the SAME co-purchase graph: where BFS answers "how many
+    * hops from a trusted seed", trust rank answers "how much damped
+    * trust flows there" — the classic web-curation pair (seed a few
+    * audited domains, propagate; the two signals disagree exactly
+    * where link MASS and link DISTANCE disagree). graft.ops.PageRank
+    * .personalized: all teleport mass on the seeds, quantized-integer
+    * iteration, unreachable vertices at exactly 0.
+    */
+  def qTrustrank(s: SparkSession, d: String): DataFrame = {
+    val edges = coPurchaseEdges(s, d)
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val seeds = nodes.filter(col("id") % 101 === 0)
+    graft.ops.PageRank.personalized(nodes, seeds, edges,
+      damping = 0.85, iters = 5)
+      .select(col("id").as("part"), col("trust"))
+  }
+
+  val qTrustrankSql: String = {
+    val sc = graft.ops.PageRank.Scale
+    val dmp = 0.85
+    val base = Math.round((1.0 - dmp) * sc)
+    val num = Math.round(dmp * 100)
+    // exact integer damping: (num·s + 50) // 100 — no float multiply,
+    // no .5-boundary ambiguity between engines (see PageRank.personalized)
+    def iter(n: Int) =
+      s"""r$n AS (
+         |  SELECT n.id,
+         |    cast(n.is_seed * $base +
+         |      (($num * cast(coalesce(s.s, 0) as bigint)) + 50) // 100
+         |      as bigint) AS r
+         |  FROM v n LEFT JOIN (
+         |    SELECT e2.dst, sum(r.r // e2.outdeg) AS s
+         |    FROM e2 JOIN r${n - 1} r ON e2.src = r.id GROUP BY e2.dst) s
+         |    ON n.id = s.dst)""".stripMargin
+    s"""WITH $coPurchaseEdgesSql,
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |e2 AS (SELECT edges.src, edges.dst, deg.outdeg
+       |       FROM edges JOIN deg USING (src)),
+       |v AS (SELECT id, CASE WHEN id % 101 = 0 THEN 1 ELSE 0 END AS is_seed
+       |      FROM nodes),
+       |r0 AS (SELECT id, cast(is_seed * $sc as bigint) AS r FROM v),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT id AS part, cast(r // 1000 as double) / 1000000.0 AS trust
+       |FROM r5""".stripMargin
+  }
+
   /** Fixed-round k-core peeling (k=12, 4 rounds) on the bipartite
     * cust–supp graph (NOT the co-purchase projection the LPA/
     * modularity/BFS queries use — peeling has no 2-coloring
@@ -6283,6 +6330,7 @@ object PipelineQueries {
     ("q_kcore", qKcore _, Some(qKcoreSql)),
     ("q_modularity", qModularity _, Some(qModularitySql)),
     ("q_sssp", qSssp _, Some(qSsspSql)),
+    ("q_trustrank", qTrustrank _, Some(qTrustrankSql)),
     ("q_assoc", qAssoc _, Some(qAssocSql)),
     ("q_item_cf", qItemCf _, Some(qItemCfSql)),
     ("q_cuped", qCuped _, Some(qCupedSql)),
