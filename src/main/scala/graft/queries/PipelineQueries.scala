@@ -6223,6 +6223,49 @@ object PipelineQueries {
       |FROM sh JOIN top t USING (lang)
       |GROUP BY 1""".stripMargin
 
+  /** Measured MinHash-LSH recall by similarity band: the true pair
+    * set is the EXACT shingle-Jaccard pairs (q_ngram_jaccard's
+    * block-local truth, same w=3 shingles the signatures hash), the
+    * candidate set is the banded-LSH bucket join (q_minhash_pairs),
+    * and recall is reported per exact-Jaccard quartile band — the
+    * S-curve readout that tells an operator whether the configured
+    * (bands, rows) actually catches the 0.75+ near-dups the pipeline
+    * drops. Same close-the-measurement-loop discipline as
+    * q_ann_recall; all counts integer, one division per band. On this
+    * synthetic corpus the planted near-dups all sit in the top band
+    * (jaccard ≥ 0.75, recall 1.0 at every SF) — the banded shape is
+    * what a real web corpus with a genuine similarity spectrum
+    * exercises.
+    */
+  def qMinhashRecall(s: SparkSession, d: String): DataFrame = {
+    val truth = qNgramJaccard(s, d)
+      .withColumn("band", least(floor(col("jaccard") * 4), lit(3L)))
+    val cand = qMinhashPairs(s, d)
+      .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+    truth.join(cand, Seq("id_a", "id_b"), "left")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("band"), col("n_true"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_true").cast("double"), 6)
+          .as("recall"))
+  }
+
+  lazy val qMinhashRecallSql: String =
+    s"""WITH truth AS (
+       |$qNgramJaccardSql),
+       |cand AS (
+       |$qMinhashPairsSql),
+       |j AS (
+       |  SELECT least(CAST(floor(t.jaccard * 4) AS BIGINT), 3) AS band,
+       |    CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM truth t LEFT JOIN cand c
+       |    ON t.id_a = c.id_a AND t.id_b = c.id_b)
+       |SELECT band, count(*) AS n_true, CAST(sum(hit) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS recall
+       |FROM j GROUP BY 1""".stripMargin
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_curation_v5", qCurationV5 _, Some(qCurationV5Sql)),
@@ -6349,6 +6392,7 @@ object PipelineQueries {
     ("q_embed_norm", qEmbedNorm _, Some(qEmbedNormSql)),
     ("q_cluster_purity", qClusterPurity _, Some(qClusterPuritySql)),
     ("q_ks_test", qKsTest _, Some(qKsTestSql)),
+    ("q_minhash_recall", qMinhashRecall _, Some(qMinhashRecallSql)),
     ("q_hhi", qHhi _, Some(qHhiSql)),
     ("q_triangles", qTriangles _, Some(qTrianglesSql)),
     ("q_fuzzy_join", qFuzzyJoin _, Some(qFuzzyJoinSql)),
