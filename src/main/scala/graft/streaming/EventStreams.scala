@@ -381,6 +381,74 @@ object EventStreams {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  case class TouchState(touches: Seq[(Long, String)],
+      lastKey: Long, lastId: Long)
+  case class CreditRow(user_id: Long, cid: Long, channel: String, micro: Long)
+
+  /** Streaming linear multi-touch attribution — the incremental twin
+    * of the batch query (PipelineQueries.qAttribution): per-user
+    * keyed state holds only the touches inside the 7-day horizon
+    * behind the newest processed event; each purchase emits one
+    * integer micro-cent-share credit row per in-window touch
+    * (round(cents·10⁶/n), the batch quantization) or a single
+    * 'direct' row when no touch qualifies. A downstream
+    * sum-by-channel reproduces the batch totals exactly (spec). State
+    * is event-time bounded: touches older than horizon prune on every
+    * batch — the contract a perpetual clickstream needs. Ordering
+    * contract and regression-drop policing as in [[markovStream]].
+    */
+  def attributionStream(events: Dataset[Event],
+      horizonNanos: Long = 7L * 86400L * 1000000000L):
+      Dataset[CreditRow] = {
+    import events.sparkSession.implicits._
+    def key(e: Event): Long =
+      Math.floorDiv(e.ts.getTime, 1000L) * 1000000000L + e.ts.getNanos
+    def r0(v: Double): Double =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[TouchState]): Iterator[CreditRow] = {
+      val sorted = rows.toSeq.sortBy(e => (key(e), e.event_id))
+      val st0 = state.getOption
+        .getOrElse(TouchState(Seq.empty, Long.MinValue, Long.MinValue))
+      var buf = st0.touches
+      var last = (st0.lastKey, st0.lastId)
+      val out = Seq.newBuilder[CreditRow]
+      sorted.foreach { e =>
+        val k = key(e)
+        // cross-batch regression: at or before the stored last event —
+        // drop rather than credit/buffer out of order (markovStream policy)
+        if (Ordering[(Long, Long)].gt((k, e.event_id), last)) {
+          if (e.event_type == "purchase") {
+            val cents = Math.round(e.value * 100)
+            // strictly-before touches within [k - horizon, k)
+            val in = buf.filter { case (tk, _) =>
+              tk < k && tk >= k - horizonNanos }
+            if (in.isEmpty)
+              out += CreditRow(userId, e.event_id, "direct", cents * 1000000L)
+            else {
+              val micro = r0(cents.toDouble * 1000000.0 / in.size).toLong
+              in.foreach { case (_, ch) =>
+                out += CreditRow(userId, e.event_id, ch, micro)
+              }
+            }
+          } else {
+            buf = buf :+ (k, e.event_type)
+          }
+          last = (k, e.event_id)
+          // prune anything the horizon can never reach again (buf is
+          // append-ordered by key, so dropWhile is the sorted prune)
+          buf = buf.dropWhile(_._1 < k - horizonNanos)
+        }
+      }
+      state.update(TouchState(buf, last._1, last._2))
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Streaming exact dedup — the incremental twin of
     * [[graft.dedup.Dedup.exact]]: the FIRST document per normalized-
     * content fingerprint passes, later copies are dropped. State is

@@ -815,4 +815,60 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed(("click", "purchase")) === 1L, "cross-batch transition")
   }
+
+  test("streaming attribution credits ≡ batch interval-join credits, " +
+      "horizon pruning excludes stale touches") {
+    implicit val sqlCtx = spark.sqlContext
+    def tsDay(d: Int, min: Int) =
+      new java.sql.Timestamp(1700000000000L + d * 86400000L + min * 60000L)
+    // user 7: two touches then a purchase (split credit), a later
+    // purchase whose only in-window touch is the 1-day-old view, and
+    // one touch OLDER than 7 days before the last purchase (excluded).
+    // user 8: touchless purchase → 'direct'.
+    val b1 = Seq(
+      Event(1, tsDay(0, 0), 7, "click", 0.0),
+      Event(2, tsDay(0, 5), 7, "view", 0.0),
+      Event(3, tsDay(0, 10), 7, "purchase", 33.34),
+      Event(4, tsDay(0, 0), 8, "purchase", 10.0))
+    val b2 = Seq(
+      Event(5, tsDay(9, 0), 7, "view", 0.0),
+      Event(6, tsDay(9, 30), 7, "purchase", 50.0)) // only event 5 in window
+    val mem = MemoryStream[Event]
+    val q = EventStreams.attributionStream(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attr_out")
+      .groupBy($"channel").agg(sum($"micro").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // batch twin: the qAttribution frame algebra on the same rows
+    val ev = (b1 ++ b2).toDF()
+      .select($"user_id", $"ts", $"event_id", $"event_type",
+        round($"value" * 100).cast("long").as("cents"))
+    val conv = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("cts"), $"event_id".as("cid"), $"cents")
+    val touch = ev.filter($"event_type" =!= "purchase")
+      .select($"user_id", $"ts".as("tts"), $"event_type".as("channel"))
+    val pairs = conv.join(touch, Seq("user_id"))
+      .filter($"tts" < $"cts" && $"tts" >= $"cts" - expr("INTERVAL 7 DAYS"))
+    val n = pairs.groupBy($"cid").agg(count(lit(1)).as("n"))
+    val credited = pairs.groupBy($"cid", $"cents", $"channel")
+      .agg(count(lit(1)).as("cnt")).join(n, Seq("cid"))
+      .select($"channel", ($"cnt" * round($"cents".cast("double") * 1000000.0 /
+        $"n".cast("double")).cast("long")).as("micro"))
+    val direct = conv.join(pairs.select($"cid").distinct(), Seq("cid"),
+        "left_anti")
+      .select(lit("direct").as("channel"), ($"cents" * 1000000L).as("micro"))
+    val batch = credited.unionByName(direct)
+      .groupBy($"channel").agg(sum($"micro").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    // hand checks: 33.34 split 2 ways → 1667000000 micro each;
+    // event-5 view alone gets all of 50.00; user 8 is direct
+    assert(streamed("click") === 1667000000L)
+    assert(streamed("view") === 1667000000L + 5000000000L)
+    assert(streamed("direct") === 1000000000L)
+  }
 }
