@@ -6266,6 +6266,123 @@ object PipelineQueries {
        |    AS recall
        |FROM j GROUP BY 1""".stripMargin
 
+  /** Experiment power readout: per-variant user counts, means and
+    * variances of post-period spend from EXACT integer moments (the
+    * q_cuped discipline), then the minimum detectable effect at
+    * α=0.05 / power 0.8 — mde = 2.8·√(σ₀²/n₀ + σ₁²/n₁) — the number
+    * that says whether the A/B is even worth reading. The only float
+    * steps are the final fixed-shape expression (division, sqrt,
+    * multiply), replayed verbatim; everything upstream is
+    * decimal(38,0) ≙ HUGEINT.
+    */
+  def qPower(s: SparkSession, d: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val per = Tables.events(s, d)
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("q"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("q")).as("y"))
+      .withColumn("variant", (col("user_id") % 2).cast("long"))
+    val m = per.groupBy(col("variant"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+      .select(col("variant"), col("n").cast("long").as("n_users"),
+        (col("sy").cast("double") / col("n").cast("double")).as("mean_c"),
+        ((col("n") * col("syy") - col("sy") * col("sy")).cast("double") /
+          (col("n").cast("double") * col("n").cast("double"))).as("var_c"))
+    val w = m.agg(
+      max(when(col("variant") === 0, col("n_users"))).as("n0"),
+      max(when(col("variant") === 1, col("n_users"))).as("n1"),
+      max(when(col("variant") === 0, col("mean_c"))).as("m0"),
+      max(when(col("variant") === 1, col("mean_c"))).as("m1"),
+      max(when(col("variant") === 0, col("var_c"))).as("v0"),
+      max(when(col("variant") === 1, col("var_c"))).as("v1"))
+    w.select(col("n0"), col("n1"),
+      round(col("m0") / 100.0, 6).as("mean_0"),
+      round(col("m1") / 100.0, 6).as("mean_1"),
+      round(lit(2.8) * sqrt(col("v0") / col("n0").cast("double") +
+        col("v1") / col("n1").cast("double")) / 100.0, 6)
+        .as("mde_dollars"))
+  }
+
+  val qPowerSql: String =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT))
+      |      AS BIGINT) AS y,
+      |    CAST(user_id % 2 AS BIGINT) AS variant
+      |  FROM events GROUP BY user_id),
+      |m AS (
+      |  SELECT variant, count(*) AS n_users,
+      |    CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_c,
+      |    CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE) /
+      |      (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_c
+      |  FROM per GROUP BY 1),
+      |w AS (
+      |  SELECT max(CASE WHEN variant = 0 THEN n_users END) AS n0,
+      |    max(CASE WHEN variant = 1 THEN n_users END) AS n1,
+      |    max(CASE WHEN variant = 0 THEN mean_c END) AS m0,
+      |    max(CASE WHEN variant = 1 THEN mean_c END) AS m1,
+      |    max(CASE WHEN variant = 0 THEN var_c END) AS v0,
+      |    max(CASE WHEN variant = 1 THEN var_c END) AS v1
+      |  FROM m)
+      |SELECT n0, n1,
+      |  round(m0 / 100.0, 6) AS mean_0,
+      |  round(m1 / 100.0, 6) AS mean_1,
+      |  round(2.8 * sqrt(v0 / CAST(n0 AS DOUBLE) +
+      |    v1 / CAST(n1 AS DOUBLE)) / 100.0, 6) AS mde_dollars
+      |FROM w""".stripMargin
+
+  /** Mutual information between language and source — the corpus-
+    * dependence statistic mixture design reads before treating the
+    * two as independent knobs (MI ≈ 0 ⇒ per-lang and per-source caps
+    * compose; high MI ⇒ they fight). Cell contributions quantized to
+    * integer nano-nats (round(10⁹·(c/N)·ln(cN/(cx·cy))) — the
+    * q_token_drift discipline: one ln+round per CELL, exact integer
+    * sum across cells), emitted per cell with the corpus total.
+    */
+  def qMutualInfo(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cxy = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val cx = cxy.groupBy(col("lang")).agg(sum(col("c")).as("cl"))
+    val cy = cxy.groupBy(col("source")).agg(sum(col("c")).as("cs"))
+    val n = cxy.agg(sum(col("c")).as("n"))
+    val cells = cxy.join(cx, Seq("lang")).join(cy, Seq("source"))
+      .crossJoin(broadcast(n))
+      .withColumn("contrib_nnats",
+        round((col("c").cast("double") / col("n").cast("double")) *
+          log(col("c").cast("double") * col("n").cast("double") /
+            (col("cl").cast("double") * col("cs").cast("double"))) *
+          1000000000.0).cast("long"))
+    val tot = cells.agg(sum(col("contrib_nnats")).as("t"))
+      .select(round(col("t").cast("double") / 1000000000.0, 6)
+        .as("mi_nats"))
+    cells.select(col("lang"), col("source"), col("c").as("n_docs"),
+        col("contrib_nnats"))
+      .crossJoin(broadcast(tot))
+  }
+
+  val qMutualInfoSql: String =
+    """WITH cxy AS (SELECT lang, source, count(*) AS c
+      |             FROM documents GROUP BY 1, 2),
+      |cx AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cl FROM cxy GROUP BY 1),
+      |cy AS (SELECT source, CAST(sum(c) AS BIGINT) AS cs
+      |       FROM cxy GROUP BY 1),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cxy),
+      |cells AS (
+      |  SELECT cxy.lang, cxy.source, cxy.c,
+      |    CAST(round((CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+      |      ln(CAST(c AS DOUBLE) * CAST(n.n AS DOUBLE) /
+      |        (CAST(cl AS DOUBLE) * CAST(cs AS DOUBLE))) *
+      |      1000000000.0) AS BIGINT) AS contrib_nnats
+      |  FROM cxy JOIN cx USING (lang) JOIN cy USING (source) CROSS JOIN n),
+      |tot AS (SELECT round(CAST(sum(contrib_nnats) AS DOUBLE) /
+      |          1000000000.0, 6) AS mi_nats FROM cells)
+      |SELECT lang, source, c AS n_docs, contrib_nnats, tot.mi_nats
+      |FROM cells CROSS JOIN tot""".stripMargin
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_curation_v5", qCurationV5 _, Some(qCurationV5Sql)),
@@ -6393,6 +6510,8 @@ object PipelineQueries {
     ("q_cluster_purity", qClusterPurity _, Some(qClusterPuritySql)),
     ("q_ks_test", qKsTest _, Some(qKsTestSql)),
     ("q_minhash_recall", qMinhashRecall _, Some(qMinhashRecallSql)),
+    ("q_power", qPower _, Some(qPowerSql)),
+    ("q_mutual_info", qMutualInfo _, Some(qMutualInfoSql)),
     ("q_hhi", qHhi _, Some(qHhiSql)),
     ("q_triangles", qTriangles _, Some(qTrianglesSql)),
     ("q_fuzzy_join", qFuzzyJoin _, Some(qFuzzyJoinSql)),
