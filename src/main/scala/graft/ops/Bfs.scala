@@ -38,12 +38,21 @@ object Bfs {
     * one-column (id) frame; seed rows absent from the graph still
     * appear with dist 0 (they are their own 0-hop neighborhood).
     */
-  def run(seeds: DataFrame, edges: DataFrame, rounds: Int = 4): DataFrame = {
+  /** @param persistEdges cache+widen the edge frame for the rounds
+    *   (default). Pass false when `edges` is already a materialized
+    *   layout whose partitioning the rounds should SEE — e.g. a
+    *   [[GraphStore]] bucketed table, where persisting would work but
+    *   widening could re-partition away the bucket alignment.
+    */
+  def run(seeds: DataFrame, edges: DataFrame, rounds: Int = 4,
+      persistEdges: Boolean = true): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val e = graft.CacheRegistry.register(
-      Parallelism.widen(edges)
-        .select(col("src"), col("dst"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val e =
+      if (persistEdges) graft.CacheRegistry.register(
+        Parallelism.widen(edges)
+          .select(col("src"), col("dst"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else edges.select(col("src"), col("dst"))
     var dist = seeds.select(col("id")).distinct()
       .select(col("id"), lit(0L).as("dist"))
       .localCheckpoint(false)

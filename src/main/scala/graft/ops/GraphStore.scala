@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED graph adjacency — the iteration substrate every
+  * fixed-round graph algorithm here ([[Bfs]], [[PageRank]],
+  * [[LabelPropagation]], [[KCore]]) joins against once per round. At
+  * 100 TB the edge list IS the cost: an in-query edge frame gets
+  * persisted per job but still pays its alignment shuffle inside
+  * every round's src-keyed equi-join. Stored src-BUCKETED (the
+  * [[graft.sources.Bucketing]] layout the BM25 postings and dedup
+  * states use), the big side arrives at every iteration's join
+  * pre-hashed: only the vertex-sized rank/distance frame exchanges,
+  * round after round, job after job.
+  *
+  * Staleness follows the [[graft.dedup.IncrementalDedup]] fingerprint
+  * discipline over the full (src, dst) multiset — multi-edges count
+  * with multiplicity, so an added parallel edge invalidates.
+  */
+object GraphStore {
+
+  /** Persist (or reuse) `edges` (src, dst — directed, multi-edges
+    * kept) as bucketed table `table`. Returns true on (re)build.
+    */
+  def ensureEdges(edges: DataFrame, table: String, nBuckets: Int): Boolean =
+    graft.dedup.IncrementalDedup.ensureBucketedState(
+      edges.select(col("src"), col("dst")), "src", "dst", table, nBuckets,
+      bucketCols = Seq("src"), sortCols = Seq("src"))(
+      edges.select(col("src"), col("dst")))
+
+  /** Multi-source BFS served FROM the persisted adjacency — identical
+    * semantics (and bit-identical output) to [[Bfs.run]] over the
+    * same edges; the bucketed scan feeds each round's join without a
+    * shuffle on the edge side (spec-pinned).
+    */
+  def bfs(spark: SparkSession, table: String, seeds: DataFrame,
+      rounds: Int = 4): DataFrame =
+    Bfs.run(seeds, spark.table(table), rounds, persistEdges = false)
+}

@@ -4400,6 +4400,24 @@ object PipelineQueries {
       |SELECT ia AS item, ib AS neighbor, co, s_item, s_nbr, sim, rank
       |FROM r WHERE rank <= 3""".stripMargin
 
+  /** q_sssp served FROM the persisted src-bucketed adjacency
+    * (graft.ops.GraphStore): the edge list lands pre-hashed at every
+    * relaxation round's join, so only the vertex-sized distance frame
+    * exchanges — the iteration substrate a 100 TB graph job reuses
+    * across every algorithm and every run. Same oracle as q_sssp BY
+    * DESIGN: the persisted probe must reproduce the in-query BFS
+    * bit-for-bit.
+    */
+  def qSsspPersisted(s: SparkSession, d: String): DataFrame = {
+    val edges = coPurchaseEdges(s, d)
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val seeds = nodes.filter(col("id") % 101 === 0)
+    val table = "graft_copurchase_edges_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.ops.GraphStore.ensureEdges(edges, table, nBuckets = 8)
+    graft.ops.GraphStore.bfs(s, table, seeds, rounds = 4)
+      .select(col("id").as("part"), col("dist"))
+  }
+
   /** TrustRank (personalized PageRank) from the SAME seed set as
     * q_sssp on the SAME co-purchase graph: where BFS answers "how many
     * hops from a trusted seed", trust rank answers "how much damped
@@ -6491,6 +6509,9 @@ object PipelineQueries {
     ("q_modularity", qModularity _, Some(qModularitySql)),
     ("q_sssp", qSssp _, Some(qSsspSql)),
     ("q_trustrank", qTrustrank _, Some(qTrustrankSql)),
+    // identical oracle to q_sssp BY DESIGN: the persisted-adjacency
+    // probe must serve the exact distances the in-query BFS computes
+    ("q_sssp_persisted", qSsspPersisted _, Some(qSsspSql)),
     ("q_assoc", qAssoc _, Some(qAssocSql)),
     ("q_item_cf", qItemCf _, Some(qItemCfSql)),
     ("q_cuped", qCuped _, Some(qCupedSql)),
