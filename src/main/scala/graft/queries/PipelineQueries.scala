@@ -6401,6 +6401,44 @@ object PipelineQueries {
       |SELECT lang, source, c AS n_docs, contrib_nnats, tot.mi_nats
       |FROM cells CROSS JOIN tot""".stripMargin
 
+  /** Hashing-trick feature vectorizer (1024 buckets): token counts
+    * folded into a fixed-width sparse vector by portable hash — the
+    * input representation a fastText-style classifier
+    * (q_classifier) trains on, with no vocabulary table to build,
+    * ship, or keep consistent across runs (THE point of the trick at
+    * corpus scale: feature extraction is a pure narrow map + one
+    * per-doc aggregation, zero global state). Sparse features emit as
+    * a sorted "bucket:count" string (the q_tokenize canonicalization
+    * — the driver's comparator cannot sort array cells).
+    */
+  def qFeatureHash(s: SparkSession, d: String): DataFrame = {
+    val nBuckets = 1024
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        (TextAnalysis.hash60(col("tok")) % nBuckets).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_features"),
+        sum(col("c")).as("n_tokens"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("bucket"), col("c")))),
+            x => concat(x.getField("bucket").cast(StringType), lit(":"),
+              x.getField("c").cast(StringType))), ",").as("features"))
+  }
+
+  val qFeatureHashSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |b AS (SELECT doc_id, ${hash60Sql("tok")} % 1024 AS bucket FROM toks),
+       |c AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY 1, 2)
+       |SELECT doc_id, count(*) AS n_features,
+       |  CAST(sum(c) AS BIGINT) AS n_tokens,
+       |  array_to_string(
+       |    list(bucket || ':' || c ORDER BY bucket), ',') AS features
+       |FROM c GROUP BY doc_id""".stripMargin
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_curation_v5", qCurationV5 _, Some(qCurationV5Sql)),
@@ -6533,6 +6571,7 @@ object PipelineQueries {
     ("q_minhash_recall", qMinhashRecall _, Some(qMinhashRecallSql)),
     ("q_power", qPower _, Some(qPowerSql)),
     ("q_mutual_info", qMutualInfo _, Some(qMutualInfoSql)),
+    ("q_feature_hash", qFeatureHash _, Some(qFeatureHashSql)),
     ("q_hhi", qHhi _, Some(qHhiSql)),
     ("q_triangles", qTriangles _, Some(qTrianglesSql)),
     ("q_fuzzy_join", qFuzzyJoin _, Some(qFuzzyJoinSql)),
