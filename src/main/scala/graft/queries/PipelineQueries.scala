@@ -5612,6 +5612,24 @@ object PipelineQueries {
        |FROM bn JOIN top ON bn.w1 = top.w1 AND bn.w2 = top.w2
        |GROUP BY 1, 2, 3""".stripMargin
 
+  /** q_phrase_search served FROM the persisted POSITIONAL index
+    * (graft.text.PhraseIndex): the (tok, id, pos) postings persist
+    * once term-bucketed, the top bigram comes off the index's
+    * adjacency self-join, and the phrase probe scans only the two
+    * queried terms' buckets (driver-side 1-row phrase pick — the
+    * AnnIndex cell-pick discipline). Same oracle as q_phrase_search
+    * BY DESIGN: the persisted probe must reproduce the in-query
+    * batch scan bit-for-bit.
+    */
+  def qPhrasePersisted(s: SparkSession, d: String): DataFrame = {
+    import graft.text.PhraseIndex
+    val table = "graft_phrase_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    PhraseIndex.ensure(Tables.documents(s, d), "doc_id", "text", table, 8)
+    val top = PhraseIndex.topBigram(s, table).collect().head
+    PhraseIndex.phraseOccurrences(s, table,
+      top.getString(0), top.getString(1))
+  }
+
   /** Linear multi-touch attribution: every purchase's value is split
     * equally across the user's touch events (any non-purchase type)
     * in the preceding 7 days; touchless purchases credit a synthetic
@@ -6556,6 +6574,9 @@ object PipelineQueries {
     ("q_ivm_join", qIvmJoin _, Some(qIvmJoinSql)),
     ("q_kmv_intersect", qKmvIntersect _, Some(qKmvIntersectSql)),
     ("q_phrase_search", qPhraseSearch _, Some(qPhraseSearchSql)),
+    // identical oracle to q_phrase_search BY DESIGN: the persisted
+    // positional index must serve the same occurrences
+    ("q_phrase_persisted", qPhrasePersisted _, Some(qPhraseSearchSql)),
     ("q_attribution", qAttribution _, Some(qAttributionSql)),
     ("q_keywords", qKeywords _, Some(qKeywordsSql)),
     ("q_markov", qMarkov _, Some(qMarkovSql)),
