@@ -6457,6 +6457,42 @@ object PipelineQueries {
        |    list(bucket || ':' || c ORDER BY bucket), ',') AS features
        |FROM c GROUP BY doc_id""".stripMargin
 
+  /** Quantile treatment effects: per-variant p50/p90/p99 of event
+    * value from the bounded histogram sketch, differenced — the
+    * tail-sensitive experiment readout that catches what a mean
+    * (q_cuped) and even a distribution test (q_ks_test) summarize
+    * away: WHERE in the distribution the variants diverge. Quantiles
+    * come from the same fixed-grid sketch as q_quantile_hist (exact
+    * integer counters, one interpolation each); the effect is a
+    * difference of two already-rounded estimates, replayed verbatim.
+    */
+  def qQte(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select((col("user_id") % 2).cast("long").as("variant"), col("value"))
+    val qs = graft.sketch.QuantileHist.quantiles(ev, Seq("variant"), "value",
+      lo = 0.0, hi = 256.0, nBins = 128, qs = Seq(0.5, 0.9, 0.99))
+    qs.groupBy(col("q"))
+      .agg(max(when(col("variant") === 0, col("est"))).as("est_0"),
+        max(when(col("variant") === 1, col("est"))).as("est_1"))
+      .select(col("q"), col("est_0"), col("est_1"),
+        round(col("est_1") - col("est_0"), 6).as("qte"))
+  }
+
+  val qQteSql: String = {
+    val inner = graft.sketch.QuantileHist.quantileOracleSql(
+      "(SELECT CAST(user_id % 2 AS BIGINT) AS variant, value FROM events)",
+      "variant", "value", lo = 0.0, hi = 256.0, nBins = 128,
+      qs = Seq(0.5, 0.9, 0.99))
+    s"""WITH qs AS (
+       |$inner)
+       |SELECT q,
+       |  max(CASE WHEN variant = 0 THEN est END) AS est_0,
+       |  max(CASE WHEN variant = 1 THEN est END) AS est_1,
+       |  round(max(CASE WHEN variant = 1 THEN est END) -
+       |        max(CASE WHEN variant = 0 THEN est END), 6) AS qte
+       |FROM qs GROUP BY 1""".stripMargin
+  }
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_curation_v5", qCurationV5 _, Some(qCurationV5Sql)),
@@ -6593,6 +6629,7 @@ object PipelineQueries {
     ("q_power", qPower _, Some(qPowerSql)),
     ("q_mutual_info", qMutualInfo _, Some(qMutualInfoSql)),
     ("q_feature_hash", qFeatureHash _, Some(qFeatureHashSql)),
+    ("q_qte", qQte _, Some(qQteSql)),
     ("q_hhi", qHhi _, Some(qHhiSql)),
     ("q_triangles", qTriangles _, Some(qTrianglesSql)),
     ("q_fuzzy_join", qFuzzyJoin _, Some(qFuzzyJoinSql)),
