@@ -62,13 +62,13 @@ object PipelineQueries {
     * `h` dim-64 hyperplanes — the oracle image of Ann.lshKey
     * (single-sourced plane constants via Ann.hyperplane).
     */
-  private def lshKeySql(vec: String, h: Int): String = {
+  private def lshKeySql(vec: String, h: Int, offset: Int = 0): String = {
     def dotPlane(p: Seq[Double]) =
       s"""list_reduce(list_prepend(cast(0 as double),
          |  list_transform(range(1, 65),
          |    i -> cast($vec[i] as double) * (${p.mkString("[", ",", "]")})[i])),
          |  (acc, x) -> acc + x)""".stripMargin
-    (0 until h).map(i => Ann.hyperplane(i, 64))
+    (0 until h).map(i => Ann.hyperplane(offset + i, 64))
       .map(p => s"(CASE WHEN ${dotPlane(p)} >= 0 THEN '1' ELSE '0' END)")
       .mkString(" || ")
   }
@@ -6493,8 +6493,76 @@ object PipelineQueries {
        |FROM qs GROUP BY 1""".stripMargin
   }
 
+  /** k-NN GRAPH construction via LSH-seeded NN-Descent
+    * (graft.sim.KnnGraph): every node's top-3 cosine neighbors over a
+    * hash-thinned node set (vec_id % 4 — tracks every SF), seeded by
+    * 4-plane sign-LSH blocking and refined by two
+    * neighbor-of-my-neighbor rounds. The per-query ANN paths answer
+    * "neighbors of these few rows"; this is the all-nodes graph that
+    * SemDedup clustering, graph dedup, and hard-negative mining
+    * consume. The oracle replays the ENTIRE trajectory — seed buckets,
+    * both expansion rounds, every top-k cut — so the hash matches only
+    * if the full NN-Descent run is bit-identical (left-fold dots,
+    * (sim desc, dst asc) tie order).
+    */
+  def qKnnGraph(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0)
+    graft.sim.KnnGraph.build(nodes, "vec_id", "embedding",
+      k = 3, rounds = 2, numPlanes = 4)
+  }
+
+  lazy val qKnnGraphSql: String = {
+    def cos(a: String, b: String, an: String, bn: String) =
+      s"""CASE WHEN $an * $bn > 0
+         |  THEN ${listDotSql(a, b)} / ($an * $bn)
+         |  ELSE 0.0 END""".stripMargin
+    // one refinement round: undirected expand + keep-current, dedup,
+    // exact re-score, top-3 per src — the KnnGraph.build loop body
+    def round(gIn: String, uOut: String, cOut: String, sOut: String,
+        gOut: String) =
+      s"""$uOut AS (SELECT src, dst FROM $gIn
+         |  UNION ALL SELECT dst AS src, src AS dst FROM $gIn),
+         |$cOut AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT a.src AS src, b.dst AS dst
+         |  FROM $uOut a JOIN $uOut b ON a.dst = b.src
+         |  WHERE a.src <> b.dst
+         |  UNION ALL SELECT src, dst FROM $gIn)),
+         |$sOut AS (SELECT c.src, c.dst,
+         |    ${cos("sa.vec", "sb.vec", "sa.nrm", "sb.nrm")} AS sim
+         |  FROM $cOut c JOIN n sa ON c.src = sa.id
+         |               JOIN n sb ON c.dst = sb.id),
+         |$gOut AS (SELECT src, dst, sim FROM (
+         |  SELECT src, dst, sim, row_number() OVER (PARTITION BY src
+         |    ORDER BY sim DESC, dst ASC) AS rk FROM $sOut) WHERE rk <= 3)""".stripMargin
+    s"""WITH nodes AS (SELECT vec_id AS id, embedding AS vec
+       |  FROM embeddings WHERE vec_id % 4 = 0),
+       |n AS (SELECT id, vec, sqrt(${listDotSql("vec", "vec")}) AS nrm,
+       |  ${lshKeySql("vec", 4)} AS b1,
+       |  ${lshKeySql("vec", 4, offset = graft.sim.KnnGraph.SeedTableOffset)}
+       |    AS b2 FROM nodes),
+       |sc AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT a.id AS src, b.id AS dst FROM n a JOIN n b
+       |    ON a.b1 = b.b1 AND a.id <> b.id
+       |  UNION ALL
+       |  SELECT a.id AS src, b.id AS dst FROM n a JOIN n b
+       |    ON a.b2 = b.b2 AND a.id <> b.id)),
+       |seed AS (SELECT c.src, c.dst,
+       |    ${cos("sa.vec", "sb.vec", "sa.nrm", "sb.nrm")} AS sim
+       |  FROM sc c JOIN n sa ON c.src = sa.id
+       |            JOIN n sb ON c.dst = sb.id),
+       |g0 AS (SELECT src, dst, sim FROM (
+       |  SELECT src, dst, sim, row_number() OVER (PARTITION BY src
+       |    ORDER BY sim DESC, dst ASC) AS rk FROM seed) WHERE rk <= 3),
+       |${round("g0", "u1", "c1", "s1", "g1")},
+       |${round("g1", "u2", "c2", "s2", "g2")}
+       |SELECT src, dst, round(sim, 6) AS sim, rank FROM (
+       |  SELECT src, dst, sim, row_number() OVER (PARTITION BY src
+       |    ORDER BY sim DESC, dst ASC) AS rank FROM s2) WHERE rank <= 3""".stripMargin
+  }
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q_knn_graph", qKnnGraph _, Some(qKnnGraphSql)),
     ("q_curation_v5", qCurationV5 _, Some(qCurationV5Sql)),
     ("q_curation_v6", qCurationV6 _, Some(qCurationV6Sql)),
     ("q_decontam", qDecontam _, Some(qDecontamSql)),
