@@ -6560,9 +6560,63 @@ object PipelineQueries {
        |    ORDER BY sim DESC, dst ASC) AS rank FROM s2) WHERE rank <= 3""".stripMargin
   }
 
+  /** Margin-based bitext mining (graft.sim.BitextMine — the
+    * LASER/CCMatrix parallel-corpus recipe): the even-id and odd-id
+    * embedding halves stand in for source/target sentence
+    * collections; forward and backward top-4 cosine neighbors feed
+    * the ratio margin cos/((avgF+avgB)/2), and each source keeps its
+    * best-margin pair with the ≥1.05 accept verdict. The oracle
+    * replays the whole pipeline — both k-NN directions, the
+    * DECIMAL-exact neighbor averages, the margin rank — so hub
+    * deflation itself is hash-verified.
+    */
+  def qBitextMargin(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.sim.BitextMine.mine(
+      emb.filter(col("vec_id") % 4 === 0),
+      emb.filter(col("vec_id") % 4 === 1),
+      "vec_id", "embedding", k = 4)
+  }
+
+  lazy val qBitextMarginSql: String =
+    s"""WITH xs AS (SELECT vec_id AS id, embedding AS vec
+       |  FROM embeddings WHERE vec_id % 4 = 0),
+       |ys AS (SELECT vec_id AS id, embedding AS vec
+       |  FROM embeddings WHERE vec_id % 4 = 1),
+       |nx AS (SELECT id, vec, sqrt(${listDotSql("vec", "vec")}) AS nrm FROM xs),
+       |ny AS (SELECT id, vec, sqrt(${listDotSql("vec", "vec")}) AS nrm FROM ys),
+       |sims AS (SELECT x.id AS xid, y.id AS yid,
+       |    CASE WHEN x.nrm * y.nrm > 0
+       |      THEN ${listDotSql("x.vec", "y.vec")} / (x.nrm * y.nrm)
+       |      ELSE 0.0 END AS sim_raw
+       |  FROM nx x CROSS JOIN ny y),
+       |fwd AS (SELECT xid, yid, round(sim_raw, 6) AS sim FROM (
+       |  SELECT xid, yid, sim_raw, row_number() OVER (PARTITION BY xid
+       |    ORDER BY sim_raw DESC, yid ASC) AS rk FROM sims) WHERE rk <= 4),
+       |bwd AS (SELECT xid, yid, round(sim_raw, 6) AS sim FROM (
+       |  SELECT xid, yid, sim_raw, row_number() OVER (PARTITION BY yid
+       |    ORDER BY sim_raw DESC, xid ASC) AS rk FROM sims) WHERE rk <= 4),
+       |af AS (SELECT xid, cast(sum(cast(sim as decimal(18,6))) as double)
+       |    / count(*) AS avg_f FROM fwd GROUP BY 1),
+       |ab AS (SELECT yid, cast(sum(cast(sim as decimal(18,6))) as double)
+       |    / count(*) AS avg_b FROM bwd GROUP BY 1),
+       |cand AS (SELECT DISTINCT src, tgt, sim FROM (
+       |  SELECT xid AS src, yid AS tgt, sim FROM fwd
+       |  UNION ALL SELECT xid AS src, yid AS tgt, sim FROM bwd)),
+       |m AS (SELECT c.src, c.tgt, c.sim,
+       |    c.sim / ((af.avg_f + ab.avg_b) / 2.0) AS margin
+       |  FROM cand c JOIN af ON c.src = af.xid JOIN ab ON c.tgt = ab.yid
+       |  WHERE (af.avg_f + ab.avg_b) / 2.0 > 0)
+       |SELECT src, tgt, sim, round(margin, 6) AS margin,
+       |  margin >= ${graft.sim.BitextMine.AcceptMargin} AS accepted
+       |FROM (SELECT src, tgt, sim, margin, row_number() OVER (
+       |  PARTITION BY src ORDER BY margin DESC, tgt ASC) AS rk FROM m)
+       |WHERE rk = 1""".stripMargin
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_knn_graph", qKnnGraph _, Some(qKnnGraphSql)),
+    ("q_bitext_margin", qBitextMargin _, Some(qBitextMarginSql)),
     ("q_curation_v5", qCurationV5 _, Some(qCurationV5Sql)),
     ("q_curation_v6", qCurationV6 _, Some(qCurationV6Sql)),
     ("q_decontam", qDecontam _, Some(qDecontamSql)),
