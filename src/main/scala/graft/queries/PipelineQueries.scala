@@ -6613,10 +6613,71 @@ object PipelineQueries {
        |  PARTITION BY src ORDER BY margin DESC, tgt ASC) AS rk FROM m)
        |WHERE rk = 1""".stripMargin
 
+  /** URL canonicalization → exact-URL dedup (graft.text.UrlOps
+    * .canonicalize): a deterministic recrawl zoo — six messy variants
+    * per page (uppercase scheme/host, default ports, fragments,
+    * www-prefix, utm_ and gclid tracking params, shuffled param order,
+    * trailing slash) — collapses onto canonical keys; the http
+    * variant stays a separate key (scheme is preserved, not folded).
+    * Per canonical URL: docs folded, distinct raw spellings, owning
+    * doc, and the eTLD+1 the canonical key feeds into per-domain
+    * policy. Canonicalize + group-on-key is THE first dedup a crawl
+    * corpus runs — cheaper than any content hash because it needs no
+    * document bytes at all.
+    */
+  def qUrlCanon(s: SparkSession, d: String): DataFrame = {
+    import graft.text.{UrlOps => U}
+    val docs = Tables.documents(s, d)
+    val v = TextAnalysis.hash60(col("doc_id").cast(StringType)) % 6
+    val p = pmod(col("doc_id"), lit(50)).cast(StringType)
+    val url =
+      when(v === 0, concat(lit("https://"), col("source"), lit(".com/page/"),
+        p, lit("?a=1&b=2")))
+      .when(v === 1, concat(lit("HTTPS://"), upper(col("source")),
+        lit(".com:443/page/"), p, lit("?b=2&a=1#frag")))
+      .when(v === 2, concat(lit("https://www."), col("source"),
+        lit(".com/page/"), p, lit("/?a=1&b=2&utm_source=x")))
+      .when(v === 3, concat(lit("https://"), col("source"),
+        lit(".com:443/page/"), p, lit("?b=2&utm_campaign=y&a=1")))
+      .when(v === 4, concat(lit("https://"), col("source"),
+        lit(".com/page/"), p, lit("/?gclid=abc123&a=1&b=2")))
+      .otherwise(concat(lit("http://"), col("source"), lit(".com:80/page/"),
+        p, lit("?a=1&b=2")))
+    docs.withColumn("url", url)
+      .withColumn("canon", U.canonicalize(col("url")))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_raw"),
+        min(col("doc_id")).as("owner_doc"))
+      .withColumn("domain", U.etld1(U.host(col("canon"))))
+  }
+
+  lazy val qUrlCanonSql: String = {
+    import graft.text.{UrlOps => U}
+    val h = s"${hash60Sql("cast(doc_id as varchar)")} % 6"
+    s"""WITH u AS (SELECT doc_id,
+       |  CASE WHEN $h = 0 THEN 'https://' || source || '.com/page/' || (doc_id % 50) || '?a=1&b=2'
+       |       WHEN $h = 1 THEN 'HTTPS://' || upper(source) || '.com:443/page/' || (doc_id % 50) || '?b=2&a=1#frag'
+       |       WHEN $h = 2 THEN 'https://www.' || source || '.com/page/' || (doc_id % 50) || '/?a=1&b=2&utm_source=x'
+       |       WHEN $h = 3 THEN 'https://' || source || '.com:443/page/' || (doc_id % 50) || '?b=2&utm_campaign=y&a=1'
+       |       WHEN $h = 4 THEN 'https://' || source || '.com/page/' || (doc_id % 50) || '/?gclid=abc123&a=1&b=2'
+       |       ELSE 'http://' || source || '.com:80/page/' || (doc_id % 50) || '?a=1&b=2' END AS url
+       |FROM documents),
+       |c AS (SELECT doc_id, url, ${U.canonicalizeSql("url")} AS canon FROM u),
+       |g AS (SELECT canon, count(*) AS n_docs,
+       |    count(distinct url) AS n_raw, min(doc_id) AS owner_doc
+       |  FROM c GROUP BY 1),
+       |d AS (SELECT canon, n_docs, n_raw, owner_doc,
+       |  string_split(${U.hostSql("canon")}, '.') AS ls FROM g)
+       |SELECT canon, n_docs, n_raw, owner_doc, ${U.etld1Sql("ls")} AS domain
+       |FROM d""".stripMargin
+  }
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_knn_graph", qKnnGraph _, Some(qKnnGraphSql)),
     ("q_bitext_margin", qBitextMargin _, Some(qBitextMarginSql)),
+    ("q_url_canon", qUrlCanon _, Some(qUrlCanonSql)),
     ("q_curation_v5", qCurationV5 _, Some(qCurationV5Sql)),
     ("q_curation_v6", qCurationV6 _, Some(qCurationV6Sql)),
     ("q_decontam", qDecontam _, Some(qDecontamSql)),

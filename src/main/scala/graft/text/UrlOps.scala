@@ -74,6 +74,69 @@ object UrlOps {
   def hostSql(url: String): String =
     s"lower(regexp_extract($url, '^[^:/?#]+://(?:[^/@]*@)?([^/:?#]+)', 1))"
 
+  /** Tracking query parameters a recrawl/share variant injects without
+    * changing the page: the standard strip set (utm_* campaign tags,
+    * Google/Facebook/Microsoft click ids, bare ref).
+    */
+  val TrackingParamRe = "^(utm_[^=]*|gclid|fbclid|msclkid|ref)="
+
+  /** Canonical dedup KEY for a well-formed absolute URL — the
+    * normalization crawl pipelines apply before exact-URL dedup, so
+    * that recrawl/share variants of one page collapse to one key:
+    * scheme and host lowercased, leading `www.` dropped, default
+    * ports (http:80, https:443) dropped — other ports kept, fragment
+    * dropped, tracking params ([[TrackingParamRe]]) dropped, the
+    * REMAINING params sorted bytewise, trailing path slashes dropped.
+    *
+    * Pure narrow expression (parse_url + regexp + array ops — one
+    * codegen'd projection over 100 TB of URLs, no shuffle, no UDF).
+    * Unparseable URLs yield NULL (parse_url semantics) — the caller
+    * decides whether to quarantine or pass them through raw.
+    */
+  def canonicalize(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([^:/?#]+)://", 1))
+    val h = regexp_replace(host(url), "^www\\.", "")
+    val port = regexp_extract(url,
+      "^[^:/?#]+://(?:[^/@]*@)?[^/:?#]*:([0-9]+)", 1)
+    val keepPort = (port =!= "") &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val path = regexp_replace(
+      coalesce(parse_url(url, lit("PATH")), lit("")), "/+$", "")
+    val params = filter(
+      split(coalesce(parse_url(url, lit("QUERY")), lit("")), "&"),
+      p => (p =!= "") && !p.rlike(TrackingParamRe))
+    val qs = array_join(sort_array(params), "&")
+    concat(scheme, lit("://"), h,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(qs =!= "", concat(lit("?"), qs)).otherwise(lit("")))
+  }
+
+  /** DuckDB mirror of [[canonicalize]] — same regexps, same list ops
+    * (DuckDB regexp_extract also yields '' on no-match; list_sort is
+    * the same bytewise order as sort_array).
+    */
+  def canonicalizeSql(url: String): String = {
+    val scheme = s"lower(regexp_extract($url, '^([^:/?#]+)://', 1))"
+    val h = s"regexp_replace(${hostSql(url)}, '^www\\.', '')"
+    val port =
+      s"regexp_extract($url, '^[^:/?#]+://(?:[^/@]*@)?[^/:?#]*:([0-9]+)', 1)"
+    val path = s"""regexp_replace(coalesce(
+      regexp_extract($url, '://[^/?#]*(/[^?#]*)', 1), ''), '/+${"$"}', '')"""
+    val params = s"""list_filter(
+      string_split(coalesce(regexp_extract($url, '\\?([^#]*)', 1), ''), '&'),
+      p -> p <> '' AND NOT regexp_matches(p, '$TrackingParamRe'))"""
+    s"""($scheme || '://' || $h ||
+       |  CASE WHEN $port <> '' AND NOT (($scheme = 'http' AND $port = '80')
+       |      OR ($scheme = 'https' AND $port = '443'))
+       |    THEN ':' || $port ELSE '' END ||
+       |  $path ||
+       |  CASE WHEN array_to_string(list_sort($params), '&') <> ''
+       |    THEN '?' || array_to_string(list_sort($params), '&')
+       |    ELSE '' END)""".stripMargin
+  }
+
   /** DuckDB mirror of [[etld1]] over a PRE-SPLIT label-list column
     * (the caller stages `string_split(host, '.') AS <ls>` in a CTE —
     * a correlated scalar subquery here would re-split per reference).
