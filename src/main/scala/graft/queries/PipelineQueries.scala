@@ -6673,11 +6673,59 @@ object PipelineQueries {
        |FROM d""".stripMargin
   }
 
+  /** Interpolated Kneser–Ney bigram scoring
+    * (graft.text.BigramLm.scoreKneserNey): the smoothed sibling of
+    * `q_bigram_lm` — absolute discount 0.75, backoff mass routed
+    * through CONTINUATION counts (how many distinct left contexts a
+    * word follows), the standard fix for MLE's "San Francisco makes
+    * Francisco look fluent everywhere" artifact. The oracle replays
+    * the discounting, both fanout tables, the continuation total, and
+    * the quantized per-doc sums.
+    */
+  def qKnBigram(s: SparkSession, d: String): DataFrame =
+    graft.text.BigramLm.scoreKneserNey(Tables.documents(s, d),
+      "doc_id", "text")
+
+  val qKnBigramSql: String = {
+    val sc = graft.text.BigramLm.Scale
+    val dd = graft.text.BigramLm.Discount
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |u AS (SELECT doc_id,
+       |        unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+       |          i -> toks[i] || ' ' || toks[i+1])) AS bg
+       |      FROM t),
+       |cb AS (SELECT bg, count(*) AS cb FROM u GROUP BY bg),
+       |lft AS (SELECT split_part(bg, ' ', 1) AS w1,
+       |        cast(sum(cb) as bigint) AS cl, count(*) AS n1l
+       |        FROM cb GROUP BY 1),
+       |rgt AS (SELECT split_part(bg, ' ', 2) AS w2, count(*) AS n1r
+       |        FROM cb GROUP BY 1),
+       |tot AS (SELECT count(*) AS n1t FROM cb),
+       |q AS (SELECT bg, cast(round(ln(
+       |        greatest(cast(cb as double) - $dd, 0.0) / cast(cl as double)
+       |        + (($dd * cast(n1l as double)) / cast(cl as double))
+       |          * (cast(n1r as double) / cast(n1t as double))) * $sc)
+       |        as bigint) AS lp
+       |      FROM cb JOIN lft ON split_part(cb.bg, ' ', 1) = lft.w1
+       |              JOIN rgt ON split_part(cb.bg, ' ', 2) = rgt.w2
+       |              CROSS JOIN tot),
+       |p AS (SELECT u.doc_id, count(*) AS n_bigrams,
+       |        cast(sum(q.lp) as bigint) AS slp
+       |      FROM u JOIN q USING (bg) GROUP BY u.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(p.n_bigrams, 0) AS n_bigrams,
+       |  round(CASE WHEN p.n_bigrams > 0
+       |        THEN cast(p.slp as double) / p.n_bigrams / $sc.0
+       |        ELSE 0.0 END, 6) AS avg_logp
+       |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin
+  }
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_knn_graph", qKnnGraph _, Some(qKnnGraphSql)),
     ("q_bitext_margin", qBitextMargin _, Some(qBitextMarginSql)),
     ("q_url_canon", qUrlCanon _, Some(qUrlCanonSql)),
+    ("q_kn_bigram", qKnBigram _, Some(qKnBigramSql)),
     ("q_curation_v5", qCurationV5 _, Some(qCurationV5Sql)),
     ("q_curation_v6", qCurationV6 _, Some(qCurationV6Sql)),
     ("q_decontam", qDecontam _, Some(qDecontamSql)),

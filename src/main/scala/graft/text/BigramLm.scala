@@ -33,28 +33,40 @@ object BigramLm {
   /** Quantization step for the exact integer score accumulation. */
   val Scale = 1000000L
 
+  /** Absolute discount for [[scoreKneserNey]] — the standard 0.75
+    * (exactly representable in binary, so the discounted numerators
+    * are deterministic doubles).
+    */
+  val Discount = 0.75
+
+  /** "w1 w2" joined-string bigram keys: tokens are whitespace-free by
+    * construction, so the first space splits the pair back losslessly.
+    * The token array is let-bound as a lambda variable (single-element
+    * transform, the qBigrams/shingleHashes trick) so the tokenizer
+    * expression runs ONCE per row, not once per element_at; the
+    * when-guard keeps 0/1-token docs at an empty list (a bare
+    * sequence(1, size-1) would count DOWN for them).
+    */
+  private def bigramsOf(textCol: String) = element_at(
+    transform(array(TextAnalysis.tokens(col(textCol))), t =>
+      transform(
+        when(size(t) >= 2, sequence(lit(1), size(t) - 1))
+          .otherwise(array().cast(ArrayType(IntegerType))),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))),
+    1)
+
+  /** Cached (id, bg) occurrence stream. */
+  private def occurrences(df: DataFrame, idCol: String, textCol: String) =
+    graft.CacheRegistry.register(
+      graft.ops.Parallelism.widen(df)
+        .select(col(idCol).as("id"), explode(bigramsOf(textCol)).as("bg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Per-document mean bigram log-probability (nats, rounded to 1e-6):
     * (idCol, n_bigrams, avg_logp).
     */
   def score(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // "w1 w2" joined-string bigram keys: tokens are whitespace-free by
-    // construction, so the first space splits the pair back losslessly.
-    // The token array is let-bound as a lambda variable (single-element
-    // transform, the qBigrams/shingleHashes trick) so the tokenizer
-    // expression runs ONCE per row, not once per element_at; the
-    // when-guard keeps 0/1-token docs at an empty list (a bare
-    // sequence(1, size-1) would count DOWN for them).
-    val bigramsOf = element_at(
-      transform(array(TextAnalysis.tokens(col(textCol))), t =>
-        transform(
-          when(size(t) >= 2, sequence(lit(1), size(t) - 1))
-            .otherwise(array().cast(ArrayType(IntegerType))),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))),
-      1)
-    val bgs = graft.CacheRegistry.register(
-      graft.ops.Parallelism.widen(df)
-        .select(col(idCol).as("id"), explode(bigramsOf).as("bg"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bgs = occurrences(df, idCol, textCol)
     val cb = bgs.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
     // left-token counts derive from cb (sum of cb per left token), not
     // from a second corpus-sized scan of bgs: the distinct-bigram frame
@@ -66,6 +78,62 @@ object BigramLm {
       .select(col("bg"),
         round(log(col("cb").cast(DoubleType) / col("cl").cast(DoubleType)) * Scale)
           .cast(LongType).as("lp"))
+    val perDoc = bgs.join(logp, Seq("bg"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(when(col("n_bigrams") > 0,
+          col("slp").cast(DoubleType) / col("n_bigrams") / Scale)
+          .otherwise(0.0), 6).as("avg_logp"))
+  }
+
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney '95; Chen &
+    * Goodman '98 formulation) — the smoothing every serious n-gram LM
+    * uses instead of raw MLE:
+    *
+    *   p(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+    *            + (D·N₁₊(w₁·)/c(w₁·)) · N₁₊(·w₂)/N₁₊(··)
+    *
+    * The backoff weight redistributes exactly the discounted mass, and
+    * the continuation probability N₁₊(·w₂)/N₁₊(··) scores how many
+    * DISTINCT left contexts w₂ follows — "San Francisco" makes
+    * "Francisco" frequent but not versatile, and KN is the standard
+    * fix for exactly that artifact in MLE bigram scores. Per-w₁ the
+    * full-vocabulary probabilities sum to exactly 1 (law pinned in
+    * KneserNeySpec).
+    *
+    * All model quantities derive from the DISTINCT-BIGRAM frame (cb),
+    * orders of magnitude smaller than the occurrence stream: one
+    * grouped agg each for left counts+fanout and right fanout, one
+    * 1-row agg for the distinct-bigram total (the idiomatic
+    * scalar-subquery broadcast cross join). Quantization contract of
+    * [[score]]: one libm log per distinct bigram on exact rationals,
+    * integer per-doc sums.
+    */
+  def scoreKneserNey(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val bgs = occurrences(df, idCol, textCol)
+    val cb = bgs.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val left = cb.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cb")).as("cl"), count(lit(1)).as("n1l"))
+    val right = cb.groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("n1r"))
+    val tot = cb.agg(count(lit(1)).as("n1t")) // 1 row — bounded
+    val p = greatest(col("cb").cast(DoubleType) - Discount, lit(0.0)) /
+        col("cl").cast(DoubleType) +
+      ((lit(Discount) * col("n1l").cast(DoubleType)) /
+        col("cl").cast(DoubleType)) *
+        (col("n1r").cast(DoubleType) / col("n1t").cast(DoubleType))
+    val logp = cb
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("bg"), round(log(p) * Scale).cast(LongType).as("lp"))
     val perDoc = bgs.join(logp, Seq("bg"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
