@@ -6720,9 +6720,47 @@ object PipelineQueries {
        |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin
   }
 
+  /** Stride-scheduled training order (graft.ops.Curriculum): the
+    * global interleaved ordering a data loader streams, with each
+    * source appearing in any prefix proportionally to its temperature
+    * weight √n (T=2 mixing) — the deterministic last mile after
+    * q_mix_opt decides the proportions. The oracle replays the
+    * within-domain hash-shuffled ranks, the virtual times, and the
+    * global (vtime, domain, id) order; the engine computes both ranks
+    * range-sharded (never a per-domain or single-reducer window), and
+    * the hash matching the oracle's textbook windows is exactly the
+    * sharded-rank ≡ global-window law.
+    */
+  def qCurriculum(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val weights = docs.groupBy(col("source"))
+      .agg(sqrt(count(lit(1)).cast(DoubleType)).as("weight"))
+    graft.ops.Curriculum.order(docs, "doc_id", "source", weights)
+      .select(col("position"), col("id").as("doc_id"),
+        col("domain").as("source"), col("domain_rank"), col("vtime"))
+  }
+
+  val qCurriculumSql: String =
+    s"""WITH k AS (SELECT doc_id, source,
+       |  ${hash60Sql("cast(doc_id as varchar)")} AS shuf FROM documents),
+       |r AS (SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY shuf, doc_id) - 1
+       |      AS dr
+       |  FROM k),
+       |w AS (SELECT source, sqrt(cast(count(*) as double)) AS wt
+       |  FROM documents GROUP BY 1),
+       |v AS (SELECT r.doc_id, r.source, r.dr,
+       |    (cast(r.dr as double) + 1.0) / w.wt AS vtime
+       |  FROM r JOIN w USING (source))
+       |SELECT row_number() OVER (ORDER BY vtime, source, doc_id) - 1
+       |    AS position,
+       |  doc_id, source, dr AS domain_rank, round(vtime, 6) AS vtime
+       |FROM v""".stripMargin
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_knn_graph", qKnnGraph _, Some(qKnnGraphSql)),
+    ("q_curriculum", qCurriculum _, Some(qCurriculumSql)),
     ("q_bitext_margin", qBitextMargin _, Some(qBitextMarginSql)),
     ("q_url_canon", qUrlCanon _, Some(qUrlCanonSql)),
     ("q_kn_bigram", qKnBigram _, Some(qKnBigramSql)),
