@@ -148,4 +148,20 @@ class PlanShapeSpec extends SparkSpec {
     // side's bucket computation beyond the widen fan-out
     assert(!s.contains("SinglePartition"))
   }
+
+  test("NN-Descent graph never materializes a cross product") {
+    val s = formatted(PipelineQueries.qKnnGraph(spark, sf))
+    assert(!s.contains("CartesianProduct"),
+      "every KnnGraph join must be an equi-join on bucket or node id")
+    assert(!s.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("curriculum order never runs a one-reducer or per-domain window") {
+    val s = formatted(PipelineQueries.qCurriculum(spark, sf))
+    assert(!s.contains("SinglePartition"),
+      "both curriculum ranks must stay range-sharded")
+    assert(!s.contains("windowspecdefinition(source"),
+      "the within-domain rank must come from the sharded global rank, " +
+        "not a per-source window")
+  }
 }
