@@ -120,6 +120,38 @@ object Sampling {
         col("t.payload").as(keyCol)): _*)
   }
 
+  /** Exactly-n-per-group WEIGHTED sample without replacement
+    * (Efraimidis & Spirakis '06): each row draws priority u^(1/w)
+    * from its deterministic hash coordinate u and weight w; the n
+    * highest priorities per group are the sample, and for n = 1 the
+    * selection probability is exactly w_i/Σw — the principled
+    * weighted version of [[groupSample]]'s uniform draw (quality- or
+    * recency-weighted eval carving, per-domain boosted subsets).
+    *
+    * The ORDER uses the monotone-equivalent key ln(u)/w (u, w > 0;
+    * ln(u) < 0, so dividing by a LARGER w moves the key toward 0 =
+    * up), quantized to integer nano-units — one libm log on the exact
+    * dyadic rational u, no cross-engine pow() in sight, and the same
+    * bounded [[graft.functions.TopKAgg]] heap as groupSample: O(n)
+    * state per group, map-side partials, no per-group window sort.
+    *
+    * @param weightCol positive weights; callers clamp to
+    *                  [1e-6, ∞) — at 1e-6 the quantized key still
+    *                  fits a long with three orders of margin
+    */
+  def weightedSampleK(df: DataFrame, keyCol: String,
+      groupCols: Seq[String], weightCol: String, n: Int): DataFrame = {
+    val u = coordinate(col(keyCol))
+    val ord = round(log(u) / col(weightCol) * 1e9d).cast(LongType)
+    val g = groupCols.map(col)
+    df.groupBy(g: _*)
+      .agg(graft.functions.TopKAgg.top_k_by(
+        ord, col(keyCol).cast(LongType), n).as("top"))
+      .select(g :+ posexplode(col("top")).as(Seq("p", "t")): _*)
+      .select(g ++ Seq((col("p") + 1).cast(LongType).as("rnk"),
+        col("t.payload").as(keyCol)): _*)
+  }
+
   /** Per-source row counts collected to the driver: #sources values —
     * the bounded-model-state class ([[graft.sim.KMeans]] centroids),
     * never corpus-sized. ONE scan of the corpus; every mixture op

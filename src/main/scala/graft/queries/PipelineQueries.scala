@@ -6757,10 +6757,41 @@ object PipelineQueries {
        |  doc_id, source, dr AS domain_rank, round(vtime, 6) AS vtime
        |FROM v""".stripMargin
 
+  /** Exactly-8-per-source WEIGHTED sample without replacement
+    * (graft.ops.Sampling.weightedSampleK — Efraimidis–Spirakis
+    * priorities, quality-clamped weights): the principled weighted
+    * eval-carving draw. The engine runs the bounded TopKAgg heap (no
+    * per-group window); the oracle replays the quantized ln(u)/w
+    * priorities with the textbook row_number window — the
+    * aggregate ≡ window law, hash-gated.
+    */
+  def qWeightedK(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      least(lit(1.0), greatest(lit(0.05),
+        TextAnalysis.qualityScore(col("text")))).as("w"))
+    graft.ops.Sampling.weightedSampleK(docs, "doc_id", Seq("source"),
+      "w", n = 8)
+  }
+
+  val qWeightedKSql: String =
+    s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+       |w AS (SELECT doc_id, source,
+       |    least(1.0, greatest(0.05, ${qualityExprSql("toks", "text")})) AS w
+       |  FROM t),
+       |p AS (SELECT doc_id, source,
+       |    cast(round(ln(${graft.ops.Sampling.coordinateSql("doc_id")})
+       |      / w * 1000000000.0) as bigint) AS pr
+       |  FROM w),
+       |r AS (SELECT source, doc_id, row_number() OVER (
+       |    PARTITION BY source ORDER BY pr DESC, doc_id ASC) AS rnk
+       |  FROM p)
+       |SELECT source, rnk, doc_id FROM r WHERE rnk <= 8""".stripMargin
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_knn_graph", qKnnGraph _, Some(qKnnGraphSql)),
     ("q_curriculum", qCurriculum _, Some(qCurriculumSql)),
+    ("q_weighted_k", qWeightedK _, Some(qWeightedKSql)),
     ("q_bitext_margin", qBitextMargin _, Some(qBitextMarginSql)),
     ("q_url_canon", qUrlCanon _, Some(qUrlCanonSql)),
     ("q_kn_bigram", qKnBigram _, Some(qKnBigramSql)),
