@@ -413,6 +413,31 @@ object Dedup {
       .select(col(idCol), col("component").as("cluster_id"))
   }
 
+  /** SoftDedup (Xue et al. '24 — reweight, don't drop): every
+    * document keeps its place in the corpus but carries sampling
+    * weight 1/|near-dup cluster|, so a cluster of n copies
+    * contributes ONE document's worth of expected training mass while
+    * preserving the (slightly different) variants hard dedup throws
+    * away. Output: (idCol, cluster_id, csize, weight) — feed `weight`
+    * to [[graft.ops.Sampling.weightedSample]] /
+    * [[graft.ops.Sampling.weightedSampleK]] or multiply into loss
+    * weighting downstream.
+    *
+    * Scale shape: [[duplicateClusters]]'s machinery (the only
+    * data-sized stages are the fingerprint agg and the banded join);
+    * the cluster-size frame is CLUSTER-count-sized and joins back by
+    * cluster id.
+    */
+  def softDedupWeights(df: DataFrame, idCol: String, textCol: String,
+      minAgreement: Double = 0.75, fast: Boolean = false): DataFrame = {
+    val clusters = duplicateClusters(df, idCol, textCol, minAgreement, fast)
+    val cs = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("csize"))
+    clusters.join(cs, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("csize"),
+        round(lit(1.0) / col("csize").cast(DoubleType), 6).as("weight"))
+  }
+
   /** Cross-corpus MinHash-LSH candidate pairs: (incoming id_a,
     * reference id_b) sharing a band bucket, scored by signature
     * agreement — the two-sided variant of [[minhashCandidates]]

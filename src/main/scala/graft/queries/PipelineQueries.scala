@@ -6787,11 +6787,58 @@ object PipelineQueries {
        |  FROM p)
        |SELECT source, rnk, doc_id FROM r WHERE rnk <= 8""".stripMargin
 
+  /** SoftDedup per-source readout (graft.dedup.Dedup
+    * .softDedupWeights): duplicates are REWEIGHTED (1/cluster-size),
+    * not dropped, and the per-source effective token mass — what the
+    * training loss actually sees in expectation — is an exact
+    * integer-micro sum. The oracle composes the full q_dup_clusters
+    * recursive-CC replay, the cluster sizes, the per-doc quantized
+    * effective mass, and the per-source rollup.
+    */
+  def qSoftDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val w = Dedup.softDedupWeights(docs, "doc_id", "text")
+    docs.select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_toks"))
+      .join(w, Seq("doc_id"))
+      .withColumn("eff_micro",
+        round(col("n_toks").cast(DoubleType) * 1e6d /
+          col("csize").cast(DoubleType)).cast(LongType))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        sum(col("n_toks")).as("raw_tokens"),
+        round(sum(col("eff_micro")).cast(DoubleType) / 1e6d, 6)
+          .as("eff_tokens"))
+      .withColumn("kept_frac",
+        round(col("eff_tokens") / col("raw_tokens").cast(DoubleType), 6))
+  }
+
+  lazy val qSoftDedupSql: String =
+    s"""WITH cl AS (
+       |$qDupClustersSql),
+       |cs AS (SELECT cluster_id, count(*) AS csize FROM cl GROUP BY 1),
+       |tk AS (SELECT doc_id, source, len($toksSql) AS n_toks FROM documents),
+       |p AS (SELECT tk.source, cl.cluster_id, tk.n_toks,
+       |    cast(round((cast(tk.n_toks as double) * 1000000.0)
+       |      / cast(cs.csize as double)) as bigint) AS eff_micro
+       |  FROM tk JOIN cl USING (doc_id) JOIN cs USING (cluster_id)),
+       |g AS (SELECT source, count(*) AS n_docs,
+       |    count(distinct cluster_id) AS n_clusters,
+       |    cast(sum(n_toks) as bigint) AS raw_tokens,
+       |    round(cast(sum(eff_micro) as double) / 1000000.0, 6)
+       |      AS eff_tokens
+       |  FROM p GROUP BY 1)
+       |SELECT source, n_docs, n_clusters, raw_tokens, eff_tokens,
+       |  round(eff_tokens / cast(raw_tokens as double), 6) AS kept_frac
+       |FROM g""".stripMargin
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_knn_graph", qKnnGraph _, Some(qKnnGraphSql)),
     ("q_curriculum", qCurriculum _, Some(qCurriculumSql)),
     ("q_weighted_k", qWeightedK _, Some(qWeightedKSql)),
+    ("q_soft_dedup", qSoftDedup _, Some(qSoftDedupSql)),
     ("q_bitext_margin", qBitextMargin _, Some(qBitextMarginSql)),
     ("q_url_canon", qUrlCanon _, Some(qUrlCanonSql)),
     ("q_kn_bigram", qKnBigram _, Some(qKnBigramSql)),
