@@ -6833,12 +6833,66 @@ object PipelineQueries {
        |  round(eff_tokens / cast(raw_tokens as double), 6) AS kept_frac
        |FROM g""".stripMargin
 
+  /** Embedding-space benchmark decontamination
+    * (graft.sim.SemanticDecontam): the semantic complement of
+    * `q_decontam`'s verbatim n-gram scrub — paraphrased eval leakage
+    * has no shared 5-grams but lands at cosine ≈ 1. Eval set = the
+    * vec_id % 13 slice; corpus = the complement PLUS planted
+    * near-copies (first component shifted +0.125 — cross-engine-exact
+    * float arithmetic) that must all be flagged at τ = 0.9 while the
+    * natural corpus (max cos ≈ 0.5 against eval) stays clean. One
+    * broadcast of the bounded eval side, one narrow corpus pass, one
+    * argmax struct aggregate — replayed in the oracle with the
+    * textbook window.
+    */
+  def qSemDecontam(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val evalSet = emb.filter(col("vec_id") % 13 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val planted = evalSet.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      concat(
+        array((element_at(col("embedding"), 1) + lit(0.125f)).cast(FloatType)),
+        slice(col("embedding"), 2, 63)).as("embedding"))
+    val corpus = emb.filter(col("vec_id") % 13 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .union(planted)
+    graft.sim.SemanticDecontam.report(corpus, evalSet,
+      "vec_id", "embedding", tau = 0.9)
+  }
+
+  lazy val qSemDecontamSql: String =
+    s"""WITH ev AS (SELECT vec_id AS eval_id, embedding AS evec
+       |  FROM embeddings WHERE vec_id % 13 = 0),
+       |en AS (SELECT eval_id, evec,
+       |  sqrt(${listDotSql("evec", "evec")}) AS en FROM ev),
+       |pl AS (SELECT vec_id + 1000000 AS id,
+       |    list_prepend(cast(embedding[1] + 0.125 as float),
+       |      embedding[2:len(embedding)]) AS cvec
+       |  FROM embeddings WHERE vec_id % 13 = 0),
+       |co AS (SELECT vec_id AS id, embedding AS cvec
+       |  FROM embeddings WHERE vec_id % 13 <> 0
+       |  UNION ALL SELECT id, cvec FROM pl),
+       |cn AS (SELECT id, cvec,
+       |  sqrt(${listDotSql("cvec", "cvec")}) AS cn FROM co),
+       |s AS (SELECT cn.id, en.eval_id,
+       |    CASE WHEN cn.cn * en.en > 0
+       |      THEN ${listDotSql("cn.cvec", "en.evec")} / (cn.cn * en.en)
+       |      ELSE 0.0 END AS sim
+       |  FROM cn CROSS JOIN en),
+       |r AS (SELECT id, sim, eval_id, row_number() OVER (
+       |    PARTITION BY id ORDER BY sim DESC, eval_id ASC) AS rk FROM s)
+       |SELECT id, round(sim, 6) AS max_sim, eval_id AS nearest_eval,
+       |  sim >= 0.9 AS contaminated
+       |FROM r WHERE rk = 1""".stripMargin
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_knn_graph", qKnnGraph _, Some(qKnnGraphSql)),
     ("q_curriculum", qCurriculum _, Some(qCurriculumSql)),
     ("q_weighted_k", qWeightedK _, Some(qWeightedKSql)),
     ("q_soft_dedup", qSoftDedup _, Some(qSoftDedupSql)),
+    ("q_sem_decontam", qSemDecontam _, Some(qSemDecontamSql)),
     ("q_bitext_margin", qBitextMargin _, Some(qBitextMarginSql)),
     ("q_url_canon", qUrlCanon _, Some(qUrlCanonSql)),
     ("q_kn_bigram", qKnBigram _, Some(qKnBigramSql)),

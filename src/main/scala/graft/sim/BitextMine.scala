@@ -95,3 +95,48 @@ object BitextMine {
       bwd.select("query_id", "neighbor_id", "sim"))
   }
 }
+
+/** Embedding-space benchmark decontamination — the semantic
+  * complement of graft.text.Decontaminate's n-gram scrub (modern
+  * data cards run BOTH: verbatim overlap n-grams miss, paraphrased
+  * eval leakage embeddings catch). Every corpus vector is scored by
+  * its maximum cosine against the eval set; rows at or above `tau`
+  * are contamination candidates.
+  *
+  * Scale shape: the eval set is eval-suite-bounded (thousands, not
+  * corpus-sized), so it BROADCASTS and the corpus makes exactly one
+  * narrow pass — a broadcast join plus a per-corpus-row max
+  * aggregate over |eval| candidates, no shuffle of the corpus beyond
+  * the aggregate's partial combine, no self-join. The same
+  * driver-held-model discipline as Decontaminate's literal gram set.
+  */
+object SemanticDecontam {
+
+  /** Per-corpus-row verdict: (idCol, max_sim, nearest eval id,
+    * contaminated). Ties on sim break by eval id ASC (total order).
+    */
+  def report(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      vecCol: String, tau: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = evalSet.select(col(idCol).as("eval_id"),
+      col(vecCol).as("evec"), Ann.norm(col(vecCol)).as("en"))
+    val c = graft.ops.Parallelism.widen(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("cvec"),
+        Ann.norm(col(vecCol)).as("cn"))
+    c.crossJoin(broadcast(ev))
+      .select(col("id"),
+        Ann.cosinePre(Ann.dot(col("cvec"), col("evec")),
+          col("cn"), col("en")).as("sim"),
+        col("eval_id"))
+      // struct max = (sim DESC, eval_id via negated? no — max struct
+      // orders lexicographically ASC per field, so negate the id to
+      // get ASC ids among equal sims
+      .groupBy(col("id"))
+      .agg(max(struct(col("sim"), (-col("eval_id")).as("neg_eval")))
+        .as("best"))
+      .select(col("id"),
+        round(col("best.sim"), 6).as("max_sim"),
+        (-col("best.neg_eval")).as("nearest_eval"),
+        (col("best.sim") >= tau).as("contaminated"))
+  }
+}
