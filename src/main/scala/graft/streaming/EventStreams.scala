@@ -505,6 +505,41 @@ object EventStreams {
   /** A document admitted by [[firstSeenDedupStream]]. */
   final case class KeptDoc(doc_id: Long, text: String)
 
+  /** A URL admitted by [[canonUrlDedupStream]]. */
+  final case class KeptUrl(canon: String, doc_id: Long, url: String)
+
+  /** DURABLE first-occurrence-wins CANONICAL-URL dedup — the
+    * keyed-state twin of canonicalize-then-group
+    * ([[graft.text.UrlOps.canonicalize]] + min-id ownership, the
+    * `q_url_canon` batch rule) for a perpetual crawl frontier: each
+    * distinct canonical key admits exactly one fetch ever; recrawl
+    * and tracking-param variants drop against the full history
+    * WITHOUT fetching the document body — this gate runs before the
+    * fetcher, which is why it is the cheapest dedup in the stack.
+    * State: one boolean per distinct canonical URL, NoTimeout (the
+    * frontier's seen-set, the honest cost of crawl exactness).
+    */
+  def canonUrlDedupStream(docs: DataFrame, idCol: String,
+      urlCol: String): Dataset[KeptUrl] = {
+    import docs.sparkSession.implicits._
+    val keyed = docs.select(
+        graft.text.UrlOps.canonicalize(col(urlCol)).as("canon"),
+        col(idCol).cast(LongType).as("doc_id"),
+        col(urlCol).cast(StringType).as("url"))
+      .as[(String, Long, String)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[(String, Long, String)],
+            state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = rows.minBy(_._2)
+            Iterator(KeptUrl(first._1, first._2, first._3))
+          }
+        })
+  }
+
   /** A paragraph cell admitted by [[paragraphDedupStream]]. */
   final case class KeptCell(doc_id: Long, idx: Int, para: String)
 
