@@ -6511,11 +6511,18 @@ object PipelineQueries {
       k = 3, rounds = 2, numPlanes = 4)
   }
 
-  lazy val qKnnGraphSql: String = {
-    def cos(a: String, b: String, an: String, bn: String) =
-      s"""CASE WHEN $an * $bn > 0
-         |  THEN ${listDotSql(a, b)} / ($an * $bn)
-         |  ELSE 0.0 END""".stripMargin
+  private def knnCosSql(a: String, b: String, an: String, bn: String) =
+    s"""CASE WHEN $an * $bn > 0
+       |  THEN ${listDotSql(a, b)} / ($an * $bn)
+       |  ELSE 0.0 END""".stripMargin
+
+  /** The shared NN-Descent CTE prefix (nodes → n → seed → g0 → … →
+    * s2/g2) replaying graft.sim.KnnGraph.build(k=3, rounds=2,
+    * numPlanes=4) over the vec_id % 4 node set — single-sourced for
+    * `q_knn_graph` (the graph itself) and `q_knn_recall` (the
+    * measured seed-repair readout).
+    */
+  private lazy val knnGraphCtesSql: String = {
     // one refinement round: undirected expand + keep-current, dedup,
     // exact re-score, top-3 per src — the KnnGraph.build loop body
     def round(gIn: String, uOut: String, cOut: String, sOut: String,
@@ -6528,13 +6535,13 @@ object PipelineQueries {
          |  WHERE a.src <> b.dst
          |  UNION ALL SELECT src, dst FROM $gIn)),
          |$sOut AS (SELECT c.src, c.dst,
-         |    ${cos("sa.vec", "sb.vec", "sa.nrm", "sb.nrm")} AS sim
+         |    ${knnCosSql("sa.vec", "sb.vec", "sa.nrm", "sb.nrm")} AS sim
          |  FROM $cOut c JOIN n sa ON c.src = sa.id
          |               JOIN n sb ON c.dst = sb.id),
          |$gOut AS (SELECT src, dst, sim FROM (
          |  SELECT src, dst, sim, row_number() OVER (PARTITION BY src
          |    ORDER BY sim DESC, dst ASC) AS rk FROM $sOut) WHERE rk <= 3)""".stripMargin
-    s"""WITH nodes AS (SELECT vec_id AS id, embedding AS vec
+    s"""nodes AS (SELECT vec_id AS id, embedding AS vec
        |  FROM embeddings WHERE vec_id % 4 = 0),
        |n AS (SELECT id, vec, sqrt(${listDotSql("vec", "vec")}) AS nrm,
        |  ${lshKeySql("vec", 4)} AS b1,
@@ -6547,18 +6554,67 @@ object PipelineQueries {
        |  SELECT a.id AS src, b.id AS dst FROM n a JOIN n b
        |    ON a.b2 = b.b2 AND a.id <> b.id)),
        |seed AS (SELECT c.src, c.dst,
-       |    ${cos("sa.vec", "sb.vec", "sa.nrm", "sb.nrm")} AS sim
+       |    ${knnCosSql("sa.vec", "sb.vec", "sa.nrm", "sb.nrm")} AS sim
        |  FROM sc c JOIN n sa ON c.src = sa.id
        |            JOIN n sb ON c.dst = sb.id),
        |g0 AS (SELECT src, dst, sim FROM (
        |  SELECT src, dst, sim, row_number() OVER (PARTITION BY src
        |    ORDER BY sim DESC, dst ASC) AS rk FROM seed) WHERE rk <= 3),
        |${round("g0", "u1", "c1", "s1", "g1")},
-       |${round("g1", "u2", "c2", "s2", "g2")}
+       |${round("g1", "u2", "c2", "s2", "g2")}""".stripMargin
+  }
+
+  lazy val qKnnGraphSql: String =
+    s"""WITH $knnGraphCtesSql
        |SELECT src, dst, round(sim, 6) AS sim, rank FROM (
        |  SELECT src, dst, sim, row_number() OVER (PARTITION BY src
        |    ORDER BY sim DESC, dst ASC) AS rank FROM s2) WHERE rank <= 3""".stripMargin
+
+  /** Measured NN-Descent recall readout: seed graph (rounds = 0) vs
+    * refined graph (rounds = 2) against the EXACT top-3 graph, as an
+    * oracle-verified metric — the "measure, don't claim" discipline
+    * (q_minhash_recall, the Hilbert footer-skip table) applied to the
+    * graph builder. The spec asserts improvement; this query makes
+    * the exact numbers themselves hash-gated at every SF.
+    */
+  def qKnnRecall(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0)
+    val exact = Ann.bruteForceTopK(nodes, nodes, "vec_id", "embedding", 3)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    def readout(g: DataFrame, name: String) = {
+      val hit = exact.join(g.select(col("src"), col("dst")),
+        Seq("src", "dst"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(lit(name).as("variant"), col("n_exact"), col("n_hit"),
+          round(col("n_hit").cast(DoubleType) /
+            col("n_exact").cast(DoubleType), 6).as("recall"))
+    }
+    val seed = graft.sim.KnnGraph.build(nodes, "vec_id", "embedding",
+      k = 3, rounds = 0, numPlanes = 4)
+    val refined = graft.sim.KnnGraph.build(nodes, "vec_id", "embedding",
+      k = 3, rounds = 2, numPlanes = 4)
+    readout(seed, "seed").union(readout(refined, "refined"))
   }
+
+  lazy val qKnnRecallSql: String =
+    s"""WITH $knnGraphCtesSql,
+       |ex AS (SELECT src, dst FROM (
+       |  SELECT a.id AS src, b.id AS dst, row_number() OVER (
+       |      PARTITION BY a.id ORDER BY
+       |        ${knnCosSql("a.vec", "b.vec", "a.nrm", "b.nrm")} DESC,
+       |        b.id ASC) AS rk
+       |  FROM n a JOIN n b ON a.id <> b.id) WHERE rk <= 3),
+       |hit0 AS (SELECT count(*) AS n_hit FROM ex JOIN g0 USING (src, dst)),
+       |hit2 AS (SELECT count(*) AS n_hit FROM ex JOIN g2 USING (src, dst)),
+       |tot AS (SELECT count(*) AS n_exact FROM ex)
+       |SELECT 'seed' AS variant, n_exact, n_hit,
+       |  round(cast(n_hit as double) / cast(n_exact as double), 6) AS recall
+       |FROM tot CROSS JOIN hit0
+       |UNION ALL
+       |SELECT 'refined' AS variant, n_exact, n_hit,
+       |  round(cast(n_hit as double) / cast(n_exact as double), 6) AS recall
+       |FROM tot CROSS JOIN hit2""".stripMargin
 
   /** Margin-based bitext mining (graft.sim.BitextMine — the
     * LASER/CCMatrix parallel-corpus recipe): the even-id and odd-id
@@ -6893,6 +6949,7 @@ object PipelineQueries {
     ("q_weighted_k", qWeightedK _, Some(qWeightedKSql)),
     ("q_soft_dedup", qSoftDedup _, Some(qSoftDedupSql)),
     ("q_sem_decontam", qSemDecontam _, Some(qSemDecontamSql)),
+    ("q_knn_recall", qKnnRecall _, Some(qKnnRecallSql)),
     ("q_bitext_margin", qBitextMargin _, Some(qBitextMarginSql)),
     ("q_url_canon", qUrlCanon _, Some(qUrlCanonSql)),
     ("q_kn_bigram", qKnBigram _, Some(qKnBigramSql)),
