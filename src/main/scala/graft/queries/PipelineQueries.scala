@@ -6942,6 +6942,160 @@ object PipelineQueries {
        |  sim >= 0.9 AS contaminated
        |FROM r WHERE rk = 1""".stripMargin
 
+  /** Per-source lexical diversity: distinct-n/total-n ratios for
+    * n = 1, 2, 3 (corpus-level type-token ratios — the Self-BLEU-class
+    * health metric; template farms and synthetic spam collapse these
+    * ratios relative to varied prose, with the n = 2/3 orders the
+    * sharper signal because frame bigrams repeat verbatim) plus
+    * per-doc token mass. One explode + grouped distinct count per
+    * order; everything partial-aggregates map-side; output is
+    * source-sized.
+    */
+  def qDiversity(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def stats(n: Int) = docs
+      .select(col("source"),
+        explode(TextAnalysis.wordNgrams(col("text"), n)).as("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as(s"total_$n"),
+        countDistinct(col("g")).as(s"distinct_$n"))
+    val base = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    Seq(1, 2, 3).map(stats).foldLeft(base)(_.join(_, Seq("source")))
+      .select(col("source"), col("n_docs"), col("total_1").as("n_tokens"),
+        round(col("distinct_1").cast(DoubleType) /
+          col("total_1").cast(DoubleType), 6).as("ttr1"),
+        round(col("distinct_2").cast(DoubleType) /
+          col("total_2").cast(DoubleType), 6).as("ttr2"),
+        round(col("distinct_3").cast(DoubleType) /
+          col("total_3").cast(DoubleType), 6).as("ttr3"))
+  }
+
+  lazy val qDiversitySql: String = {
+    def ngramsSql(n: Int) =
+      if (n == 1) "toks"
+      else {
+        val joined = (0 until n).map(o => s"toks[i+$o]").mkString(" || ' ' || ")
+        s"""list_transform(range(1, greatest(len(toks) - ${n - 1}, 0) + 1),
+           |  i -> $joined)""".stripMargin
+      }
+    def statsCte(n: Int) =
+      s"""s$n AS (SELECT source, count(*) AS total_$n,
+         |    count(distinct g) AS distinct_$n
+         |  FROM (SELECT source, unnest(${ngramsSql(n)}) AS g FROM t)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+       |b AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       |${statsCte(1)}, ${statsCte(2)}, ${statsCte(3)}
+       |SELECT source, n_docs, cast(total_1 as bigint) AS n_tokens,
+       |  round(cast(distinct_1 as double) / cast(total_1 as double), 6) AS ttr1,
+       |  round(cast(distinct_2 as double) / cast(total_2 as double), 6) AS ttr2,
+       |  round(cast(distinct_3 as double) / cast(total_3 as double), 6) AS ttr3
+       |FROM b JOIN s1 USING (source) JOIN s2 USING (source)
+       |       JOIN s3 USING (source)""".stripMargin
+  }
+
+  /** Per-source Zipf slope — the vocabulary health check: natural
+    * language's token frequencies follow rank^s with s ≈ −1; template
+    * farms and synthetic spam bend the curve (flat head or cliff
+    * tail). The fit is OLS of ln(count) on ln(rank) over the BOUNDED
+    * top-64 tokens per source (graft.functions.TopKAgg — map-side
+    * partials, no per-source sort), with the log points quantized to
+    * integer nano-nats and every OLS sum accumulated EXACTLY
+    * (decimal(38) products — a 64-point sum of ~1e20 cross terms
+    * overflows a long), so the slope is one double divide over exact
+    * integers, hash-replayable.
+    */
+  def qZipf(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val tops = counts.groupBy(col("source"))
+      .agg(graft.functions.TopKAgg.top_k_by(col("cnt"),
+        TextAnalysis.hash60(col("tok")), 64).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("source"), (col("p") + 1).cast(LongType).as("rank"),
+        col("t.ord").as("cnt"))
+    val pts = tops.select(col("source"), col("rank"), col("cnt"),
+      round(log(col("rank").cast(DoubleType)) * 1e9d).cast(LongType).as("xq"),
+      round(log(col("cnt").cast(DoubleType)) * 1e9d).cast(LongType).as("yq"))
+    val dec = DecimalType(38, 0)
+    val agg = pts.groupBy(col("source")).agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("xq").cast(dec)).as("sx"),
+      sum(col("yq").cast(dec)).as("sy"),
+      sum((col("xq").cast(dec) * col("yq").cast(dec))).as("sxy"),
+      sum((col("xq").cast(dec) * col("xq").cast(dec))).as("sxx"),
+      max(col("cnt")).as("top1_count"))
+    agg.select(col("source"), col("n").cast(LongType).as("n_points"),
+      col("top1_count"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType), 6)
+        .as("zipf_slope"))
+  }
+
+  lazy val qZipfSql: String = {
+    val h = hash60Sql("tok")
+    s"""WITH c AS (SELECT source, tok, count(*) AS cnt
+       |  FROM (SELECT source, unnest($toksSql) AS tok FROM documents)
+       |  GROUP BY 1, 2),
+       |r AS (SELECT source, cnt, row_number() OVER (PARTITION BY source
+       |    ORDER BY cnt DESC, $h ASC) AS rank FROM c),
+       |p AS (SELECT source, rank, cnt,
+       |    cast(round(ln(cast(rank as double)) * 1000000000.0) as bigint) AS xq,
+       |    cast(round(ln(cast(cnt as double)) * 1000000000.0) as bigint) AS yq
+       |  FROM r WHERE rank <= 64),
+       |a AS (SELECT source, cast(count(*) as hugeint) AS n,
+       |    sum(cast(xq as hugeint)) AS sx,
+       |    sum(cast(yq as hugeint)) AS sy,
+       |    sum(cast(xq as hugeint) * yq) AS sxy,
+       |    sum(cast(xq as hugeint) * xq) AS sxx,
+       |    max(cnt) AS top1_count
+       |  FROM p GROUP BY 1)
+       |SELECT source, cast(n as bigint) AS n_points,
+       |  cast(top1_count as bigint) AS top1_count,
+       |  round(cast(n * sxy - sx * sy as double) /
+       |        cast(n * sxx - sx * sx as double), 6) AS zipf_slope
+       |FROM a""".stripMargin
+  }
+
+  /** Unicode-normalized fingerprinting
+    * (graft.functions.UnicodeNorm — native NFC kernel): every doc
+    * spawns a composed-form and a decomposed-form variant (é vs
+    * e + U+0301), byte-level fingerprints see 2 distinct spellings,
+    * NFC fingerprints collapse them to 1 — the dedup-evasion fix,
+    * hash-gated against DuckDB's nfc_normalize over the whole corpus
+    * (every document's text flows through both md5 paths).
+    */
+  def qNfcDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.UnicodeNorm.unicode_normalize
+    val docs = Tables.documents(s, d)
+    val composed = docs.select((col("doc_id") * 2).as("id"),
+      concat(col("text"), lit(" café résumé")).as("t"))
+    val decomposed = docs.select((col("doc_id") * 2 + 1).as("id"),
+      concat(col("text"), lit(" café résumé")).as("t"))
+    composed.union(decomposed)
+      .select(col("id"), col("t"), md5(col("t")).as("raw_fp"),
+        md5(unicode_normalize(col("t"), "NFC")).as("nfc_fp"))
+      .groupBy(col("nfc_fp"))
+      .agg(min(col("id")).as("owner_id"),
+        count(lit(1)).as("n_variants"),
+        countDistinct(col("raw_fp")).as("n_raw_fps"))
+  }
+
+  lazy val qNfcDedupSql: String = {
+    val comp = "' caf' || chr(233) || ' r' || chr(233) || 'sum' || chr(233)"
+    val decomp =
+      "' cafe' || chr(769) || ' re' || chr(769) || 'sume' || chr(769)"
+    s"""WITH v AS (
+       |  SELECT doc_id * 2 AS id, text || $comp AS t FROM documents
+       |  UNION ALL
+       |  SELECT doc_id * 2 + 1 AS id, text || $decomp AS t FROM documents)
+       |SELECT md5(nfc_normalize(t)) AS nfc_fp, min(id) AS owner_id,
+       |  count(*) AS n_variants, count(distinct md5(t)) AS n_raw_fps
+       |FROM v GROUP BY 1""".stripMargin
+  }
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_knn_graph", qKnnGraph _, Some(qKnnGraphSql)),
@@ -6950,6 +7104,9 @@ object PipelineQueries {
     ("q_soft_dedup", qSoftDedup _, Some(qSoftDedupSql)),
     ("q_sem_decontam", qSemDecontam _, Some(qSemDecontamSql)),
     ("q_knn_recall", qKnnRecall _, Some(qKnnRecallSql)),
+    ("q_diversity", qDiversity _, Some(qDiversitySql)),
+    ("q_zipf", qZipf _, Some(qZipfSql)),
+    ("q_nfc_dedup", qNfcDedup _, Some(qNfcDedupSql)),
     ("q_bitext_margin", qBitextMargin _, Some(qBitextMarginSql)),
     ("q_url_canon", qUrlCanon _, Some(qUrlCanonSql)),
     ("q_kn_bigram", qKnBigram _, Some(qKnBigramSql)),

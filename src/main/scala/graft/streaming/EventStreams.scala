@@ -662,6 +662,35 @@ object EventStreams {
       graft.text.Decontaminate.gramSet(col(textCol), n), benchGrams))
   }
 
+  /** Streaming SEMANTIC decontamination gate — the embedding-space
+    * twin of [[decontamGateStream]], gating an ingest stream against
+    * [[graft.sim.SemanticDecontam]]'s batch verdict: the eval-suite
+    * vectors (bounded — the driver-held-model discipline) are
+    * collected ONCE with their engine-computed norms and inlined as
+    * literals, so the gate is one narrow stateless filter evaluating
+    * max-cosine per row: no join, no state, no shuffle. A row passes
+    * iff the batch report would say contaminated = false
+    * (spec-pinned equivalence, bit-identical cosine: same dot fold,
+    * same cosinePre operand order, norms computed by the same engine
+    * expression on both sides).
+    */
+  def semanticGateStream(docs: DataFrame, vecCol: String,
+      evalSet: DataFrame, evalVecCol: String, tau: Double): DataFrame = {
+    import graft.sim.Ann
+    val evs: Array[(Seq[Double], Double)] = evalSet
+      .select(transform(col(evalVecCol), x => x.cast(DoubleType))
+        .as("v"), Ann.norm(col(evalVecCol)).as("n"))
+      .collect()
+      .map(r => (r.getSeq[Double](0), r.getDouble(1)))
+    require(evs.nonEmpty, "empty eval set would pass everything")
+    val nrm = Ann.norm(col(vecCol))
+    val sims = evs.map { case (v, en) =>
+      Ann.cosinePre(Ann.dot(col(vecCol), typedLit(v)), nrm, lit(en))
+    }
+    val maxSim = if (sims.length == 1) sims.head else greatest(sims: _*)
+    docs.filter(maxSim < tau)
+  }
+
   /** Stream-static enrichment: every micro-batch of the stream joined
     * to a static dimension snapshot. Stateless — the dim is broadcast
     * per batch, no watermark and no join state; the streaming analog of

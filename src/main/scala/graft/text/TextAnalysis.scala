@@ -24,6 +24,25 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Joined-string word n-grams ("w1 w2 … wn") of the text — the
+    * [[graft.text.BigramLm]] bigram construction generalized: the
+    * token array is let-bound via a single-element transform so the
+    * tokenizer runs once per row, and texts with fewer than n tokens
+    * yield an empty list (never a counted-down sequence).
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1)
+    element_at(
+      transform(array(tokens(text)), t =>
+        transform(
+          when(size(t) >= n, sequence(lit(1), size(t) - (n - 1)))
+            .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.IntegerType))),
+          i => concat_ws(" ",
+            (0 until n).map(o => element_at(t, i + o)): _*))),
+      1)
+  }
+
   /** BPE-ish subword token estimate: chars/4 rounded up — the standard
     * budget heuristic when no tokenizer is available.
     */

@@ -52,4 +52,22 @@ class SemanticDecontamSpec extends SparkSpec {
       .orderBy("id").collect().map(_.toSeq).toSeq
     assert(run(2) === run(7))
   }
+
+  test("streaming gate passes exactly the batch report's clean set") {
+    val planted = evalSet.select((col("vec_id") + 1000000L).as("vec_id"),
+      concat(
+        array((element_at(col("embedding"), 1) + lit(0.125f)).cast(FloatType)),
+        slice(col("embedding"), 2, 63)).as("embedding"))
+    val corpus = emb.filter(col("vec_id") % 13 =!= 0)
+      .select(col("vec_id"), col("embedding")).union(planted)
+    val gated = graft.streaming.EventStreams.semanticGateStream(
+        corpus, "embedding", evalSet, "embedding", tau = 0.9)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val clean = SemanticDecontam.report(corpus, evalSet,
+        "vec_id", "embedding", tau = 0.9)
+      .filter(!col("contaminated"))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(gated === clean)
+    assert(gated.nonEmpty && !gated.exists(_ >= 1000000L))
+  }
 }
