@@ -7096,6 +7096,68 @@ object PipelineQueries {
        |FROM v GROUP BY 1""".stripMargin
   }
 
+  /** Per-source DATA CARD — the one-row-per-source summary a dataset
+    * release publishes, composed from this engine's already-verified
+    * operators: volume (docs, tokens), lexical diversity (bigram
+    * TTR), vocabulary health (Zipf slope), duplication (clusters +
+    * SoftDedup kept fraction), decimal-exact mean quality, and the
+    * dominant language with its share. Pure composition — every
+    * column's math is the oracle-verified operator it came from, and
+    * the oracle composes those queries' full replays (including
+    * SoftDedup's recursive CC) as CTEs.
+    */
+  def qDataCard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val div = qDiversity(s, d)
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("ttr2"))
+    val zp = qZipf(s, d).select(col("source"), col("zipf_slope"))
+    val sd = qSoftDedup(s, d)
+      .select(col("source"), col("n_clusters"), col("kept_frac"))
+    val qq = docs.groupBy(col("source"))
+      .agg(round(sum(TextAnalysis.qualityScore(col("text"))
+        .cast(DecimalType(18, 6))).cast(DoubleType) / count(lit(1)), 6)
+        .as("mean_quality"))
+    val lc = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("c").desc, col("lang").asc)
+    val lt = lc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("c"))
+    div.join(zp, Seq("source")).join(sd, Seq("source"))
+      .join(qq, Seq("source")).join(lt, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("ttr2"),
+        col("zipf_slope"), col("n_clusters"), col("kept_frac"),
+        col("mean_quality"), col("top_lang"),
+        round(col("c").cast(DoubleType) /
+          col("n_docs").cast(DoubleType), 6).as("top_lang_share"))
+  }
+
+  lazy val qDataCardSql: String =
+    s"""WITH dv AS (
+       |$qDiversitySql),
+       |zp AS (
+       |$qZipfSql),
+       |sd AS (
+       |$qSoftDedupSql),
+       |tq AS (SELECT source, text, $toksSql AS toks FROM documents),
+       |qq AS (SELECT source,
+       |    round(cast(sum(cast(${qualityExprSql("toks", "text")}
+       |      as decimal(18,6))) as double) / count(*), 6) AS mean_quality
+       |  FROM tq GROUP BY 1),
+       |lc AS (SELECT source, lang, count(*) AS c FROM documents
+       |  GROUP BY 1, 2),
+       |lt AS (SELECT source, lang AS top_lang, c FROM (
+       |  SELECT source, lang, c, row_number() OVER (PARTITION BY source
+       |    ORDER BY c DESC, lang ASC) AS rn FROM lc) WHERE rn = 1)
+       |SELECT dv.source, dv.n_docs, dv.n_tokens, dv.ttr2,
+       |  zp.zipf_slope, sd.n_clusters, sd.kept_frac, qq.mean_quality,
+       |  lt.top_lang,
+       |  round(cast(lt.c as double) / cast(dv.n_docs as double), 6)
+       |    AS top_lang_share
+       |FROM dv JOIN zp USING (source) JOIN sd USING (source)
+       |        JOIN qq USING (source) JOIN lt USING (source)""".stripMargin
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_knn_graph", qKnnGraph _, Some(qKnnGraphSql)),
@@ -7107,6 +7169,7 @@ object PipelineQueries {
     ("q_diversity", qDiversity _, Some(qDiversitySql)),
     ("q_zipf", qZipf _, Some(qZipfSql)),
     ("q_nfc_dedup", qNfcDedup _, Some(qNfcDedupSql)),
+    ("q_data_card", qDataCard _, Some(qDataCardSql)),
     ("q_bitext_margin", qBitextMargin _, Some(qBitextMarginSql)),
     ("q_url_canon", qUrlCanon _, Some(qUrlCanonSql)),
     ("q_kn_bigram", qKnBigram _, Some(qKnBigramSql)),
