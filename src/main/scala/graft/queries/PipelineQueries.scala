@@ -6527,27 +6527,27 @@ object PipelineQueries {
     // exact re-score, top-3 per src — the KnnGraph.build loop body
     def round(gIn: String, uOut: String, cOut: String, sOut: String,
         gOut: String) =
-      s"""$uOut AS (SELECT src, dst FROM $gIn
+      s"""$uOut AS MATERIALIZED (SELECT src, dst FROM $gIn
          |  UNION ALL SELECT dst AS src, src AS dst FROM $gIn),
-         |$cOut AS (SELECT DISTINCT src, dst FROM (
+         |$cOut AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
          |  SELECT a.src AS src, b.dst AS dst
          |  FROM $uOut a JOIN $uOut b ON a.dst = b.src
          |  WHERE a.src <> b.dst
          |  UNION ALL SELECT src, dst FROM $gIn)),
-         |$sOut AS (SELECT c.src, c.dst,
+         |$sOut AS MATERIALIZED (SELECT c.src, c.dst,
          |    ${knnCosSql("sa.vec", "sb.vec", "sa.nrm", "sb.nrm")} AS sim
          |  FROM $cOut c JOIN n sa ON c.src = sa.id
          |               JOIN n sb ON c.dst = sb.id),
-         |$gOut AS (SELECT src, dst, sim FROM (
+         |$gOut AS MATERIALIZED (SELECT src, dst, sim FROM (
          |  SELECT src, dst, sim, row_number() OVER (PARTITION BY src
          |    ORDER BY sim DESC, dst ASC) AS rk FROM $sOut) WHERE rk <= 3)""".stripMargin
     s"""nodes AS (SELECT vec_id AS id, embedding AS vec
        |  FROM embeddings WHERE vec_id % 4 = 0),
-       |n AS (SELECT id, vec, sqrt(${listDotSql("vec", "vec")}) AS nrm,
+       |n AS MATERIALIZED (SELECT id, vec, sqrt(${listDotSql("vec", "vec")}) AS nrm,
        |  ${lshKeySql("vec", 4)} AS b1,
        |  ${lshKeySql("vec", 4, offset = graft.sim.KnnGraph.SeedTableOffset)}
        |    AS b2 FROM nodes),
-       |sc AS (SELECT DISTINCT src, dst FROM (
+       |sc AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
        |  SELECT a.id AS src, b.id AS dst FROM n a JOIN n b
        |    ON a.b1 = b.b1 AND a.id <> b.id
        |  UNION ALL
@@ -6557,7 +6557,7 @@ object PipelineQueries {
        |    ${knnCosSql("sa.vec", "sb.vec", "sa.nrm", "sb.nrm")} AS sim
        |  FROM sc c JOIN n sa ON c.src = sa.id
        |            JOIN n sb ON c.dst = sb.id),
-       |g0 AS (SELECT src, dst, sim FROM (
+       |g0 AS MATERIALIZED (SELECT src, dst, sim FROM (
        |  SELECT src, dst, sim, row_number() OVER (PARTITION BY src
        |    ORDER BY sim DESC, dst ASC) AS rk FROM seed) WHERE rk <= 3),
        |${round("g0", "u1", "c1", "s1", "g1")},
@@ -7158,6 +7158,47 @@ object PipelineQueries {
        |FROM dv JOIN zp USING (source) JOIN sd USING (source)
        |        JOIN qq USING (source) JOIN lt USING (source)""".stripMargin
 
+  /** Mutual-kNN semantic clusters: reciprocal-nearest-neighbor
+    * filtering (keep edge (a,b) only when a lists b AND b lists a —
+    * the standard asymmetry filter that kills hub edges, used by
+    * image/embedding dedup stacks) over the NN-Descent graph, then
+    * connected components → cluster census. Scale shape: the mutual
+    * join is an equi-join of the k-edge-per-node graph with itself
+    * (≤ Nk rows a side), CC runs pointer-jumping on the filtered
+    * edge list (O(log d) rounds), and the census is
+    * component-keyed. The oracle replays the graph trajectory, the
+    * reciprocity join, and the transitive closure.
+    */
+  def qMutualKnn(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0)
+    val g = graft.sim.KnnGraph.build(nodes, "vec_id", "embedding",
+      k = 3, rounds = 2, numPlanes = 4).select(col("src"), col("dst"))
+    val mutual = g.as("a").join(g.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .filter(col("a.src") < col("a.dst"))
+      .select(col("a.src").as("src"), col("a.dst").as("dst"))
+    val comps = graft.ops.ConnectedComponents.run(
+      nodes.select(col("vec_id").as("id")), mutual)
+    comps.groupBy(col("component").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+  }
+
+  lazy val qMutualKnnSql: String =
+    s"""WITH RECURSIVE $knnGraphCtesSql,
+       |mu AS (SELECT a.src AS src, a.dst AS dst FROM g2 a JOIN g2 b
+       |  ON a.src = b.dst AND a.dst = b.src WHERE a.src < a.dst),
+       |sym AS (SELECT src, dst FROM mu UNION SELECT dst, src FROM mu),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON s.src = r.dst),
+       |comp AS (SELECT src AS id, least(src, min(dst)) AS component
+       |  FROM reach GROUP BY src),
+       |allc AS (SELECT n.id, coalesce(c.component, n.id) AS component
+       |  FROM n LEFT JOIN comp c ON c.id = n.id)
+       |SELECT component AS cluster_id, count(*) AS n_members
+       |FROM allc GROUP BY 1""".stripMargin
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_knn_graph", qKnnGraph _, Some(qKnnGraphSql)),
@@ -7170,6 +7211,7 @@ object PipelineQueries {
     ("q_zipf", qZipf _, Some(qZipfSql)),
     ("q_nfc_dedup", qNfcDedup _, Some(qNfcDedupSql)),
     ("q_data_card", qDataCard _, Some(qDataCardSql)),
+    ("q_mutual_knn", qMutualKnn _, Some(qMutualKnnSql)),
     ("q_bitext_margin", qBitextMargin _, Some(qBitextMarginSql)),
     ("q_url_canon", qUrlCanon _, Some(qUrlCanonSql)),
     ("q_kn_bigram", qKnBigram _, Some(qKnBigramSql)),

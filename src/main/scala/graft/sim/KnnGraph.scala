@@ -75,13 +75,22 @@ object KnnGraph {
     val planes1 = (0 until numPlanes).map(i => Ann.hyperplane(i, dim))
     val planes2 = (0 until numPlanes)
       .map(i => Ann.hyperplane(SeedTableOffset + i, dim))
+    // transient caches (released by CacheRegistry after the query):
+    // `keyed` is referenced by both bucket sides of the seed and by
+    // the per-round vector join-backs; each round's graph is
+    // referenced three times by the next round (both undirected
+    // directions + the keep-current union) and the caller may
+    // self-join the result — without the per-round pin the lineage
+    // re-executes the whole descent ~3^rounds times
+    def pin(df: DataFrame): DataFrame = graft.CacheRegistry.register(
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // one staged frame: id, vec, norm (computed once per NODE, not per
     // pair — the cosinePre discipline), both seed buckets
-    val keyed = graft.ops.Parallelism.widen(corpus)
+    val keyed = pin(graft.ops.Parallelism.widen(corpus)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", Ann.norm(col("vec")))
       .withColumn("b1", Ann.lshKey(col("vec"), planes1))
-      .withColumn("b2", Ann.lshKey(col("vec"), planes2))
+      .withColumn("b2", Ann.lshKey(col("vec"), planes2)))
     val srcSide = keyed.select(col("id").as("src"), col("vec").as("svec"),
       col("nrm").as("sn"))
     val dstSide = keyed.select(col("id").as("dst"), col("vec").as("dvec"),
@@ -108,7 +117,7 @@ object KnnGraph {
       .select(col("src"), col("dst"),
         Ann.cosinePre(Ann.dot(col("svec"), col("dvec")),
           col("sn"), col("dn")).as("sim"))
-    var g = topK(seedPairs)
+    var g = pin(topK(seedPairs))
 
     (1 to rounds).foreach { _ =>
       val edges = g.select(col("src"), col("dst"))
@@ -129,7 +138,7 @@ object KnnGraph {
         .select(col("src"), col("dst"),
           Ann.cosinePre(Ann.dot(col("svec"), col("dvec")),
             col("sn"), col("dn")).as("sim"))
-      g = topK(scored)
+      g = pin(topK(scored))
     }
     g.select(col("src"), col("dst"), round(col("sim"), 6).as("sim"),
       col("rank"))
