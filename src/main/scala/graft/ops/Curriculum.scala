@@ -51,9 +51,17 @@ object Curriculum {
       keyed, Seq("domain", "shuf", "id"), numShards)
     val base = ranked.groupBy(col("domain"))
       .agg(min(col("snm_rank")).as("__r0")) // domain-sized
+    // LEFT join + loud guard: an inner join would silently drop every
+    // document of a domain missing from the weights frame (typo,
+    // stale mixture output, new domain in the corpus) and the
+    // re-densified positions would hide the loss downstream
     val v = ranked.join(base, Seq("domain"))
       .join(weights.select(col(domainCol).as("domain"), col("weight")),
-        Seq("domain"))
+        Seq("domain"), "left")
+      .withColumn("weight",
+        when(col("weight").isNull, raise_error(concat(
+          lit("Curriculum.order: no weight for domain "), col("domain"))))
+          .otherwise(col("weight")))
       .withColumn("domain_rank", col("snm_rank") - col("__r0"))
       .withColumn("vtime",
         (col("domain_rank").cast(DoubleType) + 1.0d) / col("weight"))

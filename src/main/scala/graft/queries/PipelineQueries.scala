@@ -6937,7 +6937,7 @@ object PipelineQueries {
        |      ELSE 0.0 END AS sim
        |  FROM cn CROSS JOIN en),
        |r AS (SELECT id, sim, eval_id, row_number() OVER (
-       |    PARTITION BY id ORDER BY sim DESC, eval_id ASC) AS rk FROM s)
+       |    PARTITION BY id ORDER BY sim DESC, eval_id DESC) AS rk FROM s)
        |SELECT id, round(sim, 6) AS max_sim, eval_id AS nearest_eval,
        |  sim >= 0.9 AS contaminated
        |FROM r WHERE rk = 1""".stripMargin

@@ -56,9 +56,16 @@ object Ann {
     * @param corpus  (idCol, vecCol) rows
     * @param queries small DataFrame of (idCol, vecCol) query rows —
     *                broadcast; keep it ≤ a few thousand rows
+    * @param excludeSelfId drop candidates whose id equals the query
+    *                id — correct for self-search (queries ⊆ corpus),
+    *                WRONG when queries and corpus are two different
+    *                collections with independent id spaces (bitext
+    *                mining: x₇'s true partner y₇ would be
+    *                unreachable); those callers pass false
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      excludeSelfId: Boolean = true): DataFrame = {
     // norms staged in projections BELOW the join: computed once per
     // row, not once per (query, candidate) pair — Project does not
     // collapse across a Join, so Catalyst cannot re-inline them
@@ -70,7 +77,8 @@ object Ann {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))
-      .filter(col("neighbor_id") =!= col("query_id"))
+      .filter(!lit(excludeSelfId) ||
+        col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosinePre(dot(col("qvec"), col("cvec")), col("qn"), col("cn")).as("sim"))
       .withColumn("rank", row_number().over(w))

@@ -89,8 +89,14 @@ object BitextMine {
     */
   def mine(xs: DataFrame, ys: DataFrame, idCol: String, vecCol: String,
       k: Int = 4): DataFrame = {
-    val fwd = Ann.bruteForceTopK(ys, xs, idCol, vecCol, k)
-    val bwd = Ann.bruteForceTopK(xs, ys, idCol, vecCol, k)
+    // excludeSelfId = false: X and Y are DIFFERENT collections with
+    // independent id spaces — a shared id value is a coincidence, not
+    // a self-match, and filtering it would make x₇'s true partner y₇
+    // unreachable
+    val fwd = Ann.bruteForceTopK(ys, xs, idCol, vecCol, k,
+      excludeSelfId = false)
+    val bwd = Ann.bruteForceTopK(xs, ys, idCol, vecCol, k,
+      excludeSelfId = false)
     marginFromKnn(fwd.select("query_id", "neighbor_id", "sim"),
       bwd.select("query_id", "neighbor_id", "sim"))
   }
@@ -113,7 +119,10 @@ object BitextMine {
 object SemanticDecontam {
 
   /** Per-corpus-row verdict: (idCol, max_sim, nearest eval id,
-    * contaminated). Ties on sim break by eval id ASC (total order).
+    * contaminated). Ties on sim break by eval id DESC — the struct
+    * max's natural lexicographic order, which works for ANY orderable
+    * id type (an arithmetic negation trick would break string ids and
+    * overflow Long.MinValue).
     */
   def report(corpus: DataFrame, evalSet: DataFrame, idCol: String,
       vecCol: String, tau: Double): DataFrame = {
@@ -128,15 +137,11 @@ object SemanticDecontam {
         Ann.cosinePre(Ann.dot(col("cvec"), col("evec")),
           col("cn"), col("en")).as("sim"),
         col("eval_id"))
-      // struct max = (sim DESC, eval_id via negated? no — max struct
-      // orders lexicographically ASC per field, so negate the id to
-      // get ASC ids among equal sims
       .groupBy(col("id"))
-      .agg(max(struct(col("sim"), (-col("eval_id")).as("neg_eval")))
-        .as("best"))
+      .agg(max(struct(col("sim"), col("eval_id"))).as("best"))
       .select(col("id"),
         round(col("best.sim"), 6).as("max_sim"),
-        (-col("best.neg_eval")).as("nearest_eval"),
+        col("best.eval_id").as("nearest_eval"),
         (col("best.sim") >= tau).as("contaminated"))
   }
 }

@@ -64,14 +64,25 @@ object KnnGraph {
     *                  planes = bigger buckets = denser seed graph;
     *                  4 (16 buckets) suits 10³–10⁵-node graphs, scale
     *                  up with corpus size to hold occupancy constant
+    * @param dim       vector dimension — MUST match the data: the
+    *                  sign kernel maps length-mismatched vectors to
+    *                  the all-zeros bucket, which silently degenerates
+    *                  the seed into a full N² self-join, so a 1-row
+    *                  probe guards it loudly up front
     * @return (src, dst, sim, rank) — top-k ranked neighbors per node;
     *         sim rounded to 6dp at the end only (full-precision
     *         doubles order every intermediate round)
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = 3, rounds: Int = 2, numPlanes: Int = 4): DataFrame = {
-    require(k >= 1 && rounds >= 0 && numPlanes >= 1)
-    val dim = 64
+      k: Int = 3, rounds: Int = 2, numPlanes: Int = 4,
+      dim: Int = 64): DataFrame = {
+    require(k >= 1 && rounds >= 0 && numPlanes >= 1 && dim >= 1)
+    corpus.select(org.apache.spark.sql.functions.size(col(vecCol)))
+      .limit(1).collect().headOption.foreach { r =>
+        require(r.getInt(0) == dim,
+          s"KnnGraph.build(dim = $dim) on ${r.getInt(0)}-dim vectors: " +
+            "the LSH seed would silently degenerate to an N^2 self-join")
+      }
     val planes1 = (0 until numPlanes).map(i => Ann.hyperplane(i, dim))
     val planes2 = (0 until numPlanes)
       .map(i => Ann.hyperplane(SeedTableOffset + i, dim))

@@ -518,12 +518,19 @@ object EventStreams {
     * fetcher, which is why it is the cheapest dedup in the stack.
     * State: one boolean per distinct canonical URL, NoTimeout (the
     * frontier's seen-set, the honest cost of crawl exactness).
+    *
+    * Unparseable URLs (canonicalize → NULL) key on their RAW string:
+    * keying them on the shared NULL would admit the first malformed
+    * URL ever seen and silently drop every later DISTINCT malformed
+    * URL as its "duplicate" — exact-raw dedup is the only safe
+    * semantics for the class the canonicalizer cannot read.
     */
   def canonUrlDedupStream(docs: DataFrame, idCol: String,
       urlCol: String): Dataset[KeptUrl] = {
     import docs.sparkSession.implicits._
     val keyed = docs.select(
-        graft.text.UrlOps.canonicalize(col(urlCol)).as("canon"),
+        coalesce(graft.text.UrlOps.canonicalize(col(urlCol)),
+          col(urlCol).cast(StringType)).as("canon"),
         col(idCol).cast(LongType).as("doc_id"),
         col(urlCol).cast(StringType).as("url"))
       .as[(String, Long, String)]
@@ -666,13 +673,15 @@ object EventStreams {
     * twin of [[decontamGateStream]], gating an ingest stream against
     * [[graft.sim.SemanticDecontam]]'s batch verdict: the eval-suite
     * vectors (bounded — the driver-held-model discipline) are
-    * collected ONCE with their engine-computed norms and inlined as
-    * literals, so the gate is one narrow stateless filter evaluating
-    * max-cosine per row: no join, no state, no shuffle. A row passes
-    * iff the batch report would say contaminated = false
-    * (spec-pinned equivalence, bit-identical cosine: same dot fold,
-    * same cosinePre operand order, norms computed by the same engine
-    * expression on both sides).
+    * collected ONCE with their engine-computed norms and carried as a
+    * codegen REFERENCE OBJECT by the [[graft.functions.MaxCosine]]
+    * kernel — one narrow stateless filter per row, O(1) plan size in
+    * the eval count (a greatest(...) tree of per-eval typedLit arrays
+    * would re-optimize thousands of literal children every
+    * micro-batch). A row passes iff the batch report would say
+    * contaminated = false (spec-pinned equivalence; the kernel's fold
+    * order and cosine operand order are bit-identical to
+    * [[graft.sim.SemanticDecontam.report]]).
     */
   def semanticGateStream(docs: DataFrame, vecCol: String,
       evalSet: DataFrame, evalVecCol: String, tau: Double): DataFrame = {
@@ -683,12 +692,8 @@ object EventStreams {
       .collect()
       .map(r => (r.getSeq[Double](0), r.getDouble(1)))
     require(evs.nonEmpty, "empty eval set would pass everything")
-    val nrm = Ann.norm(col(vecCol))
-    val sims = evs.map { case (v, en) =>
-      Ann.cosinePre(Ann.dot(col(vecCol), typedLit(v)), nrm, lit(en))
-    }
-    val maxSim = if (sims.length == 1) sims.head else greatest(sims: _*)
-    docs.filter(maxSim < tau)
+    docs.filter(graft.functions.MaxCosine.max_cosine(col(vecCol),
+      evs.map(_._1).toSeq, evs.map(_._2).toSeq) < tau)
   }
 
   /** Stream-static enrichment: every micro-batch of the stream joined

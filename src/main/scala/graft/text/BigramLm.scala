@@ -39,21 +39,14 @@ object BigramLm {
     */
   val Discount = 0.75
 
-  /** "w1 w2" joined-string bigram keys: tokens are whitespace-free by
-    * construction, so the first space splits the pair back losslessly.
-    * The token array is let-bound as a lambda variable (single-element
-    * transform, the qBigrams/shingleHashes trick) so the tokenizer
-    * expression runs ONCE per row, not once per element_at; the
-    * when-guard keeps 0/1-token docs at an empty list (a bare
-    * sequence(1, size-1) would count DOWN for them).
+  /** "w1 w2" joined-string bigram keys — [[TextAnalysis.wordNgrams]]
+    * at n = 2, single-sourced so a tokenizer or short-doc-guard change
+    * cannot silently diverge between the LM family and the diversity
+    * stats. Tokens are whitespace-free by construction, so the first
+    * space splits the pair back losslessly.
     */
-  private def bigramsOf(textCol: String) = element_at(
-    transform(array(TextAnalysis.tokens(col(textCol))), t =>
-      transform(
-        when(size(t) >= 2, sequence(lit(1), size(t) - 1))
-          .otherwise(array().cast(ArrayType(IntegerType))),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))),
-    1)
+  private def bigramsOf(textCol: String) =
+    TextAnalysis.wordNgrams(col(textCol), 2)
 
   /** Cached (id, bg) occurrence stream. */
   private def occurrences(df: DataFrame, idCol: String, textCol: String) =
@@ -61,6 +54,25 @@ object BigramLm {
       graft.ops.Parallelism.widen(df)
         .select(col(idCol).as("id"), explode(bigramsOf(textCol)).as("bg"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Shared finalization of both scorers: exact integer per-doc sum
+    * of the quantized per-bigram log-probs, one divide at the end,
+    * 0-bigram docs survive with avg_logp = 0.0 — the quantization
+    * contract lives HERE and nowhere else.
+    */
+  private def perDocAvg(bgs: DataFrame, logp: DataFrame, df: DataFrame,
+      idCol: String): DataFrame = {
+    val perDoc = bgs.join(logp, Seq("bg"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(when(col("n_bigrams") > 0,
+          col("slp").cast(DoubleType) / col("n_bigrams") / Scale)
+          .otherwise(0.0), 6).as("avg_logp"))
+  }
 
   /** Per-document mean bigram log-probability (nats, rounded to 1e-6):
     * (idCol, n_bigrams, avg_logp).
@@ -78,16 +90,7 @@ object BigramLm {
       .select(col("bg"),
         round(log(col("cb").cast(DoubleType) / col("cl").cast(DoubleType)) * Scale)
           .cast(LongType).as("lp"))
-    val perDoc = bgs.join(logp, Seq("bg"))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
-    df.select(col(idCol).as("id"))
-      .join(perDoc, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        round(when(col("n_bigrams") > 0,
-          col("slp").cast(DoubleType) / col("n_bigrams") / Scale)
-          .otherwise(0.0), 6).as("avg_logp"))
+    perDocAvg(bgs, logp, df, idCol)
   }
 
   /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney '95; Chen &
@@ -134,15 +137,6 @@ object BigramLm {
       .join(right, Seq("w2"))
       .crossJoin(broadcast(tot))
       .select(col("bg"), round(log(p) * Scale).cast(LongType).as("lp"))
-    val perDoc = bgs.join(logp, Seq("bg"))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
-    df.select(col(idCol).as("id"))
-      .join(perDoc, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        round(when(col("n_bigrams") > 0,
-          col("slp").cast(DoubleType) / col("n_bigrams") / Scale)
-          .otherwise(0.0), 6).as("avg_logp"))
+    perDocAvg(bgs, logp, df, idCol)
   }
 }

@@ -49,6 +49,16 @@ class CurriculumSpec extends SparkSpec {
     }
   }
 
+  test("a domain missing from the weights frame fails loudly") {
+    val partial = Seq(("big", 60.0), ("mid", 30.0)).toDF("domain", "weight")
+    val ex = intercept[Exception] {
+      Curriculum.order(docs, "id", "domain", partial, numShards = 4)
+        .count()
+    }
+    assert(ex.getMessage.contains("no weight for domain") ||
+      Option(ex.getCause).exists(_.getMessage.contains("no weight for domain")))
+  }
+
   test("partitioning invariance") {
     val again = Curriculum.order(docs.repartition(7), "id", "domain",
       weights, numShards = 3)

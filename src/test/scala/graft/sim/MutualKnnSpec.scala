@@ -28,7 +28,7 @@ class MutualKnnSpec extends SparkSpec {
     .toDF("vec_id", "embedding")
 
   private def graph = KnnGraph.build(nodes, "vec_id", "embedding",
-    k = 3, rounds = 2, numPlanes = 2)
+    k = 3, rounds = 2, numPlanes = 2, dim = 8)
 
   private def mutual = {
     val g = graph.select(col("src"), col("dst"))

@@ -41,4 +41,21 @@ class CanonUrlStreamSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.map(_._2) === Set(1L, 2L, 5L))
   }
+
+  test("distinct malformed URLs each pass; identical malformed dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val b = Seq(
+      SUrl(1, "not-a-url-A"),
+      SUrl(2, "not-a-url-B"), // different junk — must NOT be dropped
+      SUrl(3, "not-a-url-A")) // exact repeat — must be dropped
+    val mem = MemoryStream[SUrl]
+    val q = EventStreams.canonUrlDedupStream(mem.toDF(), "doc_id", "url")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curl_junk").start()
+    mem.addData(b: _*); q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("curl_junk")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L))
+  }
 }
