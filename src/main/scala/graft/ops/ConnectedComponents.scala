@@ -72,12 +72,20 @@ object ConnectedComponents {
       srcCol: String = "src", dstCol: String = "dst",
       maxRounds: Int = 30): DataFrame = {
     val spark = vertices.sparkSession
-    val sym = graft.CacheRegistry.register(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    // LOCAL CHECKPOINT, not persist: the loop references this frame
+    // every round, and a persist relies on the cache-manager plan
+    // match, which the AQE/checkpoint mix inside the loop defeats —
+    // measured on q_mutual_knn (492 edges derived from the NN-Descent
+    // self-join): persist → every round re-derived the full edge
+    // lineage, ~9 s/round; checkpoint → 0.4 s/round. The checkpoint
+    // stores the same bounded edge list the persist would (lazy — the
+    // seeding aggregate materializes it), with lineage truncated so
+    // reuse is structural instead of best-effort.
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(false)
 
     // overflow-proof fixpoint metric: sum of labels as decimal(38,0)
     def labelSum(df: DataFrame): Any =
