@@ -7199,6 +7199,39 @@ object PipelineQueries {
        |SELECT component AS cluster_id, count(*) AS n_members
        |FROM allc GROUP BY 1""".stripMargin
 
+  /** k-NN graph served FROM the persisted src-bucketed store: the
+    * graph is built once (NN-Descent), persisted bucketed by src with
+    * the corpus-fingerprint staleness guard
+    * (graft.dedup.IncrementalDedup discipline — the BUILD is a
+    * by-name thunk, so a fresh store costs one fingerprint scan and
+    * zero graph work), and "neighbors of these nodes" probes read
+    * pre-hashed buckets — the serve path semantic dedup and
+    * hard-negative mining hit many times per training run without
+    * re-descending. Same oracle fragment as q_knn_graph BY DESIGN
+    * (filtered to the probe set): the served rows must reproduce the
+    * in-query graph bit-for-bit.
+    */
+  def qKnnPersisted(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val table = "graft_knn_graph_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.dedup.IncrementalDedup.ensureBucketedState(
+      nodes.select(col("vec_id"),
+        col("embedding").cast(StringType).as("sig")),
+      "vec_id", "sig", table, nBuckets = 8,
+      bucketCols = Seq("src"), sortCols = Seq("src"))(
+      graft.sim.KnnGraph.build(nodes, "vec_id", "embedding",
+        k = 3, rounds = 2, numPlanes = 4))
+    s.table(table).filter(col("src") % 20 === 0)
+  }
+
+  lazy val qKnnPersistedSql: String =
+    s"""WITH $knnGraphCtesSql
+       |SELECT src, dst, round(sim, 6) AS sim, rank FROM (
+       |  SELECT src, dst, sim, row_number() OVER (PARTITION BY src
+       |    ORDER BY sim DESC, dst ASC) AS rank FROM s2)
+       |WHERE rank <= 3 AND src % 20 = 0""".stripMargin
+
   /** name → (query, optional oracle) */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q_knn_graph", qKnnGraph _, Some(qKnnGraphSql)),
@@ -7212,6 +7245,7 @@ object PipelineQueries {
     ("q_nfc_dedup", qNfcDedup _, Some(qNfcDedupSql)),
     ("q_data_card", qDataCard _, Some(qDataCardSql)),
     ("q_mutual_knn", qMutualKnn _, Some(qMutualKnnSql)),
+    ("q_knn_persisted", qKnnPersisted _, Some(qKnnPersistedSql)),
     ("q_bitext_margin", qBitextMargin _, Some(qBitextMarginSql)),
     ("q_url_canon", qUrlCanon _, Some(qUrlCanonSql)),
     ("q_kn_bigram", qKnBigram _, Some(qKnBigramSql)),
