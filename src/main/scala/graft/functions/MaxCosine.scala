@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -63,6 +64,15 @@ case class MaxCosineExpr(child: Expression, refs: Seq[Double],
     norms: Seq[Double], dim: Int) extends UnaryExpression {
   require(dim >= 1 && norms.nonEmpty && refs.length == norms.length * dim,
     "refs must be the row-major [n, dim] matrix matching norms")
+
+  // analysis-time type gate (the repo discipline, e.g. TopKAgg /
+  // CovMoments): a wrong input fails before a job launches, not as a
+  // ClassCastException inside a running stage
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"max_cosine requires array<float|double>, got ${t.sql}")
+  }
 
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true

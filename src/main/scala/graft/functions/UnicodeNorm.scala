@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -44,6 +45,14 @@ case class UnicodeNormalizeExpr(child: Expression, formName: String)
     s"unknown normalization form $formName")
 
   @transient private lazy val form = java.text.Normalizer.Form.valueOf(formName)
+
+  // analysis-time type gate (repo discipline): a non-string input
+  // fails before a job launches, not as a ClassCastException mid-stage
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"unicode_normalize requires STRING, got ${t.sql}")
+  }
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable

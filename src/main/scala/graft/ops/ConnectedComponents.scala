@@ -158,6 +158,13 @@ object ConnectedComponents {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc] round $round done at ${System.nanoTime()}")
     }
+    // the edge list's checkpoint blocks are dead once the loop exits:
+    // the final labels frame is itself checkpointed and materialized
+    // (by its round's labelSum), so neither the return plan nor any
+    // later reader re-reads sym — release it here exactly like the
+    // superseded per-round label frames, or one edge list per run()
+    // call leaks in the block manager for the session lifetime
+    org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(sym)
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxRounds rounds")

@@ -108,8 +108,24 @@ object Sampling {
     * @param keyCol integral unique row key (cast to LONG — the heap
     *               payload); ties in the 60-bit hash break by key ASC
     */
+  /** The TopKAgg heap payload is a LONG: a non-integral key column
+    * would cast to NULL row-by-row and the heap would silently skip
+    * every row, returning an EMPTY sample with no error — fail loudly
+    * at plan time instead (the Long-only contract is in both
+    * functions' scaladoc, but a require beats documentation).
+    */
+  private def requireIntegralKey(df: DataFrame, keyCol: String,
+      fn: String): Unit = {
+    val dt = df.schema(keyCol).dataType
+    require(dt == LongType || dt == IntegerType || dt == ShortType ||
+      dt == ByteType,
+      s"$fn requires an integral key column (heap payload is LONG); " +
+        s"'$keyCol' is ${dt.simpleString} — cast or surrogate-key it first")
+  }
+
   def groupSample(df: DataFrame, keyCol: String, groupCols: Seq[String],
       n: Int): DataFrame = {
+    requireIntegralKey(df, keyCol, "groupSample")
     val ord = TextAnalysis.hash60(col(keyCol).cast(StringType))
     val g = groupCols.map(col)
     df.groupBy(g: _*)
@@ -141,6 +157,7 @@ object Sampling {
     */
   def weightedSampleK(df: DataFrame, keyCol: String,
       groupCols: Seq[String], weightCol: String, n: Int): DataFrame = {
+    requireIntegralKey(df, keyCol, "weightedSampleK")
     val u = coordinate(col(keyCol))
     val ord = round(log(u) / col(weightCol) * 1e9d).cast(LongType)
     val g = groupCols.map(col)

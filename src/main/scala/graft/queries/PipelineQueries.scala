@@ -6576,10 +6576,28 @@ object PipelineQueries {
     * (q_minhash_recall, the Hilbert footer-skip table) applied to the
     * graph builder. The spec asserts improvement; this query makes
     * the exact numbers themselves hash-gated at every SF.
+    *
+    * The exact side is computed over a BOUNDED probe set — the
+    * [[KnnRecallProbes]] nodes with the smallest (hash60(id), id), the
+    * same deterministic hash-ordered draw as ivfTopK's centroid sample
+    * and the q_ann_* few-row probe discipline — so the readout's cost
+    * is probes×N (one corpus scan against a broadcast probe side),
+    * not N²: recall estimated on a fixed uniform sample stays honest
+    * while the plan stays linear in corpus size. (The former
+    * all-nodes exact graph was the suite's one quadratic plan — fine
+    * at sf ≤ 1, the first thing to die at 100×.)
     */
+  val KnnRecallProbes = 64
+
   def qKnnRecall(s: SparkSession, d: String): DataFrame = {
     val nodes = Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0)
-    val exact = Ann.bruteForceTopK(nodes, nodes, "vec_id", "embedding", 3)
+    // hash-ordered bounded probe draw: plans as TakeOrderedAndProject
+    // (no full sort), broadcast into bruteForceTopK's query side
+    val probes = nodes.orderBy(
+        TextAnalysis.hash60(col("vec_id").cast(StringType)).asc,
+        col("vec_id").asc)
+      .limit(KnnRecallProbes)
+    val exact = Ann.bruteForceTopK(nodes, probes, "vec_id", "embedding", 3)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
     def readout(g: DataFrame, name: String) = {
       val hit = exact.join(g.select(col("src"), col("dst")),
@@ -6592,19 +6610,23 @@ object PipelineQueries {
     }
     val seed = graft.sim.KnnGraph.build(nodes, "vec_id", "embedding",
       k = 3, rounds = 0, numPlanes = 4)
-    val refined = graft.sim.KnnGraph.build(nodes, "vec_id", "embedding",
-      k = 3, rounds = 2, numPlanes = 4)
+    // the refined (rounds = 2) graph is exactly what the persisted
+    // store holds — serve it instead of paying a second descent
+    val refined = knnGraphServe(s, d)
     readout(seed, "seed").union(readout(refined, "refined"))
   }
 
   lazy val qKnnRecallSql: String =
     s"""WITH $knnGraphCtesSql,
+       |pr AS MATERIALIZED (SELECT id, vec, nrm FROM n
+       |  ORDER BY ${hash60Sql("cast(id as varchar)")} ASC, id ASC
+       |  LIMIT $KnnRecallProbes),
        |ex AS (SELECT src, dst FROM (
        |  SELECT a.id AS src, b.id AS dst, row_number() OVER (
        |      PARTITION BY a.id ORDER BY
        |        ${knnCosSql("a.vec", "b.vec", "a.nrm", "b.nrm")} DESC,
        |        b.id ASC) AS rk
-       |  FROM n a JOIN n b ON a.id <> b.id) WHERE rk <= 3),
+       |  FROM pr a JOIN n b ON a.id <> b.id) WHERE rk <= 3),
        |hit0 AS (SELECT count(*) AS n_hit FROM ex JOIN g0 USING (src, dst)),
        |hit2 AS (SELECT count(*) AS n_hit FROM ex JOIN g2 USING (src, dst)),
        |tot AS (SELECT count(*) AS n_exact FROM ex)
@@ -7171,8 +7193,11 @@ object PipelineQueries {
     */
   def qMutualKnn(s: SparkSession, d: String): DataFrame = {
     val nodes = Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0)
-    val g = graft.sim.KnnGraph.build(nodes, "vec_id", "embedding",
-      k = 3, rounds = 2, numPlanes = 4).select(col("src"), col("dst"))
+    // served from the persisted k-NN graph store (bit-equal to the
+    // fresh build — see knnGraphServe): the reciprocity join + CC are
+    // this query's own work; the descent is paid once per corpus
+    // version across the whole suite, not once per consumer
+    val g = knnGraphServe(s, d).select(col("src"), col("dst"))
     val mutual = g.as("a").join(g.as("b"),
         col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
       .filter(col("a.src") < col("a.dst"))
@@ -7211,7 +7236,17 @@ object PipelineQueries {
     * (filtered to the probe set): the served rows must reproduce the
     * in-query graph bit-for-bit.
     */
-  def qKnnPersisted(s: SparkSession, d: String): DataFrame = {
+  /** Ensure-and-read of the session's persisted k-NN graph store —
+    * the SHARED serve path: q_knn_persisted, q_mutual_knn and
+    * q_knn_recall's refined side all read this table, so a suite pays
+    * ONE NN-Descent build (amortized behind the corpus-fingerprint
+    * staleness guard) instead of one per consumer; q_knn_graph keeps
+    * the fresh in-query build as the descent's own measurement. The
+    * store's rows are bit-equal to the fresh build by construction
+    * (same build thunk), which q_knn_persisted's oracle — the
+    * q_knn_graph fragment filtered to the probe set — hash-verifies.
+    */
+  private def knnGraphServe(s: SparkSession, d: String): DataFrame = {
     val nodes = Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0)
       .select(col("vec_id"), col("embedding"))
     val table = "graft_knn_graph_" + d.replaceAll("[^A-Za-z0-9]", "_")
@@ -7222,8 +7257,11 @@ object PipelineQueries {
       bucketCols = Seq("src"), sortCols = Seq("src"))(
       graft.sim.KnnGraph.build(nodes, "vec_id", "embedding",
         k = 3, rounds = 2, numPlanes = 4))
-    s.table(table).filter(col("src") % 20 === 0)
+    s.table(table)
   }
+
+  def qKnnPersisted(s: SparkSession, d: String): DataFrame =
+    knnGraphServe(s, d).filter(col("src") % 20 === 0)
 
   lazy val qKnnPersistedSql: String =
     s"""WITH $knnGraphCtesSql

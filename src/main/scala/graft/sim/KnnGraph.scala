@@ -67,8 +67,14 @@ object KnnGraph {
     * @param dim       vector dimension — MUST match the data: the
     *                  sign kernel maps length-mismatched vectors to
     *                  the all-zeros bucket, which silently degenerates
-    *                  the seed into a full N² self-join, so a 1-row
-    *                  probe guards it loudly up front
+    *                  the seed into a full N² self-join, so EVERY
+    *                  row's length is validated inside the same
+    *                  projection that computes the bucket keys (a
+    *                  codegen'd size() branch — free next to the dot
+    *                  folds; the former 1-row collect probe launched
+    *                  an extra Spark job per build() call and a
+    *                  mixed-dimension corpus could still slip past
+    *                  its single sampled row)
     * @return (src, dst, sim, rank) — top-k ranked neighbors per node;
     *         sim rounded to 6dp at the end only (full-precision
     *         doubles order every intermediate round)
@@ -77,12 +83,14 @@ object KnnGraph {
       k: Int = 3, rounds: Int = 2, numPlanes: Int = 4,
       dim: Int = 64): DataFrame = {
     require(k >= 1 && rounds >= 0 && numPlanes >= 1 && dim >= 1)
-    corpus.select(org.apache.spark.sql.functions.size(col(vecCol)))
-      .limit(1).collect().headOption.foreach { r =>
-        require(r.getInt(0) == dim,
-          s"KnnGraph.build(dim = $dim) on ${r.getInt(0)}-dim vectors: " +
-            "the LSH seed would silently degenerate to an N^2 self-join")
-      }
+    // per-row dim guard, evaluated where the bucket keys are computed:
+    // a mismatched vector raises with its actual length instead of
+    // quietly landing in the all-zeros bucket
+    val guardedVec = when(size(col(vecCol)) === dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"KnnGraph.build(dim = $dim) on a "), size(col(vecCol)),
+        lit("-dim vector: the LSH seed would silently degenerate" +
+          " to an N^2 self-join"))))
     val planes1 = (0 until numPlanes).map(i => Ann.hyperplane(i, dim))
     val planes2 = (0 until numPlanes)
       .map(i => Ann.hyperplane(SeedTableOffset + i, dim))
@@ -98,7 +106,7 @@ object KnnGraph {
     // one staged frame: id, vec, norm (computed once per NODE, not per
     // pair — the cosinePre discipline), both seed buckets
     val keyed = pin(graft.ops.Parallelism.widen(corpus)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .select(col(idCol).as("id"), guardedVec.as("vec"))
       .withColumn("nrm", Ann.norm(col("vec")))
       .withColumn("b1", Ann.lshKey(col("vec"), planes1))
       .withColumn("b2", Ann.lshKey(col("vec"), planes2)))
