@@ -51,6 +51,33 @@ object BenchHost {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** One I/O canary execution: a fixed full-column-pruned parquet
+    * scan + sum aggregate over the SF directory's lineitem table —
+    * the same file every time, so after the first run primes codegen
+    * and the OS page cache, the remaining variables are exactly the
+    * ones the CPU canary is blind to: I/O bandwidth, page-cache
+    * eviction pressure, and memory-bandwidth contention (the
+    * q_semdedup-7.3×-under-a-clean-CPU-canary blind spot, rounds
+    * 8-12). Interpreted like [[canarySec]]: normalized against its
+    * own in-suite median, with the same dirty thresholds.
+    */
+  def ioCanarySec(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .agg(sum(col("l_extendedprice")), sum(col("l_quantity")),
+        count(lit(1))).count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Suite-start I/O baseline: best of `n` — the first run pays file
+    * listing, footer reads, codegen, and the cold page cache, which
+    * min() discards. Like [[canaryBase]], context only, never the
+    * normalization reference.
+    */
+  def ioCanaryBase(spark: SparkSession, sfDir: String, n: Int = 3): Double =
+    (1 to n).map(_ => ioCanarySec(spark, sfDir)).min
+
   /** Suite-start baseline: best of `n` (the first run additionally
     * pays the canary's own codegen, which min() discards).
     *
@@ -105,19 +132,32 @@ object BenchHost {
     */
   val PreSuiteLoadFrac = 0.25
 
+  /** An I/O canary slower than this ratio vs its own in-suite median
+    * marks the window dirty. Looser than the CPU canary's 1.5: a
+    * parquet scan's time carries page-cache state and file-system
+    * jitter that repeat scans on a quiet box already move ~1.4×, so
+    * the gate sits above honest jitter while still catching the
+    * multi-× I/O stalls that left q_semdedup 7.3× slow under a clean
+    * CPU canary (r12).
+    */
+  val IoCanaryDirtyRatio = 2.0
+
   /** The suite verdict: clean iff the box was idle when we started
     * (no signal counts as unknown-but-not-dirty), every canary ran at
-    * its in-suite-median speed (transient-spike gate), and no canary
+    * its in-suite-median speed (transient-spike gate), no canary
     * exceeded the absolute fresh-baseline bound (sustained-intruder
-    * gate — see [[CanaryAbsDirtyRatio]]). Pass absRatios empty to
-    * skip the absolute gate (no fresh baseline available).
+    * gate — see [[CanaryAbsDirtyRatio]]), and every I/O canary ran at
+    * its own median speed (I/O-contention gate). Pass absRatios /
+    * ioRatios empty to skip those gates.
     */
   def hostClean(loadPreSuite: Double, cpus: Int,
       canaryRatios: Seq[Double],
-      absRatios: Seq[Double] = Seq.empty): Boolean =
+      absRatios: Seq[Double] = Seq.empty,
+      ioRatios: Seq[Double] = Seq.empty): Boolean =
     (loadPreSuite < 0 || loadPreSuite <= PreSuiteLoadFrac * cpus) &&
       canaryRatios.forall(_ <= CanaryDirtyRatio) &&
-      absRatios.forall(_ <= CanaryAbsDirtyRatio)
+      absRatios.forall(_ <= CanaryAbsDirtyRatio) &&
+      ioRatios.forall(_ <= IoCanaryDirtyRatio)
 
   /** Conservative per-query attribution: a query inherits the WORST
     * ratio of the canaries bracketing it (the last one at-or-before

@@ -32,6 +32,60 @@ class BenchMetricsSpec extends SparkSpec {
     assert(BenchMetrics.outliers(measured, Map.empty).isEmpty)
   }
 
+  test("host-ref parsing: canary fields with/without whitespace, absent io") {
+    val epoch = """{"value":1,"host":{"canary_median_sec":0.4351,
+      |"canary_fresh_sec":0.3287,"io_canary_median_sec":0.2147}}"""
+      .stripMargin.replace("\n", "")
+    assert(BenchMetrics.parseHostRef(epoch) ===
+      (Some(0.4351), Some(0.3287), Some(0.2147)))
+    // pretty-printed anchor (space after colon) and pre-r13 artifact
+    // (no io field) both parse
+    val anchor = """{"epoch": "r12", "canary_median_sec": 0.4351,
+      |"canary_fresh_sec": 0.3287}""".stripMargin.replace("\n", "")
+    assert(BenchMetrics.parseHostRef(anchor) ===
+      (Some(0.4351), Some(0.3287), None))
+    assert(BenchMetrics.parseHostRef("") === (None, None, None))
+  }
+
+  test("epoch per-query metric maps parsed for outlier adjudication") {
+    val json = """{"queries":{"q_a":1.5},"host":{"per_query":{
+      |"q_a":{"sec":1.5,"shuffle_read":952,"input":11786,"tasks":8,
+      |"run_ms":654,"gc_ms":0},
+      |"q_b":{"sec":0.2,"shuffle_read":0,"input":100,"tasks":2,
+      |"run_ms":50,"gc_ms":5}}}}""".stripMargin.replace("\n", "")
+    val m = BenchMetrics.parseEpochPerQuery(json)
+    assert(m.keySet === Set("q_a", "q_b"))
+    assert(m("q_a")("shuffle_read") === 952.0)
+    assert(m("q_b")("gc_ms") === 5.0)
+    assert(BenchMetrics.parseEpochPerQuery("{}") === Map.empty)
+  }
+
+  test("outlier attribution classifies work-changed vs contention vs JVM") {
+    def counters(in: Long, sr: Long, t: Long, run: Long, gc: Long) = {
+      val c = new BenchMetrics.Counters
+      c.input = in; c.shuffleRead = sr; c.tasks = t
+      c.runMs = run; c.gcMs = gc; c
+    }
+    val epochM = Map("input" -> 1000.0, "shuffle_read" -> 500.0,
+      "shuffle_write" -> 0.0, "tasks" -> 8.0)
+    // same bytes, low gc -> external contention
+    val ext = BenchMetrics.attributeOutlier(
+      counters(1000, 500, 8, 1000, 10), epochM, 7.3)
+    assert(ext.contains("external contention"), ext)
+    // same bytes, gc-dominated -> JVM state
+    val jvm = BenchMetrics.attributeOutlier(
+      counters(1000, 500, 8, 1000, 400), epochM, 12.3)
+    assert(jvm.contains("JVM state"), jvm)
+    // input blown up -> code/plan
+    val code = BenchMetrics.attributeOutlier(
+      counters(5000, 500, 8, 1000, 0), epochM, 3.0)
+    assert(code.contains("code/plan"), code)
+    // no reference -> honest unattributed
+    val none = BenchMetrics.attributeOutlier(
+      counters(1, 1, 1, 1, 0), Map.empty, 2.5)
+    assert(none.contains("unattributed"), none)
+  }
+
   test("listener attributes shuffle bytes to the query's job group") {
     val m = new BenchMetrics.Listener
     spark.sparkContext.addSparkListener(m)
