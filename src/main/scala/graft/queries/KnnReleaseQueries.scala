@@ -771,6 +771,13 @@ private[queries] trait KnnReleaseQueries extends ExperimentStoreQueries {
     * store's rows are bit-equal to the fresh build by construction
     * (same build thunk), which q_knn_persisted's oracle — the
     * q_knn_graph fragment filtered to the probe set — hash-verifies.
+    *
+    * Point-probe note (PlanShapeSpec pin): src-equality probes prune
+    * to ONE of the 8 buckets only while the bucketed scan is active —
+    * Spark's DisableUnnecessaryBucketedScan turns it off for a bare
+    * filter read, so a point-lookup serving session sets
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`;
+    * src-keyed joins/aggregations keep the bucketing automatically.
     */
   private[queries] def knnGraphServe(s: SparkSession, d: String): DataFrame = {
     val nodes = Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0)

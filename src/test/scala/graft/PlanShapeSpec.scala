@@ -164,4 +164,39 @@ class PlanShapeSpec extends SparkSpec {
       "the within-domain rank must come from the sharded global rank, " +
         "not a per-source window")
   }
+
+  test("persisted k-NN graph serve path reads pre-hashed buckets") {
+    import org.apache.spark.sql.functions.col
+    // materialize (or reuse) the store through the query's own ensure
+    PipelineQueries.qKnnPersisted(spark, sf).collect()
+    val table = "graft_knn_graph_" + sf.replaceAll("[^A-Za-z0-9]", "_")
+    val store = spark.table(table)
+    // the serve read itself is scan + filter: ZERO exchange anywhere
+    val serve = formatted(PipelineQueries.qKnnPersisted(spark, sf))
+    assert(!serve.contains("Exchange"),
+      s"the serve path must not shuffle the store:\n$serve")
+    // a src-equality probe prunes to ONE of the 8 pre-hashed buckets —
+    // the q_ann_persisted discipline (probe touches only its bucket).
+    // Measured (empirically, this Spark version): bucket-file pruning
+    // only runs when the bucketed scan is ACTIVE, and
+    // DisableUnnecessaryBucketedScan turns it off for a bare filter
+    // read (8 of 8 files scanned) — so a point-probe serving session
+    // must pin autoBucketedScan off, exactly what this block does and
+    // what the scaladoc on the store documents.
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val autoOld = spark.conf.get(autoKey)
+    try {
+      spark.conf.set(autoKey, "false")
+      val probe = formatted(store.filter(col("src") === 40L))
+      assert(probe.contains("SelectedBucketsCount: 1 out of 8"),
+        s"an equality probe must read exactly one bucket:\n$probe")
+    } finally spark.conf.set(autoKey, autoOld)
+    // a src-keyed aggregation rides the stored hash distribution:
+    // bucketed scan satisfies the agg's clustering, no exchange
+    val agg = formatted(store.groupBy(col("src")).count())
+    assert(agg.contains("Bucketed: true"),
+      s"the src-keyed aggregate must use the bucketed scan:\n$agg")
+    assert(!agg.contains("Exchange"),
+      s"bucketing must eliminate the aggregation shuffle:\n$agg")
+  }
 }
