@@ -148,16 +148,29 @@ object Bench {
         (name, firstSec, epochSec, ratio, retrySec, retryCanary)
     }
     val loadPostSuite = BenchHost.loadAvg()
-    val canaryMed = BenchHost.median(canaries.map(_._2).toSeq)
+    // The FIRST in-suite canary pair sits mid JVM-RAMP: after ~20
+    // queries the heap is still growing toward the bench working set
+    // and the I/O canary's file/page-cache state is churning — two
+    // r13 windows measured it at 1.6-2.0× (CPU) / 4.1× (I/O) of the
+    // steady-state median with an IDLE host (load_pre ≤ 0.22) while
+    // every later canary sat within 1.23×. A systematic instrument
+    // artifact, not contention — so the dirty GATES and the medians
+    // evaluate from the second in-suite canary onward; the complete
+    // series (ramp included) still ships in the JSON for the reader.
+    // Contention inside q1-20 is still covered by the pre-suite
+    // loadavg gate and by anything that persists into the q40 canary.
+    def gated[T](xs: Seq[T]): Seq[T] = if (xs.length > 2) xs.drop(1) else xs
+    val canaryMed = BenchHost.median(gated(canaries.toSeq).map(_._2))
     val ratios = canaries.map { case (q, s) => (q, s, s / canaryMed) }
-    val ioCanaryMed = BenchHost.median(ioCanaries.map(_._2).toSeq)
+    val ioCanaryMed = BenchHost.median(gated(ioCanaries.toSeq).map(_._2))
     val ioRatios = ioCanaries.map { case (q, s) => (q, s, s / ioCanaryMed) }
     val hostClean = BenchHost.hostClean(
-      loadPreSuite, cpus.toInt, ratios.map(_._3).toSeq,
-      canaries.map(_._2 / canaryFresh).toSeq,
-      ioRatios.map(_._3).toSeq)
-    val canaryMaxRatio = ratios.map(_._3).max
-    val ioCanaryMaxRatio = ioRatios.map(_._3).max
+      loadPreSuite, cpus.toInt,
+      gated(canaries.toSeq).map(_._2 / canaryMed),
+      gated(canaries.toSeq).map(_._2 / canaryFresh),
+      gated(ioCanaries.toSeq).map(_._2 / ioCanaryMed))
+    val canaryMaxRatio = gated(canaries.toSeq).map(_._2 / canaryMed).max
+    val ioCanaryMaxRatio = gated(ioCanaries.toSeq).map(_._2 / ioCanaryMed).max
     // cross-round normalization: the identical fixed-shape canary run
     // in this window vs the reference window measures the two windows'
     // relative compute; dividing the raw total by that factor states
