@@ -29,6 +29,25 @@ object GraphStore {
       bucketCols = Seq("src"), sortCols = Seq("src"))(
       edges.select(col("src"), col("dst")))
 
+  /** [[ensureEdges]] with the staleness fingerprint over a SOURCE
+    * frame the edge list is a pure deterministic function of. For
+    * PROJECTED graphs (co-purchase: a lineitem self-join) the
+    * projection join IS the build cost — fingerprinting the edges
+    * re-derives that join on every reuse probe, so content-addressing
+    * the source instead makes a warm ensure cost one narrow source
+    * scan and zero join work (the knnGraphServe economics). All
+    * consumers of one table must use the SAME fingerprint basis, or
+    * they invalidate each other's store on every call.
+    *
+    * @param edges by-name: only derived on an actual (re)build
+    */
+  def ensureEdgesFor(source: DataFrame, idCol: String, textCol: String,
+      table: String, nBuckets: Int)(edges: => DataFrame): Boolean =
+    graft.dedup.IncrementalDedup.ensureBucketedState(
+      source, idCol, textCol, table, nBuckets,
+      bucketCols = Seq("src"), sortCols = Seq("src"))(
+      edges.select(col("src"), col("dst")))
+
   /** Multi-source BFS served FROM the persisted adjacency — identical
     * semantics (and bit-identical output) to [[Bfs.run]] over the
     * same edges; the bucketed scan feeds each round's join without a

@@ -1397,6 +1397,29 @@ private[queries] trait SimilarityGraphQueries extends DedupQueries {
       |          UNION ALL SELECT t, s FROM pairs),
       |nodes AS (SELECT DISTINCT src AS id FROM edges)""".stripMargin
 
+  /** Ensure-and-read of the persisted co-purchase adjacency — the
+    * SHARED serve path of the graph family (q_sssp_persisted,
+    * q_label_prop, q_modularity, q_trustrank): the projection
+    * self-join runs once per corpus version, the stored edges arrive
+    * pre-hashed at every iteration round's join, and — the
+    * knnGraphServe economics — the staleness guard fingerprints the
+    * SOURCE lineitem slice (the projection is a pure function of it),
+    * so a warm ensure costs one narrow source scan and zero join
+    * work. q_sssp keeps the fresh in-query build as the graph
+    * family's own measurement. Rows are identical to
+    * [[coPurchaseEdges]] by construction (same build thunk), so every
+    * consumer's oracle is unchanged.
+    */
+  private[queries] def coPurchaseServed(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val table = "graft_copurchase_edges_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.ops.GraphStore.ensureEdgesFor(li, "l_orderkey", "l_partkey",
+      table, nBuckets = 8)(coPurchaseEdges(s, d))
+    s.table(table)
+  }
+
   /** Synchronous label-propagation communities on the co-purchase
     * part graph: 4 fixed voting rounds, self vote included, ties to
     * the smallest label (graft.ops.LabelPropagation — all-integer
@@ -1407,7 +1430,7 @@ private[queries] trait SimilarityGraphQueries extends DedupQueries {
     * (sf0.01: 83 communities, largest 230, modularity +0.17).
     */
   def qLabelProp(s: SparkSession, d: String): DataFrame = {
-    val edges = coPurchaseEdges(s, d)
+    val edges = coPurchaseServed(s, d)
     val nodes = edges.select(col("src").as("id")).distinct()
     graft.ops.LabelPropagation.withSizes(nodes, edges, rounds = 4)
       .select(col("id").as("part"), col("community"), col("csize"))
@@ -1453,7 +1476,7 @@ private[queries] trait SimilarityGraphQueries extends DedupQueries {
     * corpus total.
     */
   def qModularity(s: SparkSession, d: String): DataFrame = {
-    val edges = coPurchaseEdges(s, d)
+    val edges = coPurchaseServed(s, d)
     val nodes = edges.select(col("src").as("id")).distinct()
     val labels = graft.ops.LabelPropagation.run(nodes, edges, rounds = 4)
     val le = edges
@@ -1683,12 +1706,10 @@ private[queries] trait SimilarityGraphQueries extends DedupQueries {
     * bit-for-bit.
     */
   def qSsspPersisted(s: SparkSession, d: String): DataFrame = {
-    val edges = coPurchaseEdges(s, d)
+    val edges = coPurchaseServed(s, d)
     val nodes = edges.select(col("src").as("id")).distinct()
     val seeds = nodes.filter(col("id") % 101 === 0)
-    val table = "graft_copurchase_edges_" + d.replaceAll("[^A-Za-z0-9]", "_")
-    graft.ops.GraphStore.ensureEdges(edges, table, nBuckets = 8)
-    graft.ops.GraphStore.bfs(s, table, seeds, rounds = 4)
+    graft.ops.Bfs.run(seeds, edges, rounds = 4, persistEdges = false)
       .select(col("id").as("part"), col("dist"))
   }
 
@@ -1702,7 +1723,7 @@ private[queries] trait SimilarityGraphQueries extends DedupQueries {
     * iteration, unreachable vertices at exactly 0.
     */
   def qTrustrank(s: SparkSession, d: String): DataFrame = {
-    val edges = coPurchaseEdges(s, d)
+    val edges = coPurchaseServed(s, d)
     val nodes = edges.select(col("src").as("id")).distinct()
     val seeds = nodes.filter(col("id") % 101 === 0)
     graft.ops.PageRank.personalized(nodes, seeds, edges,

@@ -80,4 +80,27 @@ class GraphStoreSpec extends SparkSpec {
       graft.CacheRegistry.releaseAll()
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("ensureEdgesFor: source-fingerprinted reuse never derives the projection") {
+    val table = "graph_store_src_fp"
+    try {
+      val source = (0L until 200L).map(i => (i % 40, (i % 7).toString))
+        .toDF("k", "v")
+      // first ensure builds from the (by-name) edge thunk
+      assert(GraphStore.ensureEdgesFor(source, "k", "v", table, 2)(edges))
+      val stored = spark.table(table).orderBy("src", "dst")
+        .collect().map(_.toSeq).toSeq
+      assert(stored === edges.orderBy("src", "dst")
+        .collect().map(_.toSeq).toSeq)
+      // unchanged source → reuse, and the build thunk MUST NOT run —
+      // that thunk is the projection join the variant exists to skip
+      assert(!GraphStore.ensureEdgesFor(source, "k", "v", table, 2)(
+        sys.error("projection must not be derived on reuse")))
+      // changed source content → rebuild even though the key set is
+      // identical (content-level staleness, the IncrementalDedup law)
+      val drifted = source.withColumn("v", concat($"v", lit("x")))
+      assert(GraphStore.ensureEdgesFor(drifted, "k", "v", table, 2)(edges))
+      graft.CacheRegistry.releaseAll()
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
