@@ -60,20 +60,29 @@ object KMeans {
       .withColumn("xx", dot(col("x"), col("x")))
 
   /** `(dist2, cluster)` argmin struct of vector expression `x` (with
-    * its self-dot `xx` staged by the caller) over the model's literal
+    * its self-dot `xx` staged by the caller) over the model's
     * centroids — the narrow codegen'd kernel shared by [[assign]] and
-    * [[ProductQuantizer]]'s per-subspace encoder. Struct ordering
-    * breaks dist ties to the lower cluster id.
+    * [[ProductQuantizer]]'s per-subspace encoder. Ties on dist2 break
+    * to the lower cluster id.
+    *
+    * The centroid matrix rides the codegen context as a REFERENCE
+    * OBJECT ([[graft.functions.NearestCentroidExpr]]): the earlier
+    * composed form — `array_min` over k inlined
+    * `struct(xx − 2·dot(x, lit(c)) + cc, cl)` candidates — blew
+    * Janino's 64 KB generated-method limit once the argmin fused into
+    * a wider stage (the assign→posexplode→partial-agg training stage),
+    * silently dropping that stage out of whole-stage codegen. The
+    * kernel reproduces the composed form's arithmetic and struct-min
+    * tie semantics bit-for-bit (same left-fold dots, same
+    * Double.compare ordering), so all four scale factors of strict
+    * hash gates are unaffected.
     */
-  private[sim] def bestOf(x: Column, xx: Column, m: Model): Column = {
-    val cands = m.centroids.map { case (cl, cv) =>
-      struct(
-        (xx - lit(2.0) * dot(x, typedLit(cv)) + lit(selfDot(cv)))
-          .as("dist2"),
-        lit(cl).as("cluster"))
-    }
-    array_min(array(cands: _*))
-  }
+  private[sim] def bestOf(x: Column, xx: Column, m: Model): Column =
+    graft.functions.NearestCentroid.nearest_centroid(
+      x, xx,
+      m.centroids.map(_._1),
+      m.centroids.map(_._2),
+      m.centroids.map { case (_, cv) => selfDot(cv) })
 
   /** Nearest-centroid assignment: (vec_id, x, cluster, dist2). Pure
     * narrow expression — see [[bestOf]].
