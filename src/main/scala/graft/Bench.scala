@@ -15,11 +15,16 @@ object Bench {
     val epoch: Map[String, Double] = BenchMetrics.parseEpochQueries(epochJson)
     val epochPerQ = BenchMetrics.parseEpochPerQuery(epochJson)
     val (epochCanaryMed, _, epochIoMed) = BenchMetrics.parseHostRef(epochJson)
-    // the FIXED cross-round normalization anchor (bench_anchor.json is
-    // committed once per re-anchoring, never written by Bench): epoch
-    // normalization compares adjacent rounds, anchor normalization
-    // states every round's total in the same window's seconds
-    val anchorJson = try readAll("bench_anchor.json")
+    // the FIXED cross-round normalization anchor (committed once per
+    // re-anchoring, never written by Bench): epoch normalization
+    // compares adjacent rounds, anchor normalization states every
+    // round's total in the same window's seconds. The anchor is
+    // per-SF — an sf1 run normalizes against the sf1 anchor window
+    // (SPARK_GRAFT_ANCHOR overrides for ad-hoc dirs).
+    val anchorPath = sys.env.getOrElse("SPARK_GRAFT_ANCHOR",
+      if (new java.io.File(sfDir).getName == "sf1") "bench_anchor_sf1.json"
+      else "bench_anchor.json")
+    val anchorJson = try readAll(anchorPath)
       catch { case _: Throwable => "" }
     val (anchorCanaryMed, _, anchorIoMed) = BenchMetrics.parseHostRef(anchorJson)
     // sampled BEFORE the JVM does any Spark work: on a clean window
@@ -200,17 +205,18 @@ object Bench {
       // per-query cross-round attribution columns: raw ratio vs the
       // committed epoch and the same ratio divided by the windows'
       // canary factor — a reader separates host from code per query
-      // without arithmetic (ratio_norm ≈ 1 ⇒ host drift; ≫ 1 ⇒ code)
+      // without arithmetic (normalized_ratio_vs_epoch ≈ 1 ⇒ host
+      // drift; ≫ 1 ⇒ code)
       val epochCols = epoch.get(name).filter(_ > 0.0).map { e =>
         f""""epoch_sec":$e%.4f,"ratio_vs_epoch":${sec / e}%.3f,""" +
-          f""""ratio_norm":${sec / e / hostFactorEpoch}%.3f,"""
+          f""""normalized_ratio_vs_epoch":${sec / e / hostFactorEpoch}%.3f,"""
       }.getOrElse("")
       f""""$name":{"sec":$sec%.4f,$epochCols"load_pre":$lp%.2f,""" +
         f""""canary_ratio":$r%.3f,""" +
         s""""shuffle_read":${m.shuffleRead},"shuffle_write":${m.shuffleWrite},""" +
         s""""mem_spill":${m.memSpill},"disk_spill":${m.diskSpill},""" +
         s""""input":${m.input},"tasks":${m.tasks},""" +
-        s""""run_ms":${m.runMs},"gc_ms":${m.gcMs}}"""
+        s""""run_ms":${m.runMs},"cpu_ms":${m.cpuMs},"gc_ms":${m.gcMs}}"""
     }.mkString("{", ",", "}")
     val outlierJson = outlierRows.map {
       case (name, firstSec, epochSec, ratio, retrySec, retryCanary) =>
@@ -221,7 +227,9 @@ object Bench {
         // clean-canary anomaly (q_semdedup 7.3x / q_dim_stats 12.3x in
         // the r12 window)
         val attr = BenchMetrics.attributeOutlier(metrics.forQuery(name),
-          epochPerQ.getOrElse(name, Map.empty), ratio)
+          epochPerQ.getOrElse(name, Map.empty), ratio,
+          retryRatio = Some(retrySec / epochSec),
+          retryCanaryRatio = Some(retryCanary / canaryMed))
         f"""{"q":"$name","first_sec":$firstSec%.4f,"epoch_sec":$epochSec%.4f,""" +
           f""""ratio_vs_epoch":$ratio%.3f,"retry_sec":$retrySec%.4f,""" +
           f""""retry_ratio_vs_epoch":${retrySec / epochSec}%.3f,""" +
@@ -268,7 +276,8 @@ object Bench {
         s"""$normJson,""" +
         s""""host_clean":$hostClean,"canaries":$canaryJson,""" +
         s""""io_canaries":$ioCanaryJson,""" +
-        s""""epoch_ref":"$epochRef","epoch_n":${epoch.size},""" +
+        s""""epoch_ref":"$epochRef","anchor_ref":"$anchorPath",""" +
+        s""""epoch_n":${epoch.size},""" +
         s""""outliers":$outlierJson,""" +
         s""""per_query":$perQAttr}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

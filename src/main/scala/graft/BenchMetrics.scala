@@ -43,11 +43,15 @@ object BenchMetrics {
   val OutlierFactor = 2.0
 
   /** counters: shuffle read bytes, shuffle write bytes, memory spill,
-    * disk spill, input bytes, tasks, executor run ms, JVM GC ms.
-    * Run time and GC time are the contention discriminators the byte
-    * counters can't provide: identical bytes + inflated wall time +
-    * flat run/GC time ⇒ the executors weren't scheduled (co-tenant);
-    * identical bytes + GC time blown up ⇒ this JVM's heap state.
+    * disk spill, input bytes, tasks, executor run ms, executor CPU ms,
+    * JVM GC ms. The three time counters are the contention
+    * discriminators the byte counters can't provide:
+    *  - wall inflated but task run_ms FLAT ⇒ the delay sat between
+    *    tasks — the executors weren't scheduled (co-tenant/scheduler);
+    *  - run_ms tracks wall but cpu_ms flat ⇒ tasks stalled OFF-cpu
+    *    mid-run (I/O wait, page-cache miss storm, CPU steal);
+    *  - cpu_ms tracks wall ⇒ genuinely more compute per byte — GC
+    *    share then splits JVM heap state from memory-bandwidth/JIT.
     */
   final class Counters {
     var shuffleRead = 0L
@@ -57,6 +61,7 @@ object BenchMetrics {
     var input = 0L
     var tasks = 0L
     var runMs = 0L
+    var cpuMs = 0L
     var gcMs = 0L
   }
 
@@ -86,6 +91,7 @@ object BenchMetrics {
         c.input += m.inputMetrics.bytesRead
         c.tasks += 1
         c.runMs += m.executorRunTime
+        c.cpuMs += m.executorCpuTime / 1000000L // ns → ms
         c.gcMs += m.jvmGCTime
       }
 
@@ -118,6 +124,7 @@ object BenchMetrics {
       out.input += c.input
       out.tasks += c.tasks
       out.runMs += c.runMs
+      out.cpuMs += c.cpuMs
       out.gcMs += c.gcMs
     }
   }
@@ -203,20 +210,35 @@ object BenchMetrics {
   /** Metrics-based cause attribution for a persistent outlier — the
     * record a human reads INSTEAD of re-running the suite. Inputs:
     * the query's current-run counters, its committed-epoch metric map
-    * (may be empty for new queries / old artifacts), and the measured
-    * time ratio vs epoch. The verdict classifies with the byte
-    * counters first (work changed vs work identical), then uses
-    * run-vs-wall and GC shares to split "host didn't schedule us"
-    * from "this JVM's own state":
+    * (may be empty for new queries / old artifacts), the measured time
+    * ratio vs epoch, and — when the end-of-suite retry ran — the
+    * retry's own ratio and its bracketing canary's ratio to the
+    * window median. The verdict classifies with the byte counters
+    * first (work changed vs work identical), then splits the
+    * work-identical case with the run-vs-wall and cpu-vs-run
+    * discriminators (the r13 q_allpairs lesson: "gc low ⇒ external
+    * contention" asserted a cause the instrument had no evidence for):
     *
     *  - any WORK counter (input, shuffle r/w, tasks) off by >1.5× ⇒
     *    the plan or data changed — a code-attributed regression;
-    *  - work flat but GC share of run time ≥ 25% ⇒ JVM heap state;
-    *  - work flat, GC low ⇒ external contention (CPU stolen or I/O
-    *    stalled — the canary column says which window).
+    *  - work flat, task run_ms FLAT vs an inflated wall ⇒ the delay
+    *    sat BETWEEN tasks: executors starved by the scheduler or a
+    *    co-tenant — the one case "external contention" is evidenced;
+    *  - work flat, run_ms tracks wall but cpu_ms flat ⇒ tasks stalled
+    *    off-CPU mid-run (I/O wait / page-cache storm / CPU steal);
+    *  - work flat, cpu_ms tracks wall ⇒ more compute per byte: GC
+    *    share ≥ 25% says JVM heap state, else memory-bandwidth or
+    *    JIT/codegen state. All shares print as NUMBERS.
+    *
+    * Finally, the verdict is cross-checked against the retry canary:
+    * a retry that REPEATS >[[OutlierFactor]]× while its canary read
+    * the host fast (≤1.2× the window median) CONTRADICTS any
+    * transient-contention reading, and the record says so explicitly
+    * instead of asserting a cause.
     */
   def attributeOutlier(cur: Counters, epochM: Map[String, Double],
-      timeRatio: Double): String = {
+      timeRatio: Double, retryRatio: Option[Double] = None,
+      retryCanaryRatio: Option[Double] = None): String = {
     def ratio(now: Long, field: String): Option[Double] =
       epochM.get(field).collect { case e if e > 0 => now / e }
     val work = Seq(
@@ -227,6 +249,14 @@ object BenchMetrics {
     val changed = work.collect {
       case (f, Some(r)) if r > 1.5 || r < 1.0 / 1.5 => f -> r }
     val gcShare = if (cur.runMs > 0) cur.gcMs.toDouble / cur.runMs else 0.0
+    val gcPct = f"gc ${gcShare * 100}%.0f%%"
+    val runR = ratio(cur.runMs, "run_ms")
+    val cpuR = ratio(cur.cpuMs, "cpu_ms")
+    // "flat" = did not move with the wall: under 1.5× absolutely, or
+    // under a quarter of the wall inflation when the wall blew up far
+    // past that (a 30× wall with run_ms at 2× is still scheduler
+    // starvation, not slow tasks)
+    def flat(r: Double): Boolean = r <= math.max(1.5, 0.25 * timeRatio)
     val workStr = work.map {
       case (f, Some(r)) => f"$f x$r%.2f"
       case (f, None) => s"$f x?"
@@ -237,10 +267,44 @@ object BenchMetrics {
           .mkString(", ")}) => code/plan"
       else if (epochM.isEmpty)
         "no epoch metrics => unattributed"
-      else if (gcShare >= 0.25)
-        f"work unchanged, gc ${gcShare * 100}%.0f%% of run time => JVM state"
-      else
-        "work unchanged, gc low => external contention"
-    f"$workStr, gc_share ${gcShare * 100}%.0f%%, time x$timeRatio%.1f: $verdict"
+      else (runR, cpuR) match {
+        case (Some(rr), _) if flat(rr) =>
+          f"work unchanged, run_ms x$rr%.1f flat vs wall x$timeRatio%.1f " +
+            "=> executors starved between tasks (scheduler/co-tenant)"
+        case (Some(rr), Some(cr)) if flat(cr) =>
+          f"work unchanged, run_ms x$rr%.1f tracks wall but cpu_ms " +
+            f"x$cr%.1f flat => tasks stalled off-CPU (I/O wait or CPU steal)"
+        case (Some(rr), Some(cr)) if gcShare >= 0.25 =>
+          f"work unchanged, cpu_ms x$cr%.1f tracks wall x$timeRatio%.1f, " +
+            f"$gcPct of run time => JVM heap state"
+        case (Some(rr), Some(cr)) =>
+          f"work unchanged, cpu_ms x$cr%.1f tracks wall x$timeRatio%.1f, " +
+            f"$gcPct => on-CPU slowdown (memory bandwidth or JIT/codegen state)"
+        case (Some(rr), None) =>
+          f"work unchanged, run_ms x$rr%.1f vs wall x$timeRatio%.1f, " +
+            f"$gcPct, no epoch cpu_ms => on/off-CPU split unresolved"
+        case (None, _) =>
+          if (gcShare >= 0.25)
+            f"work unchanged, $gcPct of run time => JVM state"
+          else
+            f"work unchanged, $gcPct, no epoch run_ms => external " +
+              "contention (UNVERIFIED: no run-vs-wall reference)"
+      }
+    // retry cross-check: the canary column the verdict tells a reader
+    // to consult must not silently disagree with the verdict
+    val retryNote = (retryRatio, retryCanaryRatio) match {
+      case (Some(rr), Some(rc))
+          if rr > OutlierFactor && rc <= 1.2 && !verdict.contains("code/plan") =>
+        f" | CONTRADICTION: retry repeated x$rr%.1f vs epoch while its " +
+          f"canary read $rc%.2f (host fast) — a transient-contention " +
+          "reading is NOT supported; treat as real until the " +
+          "run/cpu-vs-wall split explains it"
+      case (Some(rr), _) if rr <= OutlierFactor =>
+        f" | retry x$rr%.1f back under ${OutlierFactor}%.0fx => first " +
+          "sample transient"
+      case _ => ""
+    }
+    f"$workStr, gc_share ${gcShare * 100}%.0f%%, " +
+      f"time x$timeRatio%.1f: $verdict$retryNote"
   }
 }

@@ -61,17 +61,20 @@ class BenchMetricsSpec extends SparkSpec {
   }
 
   test("outlier attribution classifies work-changed vs contention vs JVM") {
-    def counters(in: Long, sr: Long, t: Long, run: Long, gc: Long) = {
+    def counters(in: Long, sr: Long, t: Long, run: Long, gc: Long,
+        cpu: Long = 0L) = {
       val c = new BenchMetrics.Counters
       c.input = in; c.shuffleRead = sr; c.tasks = t
-      c.runMs = run; c.gcMs = gc; c
+      c.runMs = run; c.cpuMs = cpu; c.gcMs = gc; c
     }
     val epochM = Map("input" -> 1000.0, "shuffle_read" -> 500.0,
       "shuffle_write" -> 0.0, "tasks" -> 8.0)
-    // same bytes, low gc -> external contention
+    // pre-run_ms epoch, same bytes, low gc -> external contention, but
+    // HONESTLY marked unverified (no run-vs-wall reference)
     val ext = BenchMetrics.attributeOutlier(
       counters(1000, 500, 8, 1000, 10), epochM, 7.3)
     assert(ext.contains("external contention"), ext)
+    assert(ext.contains("UNVERIFIED"), ext)
     // same bytes, gc-dominated -> JVM state
     val jvm = BenchMetrics.attributeOutlier(
       counters(1000, 500, 8, 1000, 400), epochM, 12.3)
@@ -84,6 +87,68 @@ class BenchMetricsSpec extends SparkSpec {
     val none = BenchMetrics.attributeOutlier(
       counters(1, 1, 1, 1, 0), Map.empty, 2.5)
     assert(none.contains("unattributed"), none)
+  }
+
+  test("run-vs-wall and cpu-vs-run discriminate the work-unchanged causes") {
+    def counters(run: Long, cpu: Long, gc: Long) = {
+      val c = new BenchMetrics.Counters
+      c.input = 1000; c.shuffleRead = 500; c.tasks = 8
+      c.runMs = run; c.cpuMs = cpu; c.gcMs = gc; c
+    }
+    val epochM = Map("input" -> 1000.0, "shuffle_read" -> 500.0,
+      "tasks" -> 8.0, "run_ms" -> 1000.0, "cpu_ms" -> 800.0)
+    // wall 10x but task run time flat -> starved between tasks: the
+    // one evidenced external-contention signature
+    val starved = BenchMetrics.attributeOutlier(
+      counters(run = 1100, cpu = 850, gc = 10), epochM, 10.0)
+    assert(starved.contains("starved between tasks"), starved)
+    // run tracks wall, cpu flat -> off-CPU stall mid-task
+    val ioStall = BenchMetrics.attributeOutlier(
+      counters(run = 9000, cpu = 900, gc = 10), epochM, 10.0)
+    assert(ioStall.contains("off-CPU"), ioStall)
+    // cpu tracks wall, gc-dominated -> JVM heap
+    val heap = BenchMetrics.attributeOutlier(
+      counters(run = 9000, cpu = 7500, gc = 3000), epochM, 10.0)
+    assert(heap.contains("JVM heap state"), heap)
+    // cpu tracks wall, gc low -> on-CPU slowdown
+    val onCpu = BenchMetrics.attributeOutlier(
+      counters(run = 9000, cpu = 7500, gc = 10), epochM, 10.0)
+    assert(onCpu.contains("on-CPU slowdown"), onCpu)
+    // the gc share prints as a NUMBER, never an adjective
+    assert(!onCpu.contains("gc low") && onCpu.contains("gc_share"), onCpu)
+  }
+
+  test("retry canary cross-check: fast canary + repeated slow retry => contradiction") {
+    def counters() = {
+      val c = new BenchMetrics.Counters
+      c.input = 1000; c.shuffleRead = 500; c.tasks = 8
+      c.runMs = 1100; c.cpuMs = 850; c.gcMs = 10; c
+    }
+    val epochM = Map("input" -> 1000.0, "shuffle_read" -> 500.0,
+      "tasks" -> 8.0, "run_ms" -> 1000.0, "cpu_ms" -> 800.0)
+    // the r13 q_allpairs shape: 32.8x first, 58.2x retry, canary 0.575
+    val contra = BenchMetrics.attributeOutlier(counters(), epochM, 32.8,
+      retryRatio = Some(58.2), retryCanaryRatio = Some(0.575))
+    assert(contra.contains("CONTRADICTION"), contra)
+    assert(contra.contains("NOT supported"), contra)
+    // retry back on epoch -> first sample self-labels transient
+    val transient = BenchMetrics.attributeOutlier(counters(), epochM, 3.0,
+      retryRatio = Some(1.1), retryCanaryRatio = Some(1.0))
+    assert(transient.contains("transient"), transient)
+    assert(!transient.contains("CONTRADICTION"), transient)
+    // slow retry under a SLOW canary: contention reading is consistent,
+    // no contradiction stamp
+    val consistent = BenchMetrics.attributeOutlier(counters(), epochM, 3.0,
+      retryRatio = Some(2.8), retryCanaryRatio = Some(2.1))
+    assert(!consistent.contains("CONTRADICTION"), consistent)
+    // a code/plan verdict never gets the contradiction stamp (the work
+    // counters already explain the time)
+    val code = {
+      val c = counters(); c.input = 9000
+      BenchMetrics.attributeOutlier(c, epochM, 32.8,
+        retryRatio = Some(58.2), retryCanaryRatio = Some(0.575))
+    }
+    assert(code.contains("code/plan") && !code.contains("CONTRADICTION"), code)
   }
 
   test("listener attributes shuffle bytes to the query's job group") {
