@@ -20,7 +20,9 @@ import org.apache.spark.sql.types._
   *  - document text gains a per-replica suffix token: replicas become
   *    NEAR-duplicates of the original (Jaccard ≈ n/(n+1)) — the
   *    realistic recrawl structure — instead of exact duplicates that
-  *    would collapse under exact dedup;
+  *    would collapse under exact dedup; the optional `disjoint` mode
+  *    (4th CLI arg) instead remaps every token per replica, holding
+  *    duplicate DENSITY constant — see the documents transform below;
   *  - embeddings shift by r/1000 per component: distinct vectors,
   *    same cluster geometry.
   *
@@ -38,9 +40,11 @@ object ScaleGen {
     }
 
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, outDir, repsStr) = args
-    val reps = repsStr.toInt
-    require(reps >= 1)
+    val (srcDir, outDir, reps, mode) = args match {
+      case Array(s, o, r) => (s, o, r.toInt, "neardup")
+      case Array(s, o, r, m) => (s, o, r.toInt, m)
+      case _ => sys.error("usage: ScaleGen <srcDir> <outDir> <reps> [neardup|disjoint]")
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -49,6 +53,17 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, srcDir, outDir, reps, mode)
+    spark.stop()
+  }
+
+  /** Generation body, session-agnostic (specs call it on the shared
+    * test session; `main` owns session lifecycle).
+    */
+  def run(spark: SparkSession, srcDir: String, outDir: String,
+      reps: Int, mode: String): Unit = {
+    require(reps >= 1)
+    require(mode == "neardup" || mode == "disjoint", s"unknown mode $mode")
 
     def rd(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
     def maxOf(t: String, c: String): Long =
@@ -86,8 +101,25 @@ object ScaleGen {
         Map("event_id" -> ek, "user_id" -> uk), r)),
       "documents" -> repl("documents", { (d, r) =>
         val shifted = shiftBy(d, Seq("doc_id"), Map("doc_id" -> dk), r)
-        val txt = if (r == 0) col("text")
-          else concat(col("text"), lit(s" rep$r"))
+        // neardup (default): replicas append one suffix token — every
+        // original becomes a K-member near-dup cluster (Jaccard
+        // n/(n+1)), so the TRUE pair set of any near-dup operator
+        // grows ~quadratically in K. The realistic recrawl structure,
+        // but it entangles operator scaling with planted-output
+        // growth.
+        // disjoint (constant density): every token of replica r ≥ 1
+        // gets a per-replica suffix, so cross-replica Jaccard is 0 and
+        // each replica is a vocabulary-remapped COPY of the original
+        // corpus — dup-cluster count scales linearly, cluster size
+        // stays the original's, and pair-emitter output grows
+        // linearly. This is the regime a real growing corpus
+        // approaches (vocabulary grows with the data, pair density
+        // collapses — SCALE.md round 11), so the pair of modes
+        // separates candidate-bound behavior from output growth.
+        val txt =
+          if (r == 0) col("text")
+          else if (mode == "neardup") concat(col("text"), lit(s" rep$r"))
+          else regexp_replace(col("text"), "(\\S+)", "$1_g" + r)
         shifted.withColumn("text", txt)
           .withColumn("n_chars", length(col("text")).cast(LongType))
       }),
@@ -114,6 +146,5 @@ object ScaleGen {
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       println(s"[scalegen] $t -> $dst")
     }
-    spark.stop()
   }
 }
