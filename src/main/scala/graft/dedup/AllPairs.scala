@@ -96,4 +96,50 @@ object AllPairs {
       .filter(j >= threshold)
       .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
   }
+
+  /** Output-bounded all-pairs REPORT: each document's k strongest
+    * exact-Jaccard neighbors at or above `threshold` —
+    * (id, rank, nbr, jaccard), rank 1..k by (jaccard DESC, nbr ASC).
+    *
+    * The full-pair contract ([[pairs]]) has an inherent Θ(true pairs)
+    * lower bound — no algorithm emits a quadratic answer in
+    * sub-quadratic time, and on a duplicate-dense corpus (sf1's
+    * planted replicas: ~9×10⁷ pairs at 7% density) the RESULT SET is
+    * the cost. This is the serving-layer answer: the verified pair
+    * stream flows straight into a bounded [[graft.functions.TopKAgg]]
+    * heap, so the k-per-document report is the only thing shuffled or
+    * materialized — shuffle volume O(partitions·docs·k) and output
+    * Θ(N·k) regardless of pair density. Candidate generation and
+    * verification still do the exact contract's work (that part is
+    * candidate-BOUNDED by the PPJoin prunes, not output-bounded), but
+    * nothing Θ(pairs) ever hits an exchange or a sink.
+    *
+    * Jaccard rides the heap as its exact 6-dp integer units (the
+    * repo-wide quantization discipline), so cross-engine ordering and
+    * the recovered double are bit-stable.
+    */
+  def topKNeighbors(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val p = pairs(df, idCol, textCol, threshold)
+    // both directions from ONE pass over the verified pair stream (a
+    // union of two selects would re-execute the candidate join and its
+    // distinct shuffle — the round-12 multi-reference lesson, applied
+    // without materializing the Θ(pairs) stream)
+    val sym = p
+      .select(explode(array(
+          struct(col("id_a").as("id"), col("id_b").as("nbr")),
+          struct(col("id_b").as("id"), col("id_a").as("nbr")))).as("pr"),
+        col("jaccard"))
+      .select(col("pr.id").as("id"), col("pr.nbr").as("nbr"),
+        col("jaccard"))
+    sym.groupBy(col("id"))
+      .agg(graft.functions.TopKAgg.top_k_by(
+        round(col("jaccard") * lit(1000000.0)).cast("long"),
+        col("nbr"), k).as("top"))
+      .select(col("id"), posexplode(col("top")))
+      .select(col("id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.payload").as("nbr"),
+        (col("col.ord").cast("double") / 1000000.0).as("jaccard"))
+  }
 }

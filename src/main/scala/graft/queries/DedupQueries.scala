@@ -624,6 +624,32 @@ private[queries] trait DedupQueries extends TextCurationQueries {
        |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
        |WHERE jac >= 0.9""".stripMargin
 
+  /** Output-bounded all-pairs report: each doc's 3 strongest exact-
+    * Jaccard neighbors ≥ 0.9 — the Θ(N·k) serving shape for the one
+    * query family whose TRUE result set grows quadratically on
+    * duplicate-dense corpora (`AllPairs.topKNeighbors` scaladoc). The
+    * verified pair stream feeds a bounded TopKAgg heap: nothing
+    * Θ(pairs) is shuffled in full or materialized.
+    */
+  def qAllPairsTopK(s: SparkSession, d: String): DataFrame =
+    graft.dedup.AllPairs.topKNeighbors(Tables.documents(s, d), "doc_id",
+      "text", threshold = 0.9, k = 3)
+
+  // the pair CTE is referenced twice by the symmetric union — force it
+  // MATERIALIZED or DuckDB 1.0 inlines the whole chain per reference
+  // (the round-12 oracle lesson)
+  val qAllPairsTopKSql: String =
+    s"""WITH p AS MATERIALIZED ($qAllPairsSql),
+       |sym AS (SELECT id_a AS id, id_b AS nbr, jaccard FROM p
+       |  UNION ALL SELECT id_b AS id, id_a AS nbr, jaccard FROM p),
+       |r AS (SELECT id, nbr, jaccard, row_number() OVER (
+       |    PARTITION BY id
+       |    ORDER BY CAST(round(jaccard * 1000000) AS BIGINT) DESC, nbr ASC)
+       |    AS rk FROM sym)
+       |SELECT id, CAST(rk AS INT) AS rank, nbr,
+       |  CAST(round(jaccard * 1000000) AS BIGINT) / 1000000.0 AS jaccard
+       |FROM r WHERE rk <= 3""".stripMargin
+
   /** Count-min token-frequency estimates for the 20 most frequent
     * tokens (exact counts alongside; est ≥ exact by construction).
     * Deterministic cross-engine like the other sketches.

@@ -61,4 +61,41 @@ class AllPairsSpec extends SparkSpec {
     assert(run(0.6, docs: _*).keySet === Set((1L, 2L)))
     assert(run(0.601, docs: _*).isEmpty)
   }
+
+  test("topKNeighbors ≡ the window formulation over the full pair set") {
+    val emb = spark.read.parquet(s"$sf/documents.parquet")
+    val got = AllPairs.topKNeighbors(emb, "doc_id", "text", 0.5, k = 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    graft.CacheRegistry.releaseAll()
+    // reference: full pairs -> symmetric -> row_number window
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val p = AllPairs.pairs(emb, "doc_id", "text", 0.5)
+    val sym = p.select(col("id_a").as("id"), col("id_b").as("nbr"), col("jaccard"))
+      .union(p.select(col("id_b"), col("id_a"), col("jaccard")))
+      .withColumn("q", round(col("jaccard") * 1000000.0).cast("long"))
+    val want = sym.withColumn("rank", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("q").desc, col("nbr").asc)))
+      .filter(col("rank") <= 2)
+      .select(col("id"), col("rank"), col("nbr"),
+        (col("q").cast("double") / 1000000.0).as("jaccard"))
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    graft.CacheRegistry.releaseAll()
+    assert(got.nonEmpty && got === want)
+    // per-doc bound holds
+    assert(got.groupBy(_._1).forall(_._2.size <= 2))
+  }
+
+  test("topKNeighbors plan is window-free (bounded heap, not a per-doc sort)") {
+    val emb = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = AllPairs.topKNeighbors(emb, "doc_id", "text", 0.9, k = 3)
+      .queryExecution.executedPlan.toString
+    graft.CacheRegistry.releaseAll()
+    assert(!plan.contains("Window"),
+      "the k-per-doc report must come from the bounded TopKAgg heap, " +
+        "not a data-sized per-doc window sort")
+  }
 }
