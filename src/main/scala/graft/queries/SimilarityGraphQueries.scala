@@ -1355,10 +1355,10 @@ private[queries] trait SimilarityGraphQueries extends DedupQueries {
   }
 
   private[queries] val bipartiteEdgesSql: String =
-    """ed AS (
+    """ed AS MATERIALIZED (
       |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-      |edges AS (SELECT a AS src, b AS dst FROM ed
+      |edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed
       |          UNION ALL SELECT b AS src, a AS dst FROM ed),
       |nodes AS (SELECT DISTINCT src AS id FROM edges)""".stripMargin
 
@@ -1783,15 +1783,21 @@ private[queries] trait SimilarityGraphQueries extends DedupQueries {
 
   val qKcoreSql: String = {
     val k = 12
+    // every a_n is referenced twice by the next peel (src AND dst
+    // side) and a3/a4 three more times in the finalize: without
+    // MATERIALIZED, DuckDB 1.x inlines the whole chain per reference —
+    // 2^rounds copies of the edge join. At sf0.1 that merely wastes
+    // time; at sf1 it spilled >78 GB of temp and died. The same
+    // round-12 lesson as the knn CTE chain, applied here.
     def peel(n: Int) =
       s"""d$n AS (
          |  SELECT e.src AS id, count(*) AS c FROM edges e
          |  JOIN a${n - 1} s ON e.src = s.id
          |  JOIN a${n - 1} t ON e.dst = t.id
          |  GROUP BY 1),
-         |a$n AS (SELECT id FROM d$n WHERE c >= $k)""".stripMargin
+         |a$n AS MATERIALIZED (SELECT id FROM d$n WHERE c >= $k)""".stripMargin
     s"""WITH $bipartiteEdgesSql,
-       |a0 AS (SELECT id FROM nodes),
+       |a0 AS MATERIALIZED (SELECT id FROM nodes),
        |${(1 to 4).map(peel).mkString(",\n")},
        |fd AS (
        |  SELECT a.id, coalesce(d.c, 0) AS deg
