@@ -1544,6 +1544,86 @@ private[queries] trait ExperimentStoreQueries extends MultimodalQueries {
       |SELECT lang, source, c AS n_docs, contrib_nnats, tot.mi_nats
       |FROM cells CROSS JOIN tot""".stripMargin
 
+  /** Pearson chi-square independence test over the same lang×source
+    * contingency — the significance-scaled complement of
+    * q_mutual_info's effect-size readout (MI says how entangled; χ²
+    * + Cramér's V says whether the entanglement clears sampling
+    * noise at this corpus size). The FULL grid is tested, including
+    * EMPTY cells (an absent lang×source combination still contributes
+    * its expected count — dropping zero cells understates χ², the
+    * classic observed-cells-only mistake), via margins-cross-join ⟕
+    * observed counts. Cell contributions quantized to integer
+    * nano-units (one round per cell, exact integer sum — the
+    * q_mutual_info discipline so the total is partition-order-free);
+    * Cramér's V and dof ride every row from one broadcast scalar.
+    * Scale shape: margins are tiny aggregates of the cell table; the
+    * grid is |langs|×|sources| rows regardless of corpus size.
+    */
+  def qChi2(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cxy = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val cx = cxy.groupBy(col("lang")).agg(sum(col("c")).as("cl"))
+    val cy = cxy.groupBy(col("source")).agg(sum(col("c")).as("cs"))
+    val n = cxy.agg(sum(col("c")).as("n"))
+    val dims = cx.agg(count(lit(1)).as("r"))
+      .crossJoin(cy.agg(count(lit(1)).as("cc")))
+    val cells = cx.crossJoin(cy)
+      .join(cxy, Seq("lang", "source"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .withColumn("e", col("cl").cast("double") * col("cs").cast("double")
+        / col("n").cast("double"))
+      .withColumn("contrib_nchi",
+        round((col("c").cast("double") - col("e")) *
+          (col("c").cast("double") - col("e")) / col("e") *
+          1000000000.0).cast("long"))
+    val tot = cells.agg(sum(col("contrib_nchi")).as("t"),
+        first(col("n")).as("n"))
+      .crossJoin(broadcast(dims))
+      .select(
+        round(col("t").cast("double") / 1000000000.0, 6).as("chi2"),
+        ((col("r") - 1) * (col("cc") - 1)).as("dof"),
+        round(sqrt((col("t").cast("double") / 1000000000.0) /
+          (col("n").cast("double") *
+            least(col("r") - 1, col("cc") - 1).cast("double"))), 6)
+          .as("cramers_v"))
+    cells.select(col("lang"), col("source"), col("c").as("n_docs"),
+        col("contrib_nchi"))
+      .crossJoin(broadcast(tot))
+  }
+
+  val qChi2Sql: String =
+    """WITH cxy AS (SELECT lang, source, count(*) AS c
+      |             FROM documents GROUP BY 1, 2),
+      |cx AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cl FROM cxy GROUP BY 1),
+      |cy AS (SELECT source, CAST(sum(c) AS BIGINT) AS cs
+      |       FROM cxy GROUP BY 1),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cxy),
+      |dims AS (SELECT (SELECT count(*) FROM cx) AS r,
+      |                (SELECT count(*) FROM cy) AS cc),
+      |cells AS (
+      |  SELECT cx.lang, cy.source, CAST(coalesce(cxy.c, 0) AS BIGINT) AS c,
+      |    CAST(round((CAST(coalesce(cxy.c, 0) AS DOUBLE) -
+      |        CAST(cl AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+      |      (CAST(coalesce(cxy.c, 0) AS DOUBLE) -
+      |        CAST(cl AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(n.n AS DOUBLE)) /
+      |      (CAST(cl AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+      |      1000000000.0) AS BIGINT) AS contrib_nchi
+      |  FROM cx CROSS JOIN cy
+      |  LEFT JOIN cxy ON cxy.lang = cx.lang AND cxy.source = cy.source
+      |  CROSS JOIN n),
+      |tot AS (SELECT
+      |    round(CAST(sum(contrib_nchi) AS DOUBLE) / 1000000000.0, 6) AS chi2,
+      |    CAST((r - 1) * (cc - 1) AS BIGINT) AS dof,
+      |    round(sqrt((CAST(sum(contrib_nchi) AS DOUBLE) / 1000000000.0) /
+      |      (CAST((SELECT n FROM n) AS DOUBLE) *
+      |        CAST(least(r - 1, cc - 1) AS DOUBLE))), 6) AS cramers_v
+      |  FROM cells CROSS JOIN dims GROUP BY r, cc)
+      |SELECT cells.lang, cells.source, cells.c AS n_docs,
+      |  cells.contrib_nchi, tot.chi2, tot.dof, tot.cramers_v
+      |FROM cells CROSS JOIN tot""".stripMargin
+
   /** Hashing-trick feature vectorizer (1024 buckets): token counts
     * folded into a fixed-width sparse vector by portable hash — the
     * input representation a fastText-style classifier

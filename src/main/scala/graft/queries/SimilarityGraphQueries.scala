@@ -1997,6 +1997,24 @@ private[queries] trait SimilarityGraphQueries extends DedupQueries {
       Bm25Queries.toDF("query_id", "qtext"), "doc_id", k = 10)
   }
 
+  /** BM25 with MAXSCORE pruning over the same persisted index — the
+    * query-time complement of the serving store: EXACT top-k (same
+    * oracle as `q_bm25`/`q_bm25_persisted` BY DESIGN, tie-breaks
+    * included) while only documents holding at least one ESSENTIAL
+    * query term enter the score-aggregation shuffle. The pruning
+    * math (per-term upper bounds, kth-single-contribution θ, strict
+    * ascending-ΣU prefix) lives in
+    * [[graft.text.Bm25Index.topKMaxScore]].
+    */
+  def qBm25MaxScore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val table = "graft_bm25_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.text.Bm25Index.ensure(docs, "doc_id", "text", table, 8)
+    graft.text.Bm25Index.topKMaxScore(s, table,
+      Bm25Queries.toDF("query_id", "qtext"), "doc_id", k = 10)
+  }
+
   val qBm25Sql: String = {
     val sc = Bm25.Scale
     val k1 = 1.2

@@ -1998,4 +1998,119 @@ private[queries] trait TextCurationQueries extends PipelineSqlBase {
        |  cast(sum(has_pii) as bigint) AS n_pii_docs
        |FROM f GROUP BY 1""".stripMargin
   }
+
+  /** The blocklist dictionary for `q_blocklist` — substring terms over
+    * the lowercased document text, including multi-word phrases, a
+    * term nested inside another's suffix ("scan" in "table scan" — the
+    * automaton's dict-suffix output path), an interior substring of a
+    * vocabulary word ("art" inside "part"), and never-occurring terms
+    * ("password", "drop table" — the realistic blocklist case where
+    * most terms hit nothing).
+    *
+    * Every term is BORDER-FREE (no proper prefix that is also a
+    * suffix), asserted below: that is what makes the automaton's
+    * every-end-position count equal the oracle's non-overlapping
+    * `replace`-based count (see [[graft.functions.AhoCorasick.hasBorder]]).
+    * The kernel itself has no such restriction.
+    */
+  val blockTerms: Seq[String] = {
+    val ts = Seq(
+      "slow query", "table scan", "big data", "key order", "drop table",
+      "slow", "scan", "merge", "dup", "art", "row", "password")
+    require(ts.forall(t => !graft.functions.AhoCorasick.hasBorder(t)),
+      "blocklist terms must be border-free for the oracle identity")
+    ts
+  }
+
+  /** Dictionary blocklist screening (the C4/RefinedWeb banned-word
+    * gate) — per-source report of how much of the corpus a blocklist
+    * touches. ONE Aho–Corasick pass per document matches the whole
+    * dictionary (`functions.Blocklist`, a native codegen'd kernel
+    * whose automaton rides the generated code as a reference object),
+    * vs the naive k-`contains` scans — at 100 TB and a 10⁴-10⁶ term
+    * blocklist this is the difference between one streaming pass and
+    * k of them. Plan shape: narrow codegen'd map → one partially
+    * aggregated hash shuffle on `source`; nothing else.
+    */
+  def qBlocklist(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        graft.functions.Blocklist
+          .blocklist_hits(lower(col("text")), blockTerms).as("h"))
+      .select(col("source"), col("h.hits").as("hits"),
+        col("h.terms").as("terms"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("flagged_docs"),
+        sum(col("hits").cast(LongType)).as("total_hits"),
+        sum(col("terms").cast(LongType)).as("distinct_term_hits"),
+        max(col("hits")).as("max_hits"))
+
+  /** Non-overlapping replace-count per term (== the automaton's count
+    * for border-free terms); documents are ASCII so char and byte
+    * lengths agree on both engines.
+    */
+  val qBlocklistSql: String = {
+    def esc(t: String) = t.replace("'", "''")
+    val hits = blockTerms.map(t =>
+      s"(len(tl) - len(replace(tl, '${esc(t)}', ''))) // ${t.length}")
+      .mkString("\n    + ")
+    val terms = blockTerms.map(t =>
+      s"CASE WHEN contains(tl, '${esc(t)}') THEN 1 ELSE 0 END")
+      .mkString("\n    + ")
+    s"""WITH t AS (SELECT source, lower(text) AS tl FROM documents),
+       |h AS (SELECT source,
+       |  $hits AS hits,
+       |  $terms AS terms
+       |FROM t)
+       |SELECT source, count(*) AS docs,
+       |  cast(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) as bigint) AS flagged_docs,
+       |  cast(sum(hits) as bigint) AS total_hits,
+       |  cast(sum(terms) as bigint) AS distinct_term_hits,
+       |  cast(max(hits) as int) AS max_hits
+       |FROM h GROUP BY source""".stripMargin
+  }
+
+  /** Blocklist APPLIED as a curation gate (q_blocklist is the report;
+    * this is the drop): keep only zero-hit documents, account for the
+    * token cost per source. Same one-pass automaton — the gate adds a
+    * codegen'd filter on the struct field, no second text scan, and
+    * the whole thing stays scan → map → filter → one agg shuffle.
+    */
+  def qBlocklistGate(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_toks"),
+        graft.functions.Blocklist
+          .blocklist_hits(lower(col("text")), blockTerms)
+          .getField("hits").as("hits"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs_in"),
+        sum(when(col("hits") === 0, 1L).otherwise(0L)).as("docs_kept"),
+        sum(col("n_toks")).as("toks_in"),
+        sum(when(col("hits") === 0, col("n_toks")).otherwise(0L))
+          .as("toks_kept"))
+      .withColumn("pct_kept",
+        round(col("docs_kept").cast("double") /
+          col("docs_in").cast("double"), 6))
+
+  val qBlocklistGateSql: String = {
+    def esc(t: String) = t.replace("'", "''")
+    val hits = blockTerms.map(t =>
+      s"(len(tl) - len(replace(tl, '${esc(t)}', ''))) // ${t.length}")
+      .mkString("\n    + ")
+    s"""WITH t AS (SELECT source, lower(text) AS tl,
+       |            cast(len($toksSql) as bigint) AS n_toks
+       |           FROM documents),
+       |h AS (SELECT source, n_toks, $hits AS hits FROM t)
+       |SELECT source, count(*) AS docs_in,
+       |  cast(sum(CASE WHEN hits = 0 THEN 1 ELSE 0 END) as bigint) AS docs_kept,
+       |  cast(sum(n_toks) as bigint) AS toks_in,
+       |  cast(sum(CASE WHEN hits = 0 THEN n_toks ELSE 0 END) as bigint) AS toks_kept,
+       |  round(cast(sum(CASE WHEN hits = 0 THEN 1 ELSE 0 END) as double) /
+       |    count(*), 6) AS pct_kept
+       |FROM h GROUP BY source""".stripMargin
+  }
 }

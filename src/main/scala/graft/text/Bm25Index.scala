@@ -71,12 +71,15 @@ object Bm25Index {
     built
   }
 
-  /** Top-`k` docs per query served FROM the persisted index — same
-    * output contract (and bit-identical scores) as [[Bm25.topK]].
+  /** The per-(query, term, doc) quantized contribution frame off the
+    * persisted postings — the shared probe both [[topK]] and
+    * [[topKMaxScore]] rank from (one expression shape ⇒ bit-identical
+    * scores). Contributions are non-negative by construction (the
+    * +1-shifted idf is always positive, tf-norm is positive), which is
+    * what makes [[topKMaxScore]]'s upper bounds sound.
     */
-  def topK(spark: SparkSession, table: String, queries: DataFrame,
-      idCol: String, k: Int = 10, k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+  private def probeContribs(spark: SparkSession, table: String,
+      queries: DataFrame, k1: Double, b: Double): DataFrame = {
     val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     val nDocs = props.getOrElse(PropNDocs,
@@ -96,11 +99,16 @@ object Bm25Index {
     val tfd = col("tf").cast(DoubleType)
     val tfn = tfd * lit(k1 + 1.0) /
       (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast(DoubleType) / avgdl))
-    val contribs = broadcast(qterms).join(postings, Seq("tok"))
-      .select(col("query_id"), col("id"),
+    broadcast(qterms).join(postings, Seq("tok"))
+      .select(col("query_id"), col("tok"), col("id"),
         round(idf * tfn * Bm25.Scale).cast(LongType).as("c"))
-    val scores = contribs.groupBy(col("query_id"), col("id"))
-      .agg(sum(col("c")).as("sc"))
+  }
+
+  /** (sc desc, id asc) top-`k` ranking — the output contract shared
+    * with [[Bm25.topK]].
+    */
+  private def rankTopK(scores: DataFrame, idCol: String,
+      k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     scores
       .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
@@ -109,5 +117,89 @@ object Bm25Index {
       .select(col("query_id"), col("id").as(idCol),
         round(col("sc").cast(DoubleType) / Bm25.Scale, 6).as("score"),
         col("rank"))
+  }
+
+  /** Top-`k` docs per query served FROM the persisted index — same
+    * output contract (and bit-identical scores) as [[Bm25.topK]].
+    */
+  def topK(spark: SparkSession, table: String, queries: DataFrame,
+      idCol: String, k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val contribs = probeContribs(spark, table, queries, k1, b)
+      .select(col("query_id"), col("id"), col("c"))
+    rankTopK(contribs.groupBy(col("query_id"), col("id"))
+      .agg(sum(col("c")).as("sc")), idCol, k)
+  }
+
+  /** Top-`k` per query with MAXSCORE pruning (Turtle & Flood 1995) —
+    * EXACT top-k (bit-identical ranking to [[topK]], ties included),
+    * but only CANDIDATE documents ever enter the score-aggregation
+    * shuffle. At corpus scale the full probe's dominant cost is
+    * shuffling every (query, doc-with-any-query-term) contribution to
+    * its reducer — a stop-word-ish query term drags the whole corpus
+    * through the exchange to compute a top-10. MaxScore cuts exactly
+    * that:
+    *
+    *  1. per-term upper bounds `U(t) = max c(t,·)` aggregate ON the
+    *     term-bucketed postings scan (no exchange — bucketing on tok
+    *     satisfies the (query, tok) clustering);
+    *  2. a LOWER bound θ of the true kth score: the kth-best single
+    *     contribution among the top-impact term's postings (full
+    *     scores only exceed single contributions, so the kth full
+    *     score ≥ this θ) — one bounded window over ONE term's
+    *     postings, and the top-impact term is the highest-idf one,
+    *     i.e. typically the RAREST postings list;
+    *  3. terms sorted by ascending U: the maximal prefix whose
+    *     running ΣU stays STRICTLY below θ is non-essential — a
+    *     document containing only prefix terms scores ≤ that ΣU < θ ≤
+    *     kth score, so it cannot enter the top-k even on tie-breaks
+    *     (strictness is what keeps the (sc desc, id asc) tie contract
+    *     exact);
+    *  4. candidates = docs holding ≥1 essential term; only their
+    *     contribution rows reach the aggregation (candidate set
+    *     broadcast map-side into the probe — the bloom-pruned-join
+    *     shape at sizes past broadcast);
+    *  5. queries with fewer than k docs behind the seed term get no θ
+    *     and degrade soundly to the unpruned probe.
+    *
+    * Everything per-query happens in one DataFrame plan — no driver
+    * loop over queries, no per-query actions.
+    */
+  def topKMaxScore(spark: SparkSession, table: String, queries: DataFrame,
+      idCol: String, k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = graft.CacheRegistry.register(
+      probeContribs(spark, table, queries, k1, b)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // (1) per-(query, term) upper bounds — no exchange on the bucketed scan
+    val u = p.groupBy(col("query_id"), col("tok")).agg(max(col("c")).as("u"))
+    // (2) θ from the single top-impact term's postings
+    val tstar = u.withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("u").desc, col("tok").asc)))
+      .filter(col("rn") === 1).select(col("query_id"), col("tok"))
+    val theta = p.join(broadcast(tstar), Seq("query_id", "tok"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("c").desc, col("id").asc)))
+      .filter(col("rn") === k)
+      .select(col("query_id"), col("c").as("theta"))
+    // (3) ascending-U running sum; essential ⇔ cum ≥ θ (strict <
+    // keeps the prune sound under ties); no θ ⇒ everything essential
+    val ess = u.join(broadcast(theta), Seq("query_id"), "left")
+      .withColumn("cum", sum(col("u")).over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("u").asc, col("tok").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("theta").isNull || col("cum") >= col("theta"))
+      .select(col("query_id"), col("tok"))
+    // (4) candidate docs = ≥1 essential term; prune the probe
+    // MAP-SIDE before the score exchange
+    val cand = p.join(broadcast(ess), Seq("query_id", "tok"))
+      .select(col("query_id"), col("id")).distinct()
+    val scores = p.join(broadcast(cand), Seq("query_id", "id"))
+      .groupBy(col("query_id"), col("id")).agg(sum(col("c")).as("sc"))
+    rankTopK(scores, idCol, k)
   }
 }

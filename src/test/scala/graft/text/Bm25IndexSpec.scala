@@ -43,6 +43,46 @@ class Bm25IndexSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("MaxScore-pruned probe ≡ unpruned probe bit-for-bit on real docs") {
+    val table = "bm25_spec_maxscore"
+    try {
+      val docs = Tables.documents(spark, sf)
+      Bm25Index.ensure(docs, "doc_id", "text", table, 8)
+      val pruned = Bm25Index.topKMaxScore(spark, table, queries, "doc_id",
+        k = 10).orderBy("query_id", "rank").collect().toSeq
+      val full = Bm25Index.topK(spark, table, queries, "doc_id", k = 10)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(pruned === full)
+      assert(pruned.nonEmpty)
+      graft.CacheRegistry.releaseAll()
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("MaxScore stays exact under score ties and a stop-word term") {
+    val table = "bm25_spec_maxscore_ties"
+    try {
+      // "common" sits in EVERY doc (the stop-word whose postings the
+      // prune should keep out of the score shuffle); docs 10-15 are
+      // identical so their scores TIE exactly and only the id
+      // tie-break orders them; "rare" appears in two docs
+      val docs = ((1L to 9L).map(i => (i, s"common filler$i words here")) ++
+        (10L to 15L).map(i => (i, "common tied tied text")) ++
+        Seq((16L, "common rare gem"), (17L, "rare other thing")))
+        .toDF("doc_id", "text")
+      Bm25Index.ensure(docs, "doc_id", "text", table, 4)
+      val qs = Seq(("q1", "common tied"), ("q2", "rare common"),
+        ("q3", "absentword")).toDF("query_id", "qtext")
+      for (k <- Seq(1, 3, 5, 20)) {
+        val pruned = Bm25Index.topKMaxScore(spark, table, qs, "doc_id", k)
+          .orderBy("query_id", "rank").collect().toSeq
+        val full = Bm25Index.topK(spark, table, qs, "doc_id", k)
+          .orderBy("query_id", "rank").collect().toSeq
+        assert(pruned === full, s"k=$k diverged")
+        graft.CacheRegistry.releaseAll()
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("probe plan: postings reach the term join without an exchange") {
     val table = "bm25_spec_plan"
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
