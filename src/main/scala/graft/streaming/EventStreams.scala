@@ -669,6 +669,22 @@ object EventStreams {
       graft.text.Decontaminate.gramSet(col(textCol), n), benchGrams))
   }
 
+  /** Streaming blocklist gate — the ingest twin of the batch
+    * `q_blocklist_gate` rule: drop any arriving document whose
+    * lowercased text contains ≥1 dictionary term. The Aho–Corasick
+    * automaton ([[graft.functions.Blocklist]]) is compiled once on
+    * the driver and rides the generated code as a reference object
+    * (the decontam-gate driver-held-model discipline), so the gate is
+    * one narrow stateless codegen'd filter — no join, no watermark,
+    * no shuffle, no per-batch state — and matches the whole
+    * dictionary in one pass per document at ingest rate.
+    */
+  def blocklistGateStream(docs: DataFrame, textCol: String,
+      dict: Seq[String]): DataFrame =
+    docs.filter(graft.functions.Blocklist
+      .blocklist_hits(lower(col(textCol)), dict)
+      .getField("hits") === 0)
+
   /** Streaming SEMANTIC decontamination gate — the embedding-space
     * twin of [[decontamGateStream]], gating an ingest stream against
     * [[graft.sim.SemanticDecontam]]'s batch verdict: the eval-suite

@@ -398,6 +398,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batchClean)
   }
 
+  test("streaming blocklist gate ≡ batch gate's kept set") {
+    implicit val sqlCtx = spark.sqlContext
+    val dict = Seq("slow", "table scan", "password")
+    val mem = MemoryStream[(Long, String)]
+    val gated = EventStreams.blocklistGateStream(
+      mem.toDF().toDF("doc_id", "text"), "text", dict)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("blocklist_out").start()
+    val docs = Seq(
+      (1L, "a SLOW query crawls"),          // case-folded hit
+      (2L, "full table scan on the fact"),  // phrase hit
+      (3L, "clean fast content here"),
+      (4L, "mypassword123 leaked"),         // substring hit inside a token
+      (5L, "perfectly fine row data"))
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("blocklist_out")
+      .select($"doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(streamed === Set(3L, 5L))
+    // bit-for-bit the batch gate's kept set
+    val batchKept = docs.toDF("doc_id", "text")
+      .filter(graft.functions.Blocklist.blocklist_hits(
+        lower($"text"), dict).getField("hits") === 0)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamed === batchKept)
+  }
+
   test("near-dup gate sink: streamed batches ≡ batch classification, " +
       "idempotent partitions") {
     implicit val sqlCtx = spark.sqlContext

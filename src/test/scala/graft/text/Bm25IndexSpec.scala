@@ -83,6 +83,41 @@ class Bm25IndexSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("MaxScore term bounds aggregate exchange-free on the bucketed postings") {
+    val table = "bm25_spec_ms_plan"
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      Bm25Index.ensure(Tables.documents(spark, sf), "doc_id", "text",
+        table, 8)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = Bm25Index.topKMaxScore(spark, table, queries, "doc_id", k = 5)
+      val plan = df.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      // the per-(query, term) upper-bound aggregate must ride the
+      // postings table's tok-bucketing — its whole subtree (cached
+      // probe scan included) carries no shuffle
+      val uAggs = plan.collect {
+        case h: HashAggregateExec if h.groupingExpressions
+          .map(_.name).toSet == Set("query_id", "tok") => h
+      }
+      assert(uAggs.nonEmpty,
+        s"expected the per-(query,term) bound aggregate:\n$plan")
+      uAggs.foreach { h =>
+        val ex = h.collect { case e: ShuffleExchangeLike => e }
+        assert(ex.isEmpty,
+          s"the term-bound aggregate got an exchange below it:\n$plan")
+      }
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, "no cross products anywhere in the pruned probe")
+      graft.CacheRegistry.releaseAll()
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("probe plan: postings reach the term join without an exchange") {
     val table = "bm25_spec_plan"
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
