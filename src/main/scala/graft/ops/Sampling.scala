@@ -169,6 +169,79 @@ object Sampling {
         col("t.payload").as(keyCol)): _*)
   }
 
+  /** Neyman-optimal allocation of a `total` sample budget across
+    * strata: n_h ∝ N_h·σ_h (Neyman 1934 — minimum-variance stratified
+    * estimation of the metric's mean under a fixed budget). The
+    * survey-sampling way to carve an eval set: strata whose metric
+    * varies more get proportionally more of the budget than sheer
+    * size would give them.
+    *
+    * Determinism across engines: per-stratum moments are EXACT integer
+    * sums (Σx, Σx² — the metric must be integral; at true corpus
+    * scale lift Σx² to decimal), σ_h is one sqrt over those integers,
+    * the weight N_h·σ_h quantizes to integer micro-units so the
+    * denominator is an exact integer sum, and the allocation is pure
+    * integer arithmetic: least(N_h, (total·w_h) div Σw) — floor
+    * division both engines. Zero-variance strata get weight 0 (the
+    * textbook edge: a constant stratum needs one observation for its
+    * mean, which the floor allocation rounds to zero — callers who
+    * need coverage add a floor themselves); n_h = 1 strata have
+    * undefined sample variance and also get σ = 0.
+    *
+    * Scale shape: one partial-aggregated moment shuffle over the
+    * corpus, then strata-sized frames only.
+    */
+  def neymanAlloc(df: DataFrame, strataCol: String, metricCol: String,
+      total: Int): DataFrame = {
+    require(total >= 1)
+    val stats = df.groupBy(col(strataCol)).agg(
+      count(lit(1)).as("n_h"),
+      sum(col(metricCol).cast(LongType)).as("s1"),
+      sum((col(metricCol) * col(metricCol)).cast(LongType)).as("s2"))
+    val nD = col("n_h").cast(DoubleType)
+    val varE = (col("s2").cast(DoubleType) -
+      col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / nD) /
+      (nD - 1.0)
+    val withW = stats
+      .withColumn("sigma",
+        when(col("n_h") > 1, sqrt(varE)).otherwise(lit(0.0)))
+      .withColumn("w", round(nD * col("sigma") * 1e6d).cast(LongType))
+    val wTot = withW.agg(sum(col("w")).as("w_tot"))
+    withW.crossJoin(broadcast(wTot))
+      .withColumn("alloc",
+        when(col("w_tot") > 0,
+          least(col("n_h"),
+            expr(s"(cast($total as bigint) * w) div w_tot")))
+          .otherwise(lit(0L)))
+      .select(col(strataCol), col("n_h"), col("sigma"), col("w"),
+        col("alloc"))
+  }
+
+  /** The allocation applied: each stratum's `alloc` highest rows
+    * under the (hash60 DESC, key ASC) deterministic order — i.e.
+    * [[groupSample]]'s bounded-heap draw with a PER-STRATUM count.
+    * The heap needs one literal bound, so the max allocation collects
+    * to the driver (ONE value off a strata-sized frame — the bounded
+    * scalar class, like the rollup depth); the per-stratum cut then
+    * joins back and trims ranks, so shuffle volume stays
+    * O(partitions·strata·max_alloc) and no per-stratum window ever
+    * sorts the corpus.
+    */
+  def neymanSample(df: DataFrame, keyCol: String, strataCol: String,
+      metricCol: String, total: Int): DataFrame = {
+    requireIntegralKey(df, keyCol, "neymanSample")
+    val alloc = neymanAlloc(df, strataCol, metricCol, total)
+    val nMax = alloc.agg(max(col("alloc"))).head().getLong(0)
+      .max(1L).min(Int.MaxValue.toLong).toInt
+    groupSample(df.select(col(keyCol), col(strataCol)),
+        keyCol, Seq(strataCol), nMax)
+      .join(broadcast(alloc), Seq(strataCol))
+      .filter(col("rnk") <= col("alloc"))
+      .select(col(strataCol), col("n_h"),
+        round(col("sigma"), 6).as("sigma"), col("w"), col("alloc"),
+        col("rnk"), col(keyCol))
+  }
+
   /** Per-source row counts collected to the driver: #sources values —
     * the bounded-model-state class ([[graft.sim.KMeans]] centroids),
     * never corpus-sized. ONE scan of the corpus; every mixture op

@@ -1069,6 +1069,50 @@ private[queries] trait TextCurationQueries extends PipelineSqlBase {
        |FROM r WHERE rnk <= 8""".stripMargin
   }
 
+  /** Neyman-allocation stratified sample: a 400-doc budget split
+    * across sources ∝ N_h·σ_h of document length (n_chars) — the
+    * minimum-variance eval carve (high-variance sources earn more of
+    * the budget than size alone would give), then each stratum's
+    * allocation drawn with the deterministic hash-order heap. Exact
+    * integer moments → one sqrt → integer micro-unit weights →
+    * floor-division allocation: every step cross-engine exact
+    * ([[graft.ops.Sampling.neymanSample]]).
+    */
+  def qNeyman(s: SparkSession, d: String): DataFrame =
+    graft.ops.Sampling.neymanSample(
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+        col("n_chars")),
+      "doc_id", "source", "n_chars", total = 400)
+
+  val qNeymanSql: String = {
+    val hv = graft.ops.Sampling.hash60Sql("cast(doc_id as varchar)")
+    s"""WITH s AS (SELECT source, count(*) AS n_h,
+       |    cast(sum(n_chars) as bigint) AS s1,
+       |    cast(sum(n_chars * n_chars) as bigint) AS s2
+       |  FROM documents GROUP BY source),
+       |v AS (SELECT source, n_h,
+       |    CASE WHEN n_h > 1 THEN sqrt(
+       |      (cast(s2 as double) -
+       |       cast(s1 as double) * cast(s1 as double) / cast(n_h as double))
+       |      / (cast(n_h as double) - 1.0)) ELSE 0.0 END AS sigma
+       |  FROM s),
+       |w2 AS (SELECT source, n_h, sigma,
+       |    cast(round(cast(n_h as double) * sigma * 1000000.0) as bigint) AS w
+       |  FROM v),
+       |wt AS (SELECT cast(sum(w) as bigint) AS w_tot FROM w2),
+       |a AS (SELECT source, n_h, sigma, w,
+       |    CASE WHEN w_tot > 0
+       |      THEN least(n_h, (cast(400 as bigint) * w) // w_tot)
+       |      ELSE cast(0 as bigint) END AS alloc
+       |  FROM w2 CROSS JOIN wt),
+       |r AS (SELECT source, doc_id, row_number() OVER (
+       |    PARTITION BY source ORDER BY $hv DESC, doc_id ASC) AS rnk
+       |  FROM documents)
+       |SELECT a.source, a.n_h, round(a.sigma, 6) AS sigma, a.w, a.alloc,
+       |  cast(r.rnk as bigint) AS rnk, r.doc_id
+       |FROM r JOIN a USING (source) WHERE r.rnk <= a.alloc""".stripMargin
+  }
+
   /** Per-domain token-budget fill: within each source, documents are
     * taken quality-best-first until a 700-token budget is exhausted —
     * how a training mixture is actually cut (a document-count cut
