@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -133,6 +134,58 @@ object AhoCorasick {
 }
 
 object AhoCorasickKernel {
+
+  /** Per-thread scratch for [[termCounts]]: one counts array + one
+    * touched-slot list sized to the automaton's dictionary, allocated
+    * once per (thread, automaton) and reset O(matched terms) per row —
+    * per-row work never scales with DICTIONARY size, only with what
+    * actually matched (a 10⁶-term blocklist costs each row nothing
+    * beyond its own matches).
+    */
+  private val scratch =
+    new ThreadLocal[(AhoCorasick, Array[Int], Array[Int])]
+
+  /** `array<struct(term, cnt)>` over one document — the matched
+    * dictionary terms (ids ascending) with their occurrence counts;
+    * unmatched terms are absent. The attribution variant of [[scan]]
+    * (which terms fire, which are dead weight).
+    */
+  def termCounts(s: UTF8String, ac: AhoCorasick): ArrayData = {
+    var st = scratch.get
+    if (st == null || (st._1 ne ac)) {
+      st = (ac, new Array[Int](ac.nTerms), new Array[Int](ac.nTerms))
+      scratch.set(st)
+    }
+    val cnts = st._2
+    val touched = st._3
+    var nTouched = 0
+    var state = 0
+    val n = s.numBytes()
+    var i = 0
+    while (i < n) {
+      state = ac.step(state, s.getByte(i))
+      val ts = ac.outTerms(state)
+      var j = 0
+      while (j < ts.length) {
+        val t = ts(j)
+        if (cnts(t) == 0) { touched(nTouched) = t; nTouched += 1 }
+        cnts(t) += 1
+        j += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(touched, 0, nTouched)
+    val out = new Array[Any](nTouched)
+    var k = 0
+    while (k < nTouched) {
+      val t = touched(k)
+      out(k) = new GenericInternalRow(Array[Any](t, cnts(t)))
+      cnts(t) = 0
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** `struct(hits, terms)` over one document: every (term, end
     * position) occurrence counted, plus how many DISTINCT dictionary
     * terms appear at least once. Per-row transient state is one bitset
@@ -201,8 +254,47 @@ case class BlocklistHitsExpr(child: Expression, dict: Seq[String])
     copy(child = newChild)
 }
 
+/** `array<struct(term int, cnt int)>` of matched dictionary terms
+  * (ids ascending, unmatched absent) — the per-term attribution
+  * variant of [[BlocklistHitsExpr]], same reference-object codegen
+  * shape.
+  */
+case class BlocklistTermCountsExpr(child: Expression, dict: Seq[String])
+    extends UnaryExpression {
+
+  @transient private lazy val auto = AhoCorasick.build(dict)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"blocklist_term_counts requires string, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", IntegerType, nullable = false),
+    StructField("cnt", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(s: Any): Any =
+    AhoCorasickKernel.termCounts(s.asInstanceOf[UTF8String], auto)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("acAuto", auto,
+      classOf[AhoCorasick].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.AhoCorasickKernel.termCounts($s, $acRef);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BlocklistTermCountsExpr = copy(child = newChild)
+}
+
 object Blocklist {
   /** Dictionary screen over a text column: `struct(hits, terms)`. */
   def blocklist_hits(text: Column, dict: Seq[String]): Column =
     Bridge.toColumn(BlocklistHitsExpr(Bridge.toExpression(text), dict))
+
+  /** Matched terms with occurrence counts: `array<struct(term, cnt)>`. */
+  def blocklist_term_counts(text: Column, dict: Seq[String]): Column =
+    Bridge.toColumn(BlocklistTermCountsExpr(Bridge.toExpression(text), dict))
 }

@@ -2157,4 +2157,46 @@ private[queries] trait TextCurationQueries extends PipelineSqlBase {
        |    count(*), 6) AS pct_kept
        |FROM h GROUP BY source""".stripMargin
   }
+
+  /** Per-TERM blocklist attribution — which dictionary terms fire
+    * (doc reach + occurrence mass) and which are dead weight, the
+    * report that keeps a production blocklist curated. The kernel's
+    * attribution variant emits only the MATCHED terms per document
+    * (per-row work scales with matches, never with dictionary size —
+    * thread-local scratch, O(matched) reset), then one explode + one
+    * agg shuffle keyed by term id; zero-hit terms re-enter via a
+    * broadcast right-join against the literal dictionary frame.
+    */
+  def qBlocklistTerms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = Tables.documents(s, d)
+      .select(explode(graft.functions.Blocklist
+        .blocklist_term_counts(lower(col("text")), blockTerms)).as("t"))
+      .select(col("t.term").as("term_id"), col("t.cnt").as("cnt"))
+      .groupBy(col("term_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("cnt").cast(LongType)).as("n_hits"))
+    blockTerms.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("term_id", "term")
+      .join(agg, Seq("term_id"), "left")
+      .select(col("term_id"), col("term"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  val qBlocklistTermsSql: String = {
+    def esc(t: String) = t.replace("'", "''")
+    val branches = blockTerms.zipWithIndex.map { case (t, i) =>
+      s"""SELECT $i AS term_id, '${esc(t)}' AS term,
+         |  (len(tl) - len(replace(tl, '${esc(t)}', ''))) // ${t.length} AS cnt
+         |FROM t""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH t AS (SELECT lower(text) AS tl FROM documents),
+       |u AS (
+       |  $branches)
+       |SELECT term_id, term,
+       |  cast(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) as bigint) AS n_docs,
+       |  cast(sum(cnt) as bigint) AS n_hits
+       |FROM u GROUP BY term_id, term""".stripMargin
+  }
 }

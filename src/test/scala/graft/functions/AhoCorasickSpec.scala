@@ -59,6 +59,33 @@ class AhoCorasickSpec extends SparkSpec {
     assert(run(texts, dict) == texts.map(naive(_, dict)))
   }
 
+  test("term-count attribution ≡ per-term brute force; scratch reuse across rows and dicts") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "abc"
+    def word(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    val dict = (Seq("a", "ab", "ba", "aa") ++
+      Seq.fill(8)(word(1 + rnd.nextInt(4)))).distinct
+    val texts = "" +: Seq.fill(40)(word(rnd.nextInt(120)))
+    val got = texts.toDF("t")
+      .select(Blocklist.blocklist_term_counts(col("t"), dict).as("a"))
+      .collect().toSeq.map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getInt(0), r.getInt(1))).toSeq)
+    val want = texts.map { tx =>
+      dict.zipWithIndex.flatMap { case (t, i) =>
+        val c = (0 to tx.length - t.length).count(j => tx.startsWith(t, j))
+        if (c > 0) Some((i, c)) else None
+      }.sortBy(_._1).toSeq
+    }
+    assert(got == want)
+    // a second dictionary in the same thread re-keys the scratch
+    val got2 = Seq("abab").toDF("t")
+      .select(Blocklist.blocklist_term_counts(col("t"),
+        Seq("ab", "zz")).as("a"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got2 == Seq((0, 2)))
+  }
+
   test("null text degrades to null; empty dictionary is rejected") {
     val out = Seq("x").toDF("t")
       .withColumn("t", when(lit(false), col("t")))
