@@ -75,4 +75,36 @@ object Triangles {
     tris.select(explode(array(col("a"), col("b1"), col("b2"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Local clustering coefficient per node: 2·tri(v) / (deg(v)·(deg(v)−1))
+    * over the canonicalized simple graph — the per-node community-density
+    * readout built on [[perNode]]'s triangle counts. Emits every node of
+    * degree ≥ 2 (where the coefficient is defined), with nodes that close
+    * no triangle at coefficient 0 — so the output is the full denominator
+    * population, not just the triangle-dense survivors.
+    *
+    * Scale shape: adds ONE degree aggregate and one left join to
+    * [[perNode]]'s O(m^1.5)-bounded count; the join key is the node id,
+    * so it shuffles node-cardinality frames only (the wedge fan-out never
+    * re-materializes). The coefficient arithmetic is
+    * (2·n_tri) / (deg·(deg−1)) in doubles, rounded to 6 dp — the exact
+    * operation order the DuckDB oracle mirrors.
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("id"))
+      .unionAll(canon.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val nt = coalesce(col("n_tri"), lit(0L))
+    deg.filter(col("deg") >= 2)
+      .join(perNode(edges), Seq("id"), "left_outer")
+      .select(col("id"), col("deg"), nt.as("n_tri"),
+        round(nt.cast("double") * 2.0d /
+          (col("deg").cast("double") * (col("deg").cast("double") - 1.0d)),
+          6).as("coef"))
+  }
 }

@@ -1327,6 +1327,131 @@ private[queries] trait ExperimentStoreQueries extends MultimodalQueries {
       |    CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE))), 6) AS ks_d
       |FROM cdf GROUP BY 1""".stripMargin
 
+  /** One-sided CUSUM change-point detection per event type
+    * ([[graft.ops.ChangePoint]], Page 1954): κ = σ/2 allowance,
+    * h = 4σ decision interval over the daily milli-unit mean series,
+    * with a +20.0 level shift PLANTED on days ≥ 2024-01-21 (the same
+    * plant-and-replay pattern as q_token_drift) — the sequential
+    * monitor must alarm shortly after the shift, and the oracle's
+    * recursive CTE replays the identical recursion bit-for-bit, so
+    * the alarm DAY itself is hash-gated, not just the summary. The
+    * corpus reduces via one (type, day) map-combined aggregate;
+    * the recursion folds day-range-bounded arrays in a codegen'd
+    * higher-order `aggregate` — no iterative jobs, no driver loop.
+    */
+  def qCusum(s: SparkSession, d: String): DataFrame = {
+    val shifted = Tables.events(s, d)
+      .withColumn("value2", col("value") +
+        when(to_date(col("ts")) >= lit("2024-01-21").cast(DateType),
+          20.0d).otherwise(0.0d))
+    graft.ops.ChangePoint.cusum(
+      graft.ops.ChangePoint.dailyMilliMean(
+        shifted, "event_type", "ts", "value2"),
+      "event_type")
+  }
+
+  val qCusumSql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT event_type, cast(ts as date) AS day,
+      |    cast(round((value + CASE WHEN cast(ts as date) >= DATE '2024-01-21'
+      |      THEN 20.0 ELSE 0.0 END) * 1000.0) as bigint) AS v
+      |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+      |daily AS (
+      |  SELECT event_type, day,
+      |    cast(round(cast(sum(v) as double) / cast(count(*) as double))
+      |      as bigint) AS m
+      |  FROM ev GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, count(*) AS n_days,
+      |    cast(sum(m) as double) / cast(count(*) as double) AS mu,
+      |    sqrt(greatest(0.0,
+      |      cast(sum(m * m) as double) / cast(count(*) as double) -
+      |      (cast(sum(m) as double) / cast(count(*) as double)) *
+      |      (cast(sum(m) as double) / cast(count(*) as double)))) AS sigma
+      |  FROM daily GROUP BY 1),
+      |o AS (
+      |  SELECT event_type, day, m,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM daily),
+      |r AS (
+      |  SELECT o.event_type, o.rn, o.day,
+      |    greatest(0.0, 0.0 + ((cast(o.m as double) - st.mu) -
+      |      st.sigma * 0.5)) AS s
+      |  FROM o JOIN st USING (event_type) WHERE o.rn = 1
+      |  UNION ALL
+      |  SELECT o.event_type, o.rn, o.day,
+      |    greatest(0.0, r.s + ((cast(o.m as double) - st.mu) -
+      |      st.sigma * 0.5))
+      |  FROM r JOIN o ON o.event_type = r.event_type AND o.rn = r.rn + 1
+      |    JOIN st ON st.event_type = r.event_type)
+      |SELECT st.event_type, cast(st.n_days as bigint) AS n_days,
+      |  round(st.mu, 6) AS mu, round(st.sigma, 6) AS sigma,
+      |  round(max(r.s), 6) AS max_s,
+      |  strftime(min(r.day) FILTER (WHERE r.s > st.sigma * 4.0),
+      |    '%Y-%m-%d') AS first_alarm,
+      |  cast(count(*) FILTER (WHERE r.s > st.sigma * 4.0) as bigint)
+      |    AS n_alarms
+      |FROM r JOIN st USING (event_type)
+      |GROUP BY st.event_type, st.n_days, st.mu, st.sigma""".stripMargin
+
+  /** Poisson-bootstrap CI for mean document length per source
+    * ([[graft.ops.Bootstrap.meanCi]], B = 64 replicates) — the error
+    * bar a pipeline should publish next to every corpus point estimate
+    * (a 1%-of-budget source's mean can swing wildly; the CI says by
+    * how much). Each row's replicate-b multiplicity is the inverse
+    * Poisson(1) CDF of its hash coordinate at key "doc_id:b" — the
+    * single-pass, shardable form of resampling-with-replacement — so
+    * the whole bootstrap is one B-way row expansion into one
+    * map-combined aggregate: shuffle volume sources×64 regardless of
+    * corpus size, and every count, replicate sum, and order statistic
+    * is a pure function of the data, replayed exactly by the oracle
+    * (CDF breakpoints are shared 6-dp literals). CI bounds are the
+    * 2nd/63rd order statistics of the replicate means (~2.5%/97.5%).
+    */
+  def qBootstrapCi(s: SparkSession, d: String): DataFrame =
+    graft.ops.Bootstrap.meanCi(
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+        col("n_chars")),
+      keyCol = "doc_id", groupCol = "source", valueCol = "n_chars")
+
+  val qBootstrapCiSql: String = {
+    val u = graft.ops.Sampling.coordinateSql(
+      "cast(doc_id as varchar) || ':' || cast(b as varchar)")
+    val c = graft.ops.Bootstrap.poissonCountSql("u")
+    s"""WITH reps AS (
+       |  SELECT d.source, d.n_chars, b.b, $u AS u
+       |  FROM documents d
+       |  CROSS JOIN (SELECT unnest(range(64)) AS b) b),
+       |cnt AS (SELECT source, n_chars, b, $c AS c FROM reps),
+       |g AS (
+       |  SELECT source, b,
+       |    cast(sum(cast(c as bigint) * n_chars) as bigint) AS scx,
+       |    cast(sum(c) as bigint) AS sc
+       |  FROM cnt GROUP BY 1, 2),
+       |m AS (
+       |  SELECT source, b,
+       |    round(cast(scx as double) / cast(sc as double), 6) AS mean
+       |  FROM g WHERE sc > 0),
+       |r AS (
+       |  SELECT source, b, mean,
+       |    cast(row_number() OVER (PARTITION BY source
+       |      ORDER BY mean, b) as bigint) AS rn,
+       |    cast(count(*) OVER (PARTITION BY source) as bigint) AS cnt
+       |  FROM m),
+       |ci AS (
+       |  SELECT source, max(cnt) AS n_boot,
+       |    max(CASE WHEN rn = 2 THEN mean END) AS ci_lo,
+       |    max(CASE WHEN rn = cnt - 1 THEN mean END) AS ci_hi
+       |  FROM r GROUP BY 1),
+       |f AS (
+       |  SELECT source,
+       |    round(cast(cast(sum(n_chars) as bigint) as double) /
+       |      cast(count(*) as double), 6) AS mean_n_chars
+       |  FROM documents GROUP BY 1)
+       |SELECT f.source, f.mean_n_chars, ci.n_boot, ci.ci_lo, ci.ci_hi
+       |FROM f JOIN ci USING (source)""".stripMargin
+  }
+
   /** Herfindahl–Hirschman concentration of the corpus: per language,
     * the sum of squared source shares of total characters — the
     * "is this slice dominated by one domain" number that decides

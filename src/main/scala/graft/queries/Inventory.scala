@@ -828,6 +828,81 @@ object Inventory {
       |FROM dev JOIN mad USING (event_type)
       |GROUP BY 1""".stripMargin
 
+  /** Benford first-significant-digit audit over lineitem prices — the
+    * fabricated-data screen that complements [[qDqReport]]'s rule checks
+    * and [[qOutlierMad]]'s robust outliers: naturally-occurring
+    * multi-magnitude amounts follow P(d) = log10(1+1/d); synthetic or
+    * tampered feeds don't. Emits per-digit observed vs expected shares
+    * and the chi-square contribution (the digits whose deviation drives
+    * the statistic are the audit trail, not just the scalar).
+    *
+    * Cross-engine exactness: the value is quantized to integer cents
+    * (`round(x·100)` — exact for money-like doubles), the digit read
+    * from the integer's decimal string (no log10 at magnitude
+    * boundaries, where floor(log10(1000)) is representation-dependent),
+    * and the Benford expectations are 6-dp literals baked from ONE
+    * Scala constant list into both engines. All remaining arithmetic is
+    * identically-ordered IEEE doubles → hash-stable.
+    *
+    * Scale shape: one narrow projection + one 9-key hash aggregate
+    * (map-side combined); the literal digit frame joins broadcast; the
+    * total is a window over the 9-row frame. Nothing after the scan is
+    * corpus-sized.
+    */
+  def qBenford(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val expected = benfordExpected.toDF("digit", "exp_p")
+    val counts = Tables.lineitem(s, d)
+      .filter(col("l_extendedprice") > 0.0d)
+      .select(substring(round(col("l_extendedprice") * 100.0d)
+          .cast(LongType).cast(StringType), 1, 1)
+        .cast(LongType).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val j = expected.join(counts, Seq("digit"), "left_outer")
+      .select(col("digit"), col("exp_p"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("total", sum(col("n")).over(all))
+    val nD = col("n").cast(DoubleType)
+    val expN = col("exp_p") * col("total").cast(DoubleType)
+    j.select(col("digit"), col("n"),
+      round(nD / col("total").cast(DoubleType), 6).as("obs_p"),
+      col("exp_p"),
+      round((nD - expN) * (nD - expN) / expN, 6).as("chi2_term"))
+  }
+
+  /** P(first digit = d) = log10(1+1/d), 6-dp — the single source both
+    * the Spark literal frame and the oracle VALUES list print from.
+    */
+  private val benfordExpected: Seq[(Long, Double)] =
+    (1 to 9).map(dg =>
+      (dg.toLong, math.rint(math.log10(1.0 + 1.0 / dg) * 1e6) / 1e6))
+
+  val qBenfordSql: String = {
+    val values = benfordExpected.map { case (dg, p) =>
+      f"($dg, cast($p%.6f as double))"
+    }.mkString(", ")
+    s"""WITH ben(digit, exp_p) AS (VALUES $values),
+       |c AS (
+       |  SELECT cast(substr(cast(cast(round(l_extendedprice * 100.0)
+       |      as bigint) as varchar), 1, 1) as bigint) AS digit,
+       |    count(*) AS n
+       |  FROM lineitem WHERE l_extendedprice > 0.0 GROUP BY 1),
+       |j AS (
+       |  SELECT cast(b.digit as bigint) AS digit, b.exp_p,
+       |    cast(coalesce(c.n, 0) as bigint) AS n
+       |  FROM ben b LEFT JOIN c ON b.digit = c.digit),
+       |t AS (SELECT digit, exp_p, n,
+       |        cast(sum(n) OVER () as bigint) AS total FROM j)
+       |SELECT digit, n,
+       |  round(cast(n as double) / cast(total as double), 6) AS obs_p,
+       |  exp_p,
+       |  round((cast(n as double) - exp_p * cast(total as double)) *
+       |        (cast(n as double) - exp_p * cast(total as double)) /
+       |        (exp_p * cast(total as double)), 6) AS chi2_term
+       |FROM t""".stripMargin
+  }
+
   /** Trailing 7-day rolling aggregate via a RANGE window frame — the
     * time-based frame (distinct from the ROWS frames elsewhere in the
     * inventory: RANGE bounds select by ORDER-BY VALUE distance, so
@@ -1621,6 +1696,7 @@ object Inventory {
     ("q_rollup_sets", qRollupSets _, Some(qRollupSetsSql)),
     ("q_incr_agg", qIncrAgg _, Some(qIncrAggSql)),
     ("q_dq_report", qDqReport _, Some(qDqReportSql)),
-    ("q_outlier_mad", qOutlierMad _, Some(qOutlierMadSql))) ++
+    ("q_outlier_mad", qOutlierMad _, Some(qOutlierMadSql)),
+    ("q_benford", qBenford _, Some(qBenfordSql))) ++
     PipelineQueries.entries
 }

@@ -1100,6 +1100,52 @@ private[queries] trait SimilarityGraphQueries extends DedupQueries {
       |      SELECT y FROM t UNION ALL SELECT z FROM t)
       |SELECT id AS part, count(*) AS n_tri FROM n GROUP BY 1""".stripMargin
 
+  /** Local clustering coefficient per part over the same ¼-bounded
+    * co-purchase graph as [[qTriangles]]: 2·tri/(deg·(deg−1)) for every
+    * node of degree ≥ 2 — the per-node community-density readout (a
+    * high-coefficient part sits inside a tight co-purchase clique; a
+    * hub with coefficient ≈ 0 bridges unrelated baskets). Spark runs
+    * [[graft.ops.Triangles.clusteringCoefficient]] (degree-ordered
+    * compact-forward counts + one degree aggregate + one node-keyed
+    * left join — the wedge fan-out stays O(m^1.5)); the oracle
+    * brute-forces the same triangles three-way and recomputes the same
+    * double arithmetic, so both the counts AND the coefficient
+    * rounding are pinned.
+    */
+  def qClusteringCoef(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = l.alias("a").join(l.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    graft.ops.Triangles.clusteringCoefficient(edges)
+      .select(col("id").as("part"), col("deg"), col("n_tri"), col("coef"))
+  }
+
+  val qClusteringCoefSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
+      |e AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (
+      |  SELECT id, count(*) AS deg FROM (
+      |    SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      |t AS (
+      |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |n AS (SELECT x AS id FROM t UNION ALL
+      |      SELECT y FROM t UNION ALL SELECT z FROM t),
+      |tc AS (SELECT id, count(*) AS n_tri FROM n GROUP BY 1)
+      |SELECT d.id AS part, d.deg, coalesce(tc.n_tri, 0) AS n_tri,
+      |  round(cast(coalesce(tc.n_tri, 0) as double) * 2.0 /
+      |    (cast(d.deg as double) * (cast(d.deg as double) - 1.0)), 6) AS coef
+      |FROM deg d LEFT JOIN tc USING (id) WHERE d.deg >= 2""".stripMargin
+
   /** Fuzzy self-join of part names within Levenshtein distance 2 via
     * deletion-neighborhood blocking (FastSS/SymSpell) — candidates
     * from an equi-join on shared ≤2-deletion variants, verified by

@@ -1224,6 +1224,90 @@ private[queries] trait TextCurationQueries extends PipelineSqlBase {
        |  round(cast(sum(y) as double) / count(*), 6) AS pos_rate
        |FROM clf GROUP BY 1""".stripMargin
 
+  /** ROC-AUC of the trained scorer ([[qClassifier]]'s exact 10-round
+    * trajectory) against its training label — the one-number ranking
+    * audit next to [[qCalibration]]'s reliability bins: calibration
+    * says the probabilities are honest, AUC says the ORDERING separates
+    * classes (a miscalibrated-but-high-AUC scorer is rescuable by
+    * thresholding; a low-AUC one is not). Computed by the tie-aware
+    * Mann–Whitney rank statistic over the score-quantization-bounded
+    * aggregate ([[graft.ops.RankMetrics.binaryAuc]]) — no global row
+    * sort at any scale. The oracle replays training AND the same exact
+    * 2R-integer rank arithmetic, so the single emitted double is pinned
+    * to the last ulp.
+    */
+  def qAuc(s: SparkSession, d: String): DataFrame = {
+    val scored = graft.text.QualityClassifier.fitScore(
+      Tables.documents(s, d), col("text"),
+      (TextAnalysis.qualityScore(col("text")) >= 0.65).cast(IntegerType),
+      keep = Seq(col("doc_id")))
+    graft.ops.RankMetrics.binaryAuc(scored, col("score"), col("y"))
+  }
+
+  lazy val qAucSql: String =
+    s"""WITH clf AS (
+       |$qClassifierSql),
+       |g AS (SELECT score, count(*) AS n, cast(sum(y) as bigint) AS p
+       |      FROM clf GROUP BY 1),
+       |r AS (SELECT p, n,
+       |        coalesce(sum(n) OVER (ORDER BY score
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS cumb
+       |      FROM g),
+       |a AS (SELECT cast(sum(p * (cumb * 2 + n + 1)) as bigint) AS r2,
+       |        cast(sum(p) as bigint) AS n_pos,
+       |        cast(sum(n - p) as bigint) AS n_neg
+       |      FROM r)
+       |SELECT n_pos, n_neg,
+       |  round(cast(r2 - n_pos * (n_pos + 1) as double) /
+       |    cast(n_pos * n_neg * 2 as double), 6) AS auc,
+       |  round(cast(r2 - n_pos * (n_pos + 1) as double) /
+       |    cast(n_pos * n_neg as double) - 1.0, 6) AS gini
+       |FROM a""".stripMargin
+
+  /** Average precision (PR-AUC) of the trained scorer — the
+    * imbalance-honest companion to [[qAuc]]: ROC-AUC stays high when
+    * the positive class is rare and the ranking merely avoids
+    * catastrophe; AP weights every step by precision at that recall,
+    * which is what a curation gate actually trades on. Distinct-score
+    * threshold granularity (sklearn step-sum semantics — a threshold
+    * cannot split a tied group), computed over the same
+    * score-quantization-bounded frame as [[qAuc]] with nano-unit
+    * exact summation ([[graft.ops.RankMetrics.averagePrecision]]).
+    */
+  def qPrAuc(s: SparkSession, d: String): DataFrame = {
+    val scored = graft.text.QualityClassifier.fitScore(
+      Tables.documents(s, d), col("text"),
+      (TextAnalysis.qualityScore(col("text")) >= 0.65).cast(IntegerType),
+      keep = Seq(col("doc_id")))
+    graft.ops.RankMetrics.averagePrecision(scored, col("score"), col("y"))
+  }
+
+  lazy val qPrAucSql: String =
+    s"""WITH clf AS (
+       |$qClassifierSql),
+       |g AS (SELECT score, count(*) AS n, cast(sum(y) as bigint) AS p
+       |      FROM clf GROUP BY 1),
+       |c AS (SELECT p, n,
+       |        sum(p) OVER (ORDER BY score DESC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          AS cum_tp,
+       |        sum(n) OVER (ORDER BY score DESC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          AS cum_n,
+       |        sum(p) OVER () AS tot_p,
+       |        sum(n) OVER () AS tot_n
+       |      FROM g),
+       |t AS (SELECT tot_p, tot_n,
+       |        cast(round(cast(p as double) / cast(tot_p as double) *
+       |          (cast(cum_tp as double) / cast(cum_n as double)) *
+       |          1000000000.0) as bigint) AS nano
+       |      FROM c)
+       |SELECT cast(max(tot_p) as bigint) AS n_pos,
+       |  cast(max(tot_n - tot_p) as bigint) AS n_neg,
+       |  round(cast(sum(nano) as double) / 1000000000.0, 6) AS ap
+       |FROM t""".stripMargin
+
   /** Token-distribution drift — the JSD complement of [[qDrift]]'s
     * per-feature histogram drift: per-token Jensen–Shannon divergence
     * contributions between the accepted corpus and a drifted snapshot

@@ -52,4 +52,41 @@ class TrianglesSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(count(edges: _*) === brute)
   }
+
+  private def coef(edges: (Long, Long)*): Map[Long, (Long, Long, Double)] =
+    Triangles.clusteringCoefficient(edges.toSeq.toDF("src", "dst"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, d, t, c) => id -> (d, t, c) }.toMap
+
+  test("clustering coefficient: triangle = 1.0 everywhere") {
+    assert(coef((1L, 2L), (2L, 3L), (3L, 1L)) ===
+      Map(1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)),
+        3L -> ((2L, 1L, 1.0))))
+  }
+
+  test("clustering coefficient: star hub is 0; pendants excluded") {
+    // hub deg 4, no closed wedges; leaves have deg 1 (undefined, absent)
+    assert(coef((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)) ===
+      Map(1L -> ((4L, 0L, 0.0))))
+  }
+
+  test("clustering coefficient: triangle + pendant dilutes one vertex") {
+    // vertex 3 has deg 3 (2 triangle edges + pendant), 1 triangle:
+    // 2*1/(3*2) = 0.333333; pendant vertex 9 deg 1 → absent
+    val out = coef((1L, 2L), (2L, 3L), (3L, 1L), (3L, 9L))
+    assert(out(3L) === ((3L, 1L, 0.333333)))
+    assert(out(1L) === ((2L, 1L, 1.0)))
+    assert(!out.contains(9L))
+  }
+
+  test("clustering coefficient: K4 is 1.0; deg-2 bridge closes nothing") {
+    // K4 plus a path 4-5-6: vertex 5 deg 2 with no triangle → 0.0
+    val out = coef((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(out(1L) === ((3L, 3L, 1.0)))
+    // vertex 4: deg 4 (K4 + bridge), 3 triangles: 6/(4*3) = 0.5
+    assert(out(4L) === ((4L, 3L, 0.5)))
+    assert(out(5L) === ((2L, 0L, 0.0)))
+    assert(!out.contains(6L))
+  }
 }
