@@ -1,0 +1,365 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-14 statistical / mining extensions: grouped OLS, Gini
+  * concentration, Kaplan–Meier survival, sequential 2-patterns,
+  * difference-in-differences, Fellegi–Sunter record linkage, and the
+  * HyperBall HLL neighborhood function. Each pairs a Spark-first
+  * operator (graft.ops / graft.sketch) with an
+  * operation-for-operation DuckDB replay.
+  */
+private[queries] trait StatsExtQueries extends KnnReleaseQueries {
+
+  // ---------------------------------------------------------------
+  // q_ols_group — per-returnflag OLS of extended price on quantity
+  // ---------------------------------------------------------------
+
+  /** Grouped least-squares trend: price-on-quantity fit per return
+    * flag — slope/intercept/r² from one exact-integer moment
+    * aggregate (graft.ops.Regression's closed forms).
+    */
+  def qOlsGroup(s: SparkSession, d: String): DataFrame =
+    graft.ops.Regression.olsByGroup(
+      Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+        round(col("l_quantity") * 100).cast(LongType).as("x"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("y")),
+      Seq("flag"), col("x"), col("y"))
+
+  val qOlsGroupSql: String =
+    s"""WITH src AS (
+       |  SELECT l_returnflag AS flag,
+       |    cast(round(l_quantity * 100) as bigint) AS x,
+       |    cast(round(l_extendedprice * 100) as bigint) AS y
+       |  FROM lineitem),
+       |${graft.ops.Regression.olsOracleSql("src", Seq("flag"))}
+       |SELECT flag, n, slope, intercept, r2 FROM ols""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_gini — per-nation Gini concentration of order revenue
+  // ---------------------------------------------------------------
+
+  /** Revenue-concentration audit: the per-nation Gini coefficient of
+    * order totals (graft.ops.Inequality) — "is this market served by
+    * a few whale orders?", the corpus analogue being domain
+    * concentration before a training mix is balanced.
+    */
+  def qGini(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("grp"),
+        round(col("o_totalprice") * 100).cast(LongType).as("x"),
+        col("o_orderkey").as("tie"))
+    graft.ops.Inequality.gini(src, Seq("grp"), col("x"), col("tie"))
+  }
+
+  val qGiniSql: String =
+    s"""WITH src AS (
+       |  SELECT n_name AS grp,
+       |    cast(round(o_totalprice * 100) as bigint) AS x,
+       |    o_orderkey AS tie
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey),
+       |${graft.ops.Inequality.giniOracleSql("src", Seq("grp"))}
+       |SELECT grp, n, total, gini FROM gini""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_kaplan_meier — per-cohort KM survival over user lifetimes
+  // ---------------------------------------------------------------
+
+  /** User-lifetime survival per acquisition cohort (cohort = the
+    * user's FIRST event type): duration = days between first and last
+    * event, right-censored when the user was still active in the
+    * final 7 days of the observation window. Date-grained end-to-end
+    * — day truncation is identical across engines regardless of the
+    * parquet timestamp precision. See [[graft.ops.Survival]] for the
+    * quantized-product determinism contract.
+    */
+  def qKaplanMeier(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val per = ev
+      .withColumn("cohort", first(col("event_type")).over(w))
+      .groupBy(col("user_id"), col("cohort"))
+      .agg(min(to_date(col("ts"))).as("mn"), max(to_date(col("ts"))).as("mx"))
+    val gmax = ev.agg(max(to_date(col("ts"))).as("gmx"))
+    val durs = per.crossJoin(broadcast(gmax))
+      .select(col("cohort"),
+        datediff(col("mx"), col("mn")).cast(LongType).as("dur"),
+        (datediff(col("gmx"), col("mx")) >= 7).as("observed"))
+    graft.ops.Survival.kaplanMeier(durs, "cohort", "dur", "observed")
+  }
+
+  val qKaplanMeierSql: String =
+    """WITH firsts AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS rn
+      |  FROM events),
+      |coh AS (SELECT user_id, event_type AS cohort FROM firsts WHERE rn = 1),
+      |spans AS (
+      |  SELECT user_id, cast(min(ts) as date) AS mn,
+      |    cast(max(ts) as date) AS mx
+      |  FROM events GROUP BY 1),
+      |per AS (
+      |  SELECT s.user_id, c.cohort, s.mn, s.mx
+      |  FROM spans s JOIN coh c USING (user_id)),
+      |gmax AS (SELECT cast(max(ts) as date) AS gmx FROM events),
+      |durs AS (
+      |  SELECT cohort, date_diff('day', mn, mx) AS dur,
+      |    date_diff('day', mx, gmx) >= 7 AS observed
+      |  FROM per CROSS JOIN gmax),
+      |lt AS (
+      |  SELECT cohort, cast(dur as bigint) AS t,
+      |    cast(sum(CASE WHEN observed THEN 1 ELSE 0 END) as bigint) AS d,
+      |    cast(sum(CASE WHEN observed THEN 0 ELSE 1 END) as bigint) AS c
+      |  FROM durs GROUP BY 1, 2),
+      |risk AS (
+      |  SELECT cohort, t, d, c,
+      |    cast(sum(d + c) OVER (PARTITION BY cohort ORDER BY t DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+      |      AS n_risk
+      |  FROM lt),
+      |-- the KM product replays the PPM fold on (n, n−d) pairs packed
+      |-- into one bigint (n·2³¹ + (n−d), exact in a double for
+      |-- n < 2²² — oracle-side bound only; the engine folds structs)
+      |packed AS (
+      |  SELECT cohort, t, d, c, n_risk,
+      |    n_risk * 2147483648 + (n_risk - d) AS e,
+      |    row_number() OVER (PARTITION BY cohort ORDER BY t) AS pos
+      |  FROM risk),
+      |lists AS (
+      |  SELECT cohort, list(e ORDER BY t) AS vs FROM packed GROUP BY 1)
+      |SELECT p.cohort, p.t, p.n_risk, p.d, p.c,
+      |  round(list_reduce(
+      |    list_prepend(cast(1000000 as double),
+      |      cast(list_slice(l.vs, 1, p.pos) as double[])),
+      |    (acc, e) -> round(acc * (e % 2147483648) / (e // 2147483648)))
+      |    / 1000000, 6) AS surv
+      |FROM packed p JOIN lists l USING (cohort)""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_seq2 — gap-allowed sequential 2-patterns over user journeys
+  // ---------------------------------------------------------------
+
+  /** Sequential pattern support: which event type RELIABLY precedes
+    * which (any gap) across users — see [[graft.ops.SeqMining]] for
+    * the min/max-span linearization.
+    */
+  def qSeq2(s: SparkSession, d: String): DataFrame =
+    graft.ops.SeqMining.patterns2(Tables.events(s, d),
+      "user_id", "ts", "event_type", minSupport = 5L)
+
+  val qSeq2Sql: String =
+    s"""WITH src AS (SELECT user_id AS e, event_type AS ty, ts FROM events),
+       |${graft.ops.SeqMining.patterns2OracleSql("src", 5L)}
+       |SELECT a, b, n_ab, n_a, n_b, n_entities, conf, lift FROM pat"""
+      .stripMargin
+
+  /** Length-3 sequential patterns (repeats allowed) with
+    * prefix-extension confidence — the PrefixSpan step beyond
+    * [[qSeq2]], linearized by the b*-witness trick
+    * ([[graft.ops.SeqMining.patterns3]]).
+    */
+  def qSeq3(s: SparkSession, d: String): DataFrame =
+    graft.ops.SeqMining.patterns3(Tables.events(s, d),
+      "user_id", "ts", "event_type", minSupport = 5L)
+
+  val qSeq3Sql: String =
+    s"""WITH src AS (SELECT user_id AS e, event_type AS ty, ts FROM events),
+       |${graft.ops.SeqMining.patterns3OracleSql("src", 5L)}
+       |SELECT a, b, c, n_abc, n_ab, conf FROM pat3""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_did — difference-in-differences A/B readout
+  // ---------------------------------------------------------------
+
+  /** Two-period DiD over events: variant = user parity, period split
+    * at 2024-01-16 (the q_cuped cut); cell means from exact
+    * decimal(38,0) cent sums, the DiD contrast computed on the raw
+    * double means and round(·,6)-ed once. One scan, one 4-cell
+    * aggregate — nothing at corpus scale survives past the first
+    * combine.
+    */
+  def qDid(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cut = lit("2024-01-16").cast("timestamp")
+    val cells = Tables.events(s, d)
+      .select((col("user_id") % 2 === 1).as("treat"),
+        (col("ts") >= cut).as("post"),
+        round(col("value") * 100).cast(dec).as("q"))
+      .groupBy(col("treat"), col("post"))
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("q")).as("sq"))
+      .select(col("treat"), col("post"),
+        (col("sq").cast(DoubleType) / col("n").cast(DoubleType)).as("mean"),
+        col("n").cast(LongType).as("n"))
+    val wide = cells.groupBy()
+      .agg(
+        max(when(col("treat") && col("post"), col("mean"))).as("m_t_post"),
+        max(when(col("treat") && !col("post"), col("mean"))).as("m_t_pre"),
+        max(when(!col("treat") && col("post"), col("mean"))).as("m_c_post"),
+        max(when(!col("treat") && !col("post"), col("mean"))).as("m_c_pre"),
+        sum(when(col("treat") && col("post"), col("n"))).as("n_t_post"),
+        sum(when(col("treat") && !col("post"), col("n"))).as("n_t_pre"),
+        sum(when(!col("treat") && col("post"), col("n"))).as("n_c_post"),
+        sum(when(!col("treat") && !col("post"), col("n"))).as("n_c_pre"))
+    wide.select(
+      col("n_c_pre"), col("n_c_post"), col("n_t_pre"), col("n_t_post"),
+      round(col("m_c_pre"), 6).as("mean_c_pre"),
+      round(col("m_c_post"), 6).as("mean_c_post"),
+      round(col("m_t_pre"), 6).as("mean_t_pre"),
+      round(col("m_t_post"), 6).as("mean_t_post"),
+      round((col("m_t_post") - col("m_t_pre")) -
+        (col("m_c_post") - col("m_c_pre")), 6).as("did"))
+  }
+
+  val qDidSql: String =
+    """WITH cells AS (
+      |  SELECT user_id % 2 = 1 AS treat,
+      |    ts >= TIMESTAMP '2024-01-16' AS post,
+      |    cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(value * 100) as decimal(38,0))) as double) /
+      |      cast(count(*) as double) AS mean
+      |  FROM events GROUP BY 1, 2),
+      |wide AS (
+      |  SELECT
+      |    max(CASE WHEN treat AND post THEN mean END) AS m_t_post,
+      |    max(CASE WHEN treat AND NOT post THEN mean END) AS m_t_pre,
+      |    max(CASE WHEN NOT treat AND post THEN mean END) AS m_c_post,
+      |    max(CASE WHEN NOT treat AND NOT post THEN mean END) AS m_c_pre,
+      |    sum(CASE WHEN treat AND post THEN n END) AS n_t_post,
+      |    sum(CASE WHEN treat AND NOT post THEN n END) AS n_t_pre,
+      |    sum(CASE WHEN NOT treat AND post THEN n END) AS n_c_post,
+      |    sum(CASE WHEN NOT treat AND NOT post THEN n END) AS n_c_pre
+      |  FROM cells)
+      |SELECT cast(n_c_pre as bigint) AS n_c_pre,
+      |  cast(n_c_post as bigint) AS n_c_post,
+      |  cast(n_t_pre as bigint) AS n_t_pre,
+      |  cast(n_t_post as bigint) AS n_t_post,
+      |  round(m_c_pre, 6) AS mean_c_pre, round(m_c_post, 6) AS mean_c_post,
+      |  round(m_t_pre, 6) AS mean_t_pre, round(m_t_post, 6) AS mean_t_post,
+      |  round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6) AS did
+      |FROM wide""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_linkage — Fellegi–Sunter probabilistic record linkage
+  // ---------------------------------------------------------------
+
+  private val linkageFields = Seq("lang", "source", "mid")
+  private val linkageM = Map("lang" -> 0.95, "source" -> 0.7, "mid" -> 0.9)
+  private val linkageMin = 6.0
+
+  /** Probabilistic linkage over the documents table: candidate pairs
+    * blocked on (12-char text prefix, length band) — bounded by
+    * planted-duplicate cluster size, the LSH-band discipline — and
+    * scored by [[graft.ops.Linkage]]'s corpus-estimated log₂
+    * agreement weights on (lang, source, mid-text shingle).
+    */
+  def qLinkage(s: SparkSession, d: String): DataFrame =
+    graft.ops.Linkage.fellegiSunter(
+      Tables.documents(s, d).select(col("doc_id").as("id"),
+        substring(col("text"), 1, 12).as("bl_prefix"),
+        expr("n_chars div 100").as("bl_band"),
+        col("lang"), col("source"),
+        substring(col("text"), 41, 12).as("mid")),
+      "id", Seq("bl_prefix", "bl_band"), linkageFields, linkageM, linkageMin)
+
+  val qLinkageSql: String =
+    s"""WITH src AS (
+       |  SELECT doc_id AS id, substr(text, 1, 12) AS bl_prefix,
+       |    n_chars // 100 AS bl_band, lang, source,
+       |    substr(text, 41, 12) AS mid
+       |  FROM documents),
+       |${graft.ops.Linkage.oracleSql("src", Seq("bl_prefix", "bl_band"),
+          linkageFields, linkageM, linkageMin)}
+       |SELECT id_a, id_b, agree_lang, agree_source, agree_mid, score
+       |FROM linked""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q_hyperball — HLL neighborhood function on the co-purchase graph
+  // ---------------------------------------------------------------
+
+  private val hyperballB = 5
+  private val hyperballRounds = 3
+
+  /** Ensure-and-read of the PERSISTED per-node ball-estimate table
+    * (id, r, est_i), id-bucketed: the register propagation — the
+    * expensive part, each round shuffles ≤ m·|E| rows — runs once per
+    * corpus version; both HyperBall readouts (hop plot, harmonic
+    * centrality) serve from it. Fingerprint basis = the SAME source
+    * lineitem slice as the co-purchase adjacency (the estimates are a
+    * pure function of it), so a warm ensure costs one narrow source
+    * scan.
+    */
+  private def hyperballServed(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val table = "graft_hyperball_balls_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.dedup.IncrementalDedup.ensureBucketedState(
+      li, "l_orderkey", "l_partkey", table, nBuckets = 8,
+      bucketCols = Seq("id"), sortCols = Seq("id")) {
+      val edges = coPurchaseServed(s, d)
+      val nodes = edges.select(col("src").as("id")).distinct()
+      graft.sketch.HyperBall.ballEstimatesInt(nodes, edges,
+        rounds = hyperballRounds, b = hyperballB)
+    }
+    s.table(table)
+  }
+
+  /** Hop plot of the co-purchase part graph via HyperBall
+    * ([[graft.sketch.HyperBall]]): per radius r = 0..3, the estimated
+    * mean ball size over ALL nodes — all-pairs reachability structure
+    * for the cost of r register-merge rounds, where the exact answer
+    * is an N× BFS. b = 5 (32 registers): hop plots aggregate across
+    * ~N nodes, so the per-node ±18 % concentrates out, and the
+    * register fan-out stays bounded at 32×|E|. Served from
+    * [[hyperballServed]]; this query carries the cold build.
+    */
+  def qHyperball(s: SparkSession, d: String): DataFrame =
+    graft.sketch.HyperBall.hopPlot(hyperballServed(s, d))
+
+  val qHyperballSql: String =
+    s"""WITH $coPurchaseEdgesSql,
+       |${graft.sketch.HyperBall.hopPlotOracleSql(rounds = hyperballRounds,
+          b = hyperballB)}
+       |SELECT r, n_nodes, total_reach, avg_reach FROM hop""".stripMargin
+
+  /** Harmonic centrality (Boldi & Vigna 2014) for every node of the
+    * co-purchase graph, top-20 — shell-weighted reach Σ Δball(r)/r
+    * read from the SAME persisted register propagation as the hop
+    * plot (zero additional graph work: one id-bucketed scan, a
+    * groupBy(id) that rides the bucketing shuffle-free, and a
+    * TakeOrdered(20)).
+    */
+  def qHarmonicCentrality(s: SparkSession, d: String): DataFrame =
+    graft.sketch.HyperBall.harmonicCentrality(hyperballServed(s, d),
+      rounds = hyperballRounds, k = 20)
+
+  val qHarmonicCentralitySql: String =
+    s"""WITH $coPurchaseEdgesSql,
+       |${graft.sketch.HyperBall.harmonicCentralityOracleSql(
+          rounds = hyperballRounds, b = hyperballB, k = 20)}
+       |SELECT id, est0, est1, est2, est3, centrality FROM central"""
+      .stripMargin
+
+  private[queries] val statsExtEntries
+      : Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(
+      ("q_ols_group", qOlsGroup _, Some(qOlsGroupSql)),
+      ("q_gini", qGini _, Some(qGiniSql)),
+      ("q_kaplan_meier", qKaplanMeier _, Some(qKaplanMeierSql)),
+      ("q_seq2", qSeq2 _, Some(qSeq2Sql)),
+      ("q_seq3", qSeq3 _, Some(qSeq3Sql)),
+      ("q_did", qDid _, Some(qDidSql)),
+      ("q_linkage", qLinkage _, Some(qLinkageSql)),
+      ("q_hyperball", qHyperball _, Some(qHyperballSql)),
+      ("q_harmonic_centrality", qHarmonicCentrality _,
+        Some(qHarmonicCentralitySql)))
+}

@@ -40,7 +40,7 @@ object Hll {
 
   val defaultB = 12
 
-  private def alphaM2Scaled(b: Int): Double = {
+  private[sketch] def alphaM2Scaled(b: Int): Double = {
     val m = 1 << b
     val alpha = b match {
       case 4 => 0.673
@@ -54,8 +54,8 @@ object Hll {
   }
 
   /** width of the rank-bearing hash remainder; rank ∈ [1, width+1] */
-  private def width(b: Int): Int = 60 - b
-  private def rankMax(b: Int): Int = width(b) + 1
+  private[sketch] def width(b: Int): Int = 60 - b
+  private[sketch] def rankMax(b: Int): Int = width(b) + 1
 
   /** Per-(group, register) max-rank table: the mergeable sketch state. */
   def registers(df: DataFrame, groupCols: Seq[String], valueCol: String,

@@ -1,0 +1,189 @@
+package graft.sketch
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** HyperBall (Boldi, Rosa & Vigna 2011): the neighborhood function
+  * N(r) — how many node pairs are within distance ≤ r — estimated for
+  * EVERY node simultaneously by iterating HLL register max-merges
+  * along edges. The exact computation is an all-pairs BFS (Θ(N·M));
+  * HyperBall is Θ(r·M·m) with m registers per node — the only known
+  * way to get hop plots / effective diameters on web-scale graphs,
+  * and the algorithm behind the "four degrees of separation"
+  * measurement.
+  *
+  * Round r:  regs_r(v) = max-merge( regs_{r−1}(v),
+  *                                  regs_{r−1}(u) ∀ (u→v) ∈ E )
+  * seeded with regs_0(v) = sketch({v}). After round r, node v's
+  * estimate reads |ball(v, r)|.
+  *
+  * Engine-portability: registers are [[Hll]]'s md5-derived
+  * deterministic sketch, merged with integer MAX — every register
+  * table is EXACTLY reproducible in SQL, so the oracle replays the
+  * full propagation and the per-node estimates hash-match. Per-node
+  * estimates are one double division each (never summed as raw
+  * doubles); cross-node totals aggregate round(n_est) — the same
+  * integral double in both engines — as exact integers.
+  *
+  * Scale shape: each round is ONE join edges ⋈ regs (both sides hash
+  * on node id; with the adjacency pre-bucketed the probe side arrives
+  * shuffle-free) + one (node, reg_idx) max-aggregate with map-side
+  * combine. State is ≤ m rows per node — b is the knob that trades
+  * accuracy (1.04/√m) for join fan-out; hop plots want aggregate
+  * accuracy, so small b (64 registers) is the 100 TB setting, NOT the
+  * cardinality-grade b=12.
+  */
+object HyperBall {
+
+  /** Per-(node, r) ball-size estimates for r = 0..rounds: columns
+    * (id, r, harmonic_scaled, zero_regs, n_est). `edges` must carry
+    * (src, dst); propagation follows src→dst.
+    */
+  def ballSizes(nodes: DataFrame, edges: DataFrame, rounds: Int,
+      b: Int): DataFrame = {
+    require(rounds >= 0 && rounds <= 8, "bounded iteration only")
+    // every round's register table stays persisted until the consuming
+    // action finishes (CacheRegistry releases them post-query): the
+    // output reads ALL rounds, so an eager unpersist-the-parent loop
+    // would silently re-run round r's join chain once per later round
+    var regs = graft.CacheRegistry.register(
+      Hll.registers(nodes.select(col("id")), Seq("id"), "id", b)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var out = Hll.estimateFromRegisters(regs, Seq("id"), b)
+      .withColumn("r", lit(0))
+    for (r <- 1 to rounds) {
+      val pushed = regs.alias("rg")
+        .join(edges.alias("eg"), col("rg.id") === col("eg.src"))
+        .select(col("eg.dst").as("id"), col("rg.reg_idx"), col("rg.reg_rank"))
+      val next = graft.CacheRegistry.register(
+        regs.select(col("id"), col("reg_idx"), col("reg_rank"))
+          .unionAll(pushed)
+          .groupBy(col("id"), col("reg_idx"))
+          .agg(max(col("reg_rank")).as("reg_rank"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // materialize so later rounds join the CACHED table, not a
+      // re-derived lineage chain
+      next.count()
+      regs = next
+      out = out.unionAll(
+        Hll.estimateFromRegisters(regs, Seq("id"), b).withColumn("r", lit(r)))
+    }
+    out
+  }
+
+  /** [[ballSizes]] quantized to the exact-integer per-node estimates
+    * (id, r, est_i = round(n_est)) — the all-integer form the
+    * persisted store keeps and every downstream readout (hop plot,
+    * harmonic centrality) derives from.
+    */
+  def ballEstimatesInt(nodes: DataFrame, edges: DataFrame, rounds: Int,
+      b: Int): DataFrame =
+    ballSizes(nodes, edges, rounds, b)
+      .select(col("id"), col("r"),
+        round(col("n_est")).cast(LongType).as("est_i"))
+
+  /** Aggregate hop plot from a (id, r, est_i) ball-estimate table:
+    * per r, the node count, the exact-integer reach total, and the
+    * mean ball size — the neighborhood-function curve.
+    */
+  def hopPlot(ballEstimates: DataFrame): DataFrame =
+    ballEstimates
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("est_i")).as("total_reach"))
+      .select(col("r"), col("n_nodes"), col("total_reach"),
+        round(col("total_reach").cast(DoubleType) /
+          col("n_nodes").cast(DoubleType), 6).as("avg_reach"))
+
+  /** Harmonic centrality from a (id, r, est_i) ball-estimate table
+    * (Boldi & Vigna 2014): ĉ(v) = Σ_{r=1..R} (|ball(v,r)| −
+    * |ball(v,r−1)|) / r — each shell counted at its distance — for
+    * every node at once, read off the SAME register propagation the
+    * hop plot used. Per-shell diffs are exact integers (max-merge
+    * only grows registers, so est is non-decreasing in r); the score
+    * is a sum of `rounds` single divisions, round(·,6)-ed once.
+    * Output: top-`k` (id, est per r, centrality), ties broken by id —
+    * a TakeOrdered-bounded readout, never a global sort.
+    */
+  def harmonicCentrality(ballEstimates: DataFrame, rounds: Int,
+      k: Int): DataFrame = {
+    val perR = (0 to rounds).map(r =>
+      max(when(col("r") === r, col("est_i"))).as(s"est$r"))
+    val wide = ballEstimates.groupBy(col("id")).agg(perR.head, perR.tail: _*)
+    val score = (1 to rounds).map(r =>
+      (col(s"est$r") - col(s"est${r - 1}")).cast(DoubleType) / lit(r.toDouble))
+      .reduce(_ + _)
+    wide.withColumn("centrality", round(score, 6))
+      .orderBy(col("centrality").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** DuckDB CTE chain replaying seed + `rounds` max-merge
+    * propagations into per-round integer ball estimates `est0..estN`
+    * plus their union `allr(id, r, est_i)`. Expects CTEs `nodes(id)`
+    * and `edges(src, dst)` already defined upstream.
+    */
+  def ballEstimatesOracleSql(rounds: Int, b: Int): String = {
+    val m = 1 << b
+    val rmax = Hll.rankMax(b)
+    val wWidth = Hll.width(b)
+    val h = s"cast(('0x' || substr(md5(cast(id as varchar)), 1, 15)) as bigint)"
+    val prop = (1 to rounds).map { r =>
+      s"""regs$r AS MATERIALIZED (
+         |  SELECT id, reg_idx, max(reg_rank) AS reg_rank FROM (
+         |    SELECT id, reg_idx, reg_rank FROM regs${r - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, p.reg_idx, p.reg_rank
+         |    FROM regs${r - 1} p JOIN edges e ON p.id = e.src)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val estPerR = (0 to rounds).map { r =>
+      s"""est$r AS (
+         |  SELECT id, $r AS r,
+         |    cast(round(${Hll.alphaM2Scaled(b)} / cast(
+         |      sum(cast(1::BIGINT << ($rmax - reg_rank) as decimal(38,0))) +
+         |      cast($m - count(*) as decimal(38,0)) *
+         |        cast(1::BIGINT << $rmax as decimal(38,0)) as double))
+         |      as bigint) AS est_i
+         |  FROM regs$r GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to rounds).map(r => s"SELECT * FROM est$r")
+      .mkString(" UNION ALL ")
+    s"""regs0 AS MATERIALIZED (
+       |  SELECT id, $h % $m AS reg_idx,
+       |    CASE WHEN $h // $m = 0 THEN $rmax
+       |      ELSE ${wWidth + 1} - length(bin($h // $m)) END AS reg_rank
+       |  FROM nodes),
+       |$prop,
+       |$estPerR,
+       |allr AS ($unions)""".stripMargin
+  }
+
+  /** [[ballEstimatesOracleSql]] + the hop-plot aggregate CTE `hop`. */
+  def hopPlotOracleSql(rounds: Int, b: Int): String =
+    s"""${ballEstimatesOracleSql(rounds, b)},
+       |hop AS (
+       |  SELECT r, cast(count(*) as bigint) AS n_nodes,
+       |    cast(sum(est_i) as bigint) AS total_reach,
+       |    round(cast(sum(est_i) as double) / cast(count(*) as double), 6)
+       |      AS avg_reach
+       |  FROM allr GROUP BY 1)""".stripMargin
+
+  /** [[ballEstimatesOracleSql]] + the top-k harmonic-centrality CTE
+    * `central` (mirrors [[harmonicCentrality]]).
+    */
+  def harmonicCentralityOracleSql(rounds: Int, b: Int, k: Int): String = {
+    val joins = (1 to rounds)
+      .map(r => s"JOIN est$r e$r USING (id)").mkString(" ")
+    val ests = (0 to rounds).map(r => s"e$r.est_i AS est$r").mkString(", ")
+    val score = (1 to rounds)
+      .map(r => s"cast(e$r.est_i - e${r - 1}.est_i as double) / $r.0")
+      .mkString(" + ")
+    s"""${ballEstimatesOracleSql(rounds, b)},
+       |central AS (
+       |  SELECT id, $ests, round($score, 6) AS centrality
+       |  FROM est0 e0 $joins
+       |  ORDER BY centrality DESC, id ASC LIMIT $k)""".stripMargin
+  }
+}
