@@ -349,6 +349,56 @@ private[queries] trait StatsExtQueries extends KnnReleaseQueries {
        |SELECT id, est0, est1, est2, est3, centrality FROM central"""
       .stripMargin
 
+  /** HyperBall accuracy readout (the q_ann_recall/q_knn_recall
+    * discipline applied to the graph sketch): per radius, the EXACT
+    * mean ball size over a fixed 1/101 hash sample of nodes — a
+    * (seed, node) pair BFS, linear in seeds — against the HLL
+    * estimate for the SAME seeds read from the persisted store. The
+    * published ratio is the measured register-sketch error at b = 5;
+    * the exact side exists only at measurement scale, never as the
+    * production path. Reading the measurement: small balls (r = 0, 1)
+    * show the DOCUMENTED raw-HLL small-range inflation ([[graft
+    * .sketch.Hll]] returns the uncorrected estimate for cross-engine
+    * determinism; the linear-counting correction is driver-side) —
+    * at sf0.1 the ratio is 1.018 at r = 2 and 0.976 at r = 3, the
+    * radii hop plots are used for.
+    */
+  def qHyperballRecall(s: SparkSession, d: String): DataFrame = {
+    val edges = coPurchaseServed(s, d)
+    val seeds = edges.select(col("src").as("id")).distinct()
+      .filter(col("id") % 101 === 0)
+    val exact = graft.sketch.HyperBall.exactBallSizes(seeds, edges,
+      rounds = hyperballRounds)
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n_seeds"),
+        sum(col("n_exact")).as("exact_total"))
+    val est = hyperballServed(s, d)
+      .filter(col("id") % 101 === 0)
+      .groupBy(col("r")).agg(sum(col("est_i")).as("est_total"))
+    exact.join(est, Seq("r"))
+      .select(col("r"), col("n_seeds"), col("exact_total"), col("est_total"),
+        round(col("est_total").cast(DoubleType) /
+          col("exact_total").cast(DoubleType), 6).as("est_ratio"))
+  }
+
+  val qHyperballRecallSql: String =
+    s"""WITH $coPurchaseEdgesSql,
+       |seeds AS (SELECT id FROM nodes WHERE id % 101 = 0),
+       |${graft.sketch.HyperBall.exactBallSizesOracleSql(hyperballRounds)},
+       |${graft.sketch.HyperBall.ballEstimatesOracleSql(hyperballRounds,
+          hyperballB)},
+       |ex AS (
+       |  SELECT r, cast(count(*) as bigint) AS n_seeds,
+       |    cast(sum(n_exact) as bigint) AS exact_total
+       |  FROM exact GROUP BY 1),
+       |es AS (
+       |  SELECT r, cast(sum(est_i) as bigint) AS est_total
+       |  FROM allr WHERE id % 101 = 0 GROUP BY 1)
+       |SELECT r, n_seeds, exact_total, est_total,
+       |  round(cast(est_total as double) / cast(exact_total as double), 6)
+       |    AS est_ratio
+       |FROM ex JOIN es USING (r)""".stripMargin
+
   private[queries] val statsExtEntries
       : Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(
@@ -361,5 +411,6 @@ private[queries] trait StatsExtQueries extends KnnReleaseQueries {
       ("q_linkage", qLinkage _, Some(qLinkageSql)),
       ("q_hyperball", qHyperball _, Some(qHyperballSql)),
       ("q_harmonic_centrality", qHarmonicCentrality _,
-        Some(qHarmonicCentralitySql)))
+        Some(qHarmonicCentralitySql)),
+      ("q_hyperball_recall", qHyperballRecall _, Some(qHyperballRecallSql)))
 }

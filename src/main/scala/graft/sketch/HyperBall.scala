@@ -119,6 +119,60 @@ object HyperBall {
       .limit(k)
   }
 
+  /** EXACT per-seed ball sizes for a SAMPLED seed set — the
+    * ANF-style validation counterpart of [[ballSizes]]: a (seed,
+    * node) pair frontier expanded `rounds` times with a distinct per
+    * round. Cost Θ(|seeds|·reach) — linear in seeds, which is why it
+    * is the measurement harness (run on a hash-sampled 1/k of nodes)
+    * and HyperBall is the production path (all nodes, no pair
+    * materialization). Output: (seed, r, n_exact).
+    */
+  def exactBallSizes(seeds: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0 && rounds <= 8, "bounded iteration only")
+    var ball = graft.CacheRegistry.register(
+      seeds.select(col("id").as("seed"), col("id").as("node"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var out = ball.groupBy(col("seed")).agg(count(lit(1)).as("n_exact"))
+      .withColumn("r", lit(0))
+    for (r <- 1 to rounds) {
+      val next = graft.CacheRegistry.register(
+        ball.alias("bl")
+          .join(edges.alias("eg"), col("bl.node") === col("eg.src"))
+          .select(col("bl.seed"), col("eg.dst").as("node"))
+          .unionAll(ball.select(col("seed"), col("node")))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      next.count()
+      ball = next
+      out = out.unionAll(ball.groupBy(col("seed"))
+        .agg(count(lit(1)).as("n_exact")).withColumn("r", lit(r)))
+    }
+    out.select(col("seed"), col("r"), col("n_exact"))
+  }
+
+  /** DuckDB mirror of [[exactBallSizes]]: CTE chain `ball0..ballN`
+    * (seed, node) + per-r counts union `exact(seed, r, n_exact)`.
+    * Expects `seeds(id)` and `edges(src, dst)` CTEs upstream.
+    */
+  def exactBallSizesOracleSql(rounds: Int): String = {
+    val prop = (1 to rounds).map { r =>
+      s"""ball$r AS MATERIALIZED (
+         |  SELECT DISTINCT seed, node FROM (
+         |    SELECT seed, node FROM ball${r - 1}
+         |    UNION ALL
+         |    SELECT b.seed, e.dst AS node
+         |    FROM ball${r - 1} b JOIN edges e ON b.node = e.src))"""
+        .stripMargin
+    }.mkString(",\n")
+    val counts = (0 to rounds).map(r =>
+      s"SELECT seed, $r AS r, count(*) AS n_exact FROM ball$r GROUP BY 1")
+      .mkString(" UNION ALL ")
+    s"""ball0 AS (SELECT id AS seed, id AS node FROM seeds),
+       |$prop,
+       |exact AS ($counts)""".stripMargin
+  }
+
   /** DuckDB CTE chain replaying seed + `rounds` max-merge
     * propagations into per-round integer ball estimates `est0..estN`
     * plus their union `allr(id, r, est_i)`. Expects CTEs `nodes(id)`

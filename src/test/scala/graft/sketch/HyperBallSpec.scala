@@ -60,6 +60,19 @@ class HyperBallSpec extends SparkSpec {
     assert(hop === expected)
   }
 
+  test("exact ball sizes: path graph pairs frontier, per-seed counts") {
+    val ed = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val edges = ed.unionAll(ed.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val seeds = Seq(1L, 2L).toDF("id")
+    val m = HyperBall.exactBallSizes(seeds, edges, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    graft.CacheRegistry.releaseAll()
+    assert(m((1L, 0)) === 1L && m((2L, 0)) === 1L)
+    assert(m((1L, 1)) === 2L && m((2L, 1)) === 3L) // center sees all at r=1
+    assert(m((1L, 2)) === 3L && m((2L, 2)) === 3L)
+  }
+
   test("harmonic centrality ranks the star center first, ties by id") {
     // star: 9 — {1,2,3}; center 9 reaches everyone at r=1
     val ed = Seq((9L, 1L), (9L, 2L), (9L, 3L)).toDF("src", "dst")
