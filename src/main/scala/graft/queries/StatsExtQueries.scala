@@ -349,6 +349,42 @@ private[queries] trait StatsExtQueries extends KnnReleaseQueries {
        |SELECT id, est0, est1, est2, est3, centrality FROM central"""
       .stripMargin
 
+  /** Isotonic calibration (PAV, [[graft.ops.Isotonic]]) of the
+    * learned quality classifier's reliability bins — the fit a
+    * production calibrator applies on top of q_calibration's
+    * diagnostic: per score decile, the raw positive rate and the
+    * closest non-decreasing (weighted-L²) fitted rate. Binning is
+    * q_calibration's one corpus aggregate; the PAV rounds run on the
+    * ≤10-row bin table in pure integer arithmetic.
+    */
+  def qIsotonic(s: SparkSession, d: String): DataFrame = {
+    val scored = graft.text.QualityClassifier.fitScore(
+      Tables.documents(s, d), col("text"),
+      (graft.text.TextAnalysis.qualityScore(col("text")) >= 0.65)
+        .cast(IntegerType),
+      keep = Seq(col("doc_id")))
+    val bins = scored
+      .withColumn("bin", least(floor(col("score") * 10), lit(9.0))
+        .cast(LongType))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y").cast(LongType)).as("n_pos"))
+    graft.ops.Isotonic.pavBins(bins, "bin", "n", "n_pos", maxBins = 10)
+      .withColumn("raw_rate",
+        round(col("s").cast(DoubleType) / col("w").cast(DoubleType), 6))
+  }
+
+  lazy val qIsotonicSql: String =
+    s"""WITH clf AS (
+       |$qClassifierSql),
+       |bins AS (
+       |  SELECT cast(least(floor(score * 10), 9) as bigint) AS lo,
+       |    count(*) AS w, cast(sum(y) as bigint) AS s
+       |  FROM clf GROUP BY 1),
+       |${graft.ops.Isotonic.pavOracleSql(maxBins = 10)}
+       |SELECT bin, w, s, pool_lo, iso_rate,
+       |  round(cast(s as double) / cast(w as double), 6) AS raw_rate
+       |FROM pav""".stripMargin
+
   /** HyperBall accuracy readout (the q_ann_recall/q_knn_recall
     * discipline applied to the graph sketch): per radius, the EXACT
     * mean ball size over a fixed 1/101 hash sample of nodes — a
@@ -412,5 +448,6 @@ private[queries] trait StatsExtQueries extends KnnReleaseQueries {
       ("q_hyperball", qHyperball _, Some(qHyperballSql)),
       ("q_harmonic_centrality", qHarmonicCentrality _,
         Some(qHarmonicCentralitySql)),
-      ("q_hyperball_recall", qHyperballRecall _, Some(qHyperballRecallSql)))
+      ("q_hyperball_recall", qHyperballRecall _, Some(qHyperballRecallSql)),
+      ("q_isotonic", qIsotonic _, Some(qIsotonicSql)))
 }
