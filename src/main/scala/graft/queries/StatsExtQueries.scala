@@ -72,13 +72,18 @@ private[queries] trait StatsExtQueries extends KnnReleaseQueries {
   // q_kaplan_meier — per-cohort KM survival over user lifetimes
   // ---------------------------------------------------------------
 
-  /** User-lifetime survival per acquisition cohort (cohort = the
-    * user's FIRST event type): duration = days between first and last
-    * event, right-censored when the user was still active in the
-    * final 7 days of the observation window. Date-grained end-to-end
-    * — day truncation is identical across engines regardless of the
-    * parquet timestamp precision. See [[graft.ops.Survival]] for the
-    * quantized-product determinism contract.
+  /** Time-to-conversion survival per acquisition cohort (cohort =
+    * the user's FIRST event type): the "event" is the user's first
+    * BIG purchase (value ≥ 75 — roughly the top quartile of purchase
+    * values), duration in days from their first event; users who
+    * never convert are right-censored at their LAST event. This is
+    * the mix a survival estimator exists for — at sf0.1, 1,438
+    * conversions against 62 censored — where a plain retention curve
+    * would count every still-shopping user as lost. Date-grained
+    * end-to-end — day truncation is identical across engines
+    * regardless of the parquet timestamp precision. See
+    * [[graft.ops.Survival]] for the quantized-product determinism
+    * contract.
     */
   def qKaplanMeier(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
@@ -87,12 +92,13 @@ private[queries] trait StatsExtQueries extends KnnReleaseQueries {
     val per = ev
       .withColumn("cohort", first(col("event_type")).over(w))
       .groupBy(col("user_id"), col("cohort"))
-      .agg(min(to_date(col("ts"))).as("mn"), max(to_date(col("ts"))).as("mx"))
-    val gmax = ev.agg(max(to_date(col("ts"))).as("gmx"))
-    val durs = per.crossJoin(broadcast(gmax))
-      .select(col("cohort"),
-        datediff(col("mx"), col("mn")).cast(LongType).as("dur"),
-        (datediff(col("gmx"), col("mx")) >= 7).as("observed"))
+      .agg(min(to_date(col("ts"))).as("mn"), max(to_date(col("ts"))).as("mx"),
+        min(when(col("event_type") === "purchase" && col("value") >= 75.0,
+          to_date(col("ts")))).as("fp"))
+    val durs = per.select(col("cohort"),
+      datediff(coalesce(col("fp"), col("mx")), col("mn"))
+        .cast(LongType).as("dur"),
+      col("fp").isNotNull.as("observed"))
     graft.ops.Survival.kaplanMeier(durs, "cohort", "dur", "observed")
   }
 
@@ -105,16 +111,17 @@ private[queries] trait StatsExtQueries extends KnnReleaseQueries {
       |coh AS (SELECT user_id, event_type AS cohort FROM firsts WHERE rn = 1),
       |spans AS (
       |  SELECT user_id, cast(min(ts) as date) AS mn,
-      |    cast(max(ts) as date) AS mx
+      |    cast(max(ts) as date) AS mx,
+      |    cast(min(CASE WHEN event_type = 'purchase' AND value >= 75.0
+      |      THEN ts END) as date) AS fp
       |  FROM events GROUP BY 1),
       |per AS (
-      |  SELECT s.user_id, c.cohort, s.mn, s.mx
+      |  SELECT s.user_id, c.cohort, s.mn, s.mx, s.fp
       |  FROM spans s JOIN coh c USING (user_id)),
-      |gmax AS (SELECT cast(max(ts) as date) AS gmx FROM events),
       |durs AS (
-      |  SELECT cohort, date_diff('day', mn, mx) AS dur,
-      |    date_diff('day', mx, gmx) >= 7 AS observed
-      |  FROM per CROSS JOIN gmax),
+      |  SELECT cohort, date_diff('day', mn, coalesce(fp, mx)) AS dur,
+      |    fp IS NOT NULL AS observed
+      |  FROM per),
       |lt AS (
       |  SELECT cohort, cast(dur as bigint) AS t,
       |    cast(sum(CASE WHEN observed THEN 1 ELSE 0 END) as bigint) AS d,
@@ -128,7 +135,11 @@ private[queries] trait StatsExtQueries extends KnnReleaseQueries {
       |  FROM lt),
       |-- the KM product replays the PPM fold on (n, n−d) pairs packed
       |-- into one bigint (n·2³¹ + (n−d), exact in a double for
-      |-- n < 2²² — oracle-side bound only; the engine folds structs)
+      |-- n < 2²² — oracle-side bound only; the engine folds structs).
+      |-- Unpacking uses explicit floor(): DuckDB's // and % on
+      |-- DOUBLEs lose the floor inside lambda bodies (measured:
+      |-- x // 2³¹ evaluated as plain division there), which shifted
+      |-- one tie-breaking .5 by 2e-10 and flipped the round
       |packed AS (
       |  SELECT cohort, t, d, c, n_risk,
       |    n_risk * 2147483648 + (n_risk - d) AS e,
@@ -140,9 +151,43 @@ private[queries] trait StatsExtQueries extends KnnReleaseQueries {
       |  round(list_reduce(
       |    list_prepend(cast(1000000 as double),
       |      cast(list_slice(l.vs, 1, p.pos) as double[])),
-      |    (acc, e) -> round(acc * (e % 2147483648) / (e // 2147483648)))
+      |    (acc, e) -> round(acc *
+      |      (e - floor(e / 2147483648) * 2147483648) /
+      |      floor(e / 2147483648)))
       |    / 1000000, 6) AS surv
       |FROM packed p JOIN lists l USING (cohort)""".stripMargin
+
+  /** Two-arm log-rank test over the SAME time-to-conversion
+    * durations as [[qKaplanMeier]], arms split by user parity (the
+    * q_cuped / q_did variant convention): do the two arms convert on
+    * the same survival curve? See [[graft.ops.Survival.logRank]].
+    */
+  def qLogrank(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("mn"), max(to_date(col("ts"))).as("mx"),
+        min(when(col("event_type") === "purchase" && col("value") >= 75.0,
+          to_date(col("ts")))).as("fp"))
+    val durs = per.select((col("user_id") % 2 === 1).as("arm"),
+      datediff(coalesce(col("fp"), col("mx")), col("mn"))
+        .cast(LongType).as("dur"),
+      col("fp").isNotNull.as("observed"))
+    graft.ops.Survival.logRank(durs, "arm", "dur", "observed")
+  }
+
+  val qLogrankSql: String =
+    s"""WITH spans AS (
+       |  SELECT user_id, cast(min(ts) as date) AS mn,
+       |    cast(max(ts) as date) AS mx,
+       |    cast(min(CASE WHEN event_type = 'purchase' AND value >= 75.0
+       |      THEN ts END) as date) AS fp
+       |  FROM events GROUP BY 1),
+       |durs AS (
+       |  SELECT user_id % 2 = 1 AS arm,
+       |    date_diff('day', mn, coalesce(fp, mx)) AS dur,
+       |    fp IS NOT NULL AS observed
+       |  FROM spans),
+       |${graft.ops.Survival.logRankOracleSql("durs")}
+       |SELECT o1, o2, e1, e2, v, chi2 FROM logrank""".stripMargin
 
   // ---------------------------------------------------------------
   // q_seq2 — gap-allowed sequential 2-patterns over user journeys
@@ -441,6 +486,7 @@ private[queries] trait StatsExtQueries extends KnnReleaseQueries {
       ("q_ols_group", qOlsGroup _, Some(qOlsGroupSql)),
       ("q_gini", qGini _, Some(qGiniSql)),
       ("q_kaplan_meier", qKaplanMeier _, Some(qKaplanMeierSql)),
+      ("q_logrank", qLogrank _, Some(qLogrankSql)),
       ("q_seq2", qSeq2 _, Some(qSeq2Sql)),
       ("q_seq3", qSeq3 _, Some(qSeq3Sql)),
       ("q_did", qDid _, Some(qDidSql)),

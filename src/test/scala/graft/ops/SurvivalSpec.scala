@@ -44,4 +44,38 @@ class SurvivalSpec extends SparkSpec {
     val m = km(Seq(("a", 5L, false), ("a", 9L, false)))
     assert(m(("a", 5L))._4 === 1.0 && m(("a", 9L))._4 === 1.0)
   }
+
+  private def lr(rows: Seq[(Boolean, Long, Boolean)]) =
+    Survival.logRank(rows.toDF("arm", "dur", "observed"),
+      "arm", "dur", "observed").head()
+
+  test("log-rank: identical arms give chi2 = 0") {
+    val arm = Seq((1L, true), (2L, true), (3L, true), (4L, false))
+    val r = lr(arm.map { case (d, o) => (true, d, o) } ++
+      arm.map { case (d, o) => (false, d, o) })
+    // symmetric arms: O1 = E1 exactly
+    assert(r.getLong(0) === 3L && r.getDouble(2) === 3.0)
+    assert(r.getDouble(5) === 0.0)
+  }
+
+  test("log-rank: worked 2x2 example") {
+    // arm A dies at t=1 (n=2 at risk: one A one B); arm B dies at t=2
+    // t=1: d=1, n1=1, n2=1 → e1 term = 0.5, v term = 0.25
+    // t=2: d=1, n1=0, n2=1 → e1 term = 0,   v term = 0
+    val r = lr(Seq((true, 1L, true), (false, 2L, true)))
+    assert(r.getLong(0) === 1L)            // o1
+    assert(r.getDouble(2) === 0.5)         // e1
+    assert(r.getDouble(4) === 0.25)        // v
+    assert(r.getDouble(5) === 1.0)         // chi2 = (1-0.5)^2/0.25
+  }
+
+  test("log-rank: censored entities join risk sets but not deaths") {
+    // censoring an extra A at t=3 changes risk sets, not O1
+    val base = Seq((true, 1L, true), (false, 2L, true))
+    val withCens = lr(base :+ (true, 3L, false))
+    assert(withCens.getLong(0) === 1L)
+    // t=1: n1=2, n2=1 → term 2/3 (micro-rounded); t=2: n1=1, n2=1
+    // (the censored A is still at risk) → term 1/2; e1 = 1.166667
+    assert(withCens.getDouble(2) === 1.166667)
+  }
 }
