@@ -68,6 +68,70 @@ private[queries] trait StatsExtQueries extends KnnReleaseQueries {
        |${graft.ops.Inequality.giniOracleSql("src", Seq("grp"))}
        |SELECT grp, n, total, gini FROM gini""".stripMargin
 
+  /** Distribution-free per-nation median order value with the
+    * order-statistic ~95 % CI ([[graft.ops.OrderStats.medianCi]]) —
+    * the robust companion to q_gini's concentration readout over the
+    * same revenue frame.
+    */
+  def qMedianCi(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("grp"),
+        round(col("o_totalprice") * 100).cast(LongType).as("x"),
+        col("o_orderkey").as("tie"))
+    graft.ops.OrderStats.medianCi(src, Seq("grp"), col("x"), col("tie"))
+  }
+
+  val qMedianCiSql: String =
+    s"""WITH src AS (
+       |  SELECT n_name AS grp,
+       |    cast(round(o_totalprice * 100) as bigint) AS x,
+       |    o_orderkey AS tie
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey),
+       |${graft.ops.OrderStats.medianCiOracleSql("src", Seq("grp"))}
+       |SELECT grp, n, median, ci_lo, ci_hi FROM medci""".stripMargin
+
+  /** Split-conformal calibration of the quality classifier
+    * ([[graft.ops.OrderStats.conformal]]): nonconformity = |y − score|
+    * in integer micro-units, calibration/test split on the shared
+    * hash coordinate, threshold = the exact ⌈(n+1)·0.9⌉-th order
+    * statistic (range-sharded rank, no global window), plus the
+    * test-split coverage the conformal guarantee promises ≥ 0.9 in
+    * expectation.
+    */
+  def qConformal(s: SparkSession, d: String): DataFrame = {
+    val scored = graft.text.QualityClassifier.fitScore(
+      Tables.documents(s, d), col("text"),
+      (graft.text.TextAnalysis.qualityScore(col("text")) >= 0.65)
+        .cast(IntegerType),
+      keep = Seq(col("doc_id")))
+    val u = graft.ops.Sampling.coordinate(col("doc_id"))
+    graft.ops.OrderStats.conformal(
+      scored.select(col("doc_id"),
+        round(abs(col("y").cast(DoubleType) - col("score")) * 1e6)
+          .cast(LongType).as("nc"),
+        (u < 0.5).as("cal")),
+      col("nc"), col("cal"), col("doc_id"))
+  }
+
+  lazy val qConformalSql: String = {
+    val u = graft.ops.Sampling.coordinateSql("doc_id")
+    s"""WITH clf AS (
+       |$qClassifierSql),
+       |src AS (
+       |  SELECT doc_id AS tie,
+       |    cast(round(abs(cast(y as double) - score) * 1000000) as bigint)
+       |      AS nc,
+       |    $u < 0.5 AS cal
+       |  FROM clf),
+       |${graft.ops.OrderStats.conformalOracleSql("src")}
+       |SELECT n_calib, k, q_hat, n_test, covered, coverage FROM conf"""
+      .stripMargin
+  }
+
   // ---------------------------------------------------------------
   // q_kaplan_meier — per-cohort KM survival over user lifetimes
   // ---------------------------------------------------------------
@@ -485,6 +549,8 @@ private[queries] trait StatsExtQueries extends KnnReleaseQueries {
     Seq(
       ("q_ols_group", qOlsGroup _, Some(qOlsGroupSql)),
       ("q_gini", qGini _, Some(qGiniSql)),
+      ("q_median_ci", qMedianCi _, Some(qMedianCiSql)),
+      ("q_conformal", qConformal _, Some(qConformalSql)),
       ("q_kaplan_meier", qKaplanMeier _, Some(qKaplanMeierSql)),
       ("q_logrank", qLogrank _, Some(qLogrankSql)),
       ("q_seq2", qSeq2 _, Some(qSeq2Sql)),
