@@ -78,6 +78,38 @@ object BenchHost {
   def ioCanaryBase(spark: SparkSession, sfDir: String, n: Int = 3): Double =
     (1 to n).map(_ => ioCanarySec(spark, sfDir)).min
 
+  /** One QUIET-GAP canary sample — the in-suite sampling discipline
+    * (r14 pressure-harness findings, both failure modes):
+    *
+    *  1. at sf1 the suite saturates all 32 threads for minutes and
+    *     leaves the JVM carrying GC debt + cleaner backlog at every
+    *     between-query point, so a bare canary there measures the
+    *     SUITE'S OWN wake (ratios 2.4-3.0 vs fresh) and no sf1 epoch
+    *     could ever read host_clean — a workload-correlated false
+    *     dirty. The enforced gap (one GC + a short drain sleep) lets
+    *     the cleaner/writeback wake pass so the sample measures what
+    *     the HOST is giving this JVM, which is the only thing the
+    *     gate is about;
+    *  2. best-of-2 discards a one-off GC pause or scheduler blip
+    *     landing inside a 0.3 s sample — the same min() rationale as
+    *     [[canaryBase]], applied per sample.
+    *
+    * Cost: ~13 GCs + ~4 s sleep per 252-query suite, all OUTSIDE the
+    * per-query timed regions.
+    */
+  def quietCanarySec(spark: SparkSession): Double = {
+    System.gc()
+    Thread.sleep(150)
+    math.min(canarySec(spark), canarySec(spark))
+  }
+
+  /** Quiet-gap I/O canary: same gap discipline as [[quietCanarySec]]
+    * (the gap is shared when both are sampled back-to-back — callers
+    * run quietCanarySec first, then this, without re-sleeping).
+    */
+  def ioCanaryBest2(spark: SparkSession, sfDir: String): Double =
+    math.min(ioCanarySec(spark, sfDir), ioCanarySec(spark, sfDir))
+
   /** Suite-start baseline: best of `n` (the first run additionally
     * pays the canary's own codegen, which min() discards).
     *
@@ -124,8 +156,24 @@ object BenchHost {
     * sits just above that measured envelope so a sustained co-tenant
     * adding even ~15-30% trips it, instead of the former 2.5 whose
     * 1.9-2.5 blind band admitted a ~30%-inflated "clean" epoch.
+    *
+    * The DENOMINATOR is [[absGateRef]], not the raw fresh sample: on
+    * an idle host the fresh canary turbo-boosts ~20-30% below loaded
+    * single-thread speed (r14 measured 0.207-0.235 s idle vs
+    * 0.26-0.30 s loaded), which shrank the denominator and verdicted
+    * three otherwise-clean r14 windows dirty on this gate ALONE.
     */
   val CanaryAbsDirtyRatio = 2.1
+
+  /** Reference value for the absolute gate: the larger of this
+    * window's fresh sample and the committed ANCHOR's fresh value —
+    * a vetted same-host loaded-era reference that caps how far one
+    * idle-turbo fresh sample can shrink the denominator. A missing
+    * anchor (or an anchor without the field) degrades to the own
+    * sample, never to a rejected gate.
+    */
+  def absGateRef(ownFresh: Double, anchorFresh: Option[Double]): Double =
+    math.max(ownFresh, anchorFresh.getOrElse(0.0))
 
   /** Pre-suite load above this fraction of the core count means the
     * box was busy before the bench contributed anything.

@@ -1,0 +1,271 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Two-sample and k-sample hypothesis tests from exact integer
+  * moments — the experiment-readout family (is cohort A's metric
+  * different from B's?) computed with the repo's cross-engine
+  * determinism discipline ([[Regression]] / q_cuped contract):
+  *
+  *  - inputs quantize to integer units; every sum accumulates in
+  *    DECIMAL(38,0) (order-independent, overflow-checked);
+  *  - each published statistic is a fixed dag of IEEE double ops
+  *    (div/mult/sqrt are correctly-rounded per IEEE 754, so identical
+  *    inputs give identical bits in any engine) over those exact
+  *    terms, round(·,6)-ed once at the end;
+  *  - rank statistics avoid per-row windows: ranks aggregate BY VALUE
+  *    first (the quantized domain is bounded — ~50 distinct
+  *    quantities, not ~6·10⁵ rows), so the only window runs over the
+  *    value-cardinality table — the "≤256-row bounded frame" class
+  *    every plan audit whitelists.
+  *
+  * Scale shape: one map-side-combining hash aggregate per input
+  * (moments or value counts), then scalar finalization. At 100 TB
+  * each test is a full-scan aggregate plus O(1) arithmetic.
+  */
+object HypoTests {
+
+  /** Welch's unequal-variance t-test between the rows where `isA`
+    * and the rest, on integer-quantized `xInt`. One row:
+    * (n_a, n_b, mean_a, mean_b, t_stat, df_ws) — means and the
+    * Welch–Satterthwaite df rounded to 6.
+    */
+  def welchT(df: DataFrame, isA: Column, xInt: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val m = df
+      .select(isA.as("a"), xInt.cast(dec).as("x"))
+      .groupBy(col("a"))
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("q"))
+    // pivot the two cohort moment rows into one — scalar finalization,
+    // no cross-row double sums anywhere
+    val w = m.agg(
+      max(when(col("a"), col("n"))).as("na"),
+      max(when(col("a"), col("s"))).as("sa"),
+      max(when(col("a"), col("q"))).as("qa"),
+      max(when(!col("a"), col("n"))).as("nb"),
+      max(when(!col("a"), col("s"))).as("sb"),
+      max(when(!col("a"), col("q"))).as("qb"))
+    def d(c: String): Column = col(c).cast(DoubleType)
+    // sample variance via the exact moment identity: the NUMERATOR
+    // n·Σx² − (Σx)² is one exact decimal, so v is a single division
+    val va = (col("na") * col("qa") - col("sa") * col("sa"))
+      .cast(DoubleType) / (col("na") * (col("na") - lit(1).cast(dec)))
+      .cast(DoubleType)
+    val vb = (col("nb") * col("qb") - col("sb") * col("sb"))
+      .cast(DoubleType) / (col("nb") * (col("nb") - lit(1).cast(dec)))
+      .cast(DoubleType)
+    w.select(col("na").cast(LongType).as("n_a"),
+        col("nb").cast(LongType).as("n_b"),
+        round(d("sa") / d("na"), 6).as("mean_a"),
+        round(d("sb") / d("nb"), 6).as("mean_b"),
+        va.as("__va"), vb.as("__vb"),
+        (d("sa") / d("na") - d("sb") / d("nb")).as("__dm"),
+        d("na").as("__na"), d("nb").as("__nb"))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        round(col("__dm") /
+          sqrt(col("__va") / col("__na") + col("__vb") / col("__nb")), 6)
+          .as("t_stat"),
+        // squares spelled as x*x (not pow): pow's last-bit behavior
+        // is libm-specific; mult is IEEE correctly-rounded everywhere
+        round(
+          ((col("__va") / col("__na") + col("__vb") / col("__nb")) *
+            (col("__va") / col("__na") + col("__vb") / col("__nb"))) /
+            ((col("__va") / col("__na")) * (col("__va") / col("__na")) /
+              (col("__na") - 1.0) +
+              (col("__vb") / col("__nb")) * (col("__vb") / col("__nb")) /
+                (col("__nb") - 1.0)), 6)
+          .as("df_ws"))
+  }
+
+  /** DuckDB mirror of [[welchT]] over `src(a BOOLEAN, x BIGINT)`:
+    * CTE chain ending in `welch`.
+    */
+  def welchOracleSql(src: String): String =
+    s"""m AS (
+       |  SELECT a, cast(count(*) as decimal(38,0)) AS n,
+       |    cast(sum(cast(x as decimal(38,0))) as decimal(38,0)) AS s,
+       |    cast(sum(cast(x as decimal(38,0)) * cast(x as decimal(38,0)))
+       |      as decimal(38,0)) AS q
+       |  FROM $src GROUP BY 1),
+       |piv AS (
+       |  SELECT
+       |    max(CASE WHEN a THEN n END) AS na,
+       |    max(CASE WHEN a THEN s END) AS sa,
+       |    max(CASE WHEN a THEN q END) AS qa,
+       |    max(CASE WHEN NOT a THEN n END) AS nb,
+       |    max(CASE WHEN NOT a THEN s END) AS sb,
+       |    max(CASE WHEN NOT a THEN q END) AS qb
+       |  FROM m),
+       |terms AS (
+       |  SELECT cast(na as bigint) AS n_a, cast(nb as bigint) AS n_b,
+       |    round(cast(sa as double) / cast(na as double), 6) AS mean_a,
+       |    round(cast(sb as double) / cast(nb as double), 6) AS mean_b,
+       |    cast(na * qa - sa * sa as double) /
+       |      cast(na * (na - 1) as double) AS va,
+       |    cast(nb * qb - sb * sb as double) /
+       |      cast(nb * (nb - 1) as double) AS vb,
+       |    cast(sa as double) / cast(na as double) -
+       |      cast(sb as double) / cast(nb as double) AS dm,
+       |    cast(na as double) AS nad, cast(nb as double) AS nbd
+       |  FROM piv),
+       |welch AS (
+       |  SELECT n_a, n_b, mean_a, mean_b,
+       |    round(dm / sqrt(va / nad + vb / nbd), 6) AS t_stat,
+       |    round(((va / nad + vb / nbd) * (va / nad + vb / nbd)) /
+       |      ((va / nad) * (va / nad) / (nad - 1.0) +
+       |       (vb / nbd) * (vb / nbd) / (nbd - 1.0)), 6) AS df_ws
+       |  FROM terms)""".stripMargin
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) between the rows where `isA`
+    * and the rest, on integer `xInt`, with the tie-corrected normal
+    * approximation. Half-integer average ranks are carried DOUBLED so
+    * every rank quantity stays an exact integer: r1_x2 =
+    * Σ_v c1(v)·(2·below(v) + c(v) + 1). One row:
+    * (n_a, n_b, u_a_x2, tie_cube, z_stat) where u_a_x2 = 2·U_A and
+    * tie_cube = Σ(t³−t).
+    */
+  def mannWhitney(df: DataFrame, isA: Column, xInt: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val byV = df
+      .select(isA.as("a"), xInt.cast(LongType).as("x"))
+      .groupBy(col("x"))
+      .agg(count(lit(1)).cast(dec).as("c"),
+        sum(when(col("a"), 1L).otherwise(0L)).cast(dec).as("c1"))
+    // the one window: cumulative count over the VALUE table (bounded
+    // by the quantized domain, e.g. 50 quantities), never over rows
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("x").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = byV.withColumn("below",
+      coalesce(sum(col("c")).over(w), lit(0).cast(dec)))
+    val agg = ranked.agg(
+      sum(col("c1")).as("n1"),
+      sum(col("c") - col("c1")).as("n2"),
+      sum(col("c1") * (lit(2).cast(dec) * col("below") + col("c") +
+        lit(1).cast(dec))).as("r1x2"),
+      sum(col("c") * col("c") * col("c") - col("c")).as("tcube"))
+    def d(c: Column): Column = c.cast(DoubleType)
+    val u1x2 = col("r1x2") - col("n1") * (col("n1") + lit(1).cast(dec))
+    val n = col("n1") + col("n2")
+    // σ² = (n1·n2/12)·((n+1) − Σ(t³−t)/(n(n−1))); z from 2U with the
+    // doubled mean 2μ = n1·n2 — every input to the double dag exact
+    val z = (d(u1x2) - d(col("n1") * col("n2"))) /
+      (lit(2.0) * sqrt(d(col("n1") * col("n2")) / lit(12.0) *
+        (d(n + lit(1).cast(dec)) -
+          d(col("tcube")) / d(n * (n - lit(1).cast(dec))))))
+    agg.select(col("n1").cast(LongType).as("n_a"),
+      col("n2").cast(LongType).as("n_b"),
+      u1x2.cast(LongType).as("u_a_x2"),
+      col("tcube").cast(LongType).as("tie_cube"),
+      round(z, 6).as("z_stat"))
+  }
+
+  /** DuckDB mirror of [[mannWhitney]] over `src(a BOOLEAN, x BIGINT)`:
+    * CTE chain ending in `mwu`.
+    */
+  def mannWhitneyOracleSql(src: String): String =
+    s"""byv AS (
+       |  SELECT x, cast(count(*) as decimal(38,0)) AS c,
+       |    cast(sum(CASE WHEN a THEN 1 ELSE 0 END) as decimal(38,0)) AS c1
+       |  FROM $src GROUP BY 1),
+       |rankedv AS (
+       |  SELECT x, c, c1,
+       |    coalesce(sum(c) OVER (ORDER BY x ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      cast(0 as decimal(38,0))) AS below
+       |  FROM byv),
+       |ag AS (
+       |  SELECT sum(c1) AS n1, sum(c - c1) AS n2,
+       |    sum(c1 * (2 * below + c + 1)) AS r1x2,
+       |    sum(c * c * c - c) AS tcube
+       |  FROM rankedv),
+       |mwu AS (
+       |  SELECT cast(n1 as bigint) AS n_a, cast(n2 as bigint) AS n_b,
+       |    cast(r1x2 - n1 * (n1 + 1) as bigint) AS u_a_x2,
+       |    cast(tcube as bigint) AS tie_cube,
+       |    round((cast(r1x2 - n1 * (n1 + 1) as double) -
+       |        cast(n1 * n2 as double)) /
+       |      (2.0 * sqrt(cast(n1 * n2 as double) / 12.0 *
+       |        (cast(n1 + n2 + 1 as double) -
+       |         cast(tcube as double) /
+       |           cast((n1 + n2) * (n1 + n2 - 1) as double)))), 6) AS z_stat
+       |  FROM ag)""".stripMargin
+
+  /** One-way ANOVA F across the groups of `groupCol`, on integer
+    * `xInt`. Per-group between-variance contributions Σᵢ Sᵢ²/nᵢ are
+    * quantized to integer micro-units per group (one round of an
+    * IEEE-determined double each) and SUMMED AS INTEGERS, so the
+    * cross-group total is partition-order-free — the q_chi2 cell
+    * discipline. One row: (k, n, ssb, ssw, f_stat), sums rounded
+    * to 6.
+    */
+  def anovaF(df: DataFrame, groupCol: Column, xInt: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val g = df
+      .select(groupCol.as("g"), xInt.cast(dec).as("x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("x")).as("s"))
+      // Sᵢ²/nᵢ in micro-units: (double(Sᵢ)·double(Sᵢ)/double(nᵢ))·1e6,
+      // one round per group — the only non-exact per-group step
+      .select(col("n"), col("s"),
+        round(col("s").cast(DoubleType) * col("s").cast(DoubleType) /
+          col("n").cast(DoubleType) * lit(1000000.0)).cast(dec).as("gb"))
+    val q = df.select(xInt.cast(dec).as("x"))
+      .agg(sum(col("x") * col("x")).as("q"))
+    val t = g.agg(count(lit(1)).cast(dec).as("k"), sum(col("n")).as("nn"),
+        sum(col("s")).as("ss"), sum(col("gb")).as("gbsum"))
+      .crossJoin(broadcast(q))
+    def d(c: Column): Column = c.cast(DoubleType)
+    val grand = d(col("ss")) * d(col("ss")) / d(col("nn"))
+    val ssb = d(col("gbsum")) / lit(1000000.0) - grand
+    // ssw algebraically = SST − SSB = Σx² − ΣSᵢ²/nᵢ; compute it from
+    // THAT dag (not sst − ssb) so the oracle's identical expression
+    // text reproduces the same IEEE bits — two algebraically equal
+    // double dags may differ in the last bit
+    val ssw = d(col("q")) - d(col("gbsum")) / lit(1000000.0)
+    t.select(col("k").cast(LongType).as("k"),
+      col("nn").cast(LongType).as("n"),
+      round(ssb, 6).as("ssb"), round(ssw, 6).as("ssw"),
+      round((ssb / (d(col("k")) - 1.0)) /
+        (ssw / (d(col("nn")) - d(col("k")))), 6).as("f_stat"))
+  }
+
+  /** DuckDB mirror of [[anovaF]] over `src(g, x BIGINT)`: CTE chain
+    * ending in `anova`.
+    */
+  def anovaOracleSql(src: String): String =
+    s"""gm AS (
+       |  SELECT g, cast(count(*) as decimal(38,0)) AS n,
+       |    cast(sum(cast(x as decimal(38,0))) as decimal(38,0)) AS s
+       |  FROM $src GROUP BY 1),
+       |gb AS (
+       |  SELECT n, s,
+       |    cast(round(cast(s as double) * cast(s as double) /
+       |      cast(n as double) * 1000000.0) as decimal(38,0)) AS gb
+       |  FROM gm),
+       |qq AS (
+       |  SELECT cast(sum(cast(x as decimal(38,0)) *
+       |    cast(x as decimal(38,0))) as decimal(38,0)) AS q
+       |  FROM $src),
+       |tot AS (
+       |  SELECT cast(count(*) as decimal(38,0)) AS k, sum(n) AS nn,
+       |    sum(s) AS ss, sum(gb) AS gbsum
+       |  FROM gb),
+       |anova AS (
+       |  SELECT cast(k as bigint) AS k, cast(nn as bigint) AS n,
+       |    round(cast(gbsum as double) / 1000000.0 -
+       |      cast(ss as double) * cast(ss as double) /
+       |        cast(nn as double), 6) AS ssb,
+       |    round(cast(q as double) -
+       |      cast(gbsum as double) / 1000000.0, 6) AS ssw,
+       |    round(((cast(gbsum as double) / 1000000.0 -
+       |        cast(ss as double) * cast(ss as double) /
+       |          cast(nn as double)) / (cast(k as double) - 1.0)) /
+       |      ((cast(q as double) -
+       |        cast(gbsum as double) / 1000000.0) /
+       |       (cast(nn as double) - cast(k as double))), 6) AS f_stat
+       |  FROM tot CROSS JOIN qq)""".stripMargin
+}

@@ -64,9 +64,12 @@ object Linkage {
       .reduce(_ && _)
     val pairs = a.join(b, blockEq && col(s"a.$idCol") < col(s"b.$idCol"))
     val withU = pairs.crossJoin(broadcast(u))
+    // null-safe equality: a NULL comparison field is a DISAGREEMENT
+    // (false), not NULL — `<=>` here and IS NOT DISTINCT FROM in the
+    // oracle keep the two engines' agree bits identical on nullable
+    // fields (plain `=` would coerce to false here but NULL in SQL)
     val agreeBits = fields.map(f =>
-      when(col(s"a.$f") === col(s"b.$f"), true).otherwise(false)
-        .as(s"agree_$f"))
+      (col(s"a.$f") <=> col(s"b.$f")).as(s"agree_$f"))
     val score = fields.map { f =>
       val m = mPriors(f)
       when(col(s"agree_$f"),
@@ -97,10 +100,13 @@ object Linkage {
          |  FROM (SELECT $f, count(*) AS c FROM $src GROUP BY 1))""".stripMargin
     }.mkString(",\n")
     val blockEq = blockCols.map(c => s"a.$c = b.$c").mkString(" AND ")
-    val agreeSel = fields.map(f => s"a.$f = b.$f AS agree_$f").mkString(",\n    ")
+    val agreeSel = fields
+      .map(f => s"a.$f IS NOT DISTINCT FROM b.$f AS agree_$f")
+      .mkString(",\n    ")
     val scoreTerms = fields.map { f =>
       val m = mPriors(f)
-      s"CASE WHEN a.$f = b.$f THEN log2($m / (SELECT u FROM u_$f)) " +
+      s"CASE WHEN a.$f IS NOT DISTINCT FROM b.$f " +
+        s"THEN log2($m / (SELECT u FROM u_$f)) " +
         s"ELSE log2(${1.0 - m} / (1.0 - (SELECT u FROM u_$f))) END"
     }.mkString(" +\n      ")
     s"""$uCtes,

@@ -85,6 +85,14 @@ object OrderStats {
     * coverage of that threshold on the disjoint test split. Input:
     * integer nonconformity `ncInt`, boolean `isCalib`. Output one
     * row: (n_calib, k, q_hat, n_test, covered, coverage).
+    *
+    * k is CLAMPED to n_calib: for tiny calibration splits (n < 9 at
+    * α = 0.1) the nominal rank ⌈(n+1)(1−α)⌉ exceeds n and the
+    * conformal convention is q_hat = +∞ (always covered); publishing
+    * the max calibration score is the finite, engine-portable stand-in
+    * (coverage still reads ≥ 1−α). An EMPTY calibration split has no
+    * finite threshold at all and yields an empty frame — callers must
+    * supply ≥ 1 calibration row.
     */
   def conformal(df: DataFrame, ncInt: Column, isCalib: Column,
       tieCol: Column): DataFrame = {
@@ -92,7 +100,8 @@ object OrderStats {
       isCalib.as("cal"), tieCol.as("tie"))
     val calib = base.filter(col("cal"))
     val n = calib.agg(count(lit(1)).as("n_calib"))
-      .withColumn("k", expr("((n_calib + 1) * 9 + 9) div 10"))
+      .withColumn("k",
+        least(expr("((n_calib + 1) * 9 + 9) div 10"), col("n_calib")))
     // global rank via the range-sharded SNM rank — the calibration
     // split is corpus-sized here, so a single-reducer window is the
     // exact funnel this suite bans (the Curriculum/qRankTransform
@@ -117,7 +126,7 @@ object OrderStats {
     s"""calib AS (SELECT nc, tie FROM $src WHERE cal),
        |nk AS (
        |  SELECT count(*) AS n_calib,
-       |    ((count(*) + 1) * 9 + 9) // 10 AS k
+       |    least(((count(*) + 1) * 9 + 9) // 10, count(*)) AS k
        |  FROM calib),
        |qhat AS (
        |  SELECT n_calib, k, nc AS q_hat FROM (

@@ -59,12 +59,17 @@ object Regression {
       .cast(DoubleType)
     val interN = (col("sy") * col("sxx") - col("sx") * col("sxy"))
       .cast(DoubleType)
+    // constant-y groups (n·Σy² = (Σy)²) have varyN = 0 → r² = 0/0 =
+    // NaN, the NULL-vs-NaN cross-engine surface the rest of the row
+    // avoids; publish NULL there (slope/intercept stay finite) — the
+    // exact-decimal comparison, not the double cast, decides
     m.filter(col("n") * col("sxx") =!= col("sx") * col("sx"))
       .select(groupCols.map(col) ++ Seq(
         col("n").cast(LongType).as("n"),
         round(covN / varxN, 6).as("slope"),
         round(interN / varxN, 6).as("intercept"),
-        round(covN * covN / (varxN * varyN), 6).as("r2")): _*)
+        when(col("n") * col("syy") =!= col("sy") * col("sy"),
+          round(covN * covN / (varxN * varyN), 6)).as("r2")): _*)
   }
 
   /** The DuckDB mirror of [[olsByGroup]] over a CTE/table `src` whose
@@ -90,10 +95,11 @@ object Regression {
        |      cast(n * sxx - sx * sx as double), 6) AS slope,
        |    round(cast(sy * sxx - sx * sxy as double) /
        |      cast(n * sxx - sx * sx as double), 6) AS intercept,
-       |    round(cast(n * sxy - sx * sy as double) *
-       |      cast(n * sxy - sx * sy as double) /
-       |      (cast(n * sxx - sx * sx as double) *
-       |       cast(n * syy - sy * sy as double)), 6) AS r2
+       |    CASE WHEN n * syy <> sy * sy THEN
+       |      round(cast(n * sxy - sx * sy as double) *
+       |        cast(n * sxy - sx * sy as double) /
+       |        (cast(n * sxx - sx * sx as double) *
+       |         cast(n * syy - sy * sy as double)), 6) END AS r2
        |  FROM m WHERE n * sxx <> sx * sx)""".stripMargin
   }
 }

@@ -501,12 +501,12 @@ private[queries] trait StatsExtQueries extends KnnReleaseQueries {
     * estimate for the SAME seeds read from the persisted store. The
     * published ratio is the measured register-sketch error at b = 5;
     * the exact side exists only at measurement scale, never as the
-    * production path. Reading the measurement: small balls (r = 0, 1)
-    * show the DOCUMENTED raw-HLL small-range inflation ([[graft
-    * .sketch.Hll]] returns the uncorrected estimate for cross-engine
-    * determinism; the linear-counting correction is driver-side) —
-    * at sf0.1 the ratio is 1.018 at r = 2 and 0.976 at r = 3, the
-    * radii hop plots are used for.
+    * production path. Small balls (r ≤ 1) read through the IN-ENGINE
+    * linear-counting correction ([[graft.sketch.HyperBall
+    * .ballEstimatesInt]] — shared literal table, no libm), so the
+    * r = 0 ratio is exactly 1.0 and r = 1 sits near 1 instead of the
+    * former raw-HLL ~0.7·m floor; r = 2..3 stay within the 1.04/√m
+    * band (1.018 / 0.976 at sf0.1 pre-correction).
     */
   def qHyperballRecall(s: SparkSession, d: String): DataFrame = {
     val edges = coPurchaseServed(s, d)

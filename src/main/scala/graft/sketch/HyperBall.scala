@@ -39,16 +39,26 @@ object HyperBall {
   /** Per-(node, r) ball-size estimates for r = 0..rounds: columns
     * (id, r, harmonic_scaled, zero_regs, n_est). `edges` must carry
     * (src, dst); propagation follows src→dst.
+    *
+    * The seeded node set is `nodes ∪ edges.dst`: on an asymmetric edge
+    * list a dst-only node would otherwise enter the register table
+    * from round 1 WITHOUT its own seed — its balls would exclude
+    * itself, hopPlot's n_nodes would vary by r, and harmonicCentrality
+    * would read NULL est0. The union is a no-op when nodes ⊇ dst (the
+    * symmetric co-purchase graph), and makes the directed case
+    * well-defined. The oracle seeds from the identical union.
     */
   def ballSizes(nodes: DataFrame, edges: DataFrame, rounds: Int,
       b: Int): DataFrame = {
     require(rounds >= 0 && rounds <= 8, "bounded iteration only")
+    val seeded = nodes.select(col("id"))
+      .unionAll(edges.select(col("dst").as("id"))).distinct()
     // every round's register table stays persisted until the consuming
     // action finishes (CacheRegistry releases them post-query): the
     // output reads ALL rounds, so an eager unpersist-the-parent loop
     // would silently re-run round r's join chain once per later round
     var regs = graft.CacheRegistry.register(
-      Hll.registers(nodes.select(col("id")), Seq("id"), "id", b)
+      Hll.registers(seeded, Seq("id"), "id", b)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var out = Hll.estimateFromRegisters(regs, Seq("id"), b)
       .withColumn("r", lit(0))
@@ -72,16 +82,49 @@ object HyperBall {
     out
   }
 
+  /** Small-range (linear-counting) correction table: lc(V) =
+    * m·ln(m/V) for V = 1..m−1, each value rounded to 6 decimals at
+    * GENERATION time and emitted as the same literal into both the
+    * Column expression and the oracle SQL — the correction input
+    * (zero_regs) is an exact integer in both engines and the table is
+    * shared text, so no libm ln() enters either runtime. (V = m never
+    * occurs: every seeded node sets at least its own register.)
+    */
+  private[sketch] def lcLiterals(b: Int): IndexedSeq[String] = {
+    val m = 1 << b
+    (1 until m).map { v =>
+      BigDecimal(m.toDouble * math.log(m.toDouble / v))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+    }
+  }
+
   /** [[ballSizes]] quantized to the exact-integer per-node estimates
-    * (id, r, est_i = round(n_est)) — the all-integer form the
-    * persisted store keeps and every downstream readout (hop plot,
-    * harmonic centrality) derives from.
+    * (id, r, est_i) — the all-integer form the persisted store keeps
+    * and every downstream readout (hop plot, harmonic centrality)
+    * derives from. est_i applies the standard HLL small-range
+    * correction (Flajolet et al. 2007): when n_est < 2.5·m and some
+    * registers are still zero, the linear-counting estimate
+    * m·ln(m/zero_regs) replaces the raw harmonic estimate — this is
+    * what makes r ≤ 1 balls read ≈ their true handful size instead of
+    * the raw formula's ~0.7·m floor. Both branches are deterministic
+    * cross-engine: n_est is one division of exact integers, and the
+    * correction value comes from [[lcLiterals]]'s shared table.
+    * (Near the correction→raw crossover the estimate is no longer
+    * strictly non-decreasing in r; a shell diff can read slightly
+    * negative — identically in both engines.)
     */
   def ballEstimatesInt(nodes: DataFrame, edges: DataFrame, rounds: Int,
-      b: Int): DataFrame =
+      b: Int): DataFrame = {
+    val m = 1 << b
+    val lcArr = array(lcLiterals(b).map(s => lit(s.toDouble)): _*)
+    val corrected = when(
+      col("n_est") < lit(2.5 * m) && col("zero_regs") > 0L,
+      element_at(lcArr, col("zero_regs").cast(IntegerType)))
+      .otherwise(col("n_est"))
     ballSizes(nodes, edges, rounds, b)
       .select(col("id"), col("r"),
-        round(col("n_est")).cast(LongType).as("est_i"))
+        round(corrected).cast(LongType).as("est_i"))
+  }
 
   /** Aggregate hop plot from a (id, r, est_i) ball-estimate table:
     * per r, the node count, the exact-integer reach total, and the
@@ -192,23 +235,31 @@ object HyperBall {
          |    FROM regs${r - 1} p JOIN edges e ON p.id = e.src)
          |  GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
+    // the same small-range correction table ballEstimatesInt embeds —
+    // shared literal text, indexed by the exact integer zero_regs
+    val lcList = lcLiterals(b).mkString("[", ", ", "]")
     val estPerR = (0 to rounds).map { r =>
       s"""est$r AS (
          |  SELECT id, $r AS r,
-         |    cast(round(${Hll.alphaM2Scaled(b)} / cast(
-         |      sum(cast(1::BIGINT << ($rmax - reg_rank) as decimal(38,0))) +
-         |      cast($m - count(*) as decimal(38,0)) *
-         |        cast(1::BIGINT << $rmax as decimal(38,0)) as double))
-         |      as bigint) AS est_i
-         |  FROM regs$r GROUP BY 1)""".stripMargin
+         |    cast(round(CASE WHEN n_est < ${2.5 * m} AND zero_regs > 0
+         |      THEN ($lcList)[zero_regs] ELSE n_est END) as bigint) AS est_i
+         |  FROM (
+         |    SELECT id,
+         |      ${Hll.alphaM2Scaled(b)} / cast(
+         |        sum(cast(1::BIGINT << ($rmax - reg_rank) as decimal(38,0))) +
+         |        cast($m - count(*) as decimal(38,0)) *
+         |          cast(1::BIGINT << $rmax as decimal(38,0)) as double) AS n_est,
+         |      $m - count(*) AS zero_regs
+         |    FROM regs$r GROUP BY 1))""".stripMargin
     }.mkString(",\n")
     val unions = (0 to rounds).map(r => s"SELECT * FROM est$r")
       .mkString(" UNION ALL ")
-    s"""regs0 AS MATERIALIZED (
+    s"""seeded AS (SELECT id FROM nodes UNION SELECT dst AS id FROM edges),
+       |regs0 AS MATERIALIZED (
        |  SELECT id, $h % $m AS reg_idx,
        |    CASE WHEN $h // $m = 0 THEN $rmax
        |      ELSE ${wWidth + 1} - length(bin($h // $m)) END AS reg_rank
-       |  FROM nodes),
+       |  FROM seeded),
        |$prop,
        |$estPerR,
        |allr AS ($unions)""".stripMargin

@@ -86,6 +86,44 @@ class BenchHostSpec extends SparkSpec {
       band.map(_ / fresh)))
   }
 
+  test("absolute-gate reference shields against an idle-turbo fresh sample") {
+    // r14's falsely-dirty class: the fresh sample turbo-boosted to
+    // 0.21 s on an idle host while honest mid-suite JVM drift sat at
+    // 0.46 s (2.19x own fresh — past the 2.1 bound) though the same
+    // drift vs the anchor's loaded-era fresh (0.26 s) is only 1.77x.
+    // The anchor-floored reference must adjudicate that window clean.
+    val ownFresh = 0.21
+    val anchorFresh = Some(0.26)
+    assert(BenchHost.absGateRef(ownFresh, anchorFresh) === 0.26)
+    assert(BenchHost.absGateRef(0.30, anchorFresh) === 0.30) // own wins when larger
+    assert(BenchHost.absGateRef(ownFresh, None) === 0.21)    // degrade, not reject
+    val drift = Seq(0.45, 0.46, 0.44, 0.46, 0.45)
+    val dm = BenchHost.median(drift)
+    // vs the turbo fresh: falsely dirty
+    assert(!BenchHost.hostClean(0.1, 32, drift.map(_ / dm),
+      drift.map(_ / ownFresh)))
+    // vs the anchor-floored reference: clean — and a genuine 3x
+    // sustained intruder still trips the same gate
+    val ref = BenchHost.absGateRef(ownFresh, anchorFresh)
+    assert(BenchHost.hostClean(0.1, 32, drift.map(_ / dm),
+      drift.map(_ / ref)))
+    val intruded = Seq(0.72, 0.75, 0.70, 0.74, 0.73)
+    val im = BenchHost.median(intruded)
+    assert(!BenchHost.hostClean(0.1, 32, intruded.map(_ / im),
+      intruded.map(_ / ref)))
+  }
+
+  test("quiet-gap canary returns a plausible best-of-2 sample") {
+    val base = BenchHost.canaryBase(spark)
+    val quiet = BenchHost.quietCanarySec(spark)
+    assert(quiet > 0.0)
+    // best-of-2 behind a GC'd gap on this quiet test JVM must sit
+    // within the honest drift envelope of the fresh baseline
+    assert(quiet <= BenchHost.CanaryAbsDirtyRatio * base,
+      f"quiet canary $quiet%.3fs vs base $base%.3fs exceeded the gate " +
+        "envelope on an idle test JVM")
+  }
+
   test("synthetic CPU load drives the canary past the dirty threshold") {
     // quiet baseline in this JVM (min-of-3 discards codegen warmup)
     val base = BenchHost.canaryBase(spark)

@@ -73,6 +73,26 @@ class HyperBallSpec extends SparkSpec {
     assert(m((1L, 2)) === 3L && m((2L, 2)) === 3L)
   }
 
+  test("small-range correction: tiny balls read their exact size") {
+    // path 1—2—3: raw HLL for a 1-element set reads ~0.7·m (the
+    // small-range inflation); the in-engine linear-counting branch
+    // must bring every r=0 ball to exactly 1 and the r=1 balls to
+    // their true 2 / 3 — and a dst-only node (4 → 1 directed) must be
+    // seeded (the asymmetric-edge-list fix: its r=0 ball is 1, not
+    // absent/NULL)
+    val edges = (Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)) ++
+      Seq((4L, 1L))).toDF("src", "dst")
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val est = HyperBall.ballEstimatesInt(nodes, edges, rounds = 1, b = b)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    graft.CacheRegistry.releaseAll()
+    for (id <- Seq(1L, 2L, 3L, 4L)) assert(est((id, 0)) === 1L)
+    assert(est((2L, 1)) === 3L)  // {1,2,3}
+    assert(est((3L, 1)) === 2L)  // {2,3}
+    assert(est((4L, 1)) === 1L)  // no out-edges into 4
+    assert(est((1L, 1)) === 3L)  // {1,2} ∪ pushed from 4 → {1,2,4}
+  }
+
   test("harmonic centrality ranks the star center first, ties by id") {
     // star: 9 — {1,2,3}; center 9 reaches everyone at r=1
     val ed = Seq((9L, 1L), (9L, 2L), (9L, 3L)).toDF("src", "dst")
