@@ -97,6 +97,88 @@ object AllPairs {
       .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
   }
 
+  /** Directional exact-Jaccard NEIGHBOR LIST for a PROBE SUBSET:
+    * (id, nbr, jaccard) for every probe document (rows of `df` where
+    * `probePred(id)`) against the WHOLE corpus, id ≠ nbr, Jaccard ≥
+    * `threshold`. Candidate generation keeps the full prefix-filter
+    * machinery of [[pairs]] but restricts the PROBE side of the
+    * posting join, so cost scales with the probe set's pair density,
+    * not the corpus's — the serve-a-query-set shape ("which corpus
+    * docs near-duplicate THESE docs"), and the shape that makes a
+    * seeded-sample ORACLE feasible at scale factors where the full
+    * pair CTE is out of reach (the q_hyperball_recall 1/101
+    * discipline applied to the output-bound family).
+    *
+    * The positional PPJoin filter is order-symmetric (it bounds the
+    * overlap reachable from the two matched positions), so dropping
+    * the id_a < id_b convention keeps it sound.
+    */
+  def neighborsFor(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, probePred: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0, "need 0 < t < 1")
+    val toks = df
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextAnalysis.tokensHashed(col(textCol))))
+          .as("h"))
+    val freq = toks.groupBy(col("h")).agg(count(lit(1)).as("dfc"))
+    val docs = toks.join(freq, Seq("h"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("dfc"), col("h"))))
+        .as("arr"))
+      .select(col("id"),
+        transform(col("arr"), e => e.getField("h")).as("arr"),
+        size(col("arr")).as("len"))
+    val cached = graft.CacheRegistry.register(
+      docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val prefix = cached.select(col("id"), col("len"),
+      posexplode(slice(col("arr"), lit(1),
+        (col("len") - ceil(lit(threshold) * col("len")) + 1)
+          .cast("int"))))
+      .select(col("id"), col("len"), (col("pos") + 1).as("pos"),
+        col("col").as("h"))
+    val cand = prefix.filter(probePred(col("id"))).as("a")
+      .join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.id") =!= col("b.id") &&
+          least(col("a.len"), col("b.len")) >=
+            ceil(lit(threshold) * greatest(col("a.len"), col("b.len"))) &&
+          lit(1) + least(col("a.len") - col("a.pos"),
+              col("b.len") - col("b.pos")) >=
+            ceil(lit(threshold / (1 + threshold)) *
+              (col("a.len") + col("b.len"))))
+      .select(col("a.id").as("__pid"), col("b.id").as("__nid"))
+      .distinct()
+    val j = size(array_intersect(col("da.arr"), col("db.arr")))
+      .cast("double") /
+      (col("da.len") + col("db.len") -
+        size(array_intersect(col("da.arr"), col("db.arr"))))
+    cand
+      .join(cached.as("da"), col("__pid") === col("da.id"))
+      .join(cached.as("db"), col("__nid") === col("db.id"))
+      .filter(j >= threshold)
+      .select(col("__pid").as("id"), col("__nid").as("nbr"),
+        round(j, 6).as("jaccard"))
+  }
+
+  /** [[neighborsFor]] reduced to each probe's k strongest neighbors —
+    * (id, rank, nbr, jaccard), the bounded-output serving readout for
+    * a probe subset, heap-aggregated like [[topKNeighbors]].
+    */
+  def topKNeighborsFor(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int, probePred: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    neighborsFor(df, idCol, textCol, threshold, probePred)
+      .groupBy(col("id"))
+      .agg(graft.functions.TopKAgg.top_k_by(
+        round(col("jaccard") * lit(1000000.0)).cast("long"),
+        col("nbr"), k).as("top"))
+      .select(col("id"), posexplode(col("top")))
+      .select(col("id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.payload").as("nbr"),
+        (col("col.ord").cast("double") / 1000000.0).as("jaccard"))
+  }
+
   /** Output-bounded all-pairs REPORT: each document's k strongest
     * exact-Jaccard neighbors at or above `threshold` —
     * (id, rank, nbr, jaccard), rank 1..k by (jaccard DESC, nbr ASC).

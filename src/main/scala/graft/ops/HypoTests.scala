@@ -199,8 +199,13 @@ object HypoTests {
     * quantized to integer micro-units per group (one round of an
     * IEEE-determined double each) and SUMMED AS INTEGERS, so the
     * cross-group total is partition-order-free — the q_chi2 cell
-    * discipline. One row: (k, n, ssb, ssw, f_stat), sums rounded
-    * to 6.
+    * discipline. One row: (k, n, eta_sq, f_stat). Published
+    * statistics are the two O(1)-magnitude ratios only: raw sums of
+    * squares reach ~10¹⁸ (cents² × rows), where a double's ulp
+    * exceeds the 6-dp rounding grid and the engines' round()
+    * implementations legitimately disagree by an ulp — the bounded
+    * η² = SSB/SST effect size carries the same information
+    * deterministically.
     */
   def anovaF(df: DataFrame, groupCol: Column, xInt: Column): DataFrame = {
     val dec = DecimalType(38, 0)
@@ -226,9 +231,10 @@ object HypoTests {
     // text reproduces the same IEEE bits — two algebraically equal
     // double dags may differ in the last bit
     val ssw = d(col("q")) - d(col("gbsum")) / lit(1000000.0)
+    val sst = d(col("q")) - grand
     t.select(col("k").cast(LongType).as("k"),
       col("nn").cast(LongType).as("n"),
-      round(ssb, 6).as("ssb"), round(ssw, 6).as("ssw"),
+      round(ssb / sst, 6).as("eta_sq"),
       round((ssb / (d(col("k")) - 1.0)) /
         (ssw / (d(col("nn")) - d(col("k")))), 6).as("f_stat"))
   }
@@ -256,11 +262,12 @@ object HypoTests {
        |  FROM gb),
        |anova AS (
        |  SELECT cast(k as bigint) AS k, cast(nn as bigint) AS n,
-       |    round(cast(gbsum as double) / 1000000.0 -
-       |      cast(ss as double) * cast(ss as double) /
-       |        cast(nn as double), 6) AS ssb,
-       |    round(cast(q as double) -
-       |      cast(gbsum as double) / 1000000.0, 6) AS ssw,
+       |    round((cast(gbsum as double) / 1000000.0 -
+       |        cast(ss as double) * cast(ss as double) /
+       |          cast(nn as double)) /
+       |      (cast(q as double) -
+       |        cast(ss as double) * cast(ss as double) /
+       |          cast(nn as double)), 6) AS eta_sq,
        |    round(((cast(gbsum as double) / 1000000.0 -
        |        cast(ss as double) * cast(ss as double) /
        |          cast(nn as double)) / (cast(k as double) - 1.0)) /

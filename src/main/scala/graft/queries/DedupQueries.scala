@@ -650,6 +650,56 @@ private[queries] trait DedupQueries extends TextCurationQueries {
        |  CAST(round(jaccard * 1000000) AS BIGINT) / 1000000.0 AS jaccard
        |FROM r WHERE rk <= 3""".stripMargin
 
+  /** Seeded-sample twin of [[qAllPairs]]: the exact neighbor list of
+    * the 1/101 hash-sampled probe docs against the WHOLE corpus
+    * ([[graft.dedup.AllPairs.neighborsFor]]). Purpose: an oracle
+    * gate for the output-bound family at scale factors where the
+    * full pair CTE is out of DuckDB's reach (sf1's ~9×10⁷ rows) —
+    * the oracle's candidate join carries the sampled probe side
+    * only, so its cost is corpus/101. Runs at every SF like any
+    * other gate.
+    */
+  def qAllPairsSample(s: SparkSession, d: String): DataFrame =
+    graft.dedup.AllPairs.neighborsFor(Tables.documents(s, d), "doc_id",
+      "text", threshold = 0.9, probePred = _ % 101 === 0)
+
+  val qAllPairsSampleSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  list_distinct(list_transform($toksSql,
+       |    tk -> ${hash60Sql("tk")} % 2147483647)) AS hs FROM documents),
+       |e AS (SELECT doc_id, u.h FROM t, unnest(hs) AS u(h)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id, b.doc_id AS nbr
+       |  FROM e a JOIN e b ON a.h = b.h AND a.doc_id <> b.doc_id
+       |  WHERE a.doc_id % 101 = 0),
+       |j AS (SELECT id, nbr,
+       |    len(list_intersect(ta.hs, tb.hs)) * 1.0 /
+       |      (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs)))
+       |      AS jac
+       |  FROM cand JOIN t ta ON id = ta.doc_id
+       |    JOIN t tb ON nbr = tb.doc_id)
+       |SELECT id, nbr, round(jac, 6) AS jaccard FROM j
+       |WHERE jac >= 0.9""".stripMargin
+
+  /** Top-3 serving readout over the sampled probes — the bounded
+    * oracle for [[qAllPairsTopK]]'s Θ(N·k) contract at sf1
+    * ([[graft.dedup.AllPairs.topKNeighborsFor]]): per-probe top-k
+    * against the whole corpus, verified row-for-row where the full
+    * report's oracle cannot be replayed.
+    */
+  def qAllPairsTopKSample(s: SparkSession, d: String): DataFrame =
+    graft.dedup.AllPairs.topKNeighborsFor(Tables.documents(s, d), "doc_id",
+      "text", threshold = 0.9, k = 3, probePred = _ % 101 === 0)
+
+  val qAllPairsTopKSampleSql: String =
+    s"""WITH p AS MATERIALIZED ($qAllPairsSampleSql),
+       |r AS (SELECT id, nbr, jaccard, row_number() OVER (
+       |    PARTITION BY id
+       |    ORDER BY CAST(round(jaccard * 1000000) AS BIGINT) DESC, nbr ASC)
+       |    AS rk FROM p)
+       |SELECT id, CAST(rk AS INT) AS rank, nbr,
+       |  CAST(round(jaccard * 1000000) AS BIGINT) / 1000000.0 AS jaccard
+       |FROM r WHERE rk <= 3""".stripMargin
+
   /** Count-min token-frequency estimates for the 20 most frequent
     * tokens (exact counts alongside; est ≥ exact by construction).
     * Deterministic cross-engine like the other sketches.

@@ -390,6 +390,36 @@ private[queries] trait StatsExtQueries extends KnnReleaseQueries {
        |SELECT id_a, id_b, agree_lang, agree_source, agree_mid, score
        |FROM linked""".stripMargin
 
+  /** Sampled twin of [[qLinkage]] for the sf1 oracle gate: the same
+    * Fellegi–Sunter scoring over the 1/9 of pairs whose BOTH ids are
+    * ≡ 0 (mod 3) — each block shrinks ~3×, the quadratic pair CTE
+    * ~9×, so the oracle replays at scale factors where the full pair
+    * output is out of reach. The u-probabilities are re-estimated on
+    * the sampled corpus (the sampled query is self-consistent, not a
+    * row-filter of the full one). Runs at every SF.
+    */
+  def qLinkageSample(s: SparkSession, d: String): DataFrame =
+    graft.ops.Linkage.fellegiSunter(
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("id"),
+          substring(col("text"), 1, 12).as("bl_prefix"),
+          expr("n_chars div 100").as("bl_band"),
+          col("lang"), col("source"),
+          substring(col("text"), 41, 12).as("mid")),
+      "id", Seq("bl_prefix", "bl_band"), linkageFields, linkageM, linkageMin)
+
+  val qLinkageSampleSql: String =
+    s"""WITH src AS (
+       |  SELECT doc_id AS id, substr(text, 1, 12) AS bl_prefix,
+       |    n_chars // 100 AS bl_band, lang, source,
+       |    substr(text, 41, 12) AS mid
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |${graft.ops.Linkage.oracleSql("src", Seq("bl_prefix", "bl_band"),
+          linkageFields, linkageM, linkageMin)}
+       |SELECT id_a, id_b, agree_lang, agree_source, agree_mid, score
+       |FROM linked""".stripMargin
+
   // ---------------------------------------------------------------
   // q_hyperball — HLL neighborhood function on the co-purchase graph
   // ---------------------------------------------------------------
@@ -557,6 +587,7 @@ private[queries] trait StatsExtQueries extends KnnReleaseQueries {
       ("q_seq3", qSeq3 _, Some(qSeq3Sql)),
       ("q_did", qDid _, Some(qDidSql)),
       ("q_linkage", qLinkage _, Some(qLinkageSql)),
+      ("q_linkage_sample", qLinkageSample _, Some(qLinkageSampleSql)),
       ("q_hyperball", qHyperball _, Some(qHyperballSql)),
       ("q_harmonic_centrality", qHarmonicCentrality _,
         Some(qHarmonicCentralitySql)),
