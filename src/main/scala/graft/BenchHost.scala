@@ -165,15 +165,25 @@ object BenchHost {
     */
   val CanaryAbsDirtyRatio = 2.1
 
-  /** Reference value for the absolute gate: the larger of this
-    * window's fresh sample and the committed ANCHOR's fresh value —
-    * a vetted same-host loaded-era reference that caps how far one
-    * idle-turbo fresh sample can shrink the denominator. A missing
-    * anchor (or an anchor without the field) degrades to the own
-    * sample, never to a rejected gate.
+  /** Reference value for the absolute gate, shielded BOTH ways:
+    *
+    *  - an idle-turbo own sample (LOW — the r14 false-dirty class)
+    *    is floored by the committed anchor's vetted fresh value;
+    *  - a loaded-start own sample (HIGH — measured this round: a
+    *    window whose JVM start overlapped background drain read
+    *    fresh = 1.62 s vs the honest ~0.25 s, which under a plain
+    *    max() would blind the sustained-intruder gate entirely) is
+    *    CAPPED at 1.3× the anchor — genuine hardware drift passes,
+    *    a polluted sample cannot raise the bar.
+    *
+    * A missing anchor (or an anchor without the field) degrades to
+    * the own sample, never to a rejected gate.
     */
   def absGateRef(ownFresh: Double, anchorFresh: Option[Double]): Double =
-    math.max(ownFresh, anchorFresh.getOrElse(0.0))
+    anchorFresh match {
+      case Some(a) => math.max(a, math.min(ownFresh, 1.3 * a))
+      case None => ownFresh
+    }
 
   /** Pre-suite load above this fraction of the core count means the
     * box was busy before the bench contributed anything.

@@ -95,7 +95,12 @@ class BenchHostSpec extends SparkSpec {
     val ownFresh = 0.21
     val anchorFresh = Some(0.26)
     assert(BenchHost.absGateRef(ownFresh, anchorFresh) === 0.26)
-    assert(BenchHost.absGateRef(0.30, anchorFresh) === 0.30) // own wins when larger
+    // hardware drift inside the 1.3x band raises the bar honestly…
+    assert(BenchHost.absGateRef(0.30, anchorFresh) === 0.30)
+    // …but a loaded-start polluted sample is capped at 1.3x anchor,
+    // so it cannot blind the sustained-intruder gate
+    assert(math.abs(BenchHost.absGateRef(1.62, anchorFresh) -
+      0.26 * 1.3) < 1e-12)
     assert(BenchHost.absGateRef(ownFresh, None) === 0.21)    // degrade, not reject
     val drift = Seq(0.45, 0.46, 0.44, 0.46, 0.45)
     val dm = BenchHost.median(drift)
