@@ -94,13 +94,37 @@ object BenchHost {
     *     landing inside a 0.3 s sample — the same min() rationale as
     *     [[canaryBase]], applied per sample.
     *
-    * Cost: ~13 GCs + ~4 s sleep per 252-query suite, all OUTSIDE the
-    * per-query timed regions.
+    * The gap is ADAPTIVE: after the GC + drain, samples repeat (up to
+    * 4) until two consecutive ones agree within 25%, with a longer
+    * drain before each extra attempt — "sample when the machine is
+    * quiet", not "sample on a fixed schedule and hope". Rationale: at
+    * sf1 a fixed 150 ms drain is not enough after a 70 s query that
+    * spilled 7 GB (shuffle-file cleanup and writeback outlast it),
+    * and both r15 sf1 windows were verdicted dirty by exactly one
+    * such canary pair (1.8-2.2× a now-halved median) while the
+    * absolute gate read clean. An UNSTABLE final state still returns
+    * the min — a genuinely contended host stays slow across attempts
+    * and the gates still fire.
+    *
+    * Cost: ~13 GCs + a few seconds of drain per 266-query suite, all
+    * OUTSIDE the per-query timed regions.
     */
   def quietCanarySec(spark: SparkSession): Double = {
     System.gc()
     Thread.sleep(150)
-    math.min(canarySec(spark), canarySec(spark))
+    var prev = canarySec(spark)
+    var best = prev
+    var attempts = 1
+    var stable = false
+    while (!stable && attempts < 4) {
+      val cur = canarySec(spark)
+      best = math.min(best, cur)
+      stable = math.max(cur, prev) <= 1.25 * math.min(cur, prev)
+      prev = cur
+      attempts += 1
+      if (!stable && attempts < 4) Thread.sleep(250L * attempts)
+    }
+    best
   }
 
   /** Quiet-gap I/O canary: same gap discipline as [[quietCanarySec]]
