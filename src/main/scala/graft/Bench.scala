@@ -12,7 +12,18 @@ object Bench {
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
         java.nio.charset.StandardCharsets.UTF_8)
     val epochJson = try readAll(epochRef) catch { case _: Throwable => "" }
-    val epoch: Map[String, Double] = BenchMetrics.parseEpochQueries(epochJson)
+    // the outlier gate only makes sense when the epoch was measured at
+    // THIS run's scale factor: against a different-SF reference every
+    // query reads as a >2x "outlier" and the suite-end retry+isolation
+    // machinery re-runs the whole inventory (measured: an sf10 probe
+    // against the sf0.1 epoch spent longer retrying than benching)
+    val epochSfMatches = {
+      val m = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(epochJson)
+      m.forall(_.group(1) == sfDir)
+    }
+    val epoch: Map[String, Double] =
+      if (epochSfMatches) BenchMetrics.parseEpochQueries(epochJson)
+      else Map.empty
     val epochPerQ = BenchMetrics.parseEpochPerQuery(epochJson)
     val (epochCanaryMed, _, epochIoMed) = BenchMetrics.parseHostRef(epochJson)
     // the FIXED cross-round normalization anchor (committed once per
