@@ -268,6 +268,70 @@ object Dedup {
       .distinct()
   }
 
+  /** Wide-key pigeonhole layout for [[simhashCandidatesScaled]]:
+    * `maxHamming + 2` bands tiling the fingerprint (one MORE than the
+    * minimum), last band absorbing the remainder.
+    */
+  def simhashPairBandLayout(maxHamming: Int): Seq[(Int, Int)] = {
+    val nBands = maxHamming + 2
+    require(nBands <= simhashBits, s"need at least 1 bit per band")
+    val base = simhashBits / nBands
+    (0 until nBands).map { b =>
+      val shift = b * base
+      (shift, if (b == nBands - 1) simhashBits - shift else base)
+    }
+  }
+
+  /** SimHash near-dup candidates via COMPOUND pair-band keys — the
+    * corpus-scale variant of [[simhashCandidates]], same exact output
+    * (every hamming ≤ `maxHamming` pair, no false negatives), with
+    * bucket occupancy divided by ~2^12 relative to the single-band
+    * layout.
+    *
+    * Pigeonhole, one band deeper (the multi-block idea of Manku et
+    * al., WWW'07 §3): with `maxHamming + 2` bands, a pair within the
+    * hamming budget flips bits in at most `maxHamming` bands, leaving
+    * at least TWO bands untouched — so the pair agrees exactly on
+    * some unordered PAIR of bands and an equi-join on all
+    * C(maxHamming+2, 2) compound keys (band indices + both values)
+    * finds it. For 60-bit fingerprints at maxHamming = 3: 5 bands of
+    * 12 bits → 10 keys per doc with 24-bit values, so random
+    * collisions fall 1 in 2^24 vs the single-band layout's 1 in 2^15.
+    * Why it matters: the band join is CORPUS × CORPUS, the shape
+    * whose Σ occupancy² work a static key space turns quadratic
+    * (SCALE.md knob audit) — single 15-bit bands keep N²/2^15 random
+    * pairs bounded to ~10⁷ docs, compound 24-bit keys push the same
+    * knee past ~10⁹ docs for one extra explode row per true pair and
+    * 2.5× the explode volume. Both layouts verify candidates with the
+    * exact bit_count(xor) filter, so precision is unaffected; the
+    * equality of the two paths' OUTPUT is the q_simhash_scaled gate
+    * (its oracle replays the independent single-band derivation).
+    */
+  def simhashCandidatesScaled(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val layout = simhashPairBandLayout(maxHamming)
+    val sh = graft.CacheRegistry.register(
+      graft.ops.Parallelism.widen(df)
+        .select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    def bandVal(shift: Int, width: Int) =
+      shiftright(col("sh"), shift).bitwiseAND(lit((1L << width) - 1))
+    val keys = for {
+      i <- layout.indices; j <- layout.indices if i < j
+    } yield concat_ws("_", lit(i), lit(j),
+      bandVal(layout(i)._1, layout(i)._2), bandVal(layout(j)._1, layout(j)._2))
+    val banded = sh.select(col("id"), col("sh"),
+      explode(array(keys: _*)).as("bucket"))
+    val a = banded.select(col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Apply near-dedup: keep one representative per near-dup group by
     * greedily dropping the higher id of every confident candidate pair
     * (the standard LSH-dedup policy; transitive clusters collapse to
@@ -329,16 +393,49 @@ object Dedup {
     * (compared on the rounded value, so the boundary is
     * engine-agnostic) are emitted as (id_a, id_b, cos_sim).
     */
+  /** Adaptive plane-count bounds for [[embeddingNearDupPairs]]: the
+    * floor is the r14 scaled config (12 planes = 4,096 buckets/table,
+    * chosen for recall at bench SFs); past 65k vectors the count grows
+    * with the corpus (one plane per doubling, the
+    * [[graft.sim.KnnGraph.seedPlanes]] integer derivation with a
+    * 12-plane floor) so bucket occupancy — and with it the Σ occ²
+    * pairwise work, the knn-seed failure shape — stays ~constant at
+    * any SF instead of growing linearly into a quadratic join. The
+    * ceiling bounds the oracle's expression size; each table draws its
+    * planes from a FIXED [[EmbedMaxPlanes]]-stride block of the shared
+    * hyperplane sequence so a derived count is always a PREFIX of the
+    * same plane set (the masked-key discipline — the SQL computes all
+    * EmbedMaxPlanes signs and substr-masks down).
+    */
+  val EmbedMinPlanes = 12
+  val EmbedMaxPlanes = 20
+  val EmbedTargetOccupancy = 16L
+
+  /** Count-derived plane count for the embedding LSH — exact integer
+    * comparisons shared with the oracle's CASE chain.
+    */
+  def embedPlanes(n: Long): Int =
+    graft.sim.KnnGraph.seedPlanes(n, EmbedTargetOccupancy,
+      EmbedMinPlanes, EmbedMaxPlanes)
+
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.35, numPlanes: Int = 12, numTables: Int = 3,
+      threshold: Double = 0.35, numPlanes: Int = 0, numTables: Int = 3,
       dim: Int = 64): DataFrame = {
     import graft.sim.Ann
-    // table t draws planes [t*numPlanes, (t+1)*numPlanes) from the
-    // shared deterministic hyperplane sequence; ALL tables' keys come
-    // from one SignBuckets kernel call — the hyperplane matrix rides as
-    // a reference object instead of numTables·numPlanes·dim literal
-    // nodes the optimizer would re-chew every run
-    val allPlanes = (0 until numTables * numPlanes).map(Ann.hyperplane(_, dim))
+    // numPlanes = 0 (default) derives the count from one corpus
+    // count() — the q_semdedup occupancy discipline; an explicit
+    // positive value pins it (synthetic fixtures)
+    val p = if (numPlanes == 0) embedPlanes(df.count()) else numPlanes
+    // table t draws planes [t*EmbedMaxPlanes, t*EmbedMaxPlanes + p)
+    // from the shared deterministic hyperplane sequence — a fixed
+    // stride, NOT t*p, so the plane set at any derived count is a
+    // prefix of the same per-table block and the masked oracle
+    // replays it. ALL tables' keys come from one SignBuckets kernel
+    // call — the hyperplane matrix rides as a reference object
+    // instead of numTables·p·dim literal nodes the optimizer would
+    // re-chew every run
+    val allPlanes = (0 until numTables).flatMap(t =>
+      (0 until p).map(i => Ann.hyperplane(t * EmbedMaxPlanes + i, dim)))
     val tableKeyArray = graft.functions.TextHashes.sign_buckets(
       col(vecCol), allPlanes, numTables, withPrefix = true)
     // bucket keys AND norm staged once per vector in the persisted

@@ -66,13 +66,22 @@ object IncrementalDedup {
 
   /** Shared staleness-guarded bucketed-table writer for every
     * incremental state flavor: reuse iff the stored corpus
-    * fingerprint matches, else rebuild from `build`. Returns true
-    * when a (re)build happened.
+    * fingerprint AND derivation version match, else rebuild from
+    * `build`. Returns true when a (re)build happened.
+    *
+    * `logicV` is the DERIVATION version: the corpus fingerprint
+    * (fp_n/fp_h) covers only the SOURCE data, so a code change to the
+    * build logic (e.g. the r15→r16 HyperBall small-range correction,
+    * or the adaptive k-NN seed plane count) would leave a persistent
+    * metastore serving stale pre-change rows that silently diverge
+    * from the updated oracles — the local in-memory catalog masks
+    * this only because it forgets tables per JVM. Callers bump their
+    * version constant whenever the build's OUTPUT function changes.
     */
   private[graft] def ensureBucketedState(docs: DataFrame, idCol: String,
       textCol: String, table: String, nBuckets: Int,
       bucketCols: Seq[String],
-      sortCols: Seq[String])(build: => DataFrame): Boolean = {
+      sortCols: Seq[String], logicV: Int = 1)(build: => DataFrame): Boolean = {
     val spark = docs.sparkSession
     val (n, h) = fingerprint(docs, idCol, textCol)
     val fresh =
@@ -80,7 +89,8 @@ object IncrementalDedup {
         val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
           .map(r => r.getString(0) -> r.getString(1)).toMap
         props.get("graft.fp_n").contains(n.toString) &&
-          props.get("graft.fp_h").contains(h.toString)
+          props.get("graft.fp_h").contains(h.toString) &&
+          props.getOrElse("graft.logic_v", "1") == logicV.toString
       } catch { case scala.util.control.NonFatal(_) => false }
     if (!fresh) {
       // external location (tmp) + drop-first overwrite: the session
@@ -98,7 +108,7 @@ object IncrementalDedup {
         bucketCols = bucketCols, nBuckets = nBuckets, sortCols = sortCols,
         path = Some(loc))
       spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES(" +
-        s"'graft.fp_n'='$n','graft.fp_h'='$h')")
+        s"'graft.fp_n'='$n','graft.fp_h'='$h','graft.logic_v'='$logicV')")
     }
     !fresh
   }

@@ -571,6 +571,22 @@ private[queries] trait DedupQueries extends TextCurationQueries {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
   }
 
+  /** SimHash near-dup pairs through the compound PAIR-BAND blocking
+    * ([[graft.dedup.Dedup.simhashCandidatesScaled]]: maxHamming+2
+    * bands, C(5,2) 24-bit compound keys — occupancy ÷2^12 vs the
+    * single-band layout, the corpus-scale path of the knob audit).
+    * Output contract: EXACTLY the q_simhash_pairs set — pigeonhole
+    * candidate generation is exact either way — so the oracle is the
+    * INDEPENDENT single-band derivation: a blocking bug that drops a
+    * candidate (the failure mode compound keys could introduce)
+    * hash-mismatches instead of replaying consistently-wrong.
+    */
+  def qSimhashScaled(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashCandidatesScaled(Tables.documents(s, d), "doc_id", "text",
+      maxHamming = 3)
+
+  val qSimhashScaledSql: String = qSimhashPairsSql
+
   /** n-gram Jaccard near-dup pairs, blocked by (source, length bucket) —
     * the length bucket bounds pair count at scale (near-dups have
     * near-equal length).

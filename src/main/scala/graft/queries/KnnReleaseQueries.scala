@@ -22,19 +22,23 @@ private[queries] trait KnnReleaseQueries extends ExperimentStoreQueries {
   /** k-NN GRAPH construction via LSH-seeded NN-Descent
     * (graft.sim.KnnGraph): every node's top-3 cosine neighbors over a
     * hash-thinned node set (vec_id % 4 — tracks every SF), seeded by
-    * 4-plane sign-LSH blocking and refined by two
-    * neighbor-of-my-neighbor rounds. The per-query ANN paths answer
-    * "neighbors of these few rows"; this is the all-nodes graph that
-    * SemDedup clustering, graph dedup, and hard-negative mining
-    * consume. The oracle replays the ENTIRE trajectory — seed buckets,
-    * both expansion rounds, every top-k cut — so the hash matches only
-    * if the full NN-Descent run is bit-identical (left-fold dots,
-    * (sim desc, dst asc) tie order).
+    * sign-LSH blocking with a COUNT-DERIVED plane count
+    * (KnnGraph.seedPlanes — occupancy held ~constant at any SF; the
+    * static numPlanes=4 this replaces was the r15 sf10 probe's one
+    * measured scale-killer) and refined by two neighbor-of-my-neighbor
+    * rounds. The per-query ANN paths answer "neighbors of these few
+    * rows"; this is the all-nodes graph that SemDedup clustering,
+    * graph dedup, and hard-negative mining consume. The oracle replays
+    * the ENTIRE trajectory — the derived plane count (a scalar
+    * subquery over the same node count), seed buckets, both expansion
+    * rounds, every top-k cut — so the hash matches only if the full
+    * NN-Descent run is bit-identical (left-fold dots, (sim desc, dst
+    * asc) tie order).
     */
   def qKnnGraph(s: SparkSession, d: String): DataFrame = {
     val nodes = Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0)
     graft.sim.KnnGraph.build(nodes, "vec_id", "embedding",
-      k = 3, rounds = 2, numPlanes = 4)
+      k = 3, rounds = 2)
   }
 
   private[queries] def knnCosSql(a: String, b: String, an: String, bn: String) =
@@ -42,11 +46,16 @@ private[queries] trait KnnReleaseQueries extends ExperimentStoreQueries {
        |  THEN ${listDotSql(a, b)} / ($an * $bn)
        |  ELSE 0.0 END""".stripMargin
 
-  /** The shared NN-Descent CTE prefix (nodes → n → seed → g0 → … →
-    * s2/g2) replaying graft.sim.KnnGraph.build(k=3, rounds=2,
-    * numPlanes=4) over the vec_id % 4 node set — single-sourced for
-    * `q_knn_graph` (the graph itself) and `q_knn_recall` (the
-    * measured seed-repair readout).
+  /** The shared NN-Descent CTE prefix (nodes → pk → n → seed → g0 → …
+    * → s2/g2) replaying graft.sim.KnnGraph.build(k=3, rounds=2,
+    * derived planes) over the vec_id % 4 node set — single-sourced
+    * for `q_knn_graph` (the graph itself) and `q_knn_recall` (the
+    * measured seed-repair readout). The plane count is NOT a literal:
+    * `pk` derives it from count(*) with the same integer CASE chain
+    * the engine clamps with (knnPlanesSql), and the bucket keys mask
+    * the full SeedMaxPlanes-bit sign key down by string prefix
+    * (lshKeyMaskedSql) — the SQL stays structurally static while
+    * occupancy stays constant at every scale factor.
     */
   private[queries] lazy val knnGraphCtesSql: String = {
     // one refinement round: undirected expand + keep-current, dedup,
@@ -69,9 +78,12 @@ private[queries] trait KnnReleaseQueries extends ExperimentStoreQueries {
          |    ORDER BY sim DESC, dst ASC) AS rk FROM $sOut) WHERE rk <= 3)""".stripMargin
     s"""nodes AS (SELECT vec_id AS id, embedding AS vec
        |  FROM embeddings WHERE vec_id % 4 = 0),
+       |pk AS MATERIALIZED (SELECT ${knnPlanesSql("cnt")} AS p
+       |  FROM (SELECT count(*) AS cnt FROM nodes)),
        |n AS MATERIALIZED (SELECT id, vec, sqrt(${listDotSql("vec", "vec")}) AS nrm,
-       |  ${lshKeySql("vec", 4)} AS b1,
-       |  ${lshKeySql("vec", 4, offset = graft.sim.KnnGraph.SeedTableOffset)}
+       |  ${lshKeyMaskedSql("vec", "SELECT p FROM pk")} AS b1,
+       |  ${lshKeyMaskedSql("vec", "SELECT p FROM pk",
+             offset = graft.sim.KnnGraph.SeedTableOffset)}
        |    AS b2 FROM nodes),
        |sc AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
        |  SELECT a.id AS src, b.id AS dst FROM n a JOIN n b
@@ -135,7 +147,7 @@ private[queries] trait KnnReleaseQueries extends ExperimentStoreQueries {
             col("n_exact").cast(DoubleType), 6).as("recall"))
     }
     val seed = graft.sim.KnnGraph.build(nodes, "vec_id", "embedding",
-      k = 3, rounds = 0, numPlanes = 4)
+      k = 3, rounds = 0)
     // the refined (rounds = 2) graph is exactly what the persisted
     // store holds — serve it instead of paying a second descent
     val refined = knnGraphServe(s, d)
@@ -783,13 +795,16 @@ private[queries] trait KnnReleaseQueries extends ExperimentStoreQueries {
     val nodes = Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0)
       .select(col("vec_id"), col("embedding"))
     val table = "graft_knn_graph_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    // logicV 2: the r16 adaptive seed plane count changes the graph a
+    // store holds for node counts past the P=4 band without changing
+    // the source fingerprint — stale stores must rebuild
     graft.dedup.IncrementalDedup.ensureBucketedState(
       nodes.select(col("vec_id"),
         col("embedding").cast(StringType).as("sig")),
       "vec_id", "sig", table, nBuckets = 8,
-      bucketCols = Seq("src"), sortCols = Seq("src"))(
+      bucketCols = Seq("src"), sortCols = Seq("src"), logicV = 2)(
       graft.sim.KnnGraph.build(nodes, "vec_id", "embedding",
-        k = 3, rounds = 2, numPlanes = 4))
+        k = 3, rounds = 2))
     s.table(table)
   }
 

@@ -77,6 +77,32 @@ private[queries] trait PipelineSqlBase {
       .mkString(" || ")
   }
 
+  /** DuckDB: the count-derived seed plane count of
+    * [[graft.sim.KnnGraph.seedPlanes]] as a CASE chain over `cntSql` —
+    * EXACT integer comparisons generated from the same constants the
+    * engine clamps with, so the two derivations cannot drift. The SQL
+    * stays structurally static at every scale factor; only the data
+    * flowing through the scalar subquery changes (the q_semdedup
+    * derived-k discipline applied to a bucketing knob).
+    */
+  private[queries] def knnPlanesSql(cntSql: String): String = {
+    import graft.sim.KnnGraph.{SeedMinPlanes, SeedMaxPlanes, SeedTargetOccupancy}
+    val whens = (SeedMinPlanes until SeedMaxPlanes)
+      .map(p => s"WHEN $cntSql <= ${SeedTargetOccupancy << p} THEN $p")
+      .mkString(" ")
+    s"CASE $whens ELSE $SeedMaxPlanes END"
+  }
+
+  /** DuckDB: occupancy-adaptive LSH bucket key — the full
+    * [[graft.sim.KnnGraph.SeedMaxPlanes]]-plane sign key masked down
+    * to the derived plane count by a string prefix (`substr(key, 1,
+    * P)` ≡ keeping the first P planes, exactly the plane subset the
+    * engine blocks with). `pSql` is a scalar subquery yielding P.
+    */
+  private[queries] def lshKeyMaskedSql(vec: String, pSql: String,
+      offset: Int = 0): String =
+    s"substr(${lshKeySql(vec, graft.sim.KnnGraph.SeedMaxPlanes, offset)}, 1, ($pSql))"
+
   /** DuckDB: one SELECT per LSH band, exploding table `src`'s
     * (id, sig) rows into ($idOut, sig, bucket) — the single source of
     * the band/row layout for every MinHash oracle.

@@ -242,20 +242,24 @@ private[queries] trait SimilarityGraphQueries extends DedupQueries {
        |FROM ranked WHERE rank <= 3""".stripMargin
   }
 
-  /** Embedding-cosine near-dup pairs at the SCALED blocking config
-    * (3 tables × 12 sign planes = 4,096 buckets per table,
-    * OR-amplified for recall), rounded-cosine threshold — the
-    * semantic-dedup complement to the shingle-based paths. The corpus
-    * has no true duplicates, so the threshold sits at the top of the
-    * observed similarity range to exercise a non-trivial result
-    * (14 surviving pairs at sf0.01).
+  /** Embedding-cosine near-dup pairs at the ADAPTIVE blocking config
+    * (3 tables × count-derived sign planes, floor 12 = 4,096
+    * buckets/table at bench SFs, one extra plane per corpus doubling
+    * past 65k vectors — Dedup.embedPlanes), OR-amplified for recall,
+    * rounded-cosine threshold — the semantic-dedup complement to the
+    * shingle-based paths. The corpus has no true duplicates, so the
+    * threshold sits at the top of the observed similarity range to
+    * exercise a non-trivial result. The oracle derives the SAME plane
+    * count from a scalar-subquery count and masks each table's full
+    * EmbedMaxPlanes sign key down by string prefix — structurally
+    * static SQL, occupancy-constant blocking at any SF (the knn-seed
+    * masked-key discipline).
     */
   def qEmbedDup(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
       threshold = 0.35)
 
   val qEmbedDupSql: String = {
-    val numPlanes = 12
     val numTables = 3
     def planeLit(p: Seq[Double]) = p.mkString("[", ",", "]")
     def dotPlane(v: String, p: Seq[Double]) =
@@ -263,15 +267,24 @@ private[queries] trait SimilarityGraphQueries extends DedupQueries {
          |  list_transform(range(1, 65),
          |    i -> cast($v[i] as double) * (${planeLit(p)})[i])),
          |  (acc, x) -> acc + x)""".stripMargin
-    // table t's bucket key: sign pattern over planes [t*12, (t+1)*12),
-    // prefixed with the table index — same layout as
+    // table t's bucket key: sign pattern over the first P planes of
+    // the FIXED stride block [t*EmbedMaxPlanes, (t+1)*EmbedMaxPlanes)
+    // — all EmbedMaxPlanes signs computed, substr-masked to the
+    // derived P — prefixed with the table index; same layout as
     // Dedup.embeddingNearDupPairs
     def keyExpr(t: Int) = {
-      val signs = (0 until numPlanes).map { i =>
-        val p = Ann.hyperplane(t * numPlanes + i, 64)
+      val signs = (0 until Dedup.EmbedMaxPlanes).map { i =>
+        val p = Ann.hyperplane(t * Dedup.EmbedMaxPlanes + i, 64)
         s"(CASE WHEN ${dotPlane("embedding", p)} >= 0 THEN '1' ELSE '0' END)"
       }.mkString(" || ")
-      s"'$t' || '_' || ($signs)"
+      s"'$t' || '_' || substr(($signs), 1, (SELECT p FROM pe))"
+    }
+    val planeCase = {
+      import graft.dedup.Dedup.{EmbedMinPlanes, EmbedMaxPlanes, EmbedTargetOccupancy}
+      val whens = (EmbedMinPlanes until EmbedMaxPlanes)
+        .map(p => s"WHEN cnt <= ${EmbedTargetOccupancy << p} THEN $p")
+        .mkString(" ")
+      s"CASE $whens ELSE $EmbedMaxPlanes END"
     }
     val tableSelects = (0 until numTables).map { t =>
       s"SELECT vec_id, embedding, ${keyExpr(t)} AS bucket FROM embeddings"
@@ -285,7 +298,9 @@ private[queries] trait SimilarityGraphQueries extends DedupQueries {
       s"""CASE WHEN sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}) > 0
          |  THEN ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))
          |  ELSE 0.0 END""".stripMargin
-    s"""WITH keyed AS (
+    s"""WITH pe AS MATERIALIZED (SELECT $planeCase AS p
+       |  FROM (SELECT count(*) AS cnt FROM embeddings)),
+       |keyed AS (
        |$tableSelects),
        |pairs AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,

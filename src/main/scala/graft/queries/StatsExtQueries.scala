@@ -441,9 +441,13 @@ private[queries] trait StatsExtQueries extends KnnReleaseQueries {
       .filter(col("l_orderkey") % 4 === 0)
       .select(col("l_orderkey"), col("l_partkey"))
     val table = "graft_hyperball_balls_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    // logicV 2: r15 changed the DERIVATION (small-range linear-counting
+    // correction + dst-seeding) without touching the source data — a
+    // persistent metastore would have kept serving pre-correction
+    // est_i under a matching fp_n/fp_h (ADVICE r15)
     graft.dedup.IncrementalDedup.ensureBucketedState(
       li, "l_orderkey", "l_partkey", table, nBuckets = 8,
-      bucketCols = Seq("id"), sortCols = Seq("id")) {
+      bucketCols = Seq("id"), sortCols = Seq("id"), logicV = 2) {
       val edges = coPurchaseServed(s, d)
       val nodes = edges.select(col("src").as("id")).distinct()
       graft.sketch.HyperBall.ballEstimatesInt(nodes, edges,

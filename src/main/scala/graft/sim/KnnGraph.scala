@@ -55,15 +55,59 @@ object KnnGraph {
     */
   val SeedTableOffset = 8192
 
+  /** Sentinel for `build`'s numPlanes: derive the plane count from the
+    * corpus size so bucket occupancy stays ~constant (see
+    * [[seedPlanes]]). This is the default — a STATIC plane count is
+    * the codebase's one measured 100× scale-killer (sf10 probe, r15:
+    * fixed 4 planes → 16 buckets → ~3.1k occupancy at 50k nodes →
+    * ~3×10⁸ seed pairs → 77 GB spill, 3/3 OOM).
+    */
+  val DerivePlanes = 0
+
+  /** Expected bucket occupancy the derived plane count targets: the
+    * seed stage enumerates ~2·N·occupancy candidate pairs, so holding
+    * occupancy constant holds the seed LINEAR in N.
+    */
+  val SeedTargetOccupancy = 16L
+
+  /** Plane-count bounds: the floor keeps tiny corpora out of
+    * degenerate 1-2-bucket blocking; the ceiling bounds the ORACLE's
+    * expression size (the DuckDB replay computes all `SeedMaxPlanes`
+    * sign terms per table and masks down — 2^20 buckets cover ~16M
+    * nodes at the target occupancy; beyond that raise the ceiling,
+    * the engine side is O(planes) either way).
+    */
+  val SeedMinPlanes = 4
+  val SeedMaxPlanes = 20
+
+  /** Occupancy-derived seed plane count: the smallest P in
+    * [SeedMinPlanes, SeedMaxPlanes] with n ≤ occupancy·2^P — EXACT
+    * integer comparisons (no floating log2), so the DuckDB oracle's
+    * CASE chain ([[graft.queries]] knnPlanesSql) reproduces it
+    * bit-for-bit at every scale factor.
+    */
+  def seedPlanes(n: Long, targetOcc: Long = SeedTargetOccupancy,
+      minP: Int = SeedMinPlanes, maxP: Int = SeedMaxPlanes): Int = {
+    require(n >= 0 && targetOcc >= 1 && minP >= 1 && maxP >= minP)
+    var p = minP
+    while (p < maxP && n > (targetOcc << p)) p += 1
+    p
+  }
+
   /** Build the k-NN graph over `corpus`.
     *
     * @param corpus    (idCol, vecCol) rows; idCol values unique
     * @param k         neighbors kept per node
     * @param rounds    NN-Descent refinement rounds after the LSH seed
     * @param numPlanes sign-LSH planes for the seed blocking — FEWER
-    *                  planes = bigger buckets = denser seed graph;
-    *                  4 (16 buckets) suits 10³–10⁵-node graphs, scale
-    *                  up with corpus size to hold occupancy constant
+    *                  planes = bigger buckets = denser seed graph.
+    *                  Default [[DerivePlanes]] sizes the count from
+    *                  one corpus count() (a metadata-cheap action,
+    *                  the q_semdedup occupancy discipline) via
+    *                  [[seedPlanes]], holding occupancy ~constant at
+    *                  any SF; pass an explicit positive value only
+    *                  for synthetic fixtures whose geometry needs a
+    *                  pinned bucket layout
     * @param dim       vector dimension — MUST match the data: the
     *                  sign kernel maps length-mismatched vectors to
     *                  the all-zeros bucket, which silently degenerates
@@ -80,9 +124,12 @@ object KnnGraph {
     *         doubles order every intermediate round)
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = 3, rounds: Int = 2, numPlanes: Int = 4,
+      k: Int = 3, rounds: Int = 2, numPlanes: Int = DerivePlanes,
       dim: Int = 64): DataFrame = {
-    require(k >= 1 && rounds >= 0 && numPlanes >= 1 && dim >= 1)
+    require(k >= 1 && rounds >= 0 && numPlanes >= 0 && dim >= 1)
+    val planeCount =
+      if (numPlanes == DerivePlanes) seedPlanes(corpus.count())
+      else numPlanes
     // per-row dim guard, evaluated where the bucket keys are computed:
     // a mismatched vector raises with its actual length instead of
     // quietly landing in the all-zeros bucket
@@ -91,8 +138,8 @@ object KnnGraph {
         lit(s"KnnGraph.build(dim = $dim) on a "), size(col(vecCol)),
         lit("-dim vector: the LSH seed would silently degenerate" +
           " to an N^2 self-join"))))
-    val planes1 = (0 until numPlanes).map(i => Ann.hyperplane(i, dim))
-    val planes2 = (0 until numPlanes)
+    val planes1 = (0 until planeCount).map(i => Ann.hyperplane(i, dim))
+    val planes2 = (0 until planeCount)
       .map(i => Ann.hyperplane(SeedTableOffset + i, dim))
     // transient caches (released by CacheRegistry after the query):
     // `keyed` is referenced by both bucket sides of the seed and by

@@ -144,6 +144,25 @@ class PipelineSpec extends SparkSpec {
     assert(!tight.exists(k => k._1 == 3L || k._2 == 3L))
   }
 
+  test("pair-band simhash candidates equal the single-band set exactly") {
+    // Equality must hold at a maxHamming where pairs genuinely FLIP
+    // BITS ACROSS MULTIPLE BANDS (docs 1/2 at maxHamming = 6 span
+    // several 8-bit bands of the 8-band pair layout), so the compound
+    // keys' two-untouched-bands pigeonhole is exercised, not just the
+    // hamming-0 trivial case. Exact candidate generation is the
+    // contract: both layouts must emit the identical (id_a, id_b,
+    // hamming) set for every budget.
+    for (h <- Seq(1, 3, 6)) {
+      val single = Dedup.simhashCandidates(docs, "doc_id", "text", h)
+        .as[(Long, Long, Int)].collect().toSet
+      val paired = Dedup.simhashCandidatesScaled(docs, "doc_id", "text", h)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(paired === single, s"maxHamming=$h")
+    }
+    assert(Dedup.simhashCandidatesScaled(docs, "doc_id", "text", 6)
+      .as[(Long, Long, Int)].collect().exists(p => (p._1, p._2) == (1L, 2L)))
+  }
+
   test("ngram jaccard finds the near-dup pair within its block") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       blockCols = Seq("source"), threshold = 0.2)
