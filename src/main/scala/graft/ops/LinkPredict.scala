@@ -30,12 +30,24 @@ object LinkPredict {
     * aa_score, ra_score, jaccard) ranked by (aa_nano DESC, id_a,
     * id_b). `edges` must be symmetric (src, dst); pairs report with
     * id_a < id_b.
+    *
+    * The cited definitions are over SIMPLE graphs — deg = |Γ(x)| and
+    * common = |Γ(a)∩Γ(b)| count distinct NEIGHBORS — so multi-edges
+    * are collapsed here before any counting. Feeding the raw
+    * multigraph (co-purchase emits one (s,t) row per co-occurring
+    * order) would weight both deg and common by edge multiplicity:
+    * AA/RA drift off their definitions and the Jaccard denominator
+    * deg_a + deg_b − common can even go non-positive (two multiplicity-5
+    * parallel edges through one wedge give jaccard = −1.67), publishing
+    * values outside [0,1] — an engine/oracle-consistent semantic error
+    * the hash gate cannot see (ADVICE r15).
     */
   def adamicAdar(edges: DataFrame, k: Int): DataFrame = {
     require(k >= 1)
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val e1 = edges.alias("e1")
-    val e2 = edges.alias("e2")
+    val simple = edges.select(col("src"), col("dst")).distinct()
+    val deg = simple.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e1 = simple.alias("e1")
+    val e2 = simple.alias("e2")
     // wedges u–w–v, u < v; w's degree ≥ 2 by construction (it touches
     // both u and v), so log2(deg) ≥ 1 and the AA term is finite
     val wedges = e1
@@ -55,7 +67,7 @@ object LinkPredict {
     // symmetric edge list, one direction suffices because id_a < id_b
     // and the list is symmetric
     val absent = scored.join(
-      edges.select(col("src").as("id_a"), col("dst").as("id_b")),
+      simple.select(col("src").as("id_a"), col("dst").as("id_b")),
       Seq("id_a", "id_b"), "left_anti")
     val degA = deg.select(col("src").as("id_a"), col("deg").as("deg_a"))
     val degB = deg.select(col("src").as("id_b"), col("deg").as("deg_b"))
@@ -77,12 +89,15 @@ object LinkPredict {
 
   /** DuckDB mirror of [[adamicAdar]] — expects `edges(src, dst)`
     * upstream; CTE chain ending in `linkpred` (top-k included).
+    * Collapses multi-edges first (`sedges`), mirroring the engine's
+    * simple-graph semantics.
     */
   def adamicAdarOracleSql(k: Int): String =
-    s"""degt AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+    s"""sedges AS (SELECT DISTINCT src, dst FROM edges),
+       |degt AS (SELECT src, count(*) AS deg FROM sedges GROUP BY 1),
        |wedges AS (
        |  SELECT e1.src AS id_a, e2.dst AS id_b, e1.dst AS w
-       |  FROM edges e1 JOIN edges e2
+       |  FROM sedges e1 JOIN sedges e2
        |    ON e1.dst = e2.src AND e1.src < e2.dst),
        |scoredw AS (
        |  SELECT id_a, id_b, count(*) AS common,
@@ -94,7 +109,7 @@ object LinkPredict {
        |  GROUP BY 1, 2),
        |absent AS (
        |  SELECT s.* FROM scoredw s
-       |  WHERE NOT EXISTS (SELECT 1 FROM edges e
+       |  WHERE NOT EXISTS (SELECT 1 FROM sedges e
        |    WHERE e.src = s.id_a AND e.dst = s.id_b)),
        |linkpred AS (
        |  SELECT id_a, id_b, cast(common as bigint) AS common,

@@ -64,12 +64,17 @@ object Linkage {
       .reduce(_ && _)
     val pairs = a.join(b, blockEq && col(s"a.$idCol") < col(s"b.$idCol"))
     val withU = pairs.crossJoin(broadcast(u))
-    // null-safe equality: a NULL comparison field is a DISAGREEMENT
-    // (false), not NULL — `<=>` here and IS NOT DISTINCT FROM in the
-    // oracle keep the two engines' agree bits identical on nullable
-    // fields (plain `=` would coerce to false here but NULL in SQL)
+    // null handling: a NULL comparison field — on EITHER or BOTH
+    // sides — is a DISAGREEMENT (false), never NULL and never an
+    // agreement: a mutually missing value carries no match evidence,
+    // so awarding it the m-weight would inflate scores (bare `<=>`
+    // would do exactly that on both-NULL; plain `=` would yield SQL
+    // NULL). isNotNull && `<=>` here and the matching IS NOT NULL AND
+    // IS NOT DISTINCT FROM in the oracle keep the two engines' agree
+    // bits identical on nullable fields.
     val agreeBits = fields.map(f =>
-      (col(s"a.$f") <=> col(s"b.$f")).as(s"agree_$f"))
+      (col(s"a.$f").isNotNull && (col(s"a.$f") <=> col(s"b.$f")))
+        .as(s"agree_$f"))
     val score = fields.map { f =>
       val m = mPriors(f)
       when(col(s"agree_$f"),
@@ -101,11 +106,12 @@ object Linkage {
     }.mkString(",\n")
     val blockEq = blockCols.map(c => s"a.$c = b.$c").mkString(" AND ")
     val agreeSel = fields
-      .map(f => s"a.$f IS NOT DISTINCT FROM b.$f AS agree_$f")
+      .map(f => s"(a.$f IS NOT NULL AND a.$f IS NOT DISTINCT FROM b.$f)" +
+        s" AS agree_$f")
       .mkString(",\n    ")
     val scoreTerms = fields.map { f =>
       val m = mPriors(f)
-      s"CASE WHEN a.$f IS NOT DISTINCT FROM b.$f " +
+      s"CASE WHEN a.$f IS NOT NULL AND a.$f IS NOT DISTINCT FROM b.$f " +
         s"THEN log2($m / (SELECT u FROM u_$f)) " +
         s"ELSE log2(${1.0 - m} / (1.0 - (SELECT u FROM u_$f))) END"
     }.mkString(" +\n      ")

@@ -77,20 +77,26 @@ class HyperBallSpec extends SparkSpec {
     // path 1—2—3: raw HLL for a 1-element set reads ~0.7·m (the
     // small-range inflation); the in-engine linear-counting branch
     // must bring every r=0 ball to exactly 1 and the r=1 balls to
-    // their true 2 / 3 — and a dst-only node (4 → 1 directed) must be
-    // seeded (the asymmetric-edge-list fix: its r=0 ball is 1, not
-    // absent/NULL)
+    // their true sizes — and node 4 is GENUINELY dst-only (1 → 4
+    // directed, nodes built from src only, so {1,2,3} misses it):
+    // only the seeded dst-union gives it a row at all (the
+    // asymmetric-edge-list fix: its r=0 ball is 1, not absent/NULL).
+    // The r15 version of this test used edge (4,1), where 4 IS a src
+    // and distinct-src already covered every dst — it passed even
+    // without the fix it claimed to pin (ADVICE r15).
     val edges = (Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)) ++
-      Seq((4L, 1L))).toDF("src", "dst")
+      Seq((1L, 4L))).toDF("src", "dst")
     val nodes = edges.select(col("src").as("id")).distinct()
+    assert(nodes.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L),
+      "precondition: 4 must be absent from the src-derived node set")
     val est = HyperBall.ballEstimatesInt(nodes, edges, rounds = 1, b = b)
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     graft.CacheRegistry.releaseAll()
     for (id <- Seq(1L, 2L, 3L, 4L)) assert(est((id, 0)) === 1L)
+    assert(est((1L, 1)) === 2L)  // in-neighbors {2} → {1,2}
     assert(est((2L, 1)) === 3L)  // {1,2,3}
     assert(est((3L, 1)) === 2L)  // {2,3}
-    assert(est((4L, 1)) === 1L)  // no out-edges into 4
-    assert(est((1L, 1)) === 3L)  // {1,2} ∪ pushed from 4 → {1,2,4}
+    assert(est((4L, 1)) === 2L)  // pushed from 1 → {1,4}
   }
 
   test("harmonic centrality ranks the star center first, ties by id") {
