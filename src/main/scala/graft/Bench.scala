@@ -24,6 +24,10 @@ object Bench {
     val epoch: Map[String, Double] =
       if (epochSfMatches) BenchMetrics.parseEpochQueries(epochJson)
       else Map.empty
+    if (!epochSfMatches)
+      System.err.println("[bench] outlier attribution skipped: epoch " +
+        s"artifact's sf differs from this run's ($sfDir) — no per-query " +
+        "outlier gate, retries, or isolation this run")
     val epochPerQ = BenchMetrics.parseEpochPerQuery(epochJson)
     val (epochCanaryMed, _, epochIoMed) = BenchMetrics.parseHostRef(epochJson)
     // the FIXED cross-round normalization anchor (committed once per
@@ -91,6 +95,21 @@ object Bench {
     // blind spot: I/O-bandwidth / page-cache / memory-bandwidth
     // contention that a 0.3 s compute loop never feels
     val ioCanaryFresh = BenchHost.ioCanaryBase(spark, sfDir)
+    // A/B attribution knob (r16 drift investigation): 'quiet' = the
+    // r15 quiet-gap discipline (gc + drain + best-of-2), 'bare' = the
+    // r14 single bare sample. Same-code windows run under both modes
+    // decompose an epoch-to-epoch drift into methodology-side-effect
+    // (the quiet gap's ~13 extra System.gc() + drains change heap
+    // dynamics for the queries that follow) vs code/host. The mode is
+    // recorded in the artifact; cross-round normalized ratios must
+    // not mix modes (the anchor files already say so).
+    val canaryMode = sys.env.getOrElse("SPARK_GRAFT_CANARY_MODE", "quiet")
+    def suiteCanary(): Double =
+      if (canaryMode == "bare") BenchHost.canarySec(spark)
+      else BenchHost.quietCanarySec(spark)
+    def suiteIoCanary(): Double =
+      if (canaryMode == "bare") BenchHost.ioCanarySec(spark, sfDir)
+      else BenchHost.ioCanaryBest2(spark, sfDir)
     val canaries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     val ioCanaries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     val loadPres = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
@@ -137,14 +156,14 @@ object Bench {
         // the suite's own GC/cleaner wake — the r14 failure mode that
         // made sf1 epochs structurally unable to read host_clean
         if (qIdx % 20 == 0) {
-          canaries += ((qIdx, BenchHost.quietCanarySec(spark)))
-          ioCanaries += ((qIdx, BenchHost.ioCanaryBest2(spark, sfDir)))
+          canaries += ((qIdx, suiteCanary()))
+          ioCanaries += ((qIdx, suiteIoCanary()))
         }
         name -> times.min
       }
     // closing canaries + post-suite load close the bracket
-    canaries += ((qIdx, BenchHost.quietCanarySec(spark)))
-    ioCanaries += ((qIdx, BenchHost.ioCanaryBest2(spark, sfDir)))
+    canaries += ((qIdx, suiteCanary()))
+    ioCanaries += ((qIdx, suiteIoCanary()))
     // End-of-suite outlier re-measurement (BenchMetrics scaladoc): any
     // query that ran >2× its COMMITTED-epoch time gets ONE more
     // sample now, bracketed by its own canary — a retry back on the
@@ -170,7 +189,12 @@ object Bench {
           dt
         }
         val retrySec = sample("retry")
-        val retryCanary = BenchHost.canarySec(spark)
+        // SAME methodology as the suite median it is ratioed against:
+        // the median is quiet-gap best-of-2, so a bare canarySec here
+        // read ~1.8× high systematically and the attribution
+        // CONTRADICTION check (fires only at rc ≤ 1.2) could almost
+        // never recognize a genuinely fast host (ADVICE r15)
+        val retryCanary = suiteCanary()
         // auto-isolation (the q_token_drift class): a retry that
         // REPEATS slow in suite context gets one more sample behind an
         // enforced quiet gap — suite-context interference (shared page
@@ -328,6 +352,9 @@ object Bench {
         s""""io_canaries":$ioCanaryJson,""" +
         s""""epoch_ref":"$epochRef","anchor_ref":"$anchorPath",""" +
         s""""epoch_n":${epoch.size},""" +
+        s""""outlier_gate":"${
+          if (epochSfMatches) "active" else "skipped_epoch_sf_mismatch"}",""" +
+        s""""canary_mode":"$canaryMode",""" +
         s""""outliers":$outlierJson,""" +
         s""""per_query":$perQAttr}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

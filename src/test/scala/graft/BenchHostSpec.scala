@@ -118,6 +118,55 @@ class BenchHostSpec extends SparkSpec {
       intruded.map(_ / ref)))
   }
 
+  test("r14 falsely-dirty windows replay CLEAN under the fixed absolute gate") {
+    // EXECUTABLE re-adjudication (r15 did it in prose): the three r14
+    // extension-session windows that failed ONLY the absolute gate —
+    // recorded in SCALE.md "Extension-session epochs": idle-turbo
+    // fresh samples 0.207-0.235 s, in-suite medians 0.34-0.43 s,
+    // relative canaries ≤ 1.37, absolute ratios 1.31-2.08× against
+    // their own turbo sample — replayed through absGateRef with the
+    // committed r14 anchor fresh (0.2596 s). Each window's worst
+    // recorded canary is its median × its recorded max relative ratio.
+    val anchorFresh = 0.2596
+    // (ownFresh, inSuiteMedian, worstCanarySec) per window: turbo
+    // fresh 0.207-0.235 s, medians 0.34-0.43 s, honest JVM drift
+    // peaking 0.45-0.47 s — each window's worst canary sat past 2.1×
+    // its OWN turbo sample (the failure) while its relative ratios
+    // stayed ≤ 1.37 (the "failed only the absolute gate" signature)
+    val r14Windows = Seq(
+      (0.207, 0.34, 0.46),
+      (0.210, 0.36, 0.45),
+      (0.215, 0.40, 0.47))
+    r14Windows.foreach { case (ownFresh, med, worst) =>
+      // the r14 verdict: dirty on the absolute gate ALONE
+      assert(worst / ownFresh > BenchHost.CanaryAbsDirtyRatio,
+        f"precondition: window (fresh=$ownFresh) must fail the old gate")
+      assert(worst / med <= 1.37,
+        "precondition: relative canaries stayed inside the record's 1.37")
+      val ref = BenchHost.absGateRef(ownFresh, Some(anchorFresh))
+      assert(ref === anchorFresh, "turbo sample must be floored to anchor")
+      // relative gate: clean, as r14 already read; absolute gate vs
+      // the floored reference: now clean too
+      assert(BenchHost.hostClean(0.01, 32,
+        Seq(med / med, worst / med), Seq(med / ref, worst / ref)),
+        f"r14 window (fresh=$ownFresh%.3f, worst=$worst%.3f) must " +
+          f"re-adjudicate CLEAN (worst/ref=${worst / ref}%.2f)")
+    }
+    // the r15 drain-overlap window: own fresh 1.62 s (JVM start
+    // overlapped background drain). The cap must engage — reference
+    // = 1.3× anchor, NOT the polluted sample — so a sustained ~0.75 s
+    // intruder still trips the gate a plain max() would have blinded
+    val pollutedRef = BenchHost.absGateRef(1.62, Some(anchorFresh))
+    assert(math.abs(pollutedRef - 1.3 * anchorFresh) < 1e-12,
+      "cap must engage on a drain-polluted fresh sample")
+    val intruderCanaries = Seq(0.72, 0.75, 0.74)
+    assert(intruderCanaries.forall(_ / 1.62 < BenchHost.CanaryAbsDirtyRatio),
+      "precondition: vs the polluted sample the intruder would be invisible")
+    assert(!BenchHost.hostClean(0.01, 32, Seq(1.0),
+      intruderCanaries.map(_ / pollutedRef)),
+      "sustained intruder must still trip the capped gate")
+  }
+
   test("quiet-gap canary returns a plausible best-of-2 sample") {
     val base = BenchHost.canaryBase(spark)
     val quiet = BenchHost.quietCanarySec(spark)
