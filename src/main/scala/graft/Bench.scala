@@ -119,7 +119,7 @@ object Bench {
     // suite's execution order, which shifts JVM heap/GC state under
     // every other query and makes round-over-round per-query diffs
     // noisy for no reason
-    val results = graft.queries.Inventory.entries
+    val resultsAll = graft.queries.Inventory.entries
       .map { case (name, fn, _) => name -> fn }
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -159,8 +159,15 @@ object Bench {
           canaries += ((qIdx, suiteCanary()))
           ioCanaries += ((qIdx, suiteIoCanary()))
         }
-        name -> times.min
+        name -> times
       }
+    // min = the steady-state number every downstream consumer uses;
+    // the full per-run series rides into per_query ("runs_sec") so a
+    // store family's COLD build (run 1, fresh in-memory catalog) and
+    // WARM serve (run 2+) land as one structured row — the sf10 probe
+    // previously had to narrate cold/warm in prose
+    val runSeries = resultsAll.toMap
+    val results = resultsAll.map { case (n, ts) => n -> ts.min }
     // closing canaries + post-suite load close the bracket
     canaries += ((qIdx, suiteCanary()))
     ioCanaries += ((qIdx, suiteIoCanary()))
@@ -271,7 +278,10 @@ object Bench {
         f""""epoch_sec":$e%.4f,"ratio_vs_epoch":${sec / e}%.3f,""" +
           f""""normalized_ratio_vs_epoch":${sec / e / hostFactorEpoch}%.3f,"""
       }.getOrElse("")
-      f""""$name":{"sec":$sec%.4f,$epochCols"load_pre":$lp%.2f,""" +
+      val runsCol = runSeries.get(name).filter(_.length > 1).map(ts =>
+        s""""runs_sec":${ts.map(t => f"$t%.4f").mkString("[", ",", "]")},""")
+        .getOrElse("")
+      f""""$name":{"sec":$sec%.4f,$runsCol$epochCols"load_pre":$lp%.2f,""" +
         f""""canary_ratio":$r%.3f,""" +
         s""""shuffle_read":${m.shuffleRead},"shuffle_write":${m.shuffleWrite},""" +
         s""""mem_spill":${m.memSpill},"disk_spill":${m.diskSpill},""" +

@@ -87,9 +87,25 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(false)
 
-    // overflow-proof fixpoint metric: sum of labels as decimal(38,0)
-    def labelSum(df: DataFrame): Any =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head().get(0)
+    // overflow-proof fixpoint metric (sum of labels as decimal(38,0))
+    // + the row count that prices the frame's honest stats below
+    def labelSum(df: DataFrame): (Any, Long) = {
+      val r = df.agg(sum(col("component").cast("decimal(38,0)")),
+        count(lit(1))).head()
+      (r.get(0), r.getLong(1))
+    }
+    // Honest per-round stats: ~3 longs of width per (id, component)
+    // row. Without this clamp the checkpoint's stats rewrite SQUARES
+    // sizeInBytes every round (join stats = product of children), so
+    // the BigInt's bit length doubles per iteration and past ~25
+    // rounds the size-only stats visitor burns MINUTES of
+    // single-threaded BigInteger multiplication per round (measured:
+    // q_mutual_knn wedged 45 min in Toom-Cook under
+    // SizeInBytesOnlyStatsPlanVisitor) — see
+    // Bridge.checkpointWithStats.
+    def clamp(df: DataFrame, rows: Long): DataFrame =
+      org.apache.spark.sql.graftbridge.Bridge.checkpointWithStats(
+        df, BigInt(rows.max(1L)) * 48)
 
     // sym carries both directions, so src alone covers every endpoint.
     // Seeding with min(v, min(N(v))) — computed in the SAME shuffle
@@ -100,7 +116,9 @@ object ConnectedComponents {
       .agg(min(col("dst")).as("mind"))
       .select(col("id"), least(col("id"), col("mind")).as("component"))
       .localCheckpoint(false)
-    var prevSum = labelSum(labels) // materializes the lazy checkpoint
+    val (s0, nRows) = labelSum(labels) // materializes the lazy checkpoint
+    var prevSum = s0
+    labels = clamp(labels, nRows)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -142,7 +160,7 @@ object ConnectedComponents {
       // (labels are non-increasing, so an unchanged sum means no label
       // moved) — and, being the first action, materializes the
       // checkpoint
-      val s = labelSum(jumped)
+      val (s, _) = labelSum(jumped)
       converged = s == prevSum
       prevSum = s
       // the superseded round's checkpoint blocks are dead the moment
@@ -153,7 +171,7 @@ object ConnectedComponents {
       // per round per query in the block manager. The FINAL frame is
       // never unpersisted here: the returned plan still reads it.
       org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(labels)
-      labels = jumped
+      labels = clamp(jumped, nRows)
       round += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc] round $round done at ${System.nanoTime()}")
