@@ -239,6 +239,115 @@ object HypoTests {
         (ssw / (d(col("nn")) - d(col("k")))), 6).as("f_stat"))
   }
 
+  /** Kruskal–Wallis H across the groups of `groupCol` on integer
+    * `xInt` — the k-group rank sibling of [[mannWhitney]] (its exact
+    * 2-group specialization) and the distribution-free counterpart of
+    * [[anovaF]]. Tie-corrected:
+    * H = [12/(N(N+1)) · Σᵢ Rᵢ²/nᵢ − 3(N+1)] / (1 − Σ(t³−t)/(N³−N)),
+    * published with ε² = (H − k + 1)/(N − k) — both O(1)-magnitude
+    * (the q_anova double-ulp discipline: no raw rank sums published).
+    *
+    * Scale shape: ranks aggregate BY VALUE before the one cumulative
+    * window (bounded by the quantized metric domain, never row
+    * count); average ranks ride DOUBLED so every per-(group, value)
+    * term is an exact integer; per-group Rᵢ²/(4nᵢ) takes ONE double
+    * round into integer micro-units and the cross-group total is an
+    * integer sum — partition-order-free, the anovaF gb discipline.
+    * One row: (k, n, tie_cube, h_stat, eps_sq).
+    */
+  def kruskalWallis(df: DataFrame, groupCol: Column,
+      xInt: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val byGV = df
+      .select(groupCol.as("g"), xInt.cast(LongType).as("x"))
+      .groupBy(col("g"), col("x"))
+      .agg(count(lit(1)).cast(dec).as("cg"))
+    val byV = byGV.groupBy(col("x")).agg(sum(col("cg")).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("x").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = byV.withColumn("below",
+      coalesce(sum(col("c")).over(w), lit(0).cast(dec)))
+    val perG = byGV.join(ranked, Seq("x"))
+      .groupBy(col("g"))
+      .agg(sum(col("cg")).as("n"),
+        sum(col("cg") * (lit(2).cast(dec) * col("below") + col("c") +
+          lit(1).cast(dec))).as("rx2"))
+      // Rᵢ²/(4nᵢ) in micro-units: one double round per group, summed
+      // as integers below so the total is partition-order-free
+      .select(col("n"),
+        round(col("rx2").cast(DoubleType) * col("rx2").cast(DoubleType) /
+          (lit(4.0) * col("n").cast(DoubleType)) * lit(1000000.0))
+          .cast(dec).as("rb"))
+    val ties = ranked.agg(
+      sum(col("c") * col("c") * col("c") - col("c")).as("tcube"))
+    val t = perG.agg(count(lit(1)).cast(dec).as("k"), sum(col("n")).as("nn"),
+        sum(col("rb")).as("rbsum"))
+      .crossJoin(broadcast(ties))
+    def d(c: Column): Column = c.cast(DoubleType)
+    val nn = d(col("nn"))
+    val hRaw = lit(12.0) / (nn * (nn + lit(1.0))) *
+      (d(col("rbsum")) / lit(1000000.0)) - lit(3.0) * (nn + lit(1.0))
+    val h = hRaw / (lit(1.0) -
+      d(col("tcube")) / (nn * nn * nn - nn))
+    t.select(col("k").cast(LongType).as("k"),
+      col("nn").cast(LongType).as("n"),
+      col("tcube").cast(LongType).as("tie_cube"),
+      // + 0.0 after the round: a tiny negative ratio rounds to IEEE
+      // −0.0, which one engine prints as "-0.0" and the other as
+      // "0.0" — adding positive zero canonicalizes both to +0.0
+      (round(h, 6) + lit(0.0)).as("h_stat"),
+      (round((h - d(col("k")) + lit(1.0)) / (nn - d(col("k"))), 6) +
+        lit(0.0)).as("eps_sq"))
+  }
+
+  /** DuckDB mirror of [[kruskalWallis]] over `src(g, x BIGINT)`: CTE
+    * chain ending in `kw`.
+    */
+  def kruskalWallisOracleSql(src: String): String =
+    s"""kgv AS (
+       |  SELECT g, x, cast(count(*) as decimal(38,0)) AS cg
+       |  FROM $src GROUP BY 1, 2),
+       |kv AS (SELECT x, sum(cg) AS c FROM kgv GROUP BY 1),
+       |krank AS (
+       |  SELECT x, c,
+       |    coalesce(sum(c) OVER (ORDER BY x ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      cast(0 as decimal(38,0))) AS below
+       |  FROM kv),
+       |kperg AS (
+       |  SELECT g, sum(cg) AS n,
+       |    sum(cg * (2 * below + c + 1)) AS rx2
+       |  FROM kgv JOIN krank USING (x) GROUP BY 1),
+       |kgb AS (
+       |  SELECT n,
+       |    cast(round(cast(rx2 as double) * cast(rx2 as double) /
+       |      (4.0 * cast(n as double)) * 1000000.0) as decimal(38,0)) AS rb
+       |  FROM kperg),
+       |kties AS (SELECT sum(c * c * c - c) AS tcube FROM krank),
+       |ktot AS (
+       |  SELECT cast(count(*) as decimal(38,0)) AS k, sum(n) AS nn,
+       |    sum(rb) AS rbsum
+       |  FROM kgb),
+       |kw AS (
+       |  SELECT cast(k as bigint) AS k, cast(nn as bigint) AS n,
+       |    cast(tcube as bigint) AS tie_cube,
+       |    round((12.0 / (cast(nn as double) * (cast(nn as double) + 1.0)) *
+       |        (cast(rbsum as double) / 1000000.0) -
+       |        3.0 * (cast(nn as double) + 1.0)) /
+       |      (1.0 - cast(tcube as double) /
+       |        (cast(nn as double) * cast(nn as double) *
+       |         cast(nn as double) - cast(nn as double))), 6) + 0.0 AS h_stat,
+       |    round(((12.0 / (cast(nn as double) * (cast(nn as double) + 1.0)) *
+       |        (cast(rbsum as double) / 1000000.0) -
+       |        3.0 * (cast(nn as double) + 1.0)) /
+       |      (1.0 - cast(tcube as double) /
+       |        (cast(nn as double) * cast(nn as double) *
+       |         cast(nn as double) - cast(nn as double))) -
+       |      cast(k as double) + 1.0) /
+       |      (cast(nn as double) - cast(k as double)), 6) + 0.0 AS eps_sq
+       |  FROM ktot CROSS JOIN kties)""".stripMargin
+
   /** DuckDB mirror of [[anovaF]] over `src(g, x BIGINT)`: CTE chain
     * ending in `anova`.
     */

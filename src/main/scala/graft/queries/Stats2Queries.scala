@@ -65,6 +65,33 @@ private[queries] trait Stats2Queries extends StatsExtQueries {
        |SELECT n_a, n_b, u_a_x2, tie_cube, z_stat FROM mwu""".stripMargin
 
   // ---------------------------------------------------------------
+  // q_kruskal — quantity ranks across the three return flags
+  // ---------------------------------------------------------------
+
+  /** Kruskal–Wallis H (tie-corrected, with ε² effect size) of
+    * lineitem quantity across the three return flags — the k-group
+    * extension of q_mann_whitney and the rank-based counterpart of
+    * q_anova, closing the two-sample→k-sample gap for ordinal
+    * metrics. Ranks aggregate over the ~50-value quantity domain
+    * before the one bounded window; per-group Rᵢ²/nᵢ terms are
+    * micro-quantized and summed as integers (the q_anova
+    * order-free-total discipline).
+    */
+  def qKruskal(s: SparkSession, d: String): DataFrame =
+    graft.ops.HypoTests.kruskalWallis(
+      Tables.lineitem(s, d),
+      col("l_returnflag"),
+      round(col("l_quantity")).cast(LongType))
+
+  val qKruskalSql: String =
+    s"""WITH src AS (
+       |  SELECT l_returnflag AS g,
+       |    cast(round(l_quantity) as bigint) AS x
+       |  FROM lineitem),
+       |${graft.ops.HypoTests.kruskalWallisOracleSql("src")}
+       |SELECT k, n, tie_cube, h_stat, eps_sq FROM kw""".stripMargin
+
+  // ---------------------------------------------------------------
   // q_anova — extended price across the three return flags
   // ---------------------------------------------------------------
 
@@ -367,6 +394,7 @@ private[queries] trait Stats2Queries extends StatsExtQueries {
       ("q_welch_t", qWelchT _, Some(qWelchTSql)),
       ("q_mann_whitney", qMannWhitney _, Some(qMannWhitneySql)),
       ("q_anova", qAnova _, Some(qAnovaSql)),
+      ("q_kruskal", qKruskal _, Some(qKruskalSql)),
       ("q_spearman", qSpearman _, Some(qSpearmanSql)),
       ("q_mann_kendall", qMannKendall _, Some(qMannKendallSql)),
       ("q_theil_sen", qTheilSen _, Some(qTheilSenSql)),

@@ -41,6 +41,30 @@ class HypoTestsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - 13.0) < 1e-6)   // F
   }
 
+  test("Kruskal-Wallis: no-tie H, tie-corrected H, 2-group = Mann-Whitney") {
+    // {1,2} vs {3,4}: ranks 1..4, R_a=3, R_b=7
+    // H = 12/(4·5)·(9/2 + 49/2) − 3·5 = 2.4, no ties
+    val clean = (Seq(1L, 2L).map(("a", _)) ++ Seq(3L, 4L).map(("b", _)))
+      .toDF("g", "x")
+    val r1 = HypoTests.kruskalWallis(clean, col("g"), col("x")).head()
+    assert(r1.getLong(0) === 2L && r1.getLong(1) === 4L)
+    assert(r1.getLong(2) === 0L)
+    assert(math.abs(r1.getDouble(3) - 2.4) < 1e-6)
+    // ε² = (H − k + 1)/(n − k) = (2.4 − 1)/2 = 0.7
+    assert(math.abs(r1.getDouble(4) - 0.7) < 1e-6)
+    // {1,1} vs {2,3}: avg ranks 1.5,1.5,3,4 → same R's, tcube = 6,
+    // H = 2.4 / (1 − 6/60) = 2.666667
+    val tied = (Seq(1L, 1L).map(("a", _)) ++ Seq(2L, 3L).map(("b", _)))
+      .toDF("g", "x")
+    val r2 = HypoTests.kruskalWallis(tied, col("g"), col("x")).head()
+    assert(r2.getLong(2) === 6L)
+    assert(math.abs(r2.getDouble(3) - 2.666667) < 1e-6)
+    // k = 2 must agree with Mann-Whitney's z: H = z² asymptotically
+    // EXACTLY for the tie-corrected pair (both are the same rank sum)
+    val mw = HypoTests.mannWhitney(tied, col("g") === "a", col("x")).head()
+    assert(math.abs(r2.getDouble(3) - mw.getDouble(4) * mw.getDouble(4)) < 1e-4)
+  }
+
   test("Spearman rho on a known permutation; constant axis dropped") {
     val df = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (5L, 5L))
       .map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
