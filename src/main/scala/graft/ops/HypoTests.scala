@@ -301,6 +301,137 @@ object HypoTests {
         lit(0.0)).as("eps_sq"))
   }
 
+  /** Brown–Forsythe robust variance-homogeneity F across the groups
+    * of `groupCol` on integer `xInt` — Levene's test with MEDIAN
+    * centers (Brown & Forsythe 1974), the standard pre-test for
+    * q_anova's equal-variance reading and the robust one under
+    * asymmetry. W = one-way ANOVA F on zᵢⱼ = |xᵢⱼ − median(group i)|.
+    *
+    * Everything is exact integers until one double round per group:
+    * the per-group median comes from the value-domain cumulative
+    * table as a DOUBLED order statistic (m2 = x(⌈n/2⌉) + x(⌊n/2⌋+1),
+    * integer even for even n), deviations ride doubled
+    * (|2x − m2| · count), and the per-group Sᵢ²/nᵢ contribution is
+    * micro-quantized then summed as an integer — [[anovaF]]'s
+    * order-free-total discipline on the deviation metric. One row:
+    * (k, n, bf_stat, eta_sq) with the q_anova O(1)-magnitude rule
+    * (F and effect size only, no raw sums).
+    */
+  def brownForsythe(df: DataFrame, groupCol: Column,
+      xInt: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val byGV = df
+      .select(groupCol.as("g"), xInt.cast(LongType).as("x"))
+      .groupBy(col("g"), col("x"))
+      .agg(count(lit(1)).cast(dec).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("x").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = byGV.withColumn("below",
+      coalesce(sum(col("c")).over(w), lit(0).cast(dec)))
+    // n_g and the two middle order-statistic positions (1-indexed):
+    // k1 = ⌈n/2⌉ = (n+1)/2 floor-div, k2 = n/2 + 1 floor-div ... both
+    // integer decimal arithmetic; x(k) is the value whose cumulative
+    // range [below+1, below+c] covers k
+    val withN = cum.withColumn("ng",
+      sum(col("c")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g"))))
+    val two = lit(2).cast(dec)
+    // The two middle order statistics x(⌈n/2⌉) and x(⌊n/2⌋+1) in
+    // coverage form — exact integer comparisons only, both parities:
+    // x(k) = first value whose cumulative count reaches k, and for
+    // integer cum the thresholds collapse to
+    //   x_lo: first value with 2·(below+c) ≥ n    (cum ≥ ⌈n/2⌉)
+    //   x_hi: first value with 2·(below+c) ≥ n+1  (cum ≥ ⌊n/2⌋+1)
+    // (odd n: both ⇔ cum ≥ (n+1)/2, same value — m2 = 2·median)
+    val med = withN.groupBy(col("g"))
+      .agg(max(col("ng")).as("n"),
+        min(when(two * (col("below") + col("c")) >= col("ng"), col("x")))
+          .as("xlo"),
+        min(when(two * (col("below") + col("c")) >=
+          col("ng") + lit(1).cast(dec), col("x"))).as("xhi"))
+      .select(col("g"), col("n"),
+        (col("xlo").cast(dec) + col("xhi").cast(dec)).as("m2"))
+    // deviations doubled: z2 = |2x − m2| per (g, x), weight c — all
+    // exact integers; the F on z is scale-invariant so the doubling
+    // cancels out of the statistic
+    val dev = byGV.join(med, Seq("g"))
+      .select(col("g"), col("n"), col("c"),
+        abs(two * col("x").cast(dec) - col("m2")).as("z2"))
+    val perG = dev.groupBy(col("g"))
+      .agg(max(col("n")).as("n"),
+        sum(col("c") * col("z2")).as("s"),
+        sum(col("c") * col("z2") * col("z2")).as("q"))
+      .select(col("n"), col("s"), col("q"),
+        round(col("s").cast(DoubleType) * col("s").cast(DoubleType) /
+          col("n").cast(DoubleType) * lit(1000000.0)).cast(dec).as("gb"))
+    val t = perG.agg(count(lit(1)).cast(dec).as("k"), sum(col("n")).as("nn"),
+      sum(col("s")).as("ss"), sum(col("q")).as("qq"), sum(col("gb")).as("gbsum"))
+    def d(c: Column): Column = c.cast(DoubleType)
+    val grand = d(col("ss")) * d(col("ss")) / d(col("nn"))
+    val ssb = d(col("gbsum")) / lit(1000000.0) - grand
+    val ssw = d(col("qq")) - d(col("gbsum")) / lit(1000000.0)
+    val sst = d(col("qq")) - grand
+    t.select(col("k").cast(LongType).as("k"),
+      col("nn").cast(LongType).as("n"),
+      (round((ssb / (d(col("k")) - 1.0)) /
+        (ssw / (d(col("nn")) - d(col("k")))), 6) + lit(0.0)).as("bf_stat"),
+      (round(ssb / sst, 6) + lit(0.0)).as("eta_sq"))
+  }
+
+  /** DuckDB mirror of [[brownForsythe]] over `src(g, x BIGINT)`: CTE
+    * chain ending in `bf`.
+    */
+  def brownForsytheOracleSql(src: String): String =
+    s"""bgv AS (
+       |  SELECT g, x, cast(count(*) as decimal(38,0)) AS c
+       |  FROM $src GROUP BY 1, 2),
+       |bcum AS (
+       |  SELECT g, x, c,
+       |    coalesce(sum(c) OVER (PARTITION BY g ORDER BY x ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      cast(0 as decimal(38,0))) AS below,
+       |    sum(c) OVER (PARTITION BY g) AS ng
+       |  FROM bgv),
+       |bmed AS (
+       |  SELECT g, max(ng) AS n,
+       |    cast(min(CASE WHEN 2 * (below + c) >= ng THEN x END)
+       |      as decimal(38,0)) +
+       |    cast(min(CASE WHEN 2 * (below + c) >= ng + 1 THEN x END)
+       |      as decimal(38,0)) AS m2
+       |  FROM bcum GROUP BY 1),
+       |bdev AS (
+       |  SELECT v.g, m.n, v.c,
+       |    abs(2 * cast(v.x as decimal(38,0)) - m.m2) AS z2
+       |  FROM bgv v JOIN bmed m ON v.g = m.g),
+       |bperg AS (
+       |  SELECT g, max(n) AS n, sum(c * z2) AS s, sum(c * z2 * z2) AS q
+       |  FROM bdev GROUP BY 1),
+       |bgb AS (
+       |  SELECT n, s, q,
+       |    cast(round(cast(s as double) * cast(s as double) /
+       |      cast(n as double) * 1000000.0) as decimal(38,0)) AS gb
+       |  FROM bperg),
+       |btot AS (
+       |  SELECT cast(count(*) as decimal(38,0)) AS k, sum(n) AS nn,
+       |    sum(s) AS ss, sum(q) AS qq, sum(gb) AS gbsum
+       |  FROM bgb),
+       |bf AS (
+       |  SELECT cast(k as bigint) AS k, cast(nn as bigint) AS n,
+       |    round(((cast(gbsum as double) / 1000000.0 -
+       |        cast(ss as double) * cast(ss as double) /
+       |          cast(nn as double)) / (cast(k as double) - 1.0)) /
+       |      ((cast(qq as double) -
+       |        cast(gbsum as double) / 1000000.0) /
+       |       (cast(nn as double) - cast(k as double))), 6) + 0.0 AS bf_stat,
+       |    round((cast(gbsum as double) / 1000000.0 -
+       |        cast(ss as double) * cast(ss as double) /
+       |          cast(nn as double)) /
+       |      (cast(qq as double) -
+       |        cast(ss as double) * cast(ss as double) /
+       |          cast(nn as double)), 6) + 0.0 AS eta_sq
+       |  FROM btot)""".stripMargin
+
   /** DuckDB mirror of [[kruskalWallis]] over `src(g, x BIGINT)`: CTE
     * chain ending in `kw`.
     */

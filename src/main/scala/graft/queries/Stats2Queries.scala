@@ -92,6 +92,31 @@ private[queries] trait Stats2Queries extends StatsExtQueries {
        |SELECT k, n, tie_cube, h_stat, eps_sq FROM kw""".stripMargin
 
   // ---------------------------------------------------------------
+  // q_brown_forsythe — variance homogeneity of quantity across flags
+  // ---------------------------------------------------------------
+
+  /** Brown–Forsythe robust variance-homogeneity F of lineitem
+    * quantity across return flags — the median-centered Levene test
+    * that gates q_anova's equal-variance reading. Per-group medians
+    * are doubled-integer order statistics off the bounded value
+    * domain; deviations and their squares stay exact integers until
+    * the per-group micro-quantization (q_anova discipline).
+    */
+  def qBrownForsythe(s: SparkSession, d: String): DataFrame =
+    graft.ops.HypoTests.brownForsythe(
+      Tables.lineitem(s, d),
+      col("l_returnflag"),
+      round(col("l_quantity")).cast(LongType))
+
+  val qBrownForsytheSql: String =
+    s"""WITH src AS (
+       |  SELECT l_returnflag AS g,
+       |    cast(round(l_quantity) as bigint) AS x
+       |  FROM lineitem),
+       |${graft.ops.HypoTests.brownForsytheOracleSql("src")}
+       |SELECT k, n, bf_stat, eta_sq FROM bf""".stripMargin
+
+  // ---------------------------------------------------------------
   // q_anova — extended price across the three return flags
   // ---------------------------------------------------------------
 
@@ -395,6 +420,7 @@ private[queries] trait Stats2Queries extends StatsExtQueries {
       ("q_mann_whitney", qMannWhitney _, Some(qMannWhitneySql)),
       ("q_anova", qAnova _, Some(qAnovaSql)),
       ("q_kruskal", qKruskal _, Some(qKruskalSql)),
+      ("q_brown_forsythe", qBrownForsythe _, Some(qBrownForsytheSql)),
       ("q_spearman", qSpearman _, Some(qSpearmanSql)),
       ("q_mann_kendall", qMannKendall _, Some(qMannKendallSql)),
       ("q_theil_sen", qTheilSen _, Some(qTheilSenSql)),

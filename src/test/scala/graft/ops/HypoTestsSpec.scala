@@ -65,6 +65,24 @@ class HypoTestsSpec extends SparkSpec {
     assert(math.abs(r2.getDouble(3) - mw.getDouble(4) * mw.getDouble(4)) < 1e-4)
   }
 
+  test("Brown-Forsythe: odd-n medians, even-n half-integer median") {
+    // g1 = {1,2,9} (median 2, |dev| = 1,0,7), g2 = {4,5,6} (median 5,
+    // |dev| = 1,0,1): SSB = 6, SSW = 264/9 → F = 6/(29.333/4) =
+    // 0.818182, eta^2 = 6/35.333 = 0.169811
+    val odd = (Seq(1L, 2L, 9L).map(("g1", _)) ++ Seq(4L, 5L, 6L).map(("g2", _)))
+      .toDF("g", "x")
+    val r1 = HypoTests.brownForsythe(odd, col("g"), col("x")).head()
+    assert(r1.getLong(0) === 2L && r1.getLong(1) === 6L)
+    assert(math.abs(r1.getDouble(2) - 0.818182) < 1e-6)
+    assert(math.abs(r1.getDouble(3) - 0.169811) < 1e-6)
+    // g1 = {1,2,3,10} (median 2.5 — the half-integer doubled-median
+    // path), g2 = {4,6} (median 5): F = 3/(34/4) = 0.352941
+    val even = (Seq(1L, 2L, 3L, 10L).map(("g1", _)) ++ Seq(4L, 6L).map(("g2", _)))
+      .toDF("g", "x")
+    val r2 = HypoTests.brownForsythe(even, col("g"), col("x")).head()
+    assert(math.abs(r2.getDouble(2) - 0.352941) < 1e-6)
+  }
+
   test("Spearman rho on a known permutation; constant axis dropped") {
     val df = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (5L, 5L))
       .map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
