@@ -42,6 +42,27 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got === Map(5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("per-round label stats stay clamped (no BigInt sizeInBytes blowup)") {
+    // The long-path shape drives the most rounds; without the
+    // checkpointWithStats clamp, each round's join SQUARES the label
+    // frame's sizeInBytes estimate (bit length doubles per round —
+    // the 45-minute q_mutual_knn Toom-Cook wedge). The returned
+    // frame's estimate must instead price ~|V| rows.
+    val n = 200L
+    val out = ConnectedComponents.run(
+      (1L to n).toDF("id"),
+      (1L until n).map(i => (i + 1, i)).toDF("src", "dst"))
+    val size = out.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.stats.sizeInBytes
+    graft.CacheRegistry.releaseAll()
+    // the returned plan is vertices ⋈ labels, so the estimate is one
+    // benign product over the CLAMPED per-round frame — small-integer
+    // bits. Unclamped, a 200-path's ~8 pointer-jump rounds double the
+    // bit length each round and this reads thousands of bits.
+    assert(size.bitLength < 64,
+      s"expected small clamped stats, got $size (${size.bitLength} bits)")
+  }
+
   test("duplicateClusters groups exact and near copies transitively") {
     val base = "the quick brown fox jumps over the lazy dog and then " +
       "runs far away into the deep dark forest tonight"
