@@ -110,6 +110,10 @@ object Bench {
     def suiteIoCanary(): Double =
       if (canaryMode == "bare") BenchHost.ioCanarySec(spark, sfDir)
       else BenchHost.ioCanaryBest2(spark, sfDir)
+    // per-query caught-failure messages (latest run wins) — surfaced
+    // in per_query as "error" so a probe artifact cannot silently
+    // present a time-to-failure as a completed measurement
+    val queryErrors = scala.collection.mutable.Map.empty[String, String]
     val canaries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     val ioCanaries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     val loadPres = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
@@ -129,7 +133,13 @@ object Bench {
           spark.sparkContext.setJobGroup(s"graft.bench:$name#$r", name)
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch {
-            case e: Throwable => System.err.println(s"[bench] $name FAILED: $e")
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: $e")
+              // a caught failure must be VISIBLE in the artifact, not
+              // just stderr: the sf10 probe recorded q_label_prop's
+              // OOM time-to-failure as an ordinary-looking row
+              queryErrors += (name ->
+                e.toString.replaceAll("[\"\\\\\\n\\r]", " ").take(160))
           }
           val dt = (System.nanoTime() - t0) / 1e9
           spark.sparkContext.clearJobGroup()
@@ -281,7 +291,9 @@ object Bench {
       val runsCol = runSeries.get(name).filter(_.length > 1).map(ts =>
         s""""runs_sec":${ts.map(t => f"$t%.4f").mkString("[", ",", "]")},""")
         .getOrElse("")
-      f""""$name":{"sec":$sec%.4f,$runsCol$epochCols"load_pre":$lp%.2f,""" +
+      val errCol = queryErrors.get(name)
+        .map(m => s""""error":"$m",""").getOrElse("")
+      f""""$name":{"sec":$sec%.4f,$errCol$runsCol$epochCols"load_pre":$lp%.2f,""" +
         f""""canary_ratio":$r%.3f,""" +
         s""""shuffle_read":${m.shuffleRead},"shuffle_write":${m.shuffleWrite},""" +
         s""""mem_spill":${m.memSpill},"disk_spill":${m.diskSpill},""" +

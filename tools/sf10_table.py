@@ -29,9 +29,13 @@ def main(sf10_path: str, epoch_path: str) -> int:
         e = eq.get(name)
         ratio = f"{best / e:.1f}x" if e and e > 0.0 else "-"
         spill = attrs.get("disk_spill", 0) + attrs.get("mem_spill", 0)
+        err = attrs.get("error")
+        body = (f" FAILED ({err}) — times are time-to-failure |"
+                if err else
+                f" {cold:.1f} s | {warm:.1f} s | {ratio} |")
         rows.append(
             (f"| {name} | {e:.2f} s |" if e else f"| {name} | - |")
-            + f" {cold:.1f} s | {warm:.1f} s | {ratio} |"
+            + body
             + f" {spill // (1 << 20)} MB | {attrs.get('tasks', 0)} |")
     print("| query | sf0.1 epoch | sf10 cold | sf10 warm | x(100x data,"
           " best) | spill | tasks |")
