@@ -52,6 +52,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // Join strategy (guide §3.1): let the planner pick shuffled-hash
+      // over sort-merge when a side's per-partition build fits — the
+      // iterative graph/dedup families join a cached hash-partitioned
+      // big side against a small keyed frame every round, and SMJ
+      // re-sorts both sides per round for nothing. Scale-safe: the
+      // planner still requires the build side under its size
+      // conditions, AQE can still fall back, and the threshold below
+      // bounds the runtime rewrite at one advisory partition (64 MB)
+      // per task — not a local[32]-only constant.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "67108864")
       .config("spark.sql.maxPlanStringLength", "1048576")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -47,10 +47,13 @@ object Bfs {
   def run(seeds: DataFrame, edges: DataFrame, rounds: Int = 4,
       persistEdges: Boolean = true): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // hash(src)-partitioned cache (Parallelism.hashBy): each round's
+    // relax join needs ClusteredDistribution(src) — the pinned layout
+    // is consumed in place every round instead of re-exchanging an
+    // arbitrarily-partitioned cache per round.
     val e =
       if (persistEdges) graft.CacheRegistry.register(
-        Parallelism.widen(edges)
-          .select(col("src"), col("dst"))
+        Parallelism.hashBy(edges.select(col("src"), col("dst")), col("src"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else edges.select(col("src"), col("dst"))
     var dist = seeds.select(col("id")).distinct()

@@ -81,9 +81,22 @@ object ConnectedComponents {
     // stores the same bounded edge list the persist would (lazy — the
     // seeding aggregate materializes it), with lineage truncated so
     // reuse is structural instead of best-effort.
+    // The distinct runs ON a hash(src) exchange: HashPartitioning(src)
+    // satisfies the (src, dst) dedup's clustering, and the checkpoint
+    // then freezes a src-partitioned edge list every round's
+    // propagation join consumes in place — same exchange count at
+    // build (the distinct needed one anyway), zero per-round ones on
+    // the E-sized side. Deliberately NOT width-pinned (bare
+    // repartition(col), which AQE may coalesce): CC feeds on PAIR
+    // frames that are often tiny (q_mutual_knn: 492 mutual edges) and
+    // a pinned 32-wide layout costs more per-round task overhead than
+    // the saved exchange — AQE right-sizes the layout to the frame,
+    // and at scale the coalesced width converges to the shuffle width
+    // anyway.
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .filter(col("src") =!= col("dst"))
+      .repartition(col("src"))
       .distinct()
       .localCheckpoint(false)
 

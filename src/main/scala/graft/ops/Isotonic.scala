@@ -40,63 +40,57 @@ object Isotonic {
       maxBins: Int): DataFrame = {
     require(maxBins >= 1 && maxBins <= 64, "bounded unroll only")
     val dec = DecimalType(38, 0)
-    // each round references the pool frame FOUR times (next-pool self
-    // join ×2, adjacent read-back, violation scan), so raw lineage
-    // grows 4^rounds — observed as a 14 MB plan string by round 9.
-    // The KCore discipline applies: lazily localCheckpoint every
-    // round (truncates the analyzer tree, not just execution),
-    // materialize with a count, free the superseded round's blocks.
     val base = bins.select(col(binCol).cast(LongType).as("lo"),
       col(wCol).cast(dec).as("w"), col(sCol).cast(dec).as("s"))
       .localCheckpoint(false)
-    var pools = base
-    pools.count()
+    // PAV runs ON THE DRIVER over the collected bin table — the frame
+    // is ≤ maxBins (≤ 64) rows BY CONTRACT, i.e. model-sized, the same
+    // class as the k-means centroid collects. The former in-engine
+    // loop ran each merge round as 3-5 Spark jobs over a ≤64-row frame
+    // (a next-pool self join, a violation scan, a crossJoin rebuild,
+    // a checkpoint count) — ~25-30 sequential driver round-trips of
+    // pure scheduling latency per query (measured 3.1 s wall at sf0.1
+    // against < 3 ms of actual arithmetic). Semantics are unchanged
+    // and exactly the oracle's unrolled rounds: integer pool state
+    // (BigInt ≡ decimal(38,0) sums), violation by cross-multiplication
+    // (never a float division), merge the FIRST violating adjacent
+    // pair per round, at most maxBins − 1 rounds to the unique PAV
+    // fixpoint. The final iso_rate division + round(·,6) stays a
+    // Spark expression below, so the published float is computed by
+    // the same engine path as before.
+    val collected = base.collect() // materializes the checkpoint too
+      .map(r => (r.getLong(0),
+        BigInt(r.getDecimal(1).toBigInteger),
+        BigInt(r.getDecimal(2).toBigInteger)))
+      .sortBy(_._1)
+    val pbuf = scala.collection.mutable.ArrayBuffer(collected: _*)
     var converged = false
     for (_ <- 1 until maxBins if !converged) {
-      // next pool per pool (B² join on a ≤B-row frame), then the
-      // FIRST violating adjacent pair — all integer comparisons
-      val nl = pools.alias("a")
-        .join(pools.alias("b"), col("b.lo") > col("a.lo"))
-        .groupBy(col("a.lo").as("lo"), col("a.w").as("w"), col("a.s").as("s"))
-        .agg(min(col("b.lo")).as("nlo"))
-      val nxt = nl.alias("n")
-        .join(pools.alias("c"), col("n.nlo") === col("c.lo"))
-        .select(col("n.lo").as("lo"), col("n.w").as("w"),
-          col("n.s").as("s"), col("n.nlo").as("nlo"),
-          col("c.w").as("nw"), col("c.s").as("ns"))
-      val viol = nxt.filter(col("s") * col("nw") > col("ns") * col("w"))
-        .agg(min(col("lo")).as("mlo"))
-      // driver reads ONE value (model-sized, the KCore count
-      // discipline): no violation left ⇒ the fixpoint is reached and
-      // the remaining rounds would be no-ops — skip them. The oracle
-      // always unrolls maxBins−1 rounds; its extras are no-ops too,
-      // so results agree by construction.
-      if (viol.head().isNullAt(0)) converged = true
-      else {
-      val merge = nxt.join(broadcast(viol), col("lo") === col("mlo"))
-        .select(col("mlo"), col("nlo").as("mnlo"),
-          (col("w") + col("nw")).as("mw"), (col("s") + col("ns")).as("ms"))
-      val next = pools.crossJoin(broadcast(
-          merge.select(col("mlo"), col("mnlo"), col("mw"), col("ms"))
-            .unionAll(viol.filter(col("mlo").isNull)
-              .select(col("mlo"), lit(null).cast(LongType).as("mnlo"),
-                lit(null).cast(dec).as("mw"), lit(null).cast(dec).as("ms")))))
-        .select(
-          col("lo"),
-          when(col("lo") === col("mlo"), col("mw")).otherwise(col("w"))
-            .as("w"),
-          when(col("lo") === col("mlo"), col("ms")).otherwise(col("s"))
-            .as("s"),
-          col("mnlo"))
-        .filter(col("mnlo").isNull || col("lo") =!= col("mnlo"))
-        .select(col("lo"), col("w"), col("s"))
-        .localCheckpoint(false)
-      next.count()
-      if (!(pools eq base))
-        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(pools)
-      pools = next
+      // first violating adjacent pair under (lo asc): mean(a) > mean(b)
+      // as s_a·w_b > s_b·w_a — exact integer test
+      val j = (0 until pbuf.length - 1).find { i =>
+        pbuf(i)._3 * pbuf(i + 1)._2 > pbuf(i + 1)._3 * pbuf(i)._2
+      }
+      j match {
+        case Some(i) =>
+          val (lo, w, s) = pbuf(i)
+          val (_, nw, ns) = pbuf(i + 1)
+          pbuf(i) = (lo, w + nw, s + ns)
+          pbuf.remove(i + 1)
+        case None => converged = true
       }
     }
+    val spark = bins.sparkSession
+    val poolRows = pbuf.toSeq.map { case (lo, w, s) =>
+      org.apache.spark.sql.Row(lo, new java.math.BigDecimal(w.bigInteger),
+        new java.math.BigDecimal(s.bigInteger))
+    }
+    val pools = spark.createDataFrame(
+      spark.sparkContext.parallelize(poolRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("lo", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("w", dec, nullable = false),
+        org.apache.spark.sql.types.StructField("s", dec, nullable = false))))
     // expand pools back to the input bins: a bin belongs to the pool
     // with the largest lo ≤ bin
     val owner = base.alias("bn")

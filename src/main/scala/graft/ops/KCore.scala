@@ -37,15 +37,24 @@ object KCore {
   def run(nodes: DataFrame, edges: DataFrame, k: Int,
       rounds: Int = 4): DataFrame = {
     require(k >= 1 && rounds >= 1, s"k=$k rounds=$rounds must be >= 1")
+    // Persist the edge list hash-partitioned by dst (not round-robin
+    // widened): the alive-dst semi join then consumes the cache in
+    // place every round, and re-ordering the alive-src check to run on
+    // the V-sized DEGREE frame (instead of the E-sized edge frame)
+    // drops the per-round E-sized exchanges from two to one
+    // partial-aggregated one. Equivalence: counting per src over
+    // dst-alive edges and THEN keeping alive srcs counts exactly the
+    // edges with both endpoints alive — a dead src's count is built
+    // and discarded, never emitted; an alive src with no surviving
+    // edges has no row either way.
     val e = graft.CacheRegistry.register(
-      Parallelism.widen(edges)
-        .select(col("src"), col("dst"))
+      Parallelism.hashBy(edges.select(col("src"), col("dst")), col("dst"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     def degIn(alive: DataFrame): DataFrame = e
-      .join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
       .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
       .groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg"))
+      .join(alive.select(col("id")), Seq("id"), "left_semi")
 
     // Each round references the previous alive frame TWICE (both semi
     // joins), so raw lineage doubles per round — 2^rounds plan copies

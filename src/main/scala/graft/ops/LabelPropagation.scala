@@ -40,9 +40,21 @@ object LabelPropagation {
     */
   def run(nodes: DataFrame, edges: DataFrame, rounds: Int = 4): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // Persist the edge list HASH-PARTITIONED BY src, not round-robin
+    // widened: every round's vote join needs ClusteredDistribution(src),
+    // so a round-robin cache re-exchanges the E-sized frame once per
+    // round while a hash(src) cache is consumed in place all `rounds`
+    // times (one E-shuffle at build, zero after — the GraphStore
+    // "edges arrive pre-hashed" economics, which widen() was silently
+    // discarding for this operator). The label frame side is also free:
+    // groupBy/checkpoint keeps labels hash-partitioned on id, and
+    // LogicalRDD preserves partitioning (see Bridge.checkpointWithStats),
+    // so steady-state rounds exchange only the vote traffic.
+    // Parallelism.hashBy pins the width to spark.sql.shuffle.partitions
+    // (the scale-adaptive knob) so AQE cannot coalesce the cached frame
+    // below the parallelism the rounds need.
     val e = graft.CacheRegistry.register(
-      Parallelism.widen(edges)
-        .select(col("src"), col("dst"))
+      Parallelism.hashBy(edges.select(col("src"), col("dst")), col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val v = graft.CacheRegistry.register(
       nodes.select(col("id"))

@@ -44,7 +44,23 @@ object LinkPredict {
     */
   def adamicAdar(edges: DataFrame, k: Int): DataFrame = {
     require(k >= 1)
-    val simple = edges.select(col("src"), col("dst")).distinct()
+    // The simple-graph frame is built ON a pinned hash(src) exchange
+    // (Parallelism.hashBy) and cached: hash(src) satisfies the
+    // distinct's (src, dst) clustering, so the dedup itself pays no
+    // extra exchange, the degree count and the e2 wedge side consume
+    // the layout in place, and — the actual fix — the wedge self-join
+    // fans out at full shuffle width. Unpinned, AQE sizes the
+    // partitions by the edge list's INPUT bytes (~10 MB → 1-2
+    // partitions) while the join OUTPUT is Σ_w deg(w)² wedges, so the
+    // enumeration ran ~35 s of CPU on two cores (measured at sf0.1:
+    // 92 tasks, 4.0 s wall); pinned, the same CPU spreads across the
+    // session's shuffle width. The cache also stops the distinct
+    // being recomputed per consumer (deg, both wedge sides, the
+    // anti-join, deg_a, deg_b — six references).
+    val simple = graft.CacheRegistry.register(
+      Parallelism.hashBy(edges.select(col("src"), col("dst")), col("src"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val deg = simple.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val e1 = simple.alias("e1")
     val e2 = simple.alias("e2")

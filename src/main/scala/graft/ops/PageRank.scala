@@ -46,8 +46,12 @@ object PageRank {
       iters: Int = 5): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // hash(src)-partitioned cache (Parallelism.hashBy): every
+    // iteration's rank join needs ClusteredDistribution(src), so the
+    // pinned layout is consumed in place `iters` times — one build
+    // exchange, zero per-iteration ones on the E-sized side.
     val e = graft.CacheRegistry.register(
-      Parallelism.widen(edges).join(deg, Seq("src"))
+      Parallelism.hashBy(edges.join(deg, Seq("src")), col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val base = Math.round((1.0 - damping) * Scale)
     // every iteration right-joins the vertex set (and the caller's
@@ -98,8 +102,12 @@ object PageRank {
     val num = Math.round(damping * 100)
     require(num / 100.0 == damping, s"damping must be a multiple of 0.01")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // hash(src)-partitioned cache (Parallelism.hashBy): every
+    // iteration's rank join needs ClusteredDistribution(src), so the
+    // pinned layout is consumed in place `iters` times — one build
+    // exchange, zero per-iteration ones on the E-sized side.
     val e = graft.CacheRegistry.register(
-      Parallelism.widen(edges).join(deg, Seq("src"))
+      Parallelism.hashBy(edges.join(deg, Seq("src")), col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val base = Math.round((1.0 - damping) * Scale)
     val v = graft.CacheRegistry.register(

@@ -57,6 +57,25 @@ object Parallelism {
     * shuffle are returned untouched — without even compiling the
     * physical plan (see [[postShuffle]]).
     */
+  /** Hash-repartition by `cols` at the session's configured shuffle
+    * width — the iteration-substrate layout: an edge/posting frame
+    * persisted with this partitioning is consumed IN PLACE by every
+    * round's equi-join on `cols` (zero per-round exchanges on the big
+    * side), while the width stays pinned to
+    * `spark.sql.shuffle.partitions` (the scale knob). The explicit
+    * partition count matters twice: a bare `repartition(cols…)` is
+    * REPARTITION_BY_COL, which AQE freely coalesces to ~advisory-size
+    * partitions — measured at sf0.1: the 10 MB co-purchase edge cache
+    * collapsed to 2 partitions and serialized every LPA round's probe
+    * stage — whereas an explicit count is honored, keeping the cached
+    * frame as wide as the shuffle the rounds would otherwise pay.
+    */
+  def hashBy(df: DataFrame,
+      cols: org.apache.spark.sql.Column*): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartition(n, cols: _*)
+  }
+
   def widen(df: DataFrame, target: Int = 0): DataFrame = {
     val t =
       if (target > 0) target

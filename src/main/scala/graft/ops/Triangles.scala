@@ -66,8 +66,18 @@ object Triangles {
       when(uFirst, struct(col("dv").as("d"), col("v").as("i")))
         .otherwise(struct(col("du").as("d"), col("u").as("i")))
         .as("bord"))
-    val e1 = oriented.select(col("a"), col("b").as("b1"), col("bord").as("o1"))
-    val e2 = oriented.select(col("a"), col("b").as("b2"), col("bord").as("o2"))
+    // The wedge self-join runs over a PINNED hash(a) exchange
+    // (Parallelism.hashBy, shared by both sides via ReusedExchange):
+    // AQE otherwise coalesces the pivot exchange by the oriented edge
+    // list's input bytes (small) while the join OUTPUT is the
+    // O(m^1.5) wedge fan-out — measured at sf0.1 the whole
+    // enumeration sat on a handful of tasks (68 tasks, 12 s CPU,
+    // 2.5 s wall). The pin spreads the fan-out across the session's
+    // shuffle width; at scale it is the same exchange the join needed
+    // anyway.
+    val orientedWide = Parallelism.hashBy(oriented, col("a"))
+    val e1 = orientedWide.select(col("a"), col("b").as("b1"), col("bord").as("o1"))
+    val e2 = orientedWide.select(col("a"), col("b").as("b2"), col("bord").as("o2"))
     val wedges = e1.join(e2, Seq("a")).filter(col("o1") < col("o2"))
     val closure = oriented.select(col("a").as("b1"), col("b").as("b2"))
     val tris = wedges.join(closure, Seq("b1", "b2"))
