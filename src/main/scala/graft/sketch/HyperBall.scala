@@ -53,24 +53,43 @@ object HyperBall {
     require(rounds >= 0 && rounds <= 8, "bounded iteration only")
     val seeded = nodes.select(col("id"))
       .unionAll(edges.select(col("dst").as("id"))).distinct()
+    // The edge list is persisted ONCE, hash(src)-partitioned at the
+    // pinned shuffle width (Parallelism.hashBy): every round's push
+    // join consumes it in place instead of re-exchanging (or
+    // re-scanning) the E-sized side per round.
+    val e = graft.CacheRegistry.register(
+      graft.ops.Parallelism.hashBy(
+        edges.select(col("src"), col("dst")), col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // every round's register table stays persisted until the consuming
     // action finishes (CacheRegistry releases them post-query): the
     // output reads ALL rounds, so an eager unpersist-the-parent loop
-    // would silently re-run round r's join chain once per later round
+    // would silently re-run round r's join chain once per later round.
+    // Each register table is built ON a hash(id) exchange: hash(id)
+    // satisfies the (id, reg_idx) max-merge's clustering, so the agg
+    // pays the same single exchange it always did, while the PERSISTED
+    // layout is the one the next round's push join needs — the
+    // V·m-row register side stops re-exchanging every round. (The
+    // traded-away map-side combine on (id, reg_idx) is a no-op here:
+    // per-partition distinct (id, reg_idx) group counts match the row
+    // counts at any scale where partitions are sized to the data.)
+    def regPartitioned(df: DataFrame): DataFrame =
+      graft.ops.Parallelism.hashBy(df, col("id"))
+        .groupBy(col("id"), col("reg_idx"))
+        .agg(max(col("reg_rank")).as("reg_rank"))
     var regs = graft.CacheRegistry.register(
-      Hll.registers(seeded, Seq("id"), "id", b)
+      regPartitioned(Hll.registers(seeded, Seq("id"), "id", b))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var out = Hll.estimateFromRegisters(regs, Seq("id"), b)
       .withColumn("r", lit(0))
     for (r <- 1 to rounds) {
       val pushed = regs.alias("rg")
-        .join(edges.alias("eg"), col("rg.id") === col("eg.src"))
+        .join(e.alias("eg"), col("rg.id") === col("eg.src"))
         .select(col("eg.dst").as("id"), col("rg.reg_idx"), col("rg.reg_rank"))
       val next = graft.CacheRegistry.register(
-        regs.select(col("id"), col("reg_idx"), col("reg_rank"))
-          .unionAll(pushed)
-          .groupBy(col("id"), col("reg_idx"))
-          .agg(max(col("reg_rank")).as("reg_rank"))
+        regPartitioned(
+          regs.select(col("id"), col("reg_idx"), col("reg_rank"))
+            .unionAll(pushed))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // materialize so later rounds join the CACHED table, not a
       // re-derived lineage chain
@@ -173,17 +192,30 @@ object HyperBall {
   def exactBallSizes(seeds: DataFrame, edges: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 0 && rounds <= 8, "bounded iteration only")
+    // Same iteration-substrate layout as [[ballSizes]]: edges persisted
+    // hash(src) once; each round's pair frontier deduped ON a
+    // hash(node) exchange (hash(node) satisfies the (seed, node)
+    // distinct's clustering) so the persisted frontier arrives at the
+    // next round's expand join pre-partitioned on its key.
+    val e = graft.CacheRegistry.register(
+      graft.ops.Parallelism.hashBy(
+        edges.select(col("src"), col("dst")), col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var ball = graft.CacheRegistry.register(
-      seeds.select(col("id").as("seed"), col("id").as("node"))
+      graft.ops.Parallelism.hashBy(
+        seeds.select(col("id").as("seed"), col("id").as("node")),
+        col("node"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var out = ball.groupBy(col("seed")).agg(count(lit(1)).as("n_exact"))
       .withColumn("r", lit(0))
     for (r <- 1 to rounds) {
       val next = graft.CacheRegistry.register(
-        ball.alias("bl")
-          .join(edges.alias("eg"), col("bl.node") === col("eg.src"))
-          .select(col("bl.seed"), col("eg.dst").as("node"))
-          .unionAll(ball.select(col("seed"), col("node")))
+        graft.ops.Parallelism.hashBy(
+          ball.alias("bl")
+            .join(e.alias("eg"), col("bl.node") === col("eg.src"))
+            .select(col("bl.seed"), col("eg.dst").as("node"))
+            .unionAll(ball.select(col("seed"), col("node"))),
+          col("node"))
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       next.count()
