@@ -53,11 +53,22 @@ object LabelPropagation {
     // Parallelism.hashBy pins the width to spark.sql.shuffle.partitions
     // (the scale-adaptive knob) so AQE cannot coalesce the cached frame
     // below the parallelism the rounds need.
-    val e = graft.CacheRegistry.register(
-      Parallelism.hashBy(edges.select(col("src"), col("dst")), col("src"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val v = graft.CacheRegistry.register(
       nodes.select(col("id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Edges are pre-filtered ONCE to dst ∈ nodes: a vote to an
+    // out-of-universe dst only ever produced a `picked` row that the
+    // former per-round left-join against v discarded, so dropping the
+    // edge up front is exactly equivalent — and it turns that
+    // per-round V-sized join into a no-op that can be removed outright
+    // (see below). In-universe votes are untouched, and the self-vote
+    // branch keeps every vertex labeled, so `picked`'s key set is
+    // exactly v each round.
+    val e = graft.CacheRegistry.register(
+      Parallelism.hashBy(
+        edges.select(col("src"), col("dst"))
+          .join(v.select(col("id").as("dst")), Seq("dst"), "left_semi"),
+        col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Each round references the previous label frame TWICE (self-vote
     // union branch + the neighbor join), so raw lineage doubles per
@@ -81,12 +92,12 @@ object LabelPropagation {
         .groupBy(col("vid"))
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("w"))
         .select(col("vid").as("id"), (-col("w.nl")).as("lbl"))
-      // vertices with no vote row (isolated AND filtered) keep labels;
-      // with the self vote in the union that set is empty, but the
-      // left join keeps the invariant explicit and costless
-      val next = v.join(picked, Seq("id"), "left")
-        .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
-        .localCheckpoint(false)
+      // `picked` covers exactly v: every labels row self-votes (labels
+      // keys = v by induction) and the dst-side semi filter above
+      // keeps foreign vids out — so the former per-round
+      // v-left-join + coalesce was an identity and is gone (one join
+      // and its broadcast-build job per round saved).
+      val next = picked.localCheckpoint(false)
       next.count() // materializes the lazy checkpoint
       org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(labels)
       labels = next
