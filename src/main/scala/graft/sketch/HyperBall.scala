@@ -65,20 +65,14 @@ object HyperBall {
     // action finishes (CacheRegistry releases them post-query): the
     // output reads ALL rounds, so an eager unpersist-the-parent loop
     // would silently re-run round r's join chain once per later round.
-    // Each register table is built ON a hash(id) exchange: hash(id)
-    // satisfies the (id, reg_idx) max-merge's clustering, so the agg
-    // pays the same single exchange it always did, while the PERSISTED
-    // layout is the one the next round's push join needs — the
-    // V·m-row register side stops re-exchanging every round. (The
-    // traded-away map-side combine on (id, reg_idx) is a no-op here:
-    // per-partition distinct (id, reg_idx) group counts match the row
-    // counts at any scale where partitions are sized to the data.)
-    def regPartitioned(df: DataFrame): DataFrame =
-      graft.ops.Parallelism.hashBy(df, col("id"))
-        .groupBy(col("id"), col("reg_idx"))
-        .agg(max(col("reg_rank")).as("reg_rank"))
+    // The max-merge keeps its native (id, reg_idx) aggregation: an
+    // explicit pre-agg hash(id) repartition was tried (r16) to hand
+    // the next round's join a pre-partitioned register table, but it
+    // trades away the MAP-SIDE partial max that collapses the E·m-row
+    // push fan-out before the exchange — measured at sf0.1 it grew
+    // q_hyperball_recall's shuffle 110 → 162 MB and doubled its tasks.
     var regs = graft.CacheRegistry.register(
-      regPartitioned(Hll.registers(seeded, Seq("id"), "id", b))
+      Hll.registers(seeded, Seq("id"), "id", b)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var out = Hll.estimateFromRegisters(regs, Seq("id"), b)
       .withColumn("r", lit(0))
@@ -87,9 +81,10 @@ object HyperBall {
         .join(e.alias("eg"), col("rg.id") === col("eg.src"))
         .select(col("eg.dst").as("id"), col("rg.reg_idx"), col("rg.reg_rank"))
       val next = graft.CacheRegistry.register(
-        regPartitioned(
-          regs.select(col("id"), col("reg_idx"), col("reg_rank"))
-            .unionAll(pushed))
+        regs.select(col("id"), col("reg_idx"), col("reg_rank"))
+          .unionAll(pushed)
+          .groupBy(col("id"), col("reg_idx"))
+          .agg(max(col("reg_rank")).as("reg_rank"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // materialize so later rounds join the CACHED table, not a
       // re-derived lineage chain
@@ -201,21 +196,22 @@ object HyperBall {
       graft.ops.Parallelism.hashBy(
         edges.select(col("src"), col("dst")), col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // The frontier dedup keeps its native distinct (map-side partial
+    // distinct collapses the expand join's duplicate-heavy fan-out
+    // before the exchange — a pre-distinct hash(node) repartition was
+    // tried and shuffled the raw fan-out instead; see the register
+    // loop note above).
     var ball = graft.CacheRegistry.register(
-      graft.ops.Parallelism.hashBy(
-        seeds.select(col("id").as("seed"), col("id").as("node")),
-        col("node"))
+      seeds.select(col("id").as("seed"), col("id").as("node"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var out = ball.groupBy(col("seed")).agg(count(lit(1)).as("n_exact"))
       .withColumn("r", lit(0))
     for (r <- 1 to rounds) {
       val next = graft.CacheRegistry.register(
-        graft.ops.Parallelism.hashBy(
-          ball.alias("bl")
-            .join(e.alias("eg"), col("bl.node") === col("eg.src"))
-            .select(col("bl.seed"), col("eg.dst").as("node"))
-            .unionAll(ball.select(col("seed"), col("node"))),
-          col("node"))
+        ball.alias("bl")
+          .join(e.alias("eg"), col("bl.node") === col("eg.src"))
+          .select(col("bl.seed"), col("eg.dst").as("node"))
+          .unionAll(ball.select(col("seed"), col("node")))
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       next.count()
