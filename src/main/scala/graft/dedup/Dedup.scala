@@ -803,10 +803,19 @@ object Dedup {
       w: Int = 3, minContain: Double = 0.5, dfCap: Int = 64): DataFrame = {
     require(minContain > 0.0 && minContain <= 1.0, "minContain in (0, 1]")
     require(dfCap >= 2, "dfCap < 2 admits no shared shingle at all")
+    // Postings persisted hash(h) at pinned width (the widen still runs
+    // first so the shingle hashing itself is computed on every core,
+    // as the map side of the hash exchange): the df count, the
+    // survivor join and the posting-list self-join below all key on h,
+    // so the cached layout is consumed in place three times — the
+    // (id, h) rows are 16 bytes, so the one build exchange is far
+    // cheaper than the three h-keyed exchanges it replaces.
     val e = graft.CacheRegistry.register(
-      graft.ops.Parallelism.widen(df)
-        .select(col(idCol).as("id"),
-          explode(shingleHashes(col(textCol), w)).as("h"))
+      graft.ops.Parallelism.hashBy(
+        graft.ops.Parallelism.widen(df)
+          .select(col(idCol).as("id"),
+            explode(shingleHashes(col(textCol), w)).as("h")),
+        col("h"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dfreq = e.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val surv = e.join(dfreq.filter(col("df") <= dfCap), Seq("h"))

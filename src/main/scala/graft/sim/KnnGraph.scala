@@ -151,9 +151,16 @@ object KnnGraph {
     def pin(df: DataFrame): DataFrame = graft.CacheRegistry.register(
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // one staged frame: id, vec, norm (computed once per NODE, not per
-    // pair — the cosinePre discipline), both seed buckets
-    val keyed = pin(graft.ops.Parallelism.widen(corpus)
-      .select(col(idCol).as("id"), guardedVec.as("vec"))
+    // pair — the cosinePre discipline). Persisted hash(id) at pinned
+    // shuffle width (Parallelism.hashBy): the id-keyed vector
+    // join-backs (2 per round + 2 at seed) then consume the cached
+    // layout in place instead of re-exchanging the vector payload per
+    // join — guide §2.3's "move keys, not payloads" applied to the
+    // descent's heaviest column. The hash exchange doubles as the
+    // parallelism widener for the narrow parquet input; the
+    // norm/bucket projections run AFTER it, on every core.
+    val keyed = pin(graft.ops.Parallelism.hashBy(
+        corpus.select(col(idCol).as("id"), guardedVec.as("vec")), col("id"))
       .withColumn("nrm", Ann.norm(col("vec")))
       .withColumn("b1", Ann.lshKey(col("vec"), planes1))
       .withColumn("b2", Ann.lshKey(col("vec"), planes2)))
