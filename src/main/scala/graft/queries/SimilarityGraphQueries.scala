@@ -1639,9 +1639,15 @@ private[queries] trait SimilarityGraphQueries extends DedupQueries {
     * replayed operation-for-operation in the oracle.
     */
   def qAssoc(s: SparkSession, d: String): DataFrame = {
+    // basket table deduped ON a pinned hash(o) exchange: hash(o)
+    // satisfies the (o, i) distinct's clustering and the persisted
+    // layout is the basket self-join's key, so the pairing below runs
+    // exchange-free over the cache (one build exchange total)
     val b = graft.CacheRegistry.register(
-      Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
+      graft.ops.Parallelism.hashBy(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("i")),
+        col("o"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val n = b.agg(countDistinct(col("o")).as("n"),
@@ -1709,9 +1715,13 @@ private[queries] trait SimilarityGraphQueries extends DedupQueries {
     * round(·,6).
     */
   def qItemCf(s: SparkSession, d: String): DataFrame = {
+    // same layout as qAssoc: dedup on a pinned hash(o) exchange so the
+    // co-occurrence self-join consumes the cache in place
     val b = graft.CacheRegistry.register(
-      Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
+      graft.ops.Parallelism.hashBy(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("i")),
+        col("o"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val si = b.groupBy(col("i")).agg(count(lit(1)).as("s"))
