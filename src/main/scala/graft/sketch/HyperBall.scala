@@ -53,24 +53,10 @@ object HyperBall {
     require(rounds >= 0 && rounds <= 8, "bounded iteration only")
     val seeded = nodes.select(col("id"))
       .unionAll(edges.select(col("dst").as("id"))).distinct()
-    // The edge list is persisted ONCE, hash(src)-partitioned at the
-    // pinned shuffle width (Parallelism.hashBy): every round's push
-    // join consumes it in place instead of re-exchanging (or
-    // re-scanning) the E-sized side per round.
-    val e = graft.CacheRegistry.register(
-      graft.ops.Parallelism.hashBy(
-        edges.select(col("src"), col("dst")), col("src"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // every round's register table stays persisted until the consuming
     // action finishes (CacheRegistry releases them post-query): the
     // output reads ALL rounds, so an eager unpersist-the-parent loop
-    // would silently re-run round r's join chain once per later round.
-    // The max-merge keeps its native (id, reg_idx) aggregation: an
-    // explicit pre-agg hash(id) repartition was tried (r16) to hand
-    // the next round's join a pre-partitioned register table, but it
-    // trades away the MAP-SIDE partial max that collapses the E·m-row
-    // push fan-out before the exchange — measured at sf0.1 it grew
-    // q_hyperball_recall's shuffle 110 → 162 MB and doubled its tasks.
+    // would silently re-run round r's join chain once per later round
     var regs = graft.CacheRegistry.register(
       Hll.registers(seeded, Seq("id"), "id", b)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -78,7 +64,7 @@ object HyperBall {
       .withColumn("r", lit(0))
     for (r <- 1 to rounds) {
       val pushed = regs.alias("rg")
-        .join(e.alias("eg"), col("rg.id") === col("eg.src"))
+        .join(edges.alias("eg"), col("rg.id") === col("eg.src"))
         .select(col("eg.dst").as("id"), col("rg.reg_idx"), col("rg.reg_rank"))
       val next = graft.CacheRegistry.register(
         regs.select(col("id"), col("reg_idx"), col("reg_rank"))
@@ -187,20 +173,6 @@ object HyperBall {
   def exactBallSizes(seeds: DataFrame, edges: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 0 && rounds <= 8, "bounded iteration only")
-    // Same iteration-substrate layout as [[ballSizes]]: edges persisted
-    // hash(src) once; each round's pair frontier deduped ON a
-    // hash(node) exchange (hash(node) satisfies the (seed, node)
-    // distinct's clustering) so the persisted frontier arrives at the
-    // next round's expand join pre-partitioned on its key.
-    val e = graft.CacheRegistry.register(
-      graft.ops.Parallelism.hashBy(
-        edges.select(col("src"), col("dst")), col("src"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // The frontier dedup keeps its native distinct (map-side partial
-    // distinct collapses the expand join's duplicate-heavy fan-out
-    // before the exchange — a pre-distinct hash(node) repartition was
-    // tried and shuffled the raw fan-out instead; see the register
-    // loop note above).
     var ball = graft.CacheRegistry.register(
       seeds.select(col("id").as("seed"), col("id").as("node"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -209,7 +181,7 @@ object HyperBall {
     for (r <- 1 to rounds) {
       val next = graft.CacheRegistry.register(
         ball.alias("bl")
-          .join(e.alias("eg"), col("bl.node") === col("eg.src"))
+          .join(edges.alias("eg"), col("bl.node") === col("eg.src"))
           .select(col("bl.seed"), col("eg.dst").as("node"))
           .unionAll(ball.select(col("seed"), col("node")))
           .distinct()
