@@ -56,23 +56,37 @@ object Bfs {
         Parallelism.hashBy(edges.select(col("src"), col("dst")), col("src"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else edges.select(col("src"), col("dst"))
+    // Rounds ≤ MaxUnrolledRounds run as ONE unrolled plan with no
+    // per-round checkpoint+count barriers (the LabelPropagation
+    // argument: each round references `dist` twice, so plan copies
+    // grow 2^rounds — bounded at 64 compact subtrees for the fixed
+    // rounds = 4 every caller uses — and the duplicated per-round
+    // aggregations sit behind identical exchanges that AQE's stage
+    // cache materializes once). Larger round counts keep the
+    // ConnectedComponents truncation discipline.
+    val unrolled = rounds <= LabelPropagation.MaxUnrolledRounds
     var dist = seeds.select(col("id")).distinct()
       .select(col("id"), lit(0L).as("dist"))
-      .localCheckpoint(false)
-    dist.count() // materializes the lazy checkpoint
+    if (!unrolled) {
+      dist = dist.localCheckpoint(false)
+      dist.count() // materializes the lazy checkpoint
+    }
     for (_ <- 1 to rounds) {
       // relax: every reached vertex offers dist+1 to its out-neighbors;
       // union with the keep-old branch, then one map-side-combining min
-      val next = dist
+      val relaxed = dist
         .unionByName(
           e.join(dist, e("src") === dist("id"))
             .select(col("dst").as("id"), (col("dist") + 1L).as("dist")))
         .groupBy(col("id"))
         .agg(min(col("dist")).as("dist"))
-        .localCheckpoint(false)
-      next.count() // materializes the lazy checkpoint
-      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(dist)
-      dist = next
+      if (unrolled) dist = relaxed
+      else {
+        val next = relaxed.localCheckpoint(false)
+        next.count() // materializes the lazy checkpoint
+        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(dist)
+        dist = next
+      }
     }
     dist
   }

@@ -63,6 +63,12 @@ object Isotonic {
         BigInt(r.getDecimal(1).toBigInteger),
         BigInt(r.getDecimal(2).toBigInteger)))
       .sortBy(_._1)
+    // enforce the "model-sized by contract" invariant the collect
+    // leans on: an oversized bin frame must fail loudly here, not
+    // return an under-merged (non-isotonic) fit from a loop capped at
+    // maxBins − 1 merges (ADVICE r16)
+    require(collected.length <= maxBins,
+      s"pavBins got ${collected.length} bins > maxBins=$maxBins")
     val pbuf = scala.collection.mutable.ArrayBuffer(collected: _*)
     var converged = false
     for (_ <- 1 until maxBins if !converged) {

@@ -33,10 +33,26 @@ import org.apache.spark.sql.functions._
   */
 object LabelPropagation {
 
+  /** Rounds up to which the loop stays a single unrolled plan (no
+    * per-round lineage truncation): plan copies grow 2^rounds, so 6
+    * bounds the analyzed tree at 64 compact subtree copies while every
+    * production caller (rounds = 4) gets the barrier-free path.
+    */
+  val MaxUnrolledRounds = 6
+
   /** Labels after `rounds` synchronous votes: (id, community).
     * `edges` are directed (src, dst) as stored; votes flow src → dst,
     * so pass a symmetrized list for undirected semantics. Vertices
     * absent from any dst side keep their previous (initial) label.
+    *
+    * `nodes.id` MUST be distinct (every caller passes a vertex-set
+    * frame). The invariant is load-bearing (ADVICE r16): the
+    * picked-covers-v identity that lets each round skip the v
+    * left-join holds because every v row self-votes exactly once —
+    * with duplicate ids the old per-round re-join duplicated output
+    * rows while `picked` (a groupBy) dedups from round 1. Asserting
+    * distinctness with a count here would cost an extra job per call;
+    * documenting it keeps the contract explicit at zero cost.
     */
   def run(nodes: DataFrame, edges: DataFrame, rounds: Int = 4): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
@@ -72,12 +88,27 @@ object LabelPropagation {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Each round references the previous label frame TWICE (self-vote
     // union branch + the neighbor join), so raw lineage doubles per
-    // round — 2^rounds plan copies. The ConnectedComponents discipline
-    // applies: lazily localCheckpoint each round, materialize with one
-    // tiny count, free the superseded round's blocks immediately.
+    // round — 2^rounds plan copies. At the FIXED small round counts
+    // every caller uses (4), that is ≤ 2^6 copies of a compact subtree
+    // whose leaves are the two caches above — cheap to analyze — and
+    // the duplicated per-round aggregation subtrees all sit behind
+    // IDENTICAL exchanges, which AQE's stage cache (and the
+    // ReuseExchange rule without AQE) materializes ONCE per round. The
+    // whole propagation then runs as a SINGLE job at the consumer's
+    // action, with zero per-round driver barriers — the r16-measured
+    // per-round localCheckpoint+count discipline cost ~4 sequential
+    // materialization round-trips per query (checkpoint serialization
+    // of a V-sized frame each) purely to truncate lineage that this
+    // unrolled form never lets grow past 2^rounds. Beyond
+    // MaxUnrolledRounds the ConnectedComponents checkpoint discipline
+    // takes over: lazily localCheckpoint each round, materialize with
+    // one tiny count, free the superseded round's blocks immediately.
+    val unrolled = rounds <= MaxUnrolledRounds
     var labels = v.select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(false)
-    labels.count() // materializes the lazy checkpoint
+    if (!unrolled) {
+      labels = labels.localCheckpoint(false)
+      labels.count() // materializes the lazy checkpoint
+    }
     for (_ <- 1 to rounds) {
       // self vote rides a union with the neighbor votes so one count
       // aggregation sees both; the struct-max then picks the winner
@@ -97,10 +128,13 @@ object LabelPropagation {
       // keeps foreign vids out — so the former per-round
       // v-left-join + coalesce was an identity and is gone (one join
       // and its broadcast-build job per round saved).
-      val next = picked.localCheckpoint(false)
-      next.count() // materializes the lazy checkpoint
-      org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(labels)
-      labels = next
+      if (unrolled) labels = picked
+      else {
+        val next = picked.localCheckpoint(false)
+        next.count() // materializes the lazy checkpoint
+        org.apache.spark.sql.graftbridge.Bridge.unpersistLocalCheckpoint(labels)
+        labels = next
+      }
     }
     labels.select(col("id"), col("lbl").as("community"))
   }

@@ -50,13 +50,6 @@ object Parallelism {
       case _ => false
     }
 
-  /** Round-robin repartition up to the session's default parallelism,
-    * only when the plan currently has fewer partitions. The shuffle
-    * moves only the raw input (small by precondition); the expensive
-    * downstream expressions then run on every core. Plans that already
-    * shuffle are returned untouched — without even compiling the
-    * physical plan (see [[postShuffle]]).
-    */
   /** Hash-repartition by `cols` at the session's configured shuffle
     * width — the iteration-substrate layout: an edge/posting frame
     * persisted with this partitioning is consumed IN PLACE by every
@@ -76,6 +69,13 @@ object Parallelism {
     df.repartition(n, cols: _*)
   }
 
+  /** Round-robin repartition up to the session's default parallelism,
+    * only when the plan currently has fewer partitions. The shuffle
+    * moves only the raw input (small by precondition); the expensive
+    * downstream expressions then run on every core. Plans that already
+    * shuffle are returned untouched — without even compiling the
+    * physical plan (see [[postShuffle]]).
+    */
   def widen(df: DataFrame, target: Int = 0): DataFrame = {
     val t =
       if (target > 0) target

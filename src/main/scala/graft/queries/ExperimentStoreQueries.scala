@@ -169,8 +169,18 @@ private[queries] trait ExperimentStoreQueries extends MultimodalQueries {
     * the empty-document sentinel handling is unit-testable.
     */
   def pplBands(docs: DataFrame): DataFrame = {
-    val wl = graft.text.UnigramLm.score(docs, "doc_id", "text")
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    // The scored frame feeds BOTH the per-language threshold estimator
+    // and the final banding join — unstaged, the whole UnigramLm pass
+    // (vocab count + logp join + per-doc aggregation) re-runs for each
+    // consumer, i.e. one extra corpus scoring pass per query (guide
+    // §5: cache only when reuse beats recompute — a V-sized
+    // (doc_id, lang, n_tokens, avg_logp) frame vs a second LM pass is
+    // exactly that trade). Within-query staging only: the cache is
+    // registered and released by the per-query CacheRegistry sweep.
+    val wl = graft.CacheRegistry.register(
+      graft.text.UnigramLm.score(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // token-less docs carry UnigramLm's avg_logp = 0.0 SENTINEL, not a
     // fluency score — with PplHi = 0.0 they would band 'head' and
     // their top-bin mass would inflate every threshold of their

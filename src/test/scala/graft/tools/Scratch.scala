@@ -1,4 +1,4 @@
-package graft.queries
+package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
